@@ -1,0 +1,442 @@
+"""Deterministic blocks/edges/tombstones graph derived from the TPC-H testdata.
+
+Per FIXTURES.md §6: the driver's synthetic star schema is bulk row fodder for a
+realistic large-scale code graph. Every entity row becomes a ``ContextBlock``
+row (reference ``src/core/types.zig:137-151``) and FK relationships become
+typed ``GraphEdge`` rows (``src/core/types.zig:549-561``). The derivation is
+pure column arithmetic over md5 — bit-for-bit reproducible in DuckDB, which is
+what the oracle harness exploits (``DUCK_PREFIX`` below).
+
+Entity → block mapping (ids are md5 of a tagged natural key):
+
+| entity   | id              | sequence        | unit_type | codebase           |
+|----------|-----------------|-----------------|-----------|--------------------|
+| customer | md5('C'||key)   | 1_000_000 + key | type      | customer's nation  |
+| order    | md5('O'||key)   | 2_000_000 + key | function  | customer's nation  |
+| lineitem | md5('L'||o-l)   | 100M+(o*8+l)*8+v| function  | supplier's nation  |
+
+Lineitem (orderkey, linenumber) pairs are NOT unique in the generator — we
+treat duplicate pairs as successive MVCC *versions* of the same block id,
+with version rank ``v`` = row_number over the full column tuple (the data has
+no exact-duplicate rows, so this is deterministic in both engines).
+| part     | md5('P'||key)   | 4_000_000 + key | const     | 'catalog'          |
+| supplier | md5('S'||key)   | 5_000_000 + key | type      | supplier's nation  |
+
+MVCC fixtures (reference semantics ``src/storage/engine.zig:839-925``,
+scenario ``src/tests/scenarios/tombstone_sequencing.zig``):
+- custkey % 10 == 0 → a second version (seq 6_000_000+key, content '... v2')
+- custkey % 7  == 0 → tombstone at seq 7_000_000+key (shadows v1 and v2)
+- custkey % 14 == 0 → a rewrite (seq 8_000_000+key, '... v3') — visible again
+
+Edges (multigraph — duplicates kept, ``src/storage/graph_edge_index.zig:111-143``):
+- customer → order     : depends_on
+- order    → lineitem  : contains
+- lineitem → order     : defined_in   (deliberate 2-cycle for termination tests)
+- lineitem → part      : references   (DUPLICATED when l_linenumber == 1)
+- lineitem → supplier  : calls
+
+Scale notes (100 TB design): the only joins here are fact→dim on nation
+(25 rows — broadcast) and lineitem→part/supplier on the fact key (co-partitioned
+shuffle join; at scale these tables would be bucketed by their keys so the
+derivation is shuffle-free). Everything else is a narrow projection, so the
+derivation is a single scan per input table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Spark side
+# ---------------------------------------------------------------------------
+
+_TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None
+) -> dict[str, DataFrame]:
+    """Load the driver testdata parquet tables (lazily — ``events`` has
+    nanosecond timestamps which need special handling, see sources/events)."""
+    names = names or ("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+    return {t: spark.read.parquet(f"{sf_dir}/{t}.parquet") for t in names}
+
+
+def _mk_json(unit_type, unit_id, codebase, file_path):
+    # Hand-built JSON (stable key order / spacing) so the same string is
+    # reproducible in the DuckDB oracle. Values never contain quotes.
+    return F.concat(
+        F.lit('{"unit_type":"'), unit_type,
+        F.lit('","unit_id":"'), unit_id,
+        F.lit('","codebase":"'), codebase,
+        F.lit('","file_path":"'), file_path,
+        F.lit('"}'),
+    )
+
+
+def _finish(df: DataFrame) -> DataFrame:
+    """Attach the derived columns shared by every block flavor."""
+    unit_id = F.concat(F.col("file_path"), F.lit(":"), F.col("name"))
+    return df.select(
+        "id",
+        "sequence",
+        F.concat(F.lit("file://"), F.col("file_path"), F.lit("#L1-9")).alias("source_uri"),
+        F.col("unit_type"),
+        unit_id.alias("unit_id"),
+        "codebase",
+        "file_path",
+        _mk_json(F.col("unit_type"), unit_id, F.col("codebase"), F.col("file_path")).alias(
+            "metadata_json"
+        ),
+        "content",
+    )
+
+
+def _s(col):
+    return col.cast("string")
+
+
+def raw_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All block *versions* (pre-MVCC union). Columns: id, sequence,
+    source_uri, unit_type, unit_id, codebase, file_path, metadata_json,
+    content."""
+    t = load_tables(spark, sf_dir)
+    nation = F.broadcast(t["nation"].select("n_nationkey", "n_name"))
+
+    cust = (
+        t["customer"]
+        .join(nation, t["customer"].c_nationkey == nation.n_nationkey)
+        .select(
+            F.md5(F.concat(F.lit("C"), _s(F.col("c_custkey")))).alias("id"),
+            (F.lit(1_000_000) + F.col("c_custkey")).cast("bigint").alias("sequence"),
+            F.lit("type").alias("unit_type"),
+            F.concat(F.lit("Customer_"), _s(F.col("c_custkey"))).alias("name"),
+            F.col("n_name").alias("codebase"),
+            F.concat(
+                F.lit("tpch/customers/c"), _s(F.col("c_custkey") % 100), F.lit(".py")
+            ).alias("file_path"),
+            F.concat(
+                F.col("c_name"), F.lit(" "), F.col("c_mktsegment"), F.lit(" customer account")
+            ).alias("content"),
+            F.col("c_custkey").alias("_key"),
+        )
+    )
+
+    cust_v2 = (
+        cust.where(F.col("_key") % 10 == 0)
+        .withColumn("sequence", (F.lit(6_000_000) + F.col("_key")).cast("bigint"))
+        .withColumn("content", F.concat(F.col("content"), F.lit(" updated v2")))
+    )
+    cust_v3 = (
+        cust.where(F.col("_key") % 14 == 0)
+        .withColumn("sequence", (F.lit(8_000_000) + F.col("_key")).cast("bigint"))
+        .withColumn("content", F.concat(F.col("content"), F.lit(" restored v3")))
+    )
+
+    orders = (
+        t["orders"]
+        .join(t["customer"].select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(nation, F.col("c_nationkey") == nation.n_nationkey)
+        .select(
+            F.md5(F.concat(F.lit("O"), _s(F.col("o_orderkey")))).alias("id"),
+            (F.lit(2_000_000) + F.col("o_orderkey")).cast("bigint").alias("sequence"),
+            F.lit("function").alias("unit_type"),
+            F.concat(F.lit("order_"), _s(F.col("o_orderkey"))).alias("name"),
+            F.col("n_name").alias("codebase"),
+            F.concat(
+                F.lit("tpch/orders/o"), _s(F.col("o_orderkey") % 100), F.lit(".py")
+            ).alias("file_path"),
+            F.concat(
+                F.lit("order "), F.col("o_orderstatus"), F.lit(" priority "), F.col("o_orderpriority")
+            ).alias("content"),
+        )
+    )
+
+    from pyspark.sql import Window
+
+    vrank = F.row_number().over(
+        Window.partitionBy("l_orderkey", "l_linenumber").orderBy(
+            "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount",
+            "l_tax", "l_returnflag", "l_linestatus", "l_shipdate",
+        )
+    )
+    line = (
+        t["lineitem"]
+        .withColumn("_v", vrank)
+        .join(t["part"].select("p_partkey", "p_name"), F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["supplier"].select("s_suppkey", "s_nationkey"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nation, F.col("s_nationkey") == nation.n_nationkey)
+        .select(
+            F.md5(
+                F.concat(F.lit("L"), _s(F.col("l_orderkey")), F.lit("-"), _s(F.col("l_linenumber")))
+            ).alias("id"),
+            (F.lit(100_000_000) + (F.col("l_orderkey") * 8 + F.col("l_linenumber")) * 8 + F.col("_v"))
+            .cast("bigint")
+            .alias("sequence"),
+            F.lit("function").alias("unit_type"),
+            F.concat(
+                F.lit("line_"), _s(F.col("l_orderkey")), F.lit("_"), _s(F.col("l_linenumber"))
+            ).alias("name"),
+            F.col("n_name").alias("codebase"),
+            F.concat(
+                F.lit("tpch/orders/o"), _s(F.col("l_orderkey") % 100), F.lit(".py")
+            ).alias("file_path"),
+            F.concat(
+                F.col("p_name"),
+                F.lit(" qty "),
+                _s(F.floor(F.col("l_quantity")).cast("bigint")),
+                F.lit(" flag "),
+                F.col("l_returnflag"),
+                F.col("l_linestatus"),
+            ).alias("content"),
+        )
+    )
+
+    part = t["part"].select(
+        F.md5(F.concat(F.lit("P"), _s(F.col("p_partkey")))).alias("id"),
+        (F.lit(4_000_000) + F.col("p_partkey")).cast("bigint").alias("sequence"),
+        F.lit("const").alias("unit_type"),
+        F.concat(F.lit("PART_"), _s(F.col("p_partkey"))).alias("name"),
+        F.lit("catalog").alias("codebase"),
+        F.lit("tpch/parts.py").alias("file_path"),
+        F.concat(F.col("p_name"), F.lit(" "), F.col("p_type"), F.lit(" "), F.col("p_brand")).alias(
+            "content"
+        ),
+    )
+
+    supp = (
+        t["supplier"]
+        .join(nation, F.col("s_nationkey") == nation.n_nationkey)
+        .select(
+            F.md5(F.concat(F.lit("S"), _s(F.col("s_suppkey")))).alias("id"),
+            (F.lit(5_000_000) + F.col("s_suppkey")).cast("bigint").alias("sequence"),
+            F.lit("type").alias("unit_type"),
+            F.concat(F.lit("Supplier_"), _s(F.col("s_suppkey"))).alias("name"),
+            F.col("n_name").alias("codebase"),
+            F.lit("tpch/suppliers.py").alias("file_path"),
+            F.concat(F.col("s_name"), F.lit(" supplier node")).alias("content"),
+        )
+    )
+
+    parts = [
+        _finish(cust.drop("_key")),
+        _finish(cust_v2.drop("_key")),
+        _finish(cust_v3.drop("_key")),
+        _finish(orders),
+        _finish(line),
+        _finish(part),
+        _finish(supp),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion records: {block_id, sequence, deletion_timestamp}."""
+    cust = load_tables(spark, sf_dir)["customer"]
+    return cust.where(F.col("c_custkey") % 7 == 0).select(
+        F.md5(F.concat(F.lit("C"), _s(F.col("c_custkey")))).alias("block_id"),
+        (F.lit(7_000_000) + F.col("c_custkey")).cast("bigint").alias("sequence"),
+        ((F.lit(7_000_000) + F.col("c_custkey")) * 1000).cast("bigint").alias(
+            "deletion_timestamp"
+        ),
+    )
+
+
+def edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed directed multigraph edges: {src, dst, edge_type}."""
+    t = load_tables(spark, sf_dir)
+
+    c_o = t["orders"].select(
+        F.md5(F.concat(F.lit("C"), _s(F.col("o_custkey")))).alias("src"),
+        F.md5(F.concat(F.lit("O"), _s(F.col("o_orderkey")))).alias("dst"),
+        F.lit("depends_on").alias("edge_type"),
+    )
+    lid = F.md5(F.concat(F.lit("L"), _s(F.col("l_orderkey")), F.lit("-"), _s(F.col("l_linenumber"))))
+    oid = F.md5(F.concat(F.lit("O"), _s(F.col("l_orderkey"))))
+    o_l = t["lineitem"].select(oid.alias("src"), lid.alias("dst"), F.lit("contains").alias("edge_type"))
+    l_o = t["lineitem"].select(lid.alias("src"), oid.alias("dst"), F.lit("defined_in").alias("edge_type"))
+    l_p = t["lineitem"].select(
+        lid.alias("src"),
+        F.md5(F.concat(F.lit("P"), _s(F.col("l_partkey")))).alias("dst"),
+        F.lit("references").alias("edge_type"),
+    )
+    l_p_dup = t["lineitem"].where(F.col("l_linenumber") == 1).select(
+        lid.alias("src"),
+        F.md5(F.concat(F.lit("P"), _s(F.col("l_partkey")))).alias("dst"),
+        F.lit("references").alias("edge_type"),
+    )
+    l_s = t["lineitem"].select(
+        lid.alias("src"),
+        F.md5(F.concat(F.lit("S"), _s(F.col("l_suppkey")))).alias("dst"),
+        F.lit("calls").alias("edge_type"),
+    )
+    out = c_o
+    for e in (o_l, l_o, l_p, l_p_dup, l_s):
+        out = out.unionByName(e)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Cached accessors (one derivation per (session, sf_dir))
+# ---------------------------------------------------------------------------
+
+_cache: dict[tuple[int, str], dict[str, DataFrame]] = {}
+
+
+def graph(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """blocks (raw versions), tombstones, edges, visible (MVCC snapshot) —
+    persisted so repeated queries in one session reuse the derivation."""
+    from kausaldb_spark.snapshot import visible_blocks
+
+    key = (id(spark), sf_dir)
+    if key not in _cache:
+        b = raw_blocks(spark, sf_dir)
+        tb = tombstones(spark, sf_dir)
+        e = edges(spark, sf_dir)
+        vis = visible_blocks(b, tb).persist()
+        _cache[key] = {"blocks_raw": b, "tombstones": tb, "edges": e.persist(), "visible": vis}
+    return _cache[key]
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle prefix — the same derivation in ANSI SQL
+# ---------------------------------------------------------------------------
+
+# Shared CTEs: blocks_raw (all versions), tomb, vis (the MVCC snapshot every
+# read uses), edges. Table names (customer, orders, ...) are the driver's
+# pre-registered DuckDB views over the same parquet files.
+DUCK_PREFIX = """
+WITH blocks_raw AS (
+  -- customers v1
+  SELECT md5('C' || c_custkey) AS id,
+         1000000 + c_custkey AS sequence,
+         'file://tpch/customers/c' || (c_custkey % 100) || '.py#L1-9' AS source_uri,
+         'type' AS unit_type,
+         'tpch/customers/c' || (c_custkey % 100) || '.py:Customer_' || c_custkey AS unit_id,
+         n_name AS codebase,
+         'tpch/customers/c' || (c_custkey % 100) || '.py' AS file_path,
+         c_name || ' ' || c_mktsegment || ' customer account' AS content
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  UNION ALL
+  -- customers v2 (custkey % 10 == 0)
+  SELECT md5('C' || c_custkey), 6000000 + c_custkey,
+         'file://tpch/customers/c' || (c_custkey % 100) || '.py#L1-9',
+         'type',
+         'tpch/customers/c' || (c_custkey % 100) || '.py:Customer_' || c_custkey,
+         n_name,
+         'tpch/customers/c' || (c_custkey % 100) || '.py',
+         c_name || ' ' || c_mktsegment || ' customer account updated v2'
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  WHERE c_custkey % 10 = 0
+  UNION ALL
+  -- customers v3 rewrite after tombstone (custkey % 14 == 0)
+  SELECT md5('C' || c_custkey), 8000000 + c_custkey,
+         'file://tpch/customers/c' || (c_custkey % 100) || '.py#L1-9',
+         'type',
+         'tpch/customers/c' || (c_custkey % 100) || '.py:Customer_' || c_custkey,
+         n_name,
+         'tpch/customers/c' || (c_custkey % 100) || '.py',
+         c_name || ' ' || c_mktsegment || ' customer account restored v3'
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  WHERE c_custkey % 14 = 0
+  UNION ALL
+  -- orders
+  SELECT md5('O' || o_orderkey), 2000000 + o_orderkey,
+         'file://tpch/orders/o' || (o_orderkey % 100) || '.py#L1-9',
+         'function',
+         'tpch/orders/o' || (o_orderkey % 100) || '.py:order_' || o_orderkey,
+         n_name,
+         'tpch/orders/o' || (o_orderkey % 100) || '.py',
+         'order ' || o_orderstatus || ' priority ' || o_orderpriority
+  FROM orders JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+  UNION ALL
+  -- lineitems (duplicate (orderkey,linenumber) pairs = MVCC versions)
+  SELECT md5('L' || l_orderkey || '-' || l_linenumber),
+         100000000 + (l_orderkey * 8 + l_linenumber) * 8
+           + row_number() OVER (PARTITION BY l_orderkey, l_linenumber
+                                ORDER BY l_partkey, l_suppkey, l_quantity,
+                                         l_extendedprice, l_discount, l_tax,
+                                         l_returnflag, l_linestatus, l_shipdate),
+         'file://tpch/orders/o' || (l_orderkey % 100) || '.py#L1-9',
+         'function',
+         'tpch/orders/o' || (l_orderkey % 100) || '.py:line_' || l_orderkey || '_' || l_linenumber,
+         n_name,
+         'tpch/orders/o' || (l_orderkey % 100) || '.py',
+         p_name || ' qty ' || CAST(floor(l_quantity) AS BIGINT) || ' flag ' || l_returnflag || l_linestatus
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+       JOIN supplier ON l_suppkey = s_suppkey
+       JOIN nation ON s_nationkey = n_nationkey
+  UNION ALL
+  -- parts
+  SELECT md5('P' || p_partkey), 4000000 + p_partkey,
+         'file://tpch/parts.py#L1-9',
+         'const',
+         'tpch/parts.py:PART_' || p_partkey,
+         'catalog',
+         'tpch/parts.py',
+         p_name || ' ' || p_type || ' ' || p_brand
+  FROM part
+  UNION ALL
+  -- suppliers
+  SELECT md5('S' || s_suppkey), 5000000 + s_suppkey,
+         'file://tpch/suppliers.py#L1-9',
+         'type',
+         'tpch/suppliers.py:Supplier_' || s_suppkey,
+         n_name,
+         'tpch/suppliers.py',
+         s_name || ' supplier node'
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+),
+blocks_json AS (
+  SELECT *,
+         '{"unit_type":"' || unit_type || '","unit_id":"' || unit_id ||
+         '","codebase":"' || codebase || '","file_path":"' || file_path || '"}' AS metadata_json
+  FROM blocks_raw
+),
+tomb AS (
+  SELECT md5('C' || c_custkey) AS block_id,
+         7000000 + c_custkey AS sequence,
+         (7000000 + c_custkey) * 1000 AS deletion_timestamp
+  FROM customer WHERE c_custkey % 7 = 0
+),
+latest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY sequence DESC) AS _rn
+    FROM blocks_json
+  ) WHERE _rn = 1
+),
+vis AS (
+  SELECT l.id, l.sequence, l.source_uri, l.unit_type, l.unit_id, l.codebase,
+         l.file_path, l.metadata_json, l.content
+  FROM latest l
+  WHERE NOT EXISTS (
+    SELECT 1 FROM tomb t WHERE t.block_id = l.id AND t.sequence > l.sequence
+  )
+),
+edges AS (
+  SELECT md5('C' || o_custkey) AS src, md5('O' || o_orderkey) AS dst,
+         'depends_on' AS edge_type FROM orders
+  UNION ALL
+  SELECT md5('O' || l_orderkey), md5('L' || l_orderkey || '-' || l_linenumber),
+         'contains' FROM lineitem
+  UNION ALL
+  SELECT md5('L' || l_orderkey || '-' || l_linenumber), md5('O' || l_orderkey),
+         'defined_in' FROM lineitem
+  UNION ALL
+  SELECT md5('L' || l_orderkey || '-' || l_linenumber), md5('P' || l_partkey),
+         'references' FROM lineitem
+  UNION ALL
+  SELECT md5('L' || l_orderkey || '-' || l_linenumber), md5('P' || l_partkey),
+         'references' FROM lineitem WHERE l_linenumber = 1
+  UNION ALL
+  SELECT md5('L' || l_orderkey || '-' || l_linenumber), md5('S' || l_suppkey),
+         'calls' FROM lineitem
+)
+"""

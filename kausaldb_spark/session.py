@@ -1,0 +1,33 @@
+"""SparkSession factory tuned for the engine.
+
+Local mode mirrors the driver contract (local[$SPARK_GRAFT_CPUS]); the same
+configs are the ones we would set on a real cluster: AQE on (runtime shuffle
+coalescing + skew-join splitting), generous broadcast threshold (our dimension
+tables — nation, id-lists, anchor sets — are tiny relative to fact tables),
+Arrow for any pandas exchange, UTC session timezone for deterministic
+timestamp arithmetic.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "kausaldb-spark", cpus: str | None = None) -> SparkSession:
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "*")
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )

@@ -1,0 +1,42 @@
+"""MVCC snapshot view — last-writer-wins + tombstone shadowing.
+
+Reference semantics (``src/storage/engine.zig:839-925``, ``docs/DESIGN.md:29-33``):
+a read sees, per block id, the version with the highest ``sequence``, unless a
+tombstone with a *strictly higher* sequence exists, in which case the block is
+invisible. A rewrite with a sequence above the tombstone resurrects the id
+(scenario ``src/tests/scenarios/tombstone_sequencing.zig``).
+
+Spark shape: window dedup + broadcast anti-join. The window partitions by
+``id`` — at 100 TB this is one shuffle on the snapshot's natural key, and the
+result is persisted/reused by every read (the LSM engine pays the equivalent
+merge cost on every read instead). Tombstone sets are tiny relative to the
+block set (deletes are rare), so the anti-join broadcasts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_versions(blocks_raw: DataFrame) -> DataFrame:
+    """Per id, the highest-sequence version (last writer wins)."""
+    w = Window.partitionBy("id").orderBy(F.col("sequence").desc())
+    return (
+        blocks_raw.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def visible_blocks(blocks_raw: DataFrame, tombstones: DataFrame) -> DataFrame:
+    """The snapshot every query reads: latest versions minus tombstoned ids."""
+    latest = latest_versions(blocks_raw)
+    shadow = F.broadcast(
+        tombstones.groupBy("block_id").agg(F.max("sequence").alias("_ts_seq"))
+    )
+    return (
+        latest.join(shadow, latest.id == shadow.block_id, "left")
+        .where(F.col("_ts_seq").isNull() | (F.col("_ts_seq") < F.col("sequence")))
+        .drop("block_id", "_ts_seq")
+    )
