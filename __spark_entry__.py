@@ -1,38 +1,408 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (show-callers, the reference
+README's headline: resolve an anchor by name, find incoming ``calls`` edges,
+workspace-filter the callers — ``src/server/cli_protocol.zig:282-330``).
+
+``queries()`` maps operator names from SURVEY.md §2 to callables
+(spark, sf_dir) → DataFrame; ``oracle_sql()`` gives the DuckDB-equivalent SQL
+over the same parquet tables. The shared blocks/edges/tombstones derivation
+is in ``kausaldb_spark.graphmodel`` (Spark DataFrame API) and its
+``DUCK_CTES`` twin (ANSI SQL) — see that module for the mapping contract.
 """
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from kausaldb_spark import graphmodel as gm
+from kausaldb_spark.operators import filtering as flt
+from kausaldb_spark.operators import lookup as lk
+from kausaldb_spark.operators import traversal as tv
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+C42 = _md5("C42")   # customer 42: tombstoned then rewritten — visible v3
+S3 = _md5("S3")     # supplier 3 (NATION_3)
+O100 = _md5("O100")
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: callers of Supplier_3 within its workspace (sf0.001)."""
+    return _q_callers_1hop(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# query implementations
+# ---------------------------------------------------------------------------
+
+def _q_snapshot_view(spark, sf_dir):
+    g = gm.graph(spark, sf_dir)
+    return g["visible"].select("id", "sequence", "unit_type", "codebase")
+
+
+def _q_point_lookup(spark, sf_dir):
+    g = gm.graph(spark, sf_dir)
+    return lk.find_block(g["visible"], _md5("C1")).select(
+        "id", "sequence", "codebase", "content"
+    )
+
+
+def _ids_range(spark, prefix: str, n: int):
+    return spark.range(0, n).select(
+        F.md5(F.concat(F.lit(prefix), F.col("id").cast("string"))).alias("id")
+    )
+
+
+def _q_batch_lookup_100(spark, sf_dir):
+    g = gm.graph(spark, sf_dir)
+    return lk.find_blocks_batched(g["visible"], _ids_range(spark, "C", 100)).select(
+        "id", "sequence", "unit_id", "content"
+    )
+
+
+def _q_count_existing(spark, sf_dir):
+    g = gm.graph(spark, sf_dir)
+    return lk.block_exists_count(g["visible"], _ids_range(spark, "C", 150))
+
+
+def _q_filter_metadata_eq(spark, sf_dir):
+    g = gm.graph(spark, sf_dir)
+    expr = flt.Expr.and_(
+        flt.Expr.cond(flt.TARGET_METADATA, "eq", "const", "unit_type"),
+        flt.Expr.cond(flt.TARGET_METADATA, "eq", "catalog", "codebase"),
+    )
+    return flt.filtered_query(g["visible"], expr).select("id", "unit_id", "sequence")
+
+
+def _q_filter_compound(spark, sf_dir):
+    g = gm.graph(spark, sf_dir)
+    expr = flt.Expr.and_(
+        flt.Expr.or_(
+            flt.Expr.cond(flt.TARGET_CONTENT, "contains", "BUILDING"),
+            flt.Expr.cond(flt.TARGET_CONTENT, "contains", "MACHINERY"),
+        ),
+        flt.Expr.not_(flt.Expr.cond(flt.TARGET_SEQUENCE, "gt", "6000000")),
+        flt.Expr.cond(flt.TARGET_CONTENT_LENGTH, "gte", "40"),
+    )
+    return flt.filtered_query(g["visible"], expr).select("id", "sequence", "content")
+
+
+def _q_filter_pagination(spark, sf_dir):
+    g = gm.graph(spark, sf_dir)
+    expr = flt.Expr.cond(flt.TARGET_METADATA, "eq", "function", "unit_type")
+    return flt.filtered_query(g["visible"], expr, offset=100, max_results=50).select(
+        "id", "sequence"
+    )
+
+
+def _q_find_by_name(spark, sf_dir):
+    g = gm.graph(spark, sf_dir)
+    return lk.find_by_name(g["visible"], "catalog", "const", "PART_42").select(
+        "id", "unit_id", "content"
+    )
+
+
+def _q_find_by_name_alias(spark, sf_dir):
+    # CLI 'struct' alias resolves to storage 'type'
+    g = gm.graph(spark, sf_dir)
+    return lk.find_by_name(g["visible"], "NATION_3", "struct", "Supplier_3").select(
+        "id", "unit_id", "codebase"
+    )
+
+
+def _q_find_by_file_path(spark, sf_dir):
+    g = gm.graph(spark, sf_dir)
+    return lk.find_by_file_path(g["visible"], "catalog", "tpch/parts.py").select(
+        "id", "sequence", "unit_id"
+    )
+
+
+def _q_keyword_search(spark, sf_dir):
+    g = gm.graph(spark, sf_dir)
+    return lk.keyword_search(g["visible"], "cold widget bolt", threshold=0.5).select(
+        "id", "score_matched", "score_total"
+    )
+
+
+def _q_callers_1hop(spark, sf_dir):
+    g = gm.graph(spark, sf_dir)
+    reached = tv.bfs(
+        g["edges_vis"], [S3], tv.INCOMING, tv.EdgeFilter.only("calls"), max_depth=1
+    )
+    vis = g["visible"]
+    return (
+        reached.where(F.col("depth") == 1)
+        .join(vis, "id")
+        .where(F.col("codebase") == "NATION_3")
+        .select("id", "unit_id", "codebase", "depth")
+    )
+
+
+def _q_bfs_depth3(spark, sf_dir):
+    g = gm.graph(spark, sf_dir)
+    return tv.bfs(g["edges_vis"], [C42], tv.OUTGOING, max_depth=3).select("id", "depth")
+
+
+def _q_traversal_only_type(spark, sf_dir):
+    g = gm.graph(spark, sf_dir)
+    return tv.bfs(
+        g["edges_vis"], [C42], tv.OUTGOING, tv.EdgeFilter.only("depends_on"), max_depth=2
+    ).select("id", "depth")
+
+
+def _q_traversal_exclude(spark, sf_dir):
+    g = gm.graph(spark, sf_dir)
+    return tv.bfs(
+        g["edges_vis"], [C42], tv.OUTGOING,
+        tv.EdgeFilter.exclude("defined_in", "calls"), max_depth=3,
+    ).select("id", "depth")
+
+
+def _q_traversal_incoming(spark, sf_dir):
+    g = gm.graph(spark, sf_dir)
+    return tv.bfs(g["edges_vis"], [S3], tv.INCOMING, max_depth=2).select("id", "depth")
+
+
+def _q_bidirectional(spark, sf_dir):
+    g = gm.graph(spark, sf_dir)
+    return tv.bidirectional_search(g["edges_vis"], [O100], max_depth=4).select(
+        "id", "depth"
+    )
+
+
+def _q_topo_sort(spark, sf_dir):
+    g = gm.graph(spark, sf_dir)
+    return tv.topo_sort(
+        g["edges_vis"], [C42], tv.OUTGOING,
+        tv.EdgeFilter.include("depends_on", "contains", "references", "calls"),
+        max_depth=3,
+    ).select("id", "layer")
+
+
+def _q_paths_between(spark, sf_dir):
+    g = gm.graph(spark, sf_dir)
+    t = gm.load_tables(spark, sf_dir, ("orders", "lineitem"))
+    target = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("o_custkey") == 42)
+        .select(F.md5(F.concat(F.lit("P"), F.col("l_partkey").cast("string"))).alias("p"))
+        .agg(F.min("p"))
+        .collect()[0][0]
+    )
+    return tv.find_paths_between(g["edges_vis"], C42, target, max_depth=3)
+
+
+def _q_exact_dedup(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("min_doc_id"))
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def _q_token_count(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "snapshot_view": _q_snapshot_view,
+        "point_lookup": _q_point_lookup,
+        "batch_lookup_100": _q_batch_lookup_100,
+        "count_existing": _q_count_existing,
+        "filter_metadata_eq": _q_filter_metadata_eq,
+        "filter_compound": _q_filter_compound,
+        "filter_pagination": _q_filter_pagination,
+        "find_by_name": _q_find_by_name,
+        "find_by_name_alias": _q_find_by_name_alias,
+        "find_by_file_path": _q_find_by_file_path,
+        "keyword_search": _q_keyword_search,
+        "callers_1hop": _q_callers_1hop,
+        "bfs_depth3": _q_bfs_depth3,
+        "traversal_only_type": _q_traversal_only_type,
+        "traversal_exclude": _q_traversal_exclude,
+        "traversal_incoming": _q_traversal_incoming,
+        "bidirectional": _q_bidirectional,
+        "topo_sort": _q_topo_sort,
+        "paths_between": _q_paths_between,
+        "exact_dedup": _q_exact_dedup,
+        "token_count": _q_token_count,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracles (DuckDB SQL over the same parquet views)
+# ---------------------------------------------------------------------------
+
+_P = gm.DUCK_PREFIX
+_PR = gm.DUCK_PREFIX_REC
+
+_BFS_ADJ = ", adj AS (SELECT DISTINCT src, dst FROM edges_vis {where})"
+
+def _bfs_oracle(start_expr: str, depth: int, adj_where: str = "") -> str:
+    return (
+        _PR
+        + _BFS_ADJ.format(where=adj_where)
+        + f""",
+rec AS (
+  SELECT {start_expr} AS id, 0 AS depth
+  UNION
+  SELECT a.dst, r.depth + 1
+  FROM rec r JOIN adj a ON a.src = r.id
+  WHERE r.depth < {depth}
+)
+SELECT id, CAST(min(depth) AS INT) AS depth FROM rec GROUP BY id"""
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "snapshot_view": _P + "SELECT id, sequence, unit_type, codebase FROM vis",
+        "point_lookup": _P
+        + "SELECT id, sequence, codebase, content FROM vis WHERE id = md5('C1')",
+        "batch_lookup_100": _P
+        + """SELECT id, sequence, unit_id, content FROM vis
+             WHERE id IN (SELECT md5('C' || range) FROM range(0, 100))""",
+        "count_existing": _P
+        + """SELECT CAST(count(*) AS BIGINT) AS n_existing FROM vis
+             WHERE id IN (SELECT md5('C' || range) FROM range(0, 150))""",
+        "filter_metadata_eq": _P
+        + """SELECT id, unit_id, sequence FROM vis
+             WHERE json_extract_string(metadata_json, '$.unit_type') = 'const'
+               AND json_extract_string(metadata_json, '$.codebase') = 'catalog'""",
+        "filter_compound": _P
+        + """SELECT id, sequence, content FROM vis
+             WHERE (content LIKE '%BUILDING%' OR content LIKE '%MACHINERY%')
+               AND NOT (sequence > 6000000)
+               AND length(content) >= 40""",
+        "filter_pagination": _P
+        + """SELECT id, sequence FROM (
+               SELECT id, sequence, row_number() OVER (ORDER BY sequence, id) AS rn
+               FROM vis
+               WHERE json_extract_string(metadata_json, '$.unit_type') = 'function'
+             ) WHERE rn > 100 AND rn <= 150""",
+        "find_by_name": _P
+        + """SELECT id, unit_id, content FROM vis
+             WHERE codebase = 'catalog' AND unit_type = 'const'
+               AND string_split(unit_id, ':')[-1] = 'PART_42'""",
+        "find_by_name_alias": _P
+        + """SELECT id, unit_id, codebase FROM vis
+             WHERE codebase = 'NATION_3' AND unit_type = 'type'
+               AND string_split(unit_id, ':')[-1] = 'Supplier_3'""",
+        "find_by_file_path": _P
+        + """SELECT id, sequence, unit_id FROM vis
+             WHERE codebase = 'catalog' AND file_path = 'tpch/parts.py'
+             ORDER BY sequence, id LIMIT 1000""",
+        "keyword_search": _P
+        + """SELECT id,
+                    CAST(content LIKE '%cold%' AS INT) + CAST(content LIKE '%widget%' AS INT)
+                      + CAST(content LIKE '%bolt%' AS INT) AS score_matched,
+                    3 AS score_total
+             FROM vis
+             WHERE CAST(content LIKE '%cold%' AS INT) + CAST(content LIKE '%widget%' AS INT)
+                     + CAST(content LIKE '%bolt%' AS INT) >= 2
+             ORDER BY score_matched DESC, id LIMIT 500""",
+        "callers_1hop": _P
+        + """SELECT DISTINCT e.src AS id, v.unit_id, v.codebase, CAST(1 AS INT) AS depth
+             FROM edges_vis e JOIN vis v ON v.id = e.src
+             WHERE e.dst = md5('S3') AND e.edge_type = 'calls'
+               AND v.codebase = 'NATION_3'""",
+        "bfs_depth3": _bfs_oracle("md5('C42')", 3),
+        "traversal_only_type": _bfs_oracle(
+            "md5('C42')", 2, "WHERE edge_type = 'depends_on'"
+        ),
+        "traversal_exclude": _bfs_oracle(
+            "md5('C42')", 3, "WHERE edge_type NOT IN ('defined_in', 'calls')"
+        ),
+        "traversal_incoming": _PR
+        + ", adj AS (SELECT DISTINCT dst AS src, src AS dst FROM edges_vis)"
+        + """,
+rec AS (
+  SELECT md5('S3') AS id, 0 AS depth
+  UNION
+  SELECT a.dst, r.depth + 1 FROM rec r JOIN adj a ON a.src = r.id
+  WHERE r.depth < 2
+)
+SELECT id, CAST(min(depth) AS INT) AS depth FROM rec GROUP BY id""",
+        "bidirectional": _PR
+        + ", adj_f AS (SELECT DISTINCT src, dst FROM edges_vis)"
+        + ", adj_b AS (SELECT DISTINCT dst AS src, src AS dst FROM edges_vis)"
+        + """,
+rec_f AS (
+  SELECT md5('O100') AS id, 0 AS depth
+  UNION
+  SELECT a.dst, r.depth + 1 FROM rec_f r JOIN adj_f a ON a.src = r.id
+  WHERE r.depth < 2
+),
+rec_b AS (
+  SELECT md5('O100') AS id, 0 AS depth
+  UNION
+  SELECT a.dst, r.depth + 1 FROM rec_b r JOIN adj_b a ON a.src = r.id
+  WHERE r.depth < 2
+),
+uni AS (SELECT * FROM rec_f UNION ALL SELECT * FROM rec_b)
+SELECT id, CAST(min(depth) AS INT) AS depth FROM uni GROUP BY id""",
+        # Kahn peel layer == longest-path level from the (single) zero-in-degree
+        # root of the reachable subgraph — computable as max depth over all paths
+        "topo_sort": _PR
+        + ", adj AS (SELECT DISTINCT src, dst FROM edges_vis WHERE edge_type IN ('depends_on','contains','references','calls'))"
+        + """,
+reach AS (
+  SELECT md5('C42') AS id, 0 AS depth
+  UNION
+  SELECT a.dst, r.depth + 1 FROM reach r JOIN adj a ON a.src = r.id
+  WHERE r.depth < 3
+),
+sub_adj AS (
+  SELECT a.src, a.dst FROM adj a
+  WHERE a.src IN (SELECT id FROM reach) AND a.dst IN (SELECT id FROM reach)
+),
+lp AS (
+  SELECT md5('C42') AS id, 0 AS depth
+  UNION
+  SELECT a.dst, r.depth + 1 FROM lp r JOIN sub_adj a ON a.src = r.id
+  WHERE r.depth < 10
+)
+SELECT id, CAST(max(depth) AS INT) AS layer FROM lp GROUP BY id""",
+        "paths_between": _PR
+        + ", adj AS (SELECT DISTINCT src, dst FROM edges_vis)"
+        + """,
+tgt AS (
+  SELECT min(md5('P' || l_partkey)) AS t FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey WHERE o_custkey = 42
+),
+rec AS (
+  SELECT md5('C42') AS path, md5('C42') AS last, 0 AS depth
+  UNION
+  SELECT r.path || '->' || a.dst, a.dst, r.depth + 1
+  FROM rec r JOIN adj a ON a.src = r.last
+  WHERE r.depth < 3 AND NOT contains(r.path, a.dst)
+)
+SELECT path, CAST(depth AS INT) AS depth FROM rec WHERE last = (SELECT t FROM tgt)
+ORDER BY depth, path LIMIT 100""",
+        "exact_dedup": """
+SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS n_dups,
+       min(doc_id) AS min_doc_id
+FROM documents GROUP BY md5(text) HAVING count(*) > 1""",
+        "token_count": r"""
+SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens
+FROM documents""",
+    }

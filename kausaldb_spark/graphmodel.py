@@ -300,7 +300,22 @@ def graph(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         tb = tombstones(spark, sf_dir)
         e = edges(spark, sf_dir)
         vis = visible_blocks(b, tb).persist()
-        _cache[key] = {"blocks_raw": b, "tombstones": tb, "edges": e.persist(), "visible": vis}
+        ids = vis.select("id")
+        # Traversals never pass through deleted blocks (reference skips ids
+        # whose MVCC read comes back empty) — pre-restrict the edge index to
+        # visible endpoints once and cache it.
+        e_vis = (
+            e.join(ids, e.src == ids.id, "left_semi")
+            .join(ids, e.dst == ids.id, "left_semi")
+            .persist()
+        )
+        _cache[key] = {
+            "blocks_raw": b,
+            "tombstones": tb,
+            "edges": e.persist(),
+            "edges_vis": e_vis,
+            "visible": vis,
+        }
     return _cache[key]
 
 
@@ -311,8 +326,9 @@ def graph(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 # Shared CTEs: blocks_raw (all versions), tomb, vis (the MVCC snapshot every
 # read uses), edges. Table names (customer, orders, ...) are the driver's
 # pre-registered DuckDB views over the same parquet files.
-DUCK_PREFIX = """
-WITH blocks_raw AS (
+# DUCK_CTES has no WITH keyword so traversal oracles can use WITH RECURSIVE.
+DUCK_CTES = """
+blocks_raw AS (
   -- customers v1
   SELECT md5('C' || c_custkey) AS id,
          1000000 + c_custkey AS sequence,
@@ -438,5 +454,15 @@ edges AS (
   UNION ALL
   SELECT md5('L' || l_orderkey || '-' || l_linenumber), md5('S' || l_suppkey),
          'calls' FROM lineitem
+),
+edges_vis AS (
+  SELECT e.* FROM edges e
+  WHERE EXISTS (SELECT 1 FROM vis v WHERE v.id = e.src)
+    AND EXISTS (SELECT 1 FROM vis w WHERE w.id = e.dst)
 )
 """
+
+DUCK_PREFIX = "WITH " + DUCK_CTES
+# Recursive-capable prefix for traversal oracles (DuckDB requires RECURSIVE
+# to be declared on the WITH that contains the recursive CTE).
+DUCK_PREFIX_REC = "WITH RECURSIVE " + DUCK_CTES

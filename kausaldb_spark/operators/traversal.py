@@ -1,0 +1,271 @@
+"""Graph traversal operators (SURVEY.md §2.4, T1-T10).
+
+Reference semantics: ``src/query/traversal.zig`` — start block at depth 0,
+direction (outgoing/incoming/bidirectional, ``:162-173``), edge-type filter
+(all/only/include/exclude, ``:196-205``), ``max_depth`` (1..100) and
+``max_results`` (≤10000) caps (``:242-247``), visited-set cycle detection
+(``:40-88``). BFS/DFS/A* all produce the same *reachable set with min-depth*
+(A*'s heuristic is constant 1.0, ``:1283-1291``, so it degenerates to BFS);
+the reference's own scenario tests compare sets, not visit order
+(``src/tests/scenarios/query.zig:499``), so we expose deterministic
+(depth, id)-ordered results.
+
+Spark shape — the one genuinely custom execution strategy in this engine
+(SURVEY.md §4): a driver-side loop of frontier self-joins.
+
+Scale design:
+- The edge list is re-oriented once per traversal and reused every level.
+- Frontiers are usually tiny relative to the edge table → Spark's AQE turns
+  the per-level join into a broadcast join of the frontier automatically; at
+  cluster scale the edge table would additionally be bucketed by ``src`` so
+  the probe side never shuffles.
+- ``localCheckpoint`` every few levels cuts the growing lineage/plan (else
+  each level re-plans the whole history).
+- Early exit on empty frontier or when the visited set exceeds
+  ``max_results`` (same bound the reference enforces, for the same reason —
+  runaway expansions).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+OUTGOING = "outgoing"
+INCOMING = "incoming"
+BIDIRECTIONAL = "bidirectional"
+
+MAX_DEPTH_LIMIT = 100      # src/query/traversal.zig:242-247
+MAX_RESULTS_LIMIT = 10_000  # src/query/traversal.zig:227
+MAX_PATHS = 100             # src/query/traversal.zig:1374
+_CHECKPOINT_EVERY = 3
+
+
+@dataclass(frozen=True)
+class EdgeFilter:
+    """all_types | only_type | include_types | exclude_types
+    (src/query/traversal.zig:196-205)."""
+
+    mode: str = "all"
+    types: tuple[str, ...] = field(default_factory=tuple)
+
+    @staticmethod
+    def all() -> "EdgeFilter":
+        return EdgeFilter("all")
+
+    @staticmethod
+    def only(t: str) -> "EdgeFilter":
+        return EdgeFilter("only", (t,))
+
+    @staticmethod
+    def include(*ts: str) -> "EdgeFilter":
+        return EdgeFilter("include", tuple(ts))
+
+    @staticmethod
+    def exclude(*ts: str) -> "EdgeFilter":
+        return EdgeFilter("exclude", tuple(ts))
+
+    def apply(self, edges: DataFrame) -> DataFrame:
+        if self.mode == "all":
+            return edges
+        if self.mode in ("only", "include"):
+            return edges.where(F.col("edge_type").isin(list(self.types)))
+        if self.mode == "exclude":
+            return edges.where(~F.col("edge_type").isin(list(self.types)))
+        raise ValueError(f"unknown edge filter mode {self.mode}")
+
+
+def orient(edges: DataFrame, direction: str, edge_filter: EdgeFilter = EdgeFilter.all()) -> DataFrame:
+    """Distinct (src, dst) adjacency in traversal direction. The distinct
+    collapses multigraph duplicates — traversal semantics only need
+    reachability, and it keeps frontier joins minimal."""
+    e = edge_filter.apply(edges)
+    fwd = e.select("src", "dst")
+    if direction == OUTGOING:
+        out = fwd
+    elif direction == INCOMING:
+        out = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    elif direction == BIDIRECTIONAL:
+        out = fwd.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    else:
+        raise ValueError(f"unknown direction {direction}")
+    return out.distinct()
+
+
+def _start_frame(edges_or_any: DataFrame, start_ids) -> DataFrame:
+    spark = edges_or_any.sparkSession
+    if isinstance(start_ids, DataFrame):
+        return start_ids.select(F.col(start_ids.columns[0]).alias("id")).distinct()
+    return spark.createDataFrame([(s,) for s in start_ids], "id string").distinct()
+
+
+def bfs(
+    edges: DataFrame,
+    start_ids,
+    direction: str = OUTGOING,
+    edge_filter: EdgeFilter = EdgeFilter.all(),
+    max_depth: int = 10,
+    max_results: int = MAX_RESULTS_LIMIT,
+) -> DataFrame:
+    """Reachable set with min-depth: DataFrame[id, depth], depth 0 = start.
+
+    max_results truncation is BFS-ordered (depth asc, id asc) so results are
+    deterministic — the reference truncates in visit order.
+    """
+    max_depth = min(max_depth, MAX_DEPTH_LIMIT)
+    max_results = min(max_results, MAX_RESULTS_LIMIT)
+    adj = orient(edges, direction, edge_filter)
+
+    frontier = _start_frame(edges, start_ids).withColumn("depth", F.lit(0).cast("int"))
+    visited = frontier.localCheckpoint(eager=True)
+    frontier = visited
+    n_visited = visited.count()
+
+    for d in range(1, max_depth + 1):
+        if n_visited >= max_results:
+            break
+        nxt = (
+            frontier.join(adj, frontier.id == adj.src)
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(visited.select("id"), "id", "left_anti")
+            .withColumn("depth", F.lit(d).cast("int"))
+        )
+        if d % _CHECKPOINT_EVERY == 0:
+            nxt = nxt.localCheckpoint(eager=True)
+        cnt = nxt.count()
+        if cnt == 0:
+            break
+        visited = visited.unionByName(nxt)
+        if d % _CHECKPOINT_EVERY == 0:
+            visited = visited.localCheckpoint(eager=True)
+        frontier = nxt
+        n_visited += cnt
+
+    return visited.orderBy("depth", "id").limit(max_results)
+
+
+# DFS and A* reach the same set (see module docstring); exposed for API parity.
+dfs = bfs
+astar = bfs
+
+
+def bidirectional_search(
+    edges: DataFrame,
+    start_ids,
+    edge_filter: EdgeFilter = EdgeFilter.all(),
+    max_depth: int = 10,
+    max_results: int = MAX_RESULTS_LIMIT,
+) -> DataFrame:
+    """Two frontiers from the same start — forward and reverse orientation —
+    each limited to max_depth/2 (src/query/traversal.zig:800-974). Result:
+    union, min depth per id, direction tag."""
+    half = max(1, max_depth // 2)
+    fwd = bfs(edges, start_ids, OUTGOING, edge_filter, half, max_results)
+    bwd = bfs(edges, start_ids, INCOMING, edge_filter, half, max_results)
+    return (
+        fwd.unionByName(bwd)
+        .groupBy("id")
+        .agg(F.min("depth").alias("depth"))
+        .orderBy("depth", "id")
+        .limit(max_results)
+    )
+
+
+def find_paths_between(
+    edges: DataFrame,
+    start_id: str,
+    target_id: str,
+    direction: str = OUTGOING,
+    edge_filter: EdgeFilter = EdgeFilter.all(),
+    max_depth: int = 10,
+    max_paths: int = MAX_PATHS,
+) -> DataFrame:
+    """All simple paths start→target, shortest first, ≤max_paths
+    (src/query/traversal.zig:1365-1494). Returns DataFrame[path, depth] where
+    ``path`` is '->'-joined block ids.
+
+    Paths are '->'-delimited id strings; ids are fixed-width hex so a
+    substring containment test is an exact membership test (used for the
+    simple-path constraint) — the same trick keeps the DuckDB oracle a plain
+    recursive CTE.
+    """
+    max_depth = min(max_depth, MAX_DEPTH_LIMIT)
+    adj = orient(edges, direction, edge_filter)
+    spark = edges.sparkSession
+
+    frontier = spark.createDataFrame([(start_id, start_id)], "path string, last string")
+    done = frontier.where(F.col("last") == F.lit(target_id)).select(
+        "path", F.lit(0).cast("int").alias("depth")
+    )
+
+    for d in range(1, max_depth + 1):
+        frontier = (
+            frontier.join(adj, frontier.last == adj.src)
+            .where(~F.col("path").contains(F.col("dst")))
+            .select(
+                F.concat(F.col("path"), F.lit("->"), F.col("dst")).alias("path"),
+                F.col("dst").alias("last"),
+            )
+            .distinct()
+        )
+        if d % _CHECKPOINT_EVERY == 0:
+            frontier = frontier.localCheckpoint(eager=True)
+        if frontier.isEmpty():
+            break
+        done = done.unionByName(
+            frontier.where(F.col("last") == F.lit(target_id)).select(
+                "path", F.lit(d).cast("int").alias("depth")
+            )
+        )
+
+    return done.orderBy("depth", "path").limit(max_paths)
+
+
+def topo_sort(
+    edges: DataFrame,
+    start_ids,
+    direction: str = OUTGOING,
+    edge_filter: EdgeFilter = EdgeFilter.all(),
+    max_depth: int = 10,
+) -> DataFrame:
+    """Kahn's algorithm over the subgraph reachable ≤max_depth from start
+    (src/query/traversal.zig:985-1135). Returns DataFrame[id, layer] where
+    ``layer`` is the peel iteration (= longest-path depth from the zero
+    in-degree layer, the canonical topological stratification). Empty result
+    on cycle — the reference returns empty when a cycle is detected
+    (src/query/traversal.zig:1094-1107).
+    """
+    reach = bfs(edges, start_ids, direction, edge_filter, max_depth).select("id")
+    sub = (
+        orient(edges, direction, edge_filter)
+        .join(reach.withColumnRenamed("id", "src"), "src", "left_semi")
+        .join(reach.withColumnRenamed("id", "dst"), "dst", "left_semi")
+        .localCheckpoint(eager=True)
+    )
+
+    remaining = reach.localCheckpoint(eager=True)
+    live_edges = sub
+    spark = edges.sparkSession
+    out = spark.createDataFrame([], "id string, layer int")
+    layer = 0
+    n_remaining = remaining.count()
+    while n_remaining > 0:
+        zero_in = remaining.join(
+            live_edges.select(F.col("dst").alias("id")), "id", "left_anti"
+        ).localCheckpoint(eager=True)
+        n_zero = zero_in.count()
+        if n_zero == 0:
+            # cycle among the remaining nodes
+            return spark.createDataFrame([], "id string, layer int")
+        out = out.unionByName(zero_in.withColumn("layer", F.lit(layer).cast("int")))
+        remaining = remaining.join(zero_in, "id", "left_anti").localCheckpoint(eager=True)
+        # drop edges whose source was just peeled — they no longer block dst
+        live_edges = live_edges.join(
+            zero_in.withColumnRenamed("id", "src"), "src", "left_anti"
+        ).localCheckpoint(eager=True)
+        n_remaining -= n_zero
+        layer += 1
+    return out.orderBy("layer", "id")

@@ -1,0 +1,34 @@
+"""Mimics the driver's correctness gate: every entry in queries() is run on
+Spark and its oracle_sql() twin on DuckDB, compared as order-insensitive
+multisets (row count + columns + values)."""
+
+import pytest
+from conftest import SF_DIR, assert_frames_match
+
+import __spark_entry__ as entry_mod
+
+_QUERIES = entry_mod.queries()
+_ORACLES = entry_mod.oracle_sql()
+
+
+def test_every_query_has_an_oracle_or_is_declared():
+    missing = set(_QUERIES) - set(_ORACLES)
+    # non-SQL-expressible ops may be omitted — keep the list explicit
+    allowed_missing = set()
+    assert missing <= allowed_missing, f"queries without oracle: {missing}"
+
+
+@pytest.mark.parametrize("name", sorted(_QUERIES))
+def test_query_matches_oracle(name, spark, duck):
+    sdf = _QUERIES[name](spark, SF_DIR).toPandas()
+    if name not in _ORACLES:
+        assert len(sdf) >= 0  # rows-only check
+        return
+    ddf = duck.sql(_ORACLES[name]).df()
+    assert_frames_match(sdf, ddf, name)
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert len(df.columns) > 0
