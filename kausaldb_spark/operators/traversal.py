@@ -78,27 +78,64 @@ class EdgeFilter:
 
 
 def orient(edges: DataFrame, direction: str, edge_filter: EdgeFilter = EdgeFilter.all()) -> DataFrame:
-    """Distinct (src, dst) adjacency in traversal direction. The distinct
-    collapses multigraph duplicates — traversal semantics only need
-    reachability, and it keeps frontier joins minimal."""
+    """(src, dst) adjacency in traversal direction — a narrow, shuffle-free
+    projection. Multigraph duplicates are deliberately NOT deduped here: every
+    consumer dedups at a point where the data is already small (the per-level
+    frontier distinct in BFS, the path-set distinct in enumeration, presence
+    semi-joins in Kahn peeling), so a full distinct shuffle of the edge table
+    would be pure overhead."""
     e = edge_filter.apply(edges)
     fwd = e.select("src", "dst")
     if direction == OUTGOING:
-        out = fwd
-    elif direction == INCOMING:
-        out = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    elif direction == BIDIRECTIONAL:
-        out = fwd.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    else:
-        raise ValueError(f"unknown direction {direction}")
-    return out.distinct()
+        return fwd
+    if direction == INCOMING:
+        return e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    if direction == BIDIRECTIONAL:
+        return fwd.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    raise ValueError(f"unknown direction {direction}")
 
 
 def _start_frame(edges_or_any: DataFrame, start_ids) -> DataFrame:
     spark = edges_or_any.sparkSession
     if isinstance(start_ids, DataFrame):
         return start_ids.select(F.col(start_ids.columns[0]).alias("id")).distinct()
-    return spark.createDataFrame([(s,) for s in start_ids], "id string").distinct()
+    # JVM-side literal array — createDataFrame from a Python list pays a
+    # Python-worker round-trip (~1.5 s of latency per traversal)
+    ids = sorted(set(start_ids))
+    return spark.range(1).select(
+        F.explode(F.array(*[F.lit(s) for s in ids])).alias("id")
+    )
+
+
+def _bfs_on_adj(
+    adj: DataFrame, start: DataFrame, max_depth: int, max_results: int
+) -> DataFrame:
+    """Level loop over a *materialized* adjacency. Every level's frontier is
+    localCheckpoint-ed: frontiers are small (bounded by max_results), and the
+    checkpoint both cuts lineage and makes the per-level count() free."""
+    frontier = start.withColumn("depth", F.lit(0).cast("int")).localCheckpoint(eager=True)
+    visited = frontier
+    n_visited = visited.count()
+
+    for d in range(1, max_depth + 1):
+        if n_visited >= max_results:
+            break
+        nxt = (
+            frontier.join(adj, frontier.id == adj.src)
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(visited.select("id"), "id", "left_anti")
+            .withColumn("depth", F.lit(d).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+        cnt = nxt.count()
+        if cnt == 0:
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+        n_visited += cnt
+
+    return visited.orderBy("depth", "id").limit(max_results)
 
 
 def bfs(
@@ -117,34 +154,7 @@ def bfs(
     max_depth = min(max_depth, MAX_DEPTH_LIMIT)
     max_results = min(max_results, MAX_RESULTS_LIMIT)
     adj = orient(edges, direction, edge_filter)
-
-    frontier = _start_frame(edges, start_ids).withColumn("depth", F.lit(0).cast("int"))
-    visited = frontier.localCheckpoint(eager=True)
-    frontier = visited
-    n_visited = visited.count()
-
-    for d in range(1, max_depth + 1):
-        if n_visited >= max_results:
-            break
-        nxt = (
-            frontier.join(adj, frontier.id == adj.src)
-            .select(F.col("dst").alias("id"))
-            .distinct()
-            .join(visited.select("id"), "id", "left_anti")
-            .withColumn("depth", F.lit(d).cast("int"))
-        )
-        if d % _CHECKPOINT_EVERY == 0:
-            nxt = nxt.localCheckpoint(eager=True)
-        cnt = nxt.count()
-        if cnt == 0:
-            break
-        visited = visited.unionByName(nxt)
-        if d % _CHECKPOINT_EVERY == 0:
-            visited = visited.localCheckpoint(eager=True)
-        frontier = nxt
-        n_visited += cnt
-
-    return visited.orderBy("depth", "id").limit(max_results)
+    return _bfs_on_adj(adj, _start_frame(edges, start_ids), max_depth, max_results)
 
 
 # DFS and A* reach the same set (see module docstring); exposed for API parity.
@@ -196,10 +206,12 @@ def find_paths_between(
     adj = orient(edges, direction, edge_filter)
     spark = edges.sparkSession
 
-    frontier = spark.createDataFrame([(start_id, start_id)], "path string, last string")
+    frontier = spark.range(1).select(
+        F.lit(start_id).alias("path"), F.lit(start_id).alias("last")
+    )
     done = frontier.where(F.col("last") == F.lit(target_id)).select(
         "path", F.lit(0).cast("int").alias("depth")
-    )
+    ).localCheckpoint(eager=True)
 
     for d in range(1, max_depth + 1):
         frontier = (
@@ -210,16 +222,15 @@ def find_paths_between(
                 F.col("dst").alias("last"),
             )
             .distinct()
+            .localCheckpoint(eager=True)
         )
-        if d % _CHECKPOINT_EVERY == 0:
-            frontier = frontier.localCheckpoint(eager=True)
         if frontier.isEmpty():
             break
         done = done.unionByName(
             frontier.where(F.col("last") == F.lit(target_id)).select(
                 "path", F.lit(d).cast("int").alias("depth")
             )
-        )
+        ).localCheckpoint(eager=True)
 
     return done.orderBy("depth", "path").limit(max_paths)
 
@@ -238,10 +249,13 @@ def topo_sort(
     on cycle — the reference returns empty when a cycle is detected
     (src/query/traversal.zig:1094-1107).
     """
-    reach = bfs(edges, start_ids, direction, edge_filter, max_depth).select("id")
+    adj = orient(edges, direction, edge_filter)
+    reach = _bfs_on_adj(
+        adj, _start_frame(edges, start_ids), min(max_depth, MAX_DEPTH_LIMIT),
+        MAX_RESULTS_LIMIT,
+    ).select("id")
     sub = (
-        orient(edges, direction, edge_filter)
-        .join(reach.withColumnRenamed("id", "src"), "src", "left_semi")
+        adj.join(reach.withColumnRenamed("id", "src"), "src", "left_semi")
         .join(reach.withColumnRenamed("id", "dst"), "dst", "left_semi")
         .localCheckpoint(eager=True)
     )
@@ -249,7 +263,10 @@ def topo_sort(
     remaining = reach.localCheckpoint(eager=True)
     live_edges = sub
     spark = edges.sparkSession
-    out = spark.createDataFrame([], "id string, layer int")
+    empty = spark.range(0).select(
+        F.lit("").alias("id"), F.lit(0).cast("int").alias("layer")
+    )
+    out = empty
     layer = 0
     n_remaining = remaining.count()
     while n_remaining > 0:
@@ -259,7 +276,7 @@ def topo_sort(
         n_zero = zero_in.count()
         if n_zero == 0:
             # cycle among the remaining nodes
-            return spark.createDataFrame([], "id string, layer int")
+            return empty
         out = out.unionByName(zero_in.withColumn("layer", F.lit(layer).cast("int")))
         remaining = remaining.join(zero_in, "id", "left_anti").localCheckpoint(eager=True)
         # drop edges whose source was just peeled — they no longer block dst
