@@ -20,9 +20,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kausaldb_spark import graphmodel as gm
+from kausaldb_spark import oracles
+from kausaldb_spark.functions import dedup as dd
+from kausaldb_spark.functions import similarity as sim
+from kausaldb_spark.functions import text as tx
 from kausaldb_spark.operators import filtering as flt
 from kausaldb_spark.operators import lookup as lk
 from kausaldb_spark.operators import traversal as tv
+from kausaldb_spark.sources import events as ev
+
+ANN_QUERY_IDS = list(range(10))
+EMB_NEAR_DUP_MIN_DOT = 400_000
 
 
 def _md5(s: str) -> str:
@@ -206,12 +214,7 @@ def _q_paths_between(spark, sf_dir):
 
 
 def _q_exact_dedup(spark, sf_dir):
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return (
-        docs.groupBy(F.md5(F.col("text")).alias("text_hash"))
-        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("min_doc_id"))
-        .where(F.col("n_dups") > 1)
-    )
+    return dd.exact_duplicates(dd.dedup_corpus(spark, sf_dir))
 
 
 def _q_token_count(spark, sf_dir):
@@ -220,6 +223,66 @@ def _q_token_count(spark, sf_dir):
         "doc_id",
         F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
     )
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _q_minhash_near_dup(spark, sf_dir):
+    return dd.minhash_near_duplicates(spark, sf_dir)
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    return dd.ngram_jaccard_pairs(spark, sf_dir)
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    return dd.simhash_exact_pairs(spark, sf_dir)
+
+
+def _q_lang_id(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return docs.select("doc_id", tx.lang_id(tx.tokens(F.col("text"))).alias("pred_lang"))
+
+
+def _q_quality_score(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    cols = tx.quality_columns(F.col("text"))
+    out = docs.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+    flag_cols = {n: F.col(n) for n in cols}
+    return out.withColumn("is_quality", tx.quality_flag(flag_cols))
+
+
+def _q_fingerprint(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id", tx.fingerprint(tx.tokens(F.col("text"))).alias("fp")
+    )
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _q_ann_topk(spark, sf_dir):
+    return sim.dot_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, k=5)
+
+
+def _q_ann_lsh(spark, sf_dir):
+    return sim.lsh_bucketed_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, k=5)
+
+
+def _q_embedding_near_dup(spark, sf_dir):
+    return sim.embedding_near_duplicates(_emb(spark, sf_dir), EMB_NEAR_DUP_MIN_DOT)
+
+
+def _q_events_hourly(spark, sf_dir):
+    return ev.hourly_rollup(ev.load_events(spark, sf_dir))
+
+
+def _q_sessionize(spark, sf_dir):
+    return ev.sessionize(ev.load_events(spark, sf_dir))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -245,6 +308,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paths_between": _q_paths_between,
         "exact_dedup": _q_exact_dedup,
         "token_count": _q_token_count,
+        "minhash_near_dup": _q_minhash_near_dup,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "simhash_pairs": _q_simhash_pairs,
+        "lang_id": _q_lang_id,
+        "quality_score": _q_quality_score,
+        "fingerprint": _q_fingerprint,
+        "ann_topk": _q_ann_topk,
+        "ann_lsh": _q_ann_lsh,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "events_hourly": _q_events_hourly,
+        "sessionize": _q_sessionize,
     }
 
 
@@ -398,11 +472,19 @@ rec AS (
 )
 SELECT path, CAST(depth AS INT) AS depth FROM rec WHERE last = (SELECT t FROM tgt)
 ORDER BY depth, path LIMIT 100""",
-        "exact_dedup": """
-SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS n_dups,
-       min(doc_id) AS min_doc_id
-FROM documents GROUP BY md5(text) HAVING count(*) > 1""",
+        "exact_dedup": oracles.exact_dedup_sql(),
         "token_count": r"""
 SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens
 FROM documents""",
+        "minhash_near_dup": oracles.minhash_sql(),
+        "ngram_jaccard": oracles.ngram_jaccard_sql(),
+        "simhash_pairs": oracles.simhash_pairs_sql(),
+        "lang_id": oracles.lang_id_sql(),
+        "quality_score": oracles.quality_sql(),
+        "fingerprint": oracles.fingerprint_sql(),
+        "ann_topk": oracles.ann_topk_sql(ANN_QUERY_IDS),
+        "ann_lsh": oracles.ann_lsh_sql(ANN_QUERY_IDS),
+        "embedding_near_dup": oracles.embedding_near_dup_sql(EMB_NEAR_DUP_MIN_DOT),
+        "events_hourly": oracles.events_hourly_sql(),
+        "sessionize": oracles.sessionize_sql(ev.SESSION_GAP_US),
     }

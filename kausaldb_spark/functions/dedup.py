@@ -1,0 +1,206 @@
+"""Document deduplication at corpus scale: exact, MinHash+LSH, SimHash,
+n-gram Jaccard.
+
+Pipeline shapes (all shuffle-conscious):
+
+- **exact**: one hash-groupBy on md5(text) — the cheapest possible pass.
+- **MinHash+LSH**: shingle-explode → per-(doc, seed) min-hash (map-side
+  partial aggregation) → band buckets → self-join *within buckets only*
+  (the LSH trick: candidate generation never goes quadratic) → exact Jaccard
+  verify on the candidates.
+- **n-gram Jaccard**: inverted-index candidates via *rare* shingles
+  (document-frequency cap keeps hub shingles from exploding the pair count —
+  the classic df-cut) → exact Jaccard verify.
+- **SimHash**: 16-bit signature per doc (functions.text.simhash16);
+  distance-0 pairs via signature groupBy.
+
+The min-hash family is "min over lexicographic md5(seed || '|' || shingle)"
+— hash-function-free portability: DuckDB computes the identical signature,
+which is what the oracle gate checks.
+
+The test corpus ships zero natural duplicates, so ``dedup_corpus`` plants
+deterministic exact copies (doc_id % 50) and near-copies with the first five
+words dropped (doc_id % 37) — both reproducible in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kausaldb_spark.functions.text import shingles, simhash16, tokens
+
+N_MINHASH = 8          # seeds
+BAND_SIZE = 2          # → 4 bands; P(candidate) = 1-(1-j^2)^4
+RARE_SHINGLE_DF = 20   # df-cut for the inverted-index candidate pass
+
+EXACT_COPY_MOD = 50
+NEAR_COPY_MOD = 37
+EXACT_COPY_OFFSET = 1_000_000
+NEAR_COPY_OFFSET = 2_000_000
+
+
+def dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ planted exact copies ∪ planted near-copies (first five
+    words dropped)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    exact = docs.where(F.col("doc_id") % EXACT_COPY_MOD == 0).select(
+        (F.col("doc_id") + EXACT_COPY_OFFSET).alias("doc_id"), "text"
+    )
+    toks = tokens(F.col("text"))
+    near = docs.where(F.col("doc_id") % NEAR_COPY_MOD == 0).select(
+        (F.col("doc_id") + NEAR_COPY_OFFSET).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 6, F.size(toks))).alias("text"),
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+# The same corpus in DuckDB SQL (oracle twin).
+DUCK_CORPUS = f"""
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {EXACT_COPY_OFFSET}, text FROM documents
+  WHERE doc_id % {EXACT_COPY_MOD} = 0
+  UNION ALL
+  SELECT doc_id + {NEAR_COPY_OFFSET},
+         array_to_string(string_split_regex(trim(lower(text)), '\\s+')[6:], ' ')
+  FROM documents WHERE doc_id % {NEAR_COPY_MOD} = 0
+)
+"""
+
+
+def exact_duplicates(corpus: DataFrame) -> DataFrame:
+    """Exact dedup: (text_hash, n_dups, min_doc_id) for groups > 1."""
+    return (
+        corpus.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("min_doc_id"))
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def doc_shingles(corpus: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct pairs — the base relation for both MinHash
+    and the inverted-index pass."""
+    return corpus.select(
+        "doc_id", F.explode(F.array_distinct(shingles(tokens(F.col("text")), n))).alias("shingle")
+    ).distinct()
+
+
+def minhash_signatures(sh: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
+    """(doc_id, k, minh): min over md5(k || '|' || shingle) per seed k.
+    The explode-by-seed then min-groupBy does partial (map-side) aggregation
+    before the shuffle — signature state per doc is tiny."""
+    seeds = F.explode(F.array(*[F.lit(k) for k in range(n_hashes)])).alias("k")
+    return (
+        sh.select("doc_id", "shingle", seeds)
+        .groupBy("doc_id", "k")
+        .agg(F.min(F.md5(F.concat(F.col("k").cast("string"), F.lit("|"), F.col("shingle")))).alias("minh"))
+    )
+
+
+def lsh_candidates(sigs: DataFrame, band_size: int = BAND_SIZE) -> DataFrame:
+    """Band the signature, bucket-hash each band, emit candidate pairs that
+    share any (band, bucket) — the only join in the pipeline, and it is
+    per-bucket (never all-pairs)."""
+    bands = (
+        sigs.withColumn("band", (F.col("k") / band_size).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.md5(F.concat_ws("|", F.array_sort(F.collect_list("minh")))).alias("bucket"))
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bucket") == F.col("b.bucket")))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    candidates: DataFrame, sh: DataFrame, num: int, den: int
+) -> DataFrame:
+    """Exact Jaccard on candidate pairs via the shingle relation:
+    keep pairs with inter/union >= num/den (integer arithmetic — no float
+    drift). Returns (doc_a, doc_b, n_inter, n_union)."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # shingles of doc_a equi-joined with shingles of doc_b → intersection size
+    inter = (
+        candidates.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(
+            sh.selectExpr("doc_id as doc_b", "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.selectExpr("doc_id as doc_a", "n_sh as n_a"), "doc_a")
+        .join(sizes.selectExpr("doc_id as doc_b", "n_sh as n_b"), "doc_b")
+        .withColumn("n_union", (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
+        .where(F.col("n_inter") * den >= F.col("n_union") * num)
+        .select(
+            "doc_a", "doc_b",
+            F.col("n_inter").cast("bigint").alias("n_inter"),
+            F.col("n_union").cast("bigint").alias("n_union"),
+        )
+    )
+
+
+def minhash_near_duplicates(
+    spark: SparkSession, sf_dir: str, num: int = 7, den: int = 10
+) -> DataFrame:
+    """Full MinHash-LSH pipeline: corpus → shingles → signatures → banded
+    candidates → Jaccard ≥ num/den verify."""
+    corpus = dedup_corpus(spark, sf_dir)
+    sh = doc_shingles(corpus).persist()
+    try:
+        sigs = minhash_signatures(sh)
+        cands = lsh_candidates(sigs)
+        return jaccard_verify(cands, sh, num, den).localCheckpoint(eager=True)
+    finally:
+        sh.unpersist()
+
+
+def ngram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, num: int = 5, den: int = 10
+) -> DataFrame:
+    """Inverted-index candidates via rare shingles (df ≤ RARE_SHINGLE_DF),
+    then exact Jaccard ≥ num/den."""
+    corpus = dedup_corpus(spark, sf_dir)
+    sh = doc_shingles(corpus).persist()
+    try:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") <= RARE_SHINGLE_DF)
+            .select("shingle")
+        )
+        rare_sh = sh.join(rare, "shingle")
+        a = rare_sh.selectExpr("shingle", "doc_id as doc_a")
+        b = rare_sh.selectExpr("shingle", "doc_id as doc_b")
+        cands = (
+            a.join(b, "shingle")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        return jaccard_verify(cands, sh, num, den).localCheckpoint(eager=True)
+    finally:
+        sh.unpersist()
+
+
+def simhash_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-0 SimHash pairs: identical 16-bit signatures. (Near-distance
+    banding would split the signature into chunks; distance-0 is the
+    groupBy-only special case.)"""
+    corpus = dedup_corpus(spark, sf_dir)
+    sigs = corpus.select("doc_id", simhash16(tokens(F.col("text"))).alias("sh"))
+    a = sigs.selectExpr("sh", "doc_id as doc_a")
+    b = sigs.selectExpr("sh", "doc_id as doc_b")
+    return (
+        a.join(b, "sh")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.col("sh").alias("simhash"))
+    )

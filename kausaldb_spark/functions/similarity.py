@@ -1,0 +1,142 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+- ``dot_topk``: brute-force top-k by quantized integer dot product — the
+  exactness baseline. Quantization (floor(x*1000 + 0.5) → bigint) makes the
+  score integer-exact and therefore engine-portable (the float dot product
+  is order-of-summation dependent; the int one is not). The query set is
+  broadcast; the scan is a single pass over the corpus — at 100 TB this is
+  the classic "broadcast the queries, never shuffle the corpus" shape.
+- ``lsh_bucketed_topk``: sign-LSH (hyperplane = coordinate axes of the first
+  ``n_bits`` dims) pre-bucket, probing only the query's bucket — the scale
+  path trading recall for a corpus-partition-pruned scan. Buckets are
+  computable per-row (no fitting), so the corpus can be *written* partitioned
+  by bucket and the probe becomes partition pruning.
+- ``cosine_topk``: float cosine via built-in array ops (zip_with/aggregate)
+  for real use; not oracle-gated (float).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+QUANT_SCALE = 1000
+
+
+def quantized(vec: Column) -> Column:
+    """array<float> → array<bigint>, floor(x*scale + 0.5) (identical rounding
+    in every engine, unlike round() whose half-rule differs)."""
+    return F.transform(
+        vec, lambda x: F.floor(x.cast("double") * QUANT_SCALE + F.lit(0.5)).cast("bigint")
+    )
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def float_cosine(a: Column, b: Column) -> Column:
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    def norm(v):
+        return F.sqrt(
+            F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+        )
+    return dot / (norm(a) * norm(b))
+
+
+def dot_topk(
+    embeddings: DataFrame, query_ids: list[int], k: int = 5, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors by quantized dot product for each query id.
+    Output: (query_id, neighbor_id, rank, dot) — all integers.
+    Ties break by neighbor id (deterministic)."""
+    q = (
+        embeddings.where(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("query_id"), quantized(F.col(vec_col)).alias("qv"))
+    )
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), quantized(F.col(vec_col)).alias("cv")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(corpus)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", int_dot(F.col("qv"), F.col("cv")).alias("dot"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dot").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "dot")
+    )
+
+
+def sign_bucket(vec: Column, n_bits: int = 8) -> Column:
+    """Sign-LSH bucket from the first n_bits coordinates (>=0 → 1)."""
+    bucket = None
+    for j in range(n_bits):
+        bit = F.when(F.element_at(vec, j + 1) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket.cast("int")
+
+
+def lsh_bucketed_topk(
+    embeddings: DataFrame, query_ids: list[int], k: int = 5, n_bits: int = 8,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's sign bucket.
+    Same output schema as dot_topk. Queries whose bucket holds < k neighbors
+    return fewer rows (recall tradeoff, by design)."""
+    with_bucket = embeddings.select(
+        F.col(id_col), F.col(vec_col), sign_bucket(F.col(vec_col), n_bits).alias("bucket")
+    )
+    q = (
+        with_bucket.where(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("query_id"), quantized(F.col(vec_col)).alias("qv"), "bucket")
+    )
+    corpus = with_bucket.select(
+        F.col(id_col).alias("neighbor_id"), quantized(F.col(vec_col)).alias("cv"), "bucket"
+    )
+    scored = (
+        F.broadcast(q)
+        .join(corpus, "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", int_dot(F.col("qv"), F.col("cv")).alias("dot"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dot").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "dot")
+    )
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame, min_dot: int, n_bits: int = 8,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-similarity near-dup pairs: sign-LSH bucket join, then exact
+    quantized dot >= min_dot. Output (id_a, id_b, dot)."""
+    with_bucket = embeddings.select(
+        F.col(id_col).alias("id"), quantized(F.col(vec_col)).alias("qv"),
+        sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
+    )
+    a = with_bucket.selectExpr("bucket", "id as id_a", "qv as qa")
+    b = with_bucket.selectExpr("bucket", "id as id_b", "qv as qb")
+    return (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", int_dot(F.col("qa"), F.col("qb")).alias("dot"))
+        .where(F.col("dot") >= min_dot)
+    )

@@ -1,0 +1,142 @@
+"""Text analysis for training-data pipelines: tokenization, shingling,
+language ID, quality scoring, SimHash, document fingerprinting.
+
+Everything here is a pure Column expression (whole-stage codegen, no Python
+UDFs) so it vectorizes across a 100 TB corpus exactly like a scan. All
+outputs that feed the oracle gate are integers or hash strings — engine-
+portable (no float formatting drift).
+
+These are net-new capabilities beyond the reference engine (which only has
+keyword scoring, ``src/query/operations.zig:421-437``) — the SURVEY.md §2
+"north-star extensions" for large-scale corpus work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# tokenization / shingling
+# ---------------------------------------------------------------------------
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of lower-cased trimmed text."""
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def shingles(toks: Column, n: int = 3) -> Column:
+    """Word n-grams as ' '-joined strings; empty array when fewer than n
+    tokens. (slice is 1-based; sequence guarded because sequence(0,-1)
+    would generate a descending range.)"""
+    t = toks
+    return F.when(F.size(t) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - n),
+            lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# language ID (stopword-hit heuristic)
+# ---------------------------------------------------------------------------
+
+# Deliberately tiny, disjoint stopword lists — the goal is a deterministic,
+# cheap, SQL-portable heuristic (argmax of stopword hits with fixed priority),
+# not linguistic accuracy.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in"),
+    "de": ("der", "die", "das", "und", "nicht"),
+    "fr": ("le", "les", "et", "dans", "pour"),
+    "es": ("el", "los", "y", "para", "con"),
+    "zh": ("的", "是", "在", "了", "和"),
+}
+_LANG_ORDER = tuple(LANG_STOPWORDS)
+
+
+def lang_scores(toks: Column) -> dict[str, Column]:
+    out = {}
+    for lang, words in LANG_STOPWORDS.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    return out
+
+
+def lang_id(toks: Column) -> Column:
+    """Predicted language: first language (in fixed order) whose stopword-hit
+    count equals the max; 'und' when no stopword hits at all."""
+    scores = lang_scores(toks)
+    mx = F.greatest(*scores.values())
+    pred = F.lit("und")
+    for lang in reversed(_LANG_ORDER):
+        pred = F.when(scores[lang] == mx, F.lit(lang)).otherwise(pred)
+    return F.when(mx == 0, F.lit("und")).otherwise(pred)
+
+
+# ---------------------------------------------------------------------------
+# quality scoring (integer metrics only — oracle-portable)
+# ---------------------------------------------------------------------------
+
+def quality_columns(text: Column) -> dict[str, Column]:
+    toks = tokens(text)
+    n_tokens = F.size(toks)
+    sum_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    en_arr = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(en_arr, t)))
+    return {
+        "n_chars": F.length(text).cast("int"),
+        "n_tokens": n_tokens.cast("int"),
+        "avg_token_len_x100": F.floor(sum_len * 100 / n_tokens).cast("bigint"),
+        "pct_stopwords": F.floor(n_stop * 100 / n_tokens).cast("bigint"),
+        "n_distinct_tokens": F.size(F.array_distinct(toks)).cast("int"),
+    }
+
+
+def quality_flag(cols: dict[str, Column]) -> Column:
+    """1 if the document passes the cheap quality gate (length band, token
+    shape, repetition)."""
+    return (
+        (cols["n_tokens"] >= 10)
+        & (cols["n_tokens"] <= 100_000)
+        & (cols["avg_token_len_x100"] >= 200)
+        & (cols["avg_token_len_x100"] <= 1500)
+        & (cols["n_distinct_tokens"] * 4 >= cols["n_tokens"])
+    ).cast("int")
+
+
+# ---------------------------------------------------------------------------
+# SimHash (16-bit, md5-nibble hash family)
+# ---------------------------------------------------------------------------
+
+def simhash16(toks: Column) -> Column:
+    """16-bit SimHash over tokens (with multiplicity). Bit j of a token's
+    hash = (hex nibble j of md5(token)) >= 8; document bit j = majority sign.
+    Pure column expr, bit-identical in DuckDB (same md5, same nibble test).
+    """
+    def _contrib_fn(j):
+        def fn(acc, t):
+            return acc + F.when(
+                F.substring(F.md5(t), j + 1, 1).isin(*"89abcdef"), F.lit(1)
+            ).otherwise(F.lit(-1))
+        return fn
+
+    total = None
+    for j in range(16):
+        contrib = F.aggregate(toks, F.lit(0), _contrib_fn(j))
+        bit = F.when(contrib >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        total = bit if total is None else total + bit
+    return total.cast("int")
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting (k-min sketch over shingles)
+# ---------------------------------------------------------------------------
+
+def fingerprint(toks: Column, n: int = 5, k: int = 4) -> Column:
+    """Deterministic doc fingerprint: the k lexicographically smallest md5
+    hashes of word n-grams, '|'-joined (a winnowing-style content sketch —
+    stable under small edits away from the minima)."""
+    sh = shingles(toks, n)
+    hashed = F.transform(sh, lambda s: F.md5(s))
+    return F.concat_ws("|", F.slice(F.array_sort(hashed), 1, k))

@@ -1,0 +1,244 @@
+"""DuckDB oracle SQL generators for the pipeline operators.
+
+Each function returns ANSI-ish SQL that DuckDB runs over the driver's
+pre-registered parquet views, reproducing the Spark implementation
+bit-for-bit (integer metrics, md5-family hashes, IEEE double arithmetic —
+see the matching modules in kausaldb_spark.functions / sources for why each
+output is engine-portable).
+"""
+
+from __future__ import annotations
+
+from kausaldb_spark.functions.dedup import (
+    DUCK_CORPUS,
+    EXACT_COPY_MOD,
+    EXACT_COPY_OFFSET,
+    NEAR_COPY_MOD,
+    NEAR_COPY_OFFSET,
+    RARE_SHINGLE_DF,
+)
+from kausaldb_spark.functions.text import LANG_STOPWORDS
+
+# tokenized corpus + distinct (doc, 3-shingle) relation
+_TOK_SH = (
+    DUCK_CORPUS
+    + r""",
+tok AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM corpus),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, unnest(CASE WHEN len(t) < 3 THEN [] ELSE
+      list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS shingle
+    FROM tok)
+)
+"""
+)
+
+_VERIFY = """
+sizes AS (SELECT doc_id, count(*) n_sh FROM sh GROUP BY doc_id),
+inter AS (SELECT c.doc_a, c.doc_b, count(*) n_inter FROM cands c
+          JOIN sh x ON x.doc_id = c.doc_a
+          JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+          GROUP BY c.doc_a, c.doc_b)
+SELECT i.doc_a, i.doc_b, CAST(n_inter AS BIGINT) AS n_inter,
+       CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT) AS n_union
+FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+             JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE n_inter * {den} >= (sa.n_sh + sb.n_sh - n_inter) * {num}
+"""
+
+
+def exact_dedup_sql() -> str:
+    return (
+        "WITH "
+        + DUCK_CORPUS
+        + """
+SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS n_dups,
+       min(doc_id) AS min_doc_id
+FROM corpus GROUP BY md5(text) HAVING count(*) > 1"""
+    )
+
+
+def minhash_sql(num: int = 7, den: int = 10, n_hashes: int = 8, band: int = 2) -> str:
+    return (
+        "WITH "
+        + _TOK_SH
+        + f""",
+sigs AS (
+  SELECT doc_id, k, min(md5(k || '|' || shingle)) AS minh
+  FROM sh CROSS JOIN generate_series(0, {n_hashes - 1}) g(k)
+  GROUP BY doc_id, k
+),
+bands AS (
+  SELECT doc_id, k // {band} AS band,
+         md5(array_to_string(list_sort(list(minh)), '|')) AS bucket
+  FROM sigs GROUP BY doc_id, k // {band}
+),
+cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+"""
+        + _VERIFY.format(num=num, den=den)
+    )
+
+
+def ngram_jaccard_sql(num: int = 5, den: int = 10) -> str:
+    return (
+        "WITH "
+        + _TOK_SH
+        + f""",
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {RARE_SHINGLE_DF}),
+cands AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+          FROM sh x JOIN rare r ON x.shingle = r.shingle
+          JOIN sh y ON y.shingle = x.shingle AND x.doc_id < y.doc_id),
+"""
+        + _VERIFY.format(num=num, den=den)
+    )
+
+
+def _simhash_expr(tokens_col: str = "t") -> str:
+    terms = []
+    for j in range(16):
+        terms.append(
+            f"(CASE WHEN list_sum(list_transform({tokens_col}, tk -> CASE WHEN "
+            f"contains('89abcdef', substr(md5(tk), {j + 1}, 1)) THEN 1 ELSE -1 END)) >= 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+        )
+    return "CAST(" + " + ".join(terms) + " AS INT)"
+
+
+def simhash_pairs_sql() -> str:
+    return (
+        "WITH "
+        + DUCK_CORPUS
+        + rf""",
+tok AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM corpus),
+sims AS (SELECT doc_id, {_simhash_expr()} AS sh FROM tok)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS simhash
+FROM sims a JOIN sims b ON a.sh = b.sh AND a.doc_id < b.doc_id"""
+    )
+
+
+def lang_id_sql() -> str:
+    scores = []
+    for lang, words in LANG_STOPWORDS.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        scores.append(
+            f"len(list_filter(t, x -> x IN ({lst}))) AS s_{lang}"
+        )
+    order = list(LANG_STOPWORDS)
+    mx = "greatest(" + ", ".join(f"s_{la}" for la in order) + ")"
+    case = "CASE WHEN " + mx + " = 0 THEN 'und' "
+    for la in order:
+        case += f"WHEN s_{la} = {mx} THEN '{la}' "
+    case += "END"
+    return (
+        r"""
+WITH tok AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+scored AS (SELECT doc_id, """
+        + ", ".join(scores)
+        + f" FROM tok) SELECT doc_id, {case} AS pred_lang FROM scored"
+    )
+
+
+def quality_sql() -> str:
+    return r"""
+WITH tok AS (SELECT doc_id, text, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+m AS (
+  SELECT doc_id,
+         CAST(length(text) AS INT) AS n_chars,
+         CAST(len(t) AS INT) AS n_tokens,
+         CAST(floor(list_sum(list_transform(t, x -> length(x))) * 100 / len(t)) AS BIGINT) AS avg_token_len_x100,
+         CAST(floor(len(list_filter(t, x -> x IN ('the','and','of','to','in'))) * 100 / len(t)) AS BIGINT) AS pct_stopwords,
+         CAST(len(list_distinct(t)) AS INT) AS n_distinct_tokens
+  FROM tok)
+SELECT *,
+       CAST(n_tokens >= 10 AND n_tokens <= 100000
+            AND avg_token_len_x100 BETWEEN 200 AND 1500
+            AND n_distinct_tokens * 4 >= n_tokens AS INT) AS is_quality
+FROM m"""
+
+
+def fingerprint_sql(n: int = 5, k: int = 4) -> str:
+    return rf"""
+WITH tok AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+sh AS (SELECT doc_id,
+         CASE WHEN len(t) < {n} THEN [] ELSE
+           list_transform(generate_series(1, len(t) - {n - 1}),
+                          i -> array_to_string(t[i:i + {n - 1}], ' ')) END AS shingles
+       FROM tok)
+SELECT doc_id,
+       array_to_string(list_sort(list_transform(shingles, s -> md5(s)))[1:{k}], '|') AS fp
+FROM sh"""
+
+
+_QUANT = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))"
+
+
+def _sign_bucket_expr(n_bits: int = 8) -> str:
+    terms = [
+        f"(CASE WHEN embedding[{j + 1}] >= 0 THEN {1 << j} ELSE 0 END)" for j in range(n_bits)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS INT)"
+
+
+def ann_topk_sql(query_ids: list[int], k: int = 5) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, {_QUANT} AS qv FROM embeddings WHERE vec_id IN ({ids})),
+c AS (SELECT vec_id AS neighbor_id, {_QUANT} AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, CAST(list_dot_product(qv, cv) AS BIGINT) AS dot
+  FROM q CROSS JOIN c WHERE query_id != neighbor_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rnk
+  FROM scored)
+SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank, dot FROM ranked WHERE rnk <= {k}"""
+
+
+def ann_lsh_sql(query_ids: list[int], k: int = 5, n_bits: int = 8) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+WITH e AS (SELECT vec_id, {_QUANT} AS v, {_sign_bucket_expr(n_bits)} AS bucket FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id IN ({ids})),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         CAST(list_dot_product(q.qv, c.v) AS BIGINT) AS dot
+  FROM q JOIN e c ON c.bucket = q.bucket AND c.vec_id != q.query_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rnk
+  FROM scored)
+SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank, dot FROM ranked WHERE rnk <= {k}"""
+
+
+def embedding_near_dup_sql(min_dot: int, n_bits: int = 8) -> str:
+    return f"""
+WITH e AS (SELECT vec_id, {_QUANT} AS v, {_sign_bucket_expr(n_bits)} AS bucket FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       CAST(list_dot_product(a.v, b.v) AS BIGINT) AS dot
+FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) >= {min_dot}"""
+
+
+def events_hourly_sql() -> str:
+    return """
+SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_bucket, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY 1, 2"""
+
+
+def sessionize_sql(gap_us: int) -> str:
+    return f"""
+WITH ev AS (SELECT event_id, epoch_us(ts) AS us, user_id FROM events),
+flagged AS (
+  SELECT *, CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > {gap_us}
+                 THEN 1 ELSE 0 END AS new_session
+  FROM ev),
+sess AS (
+  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+  FROM flagged)
+SELECT user_id, session_idx, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(us) - min(us) AS BIGINT) AS duration_us, min(us) AS first_us
+FROM sess GROUP BY 1, 2"""

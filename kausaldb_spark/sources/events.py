@@ -1,0 +1,79 @@
+"""Event-stream table source + time analytics (batch side).
+
+The testdata ``events.parquet`` stores TIMESTAMP(NANOS), which Spark's
+vectorized parquet reader rejects by default — we flip the session to read
+nanos as raw int64 and work in integer microseconds throughout. That is also
+the oracle-portability trick: all windowing is integer arithmetic on epoch
+micros (``floor(us / window)``), immune to timezone/rounding drift between
+engines. Money-ish doubles are aggregated as integer cents
+(floor(value*100 + 0.5)) — float sums are order-dependent, integer sums are
+not, and a 1000-executor aggregation has no deterministic sum order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+HOUR_US = 3_600_000_000
+SESSION_GAP_US = 1_800_000_000  # 30 min
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_id, us, user_id, event_type, value, props) with us = epoch
+    microseconds bigint."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return raw.select(
+        "event_id",
+        # integer division — ts (~1.7e18 ns) exceeds double's 2^53 mantissa,
+        # so floor(ts/1000) would be off by ±1 µs
+        F.expr("CAST(ts DIV 1000 AS BIGINT)").alias("us"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+def hourly_rollup(events: DataFrame) -> DataFrame:
+    """Tumbling 1h window per event_type: counts, distinct users, integer-cent
+    value sum. (hour_bucket = floor(us / 3600e6) — pure int arithmetic.)"""
+    return (
+        events.withColumn("hour_bucket", F.expr(f"CAST(us DIV {HOUR_US} AS BIGINT)"))
+        .groupBy("hour_bucket", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint")).alias("value_cents"),
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
+    """Gap-based sessions per user: a new session starts when the time since
+    the previous event exceeds ``gap_us``. Output one row per session:
+    (user_id, session_idx, n_events, duration_us, first_us).
+
+    Classic two-window formulation (lag → boundary flag → running sum); the
+    partition key is user_id so state never crosses users — at scale this is
+    one shuffle by user, the same shape Structured Streaming's session window
+    uses."""
+    by_user = Window.partitionBy("user_id").orderBy("us", "event_id")
+    flagged = events.withColumn(
+        "new_session",
+        F.when(
+            F.col("us") - F.lag("us").over(by_user) > gap_us, F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "session_idx",
+        F.sum("new_session").over(
+            by_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("bigint"),
+    )
+    return flagged.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        (F.max("us") - F.min("us")).cast("bigint").alias("duration_us"),
+        F.min("us").alias("first_us"),
+    )
