@@ -14,7 +14,19 @@ is in ``kausaldb_spark.graphmodel`` (Spark DataFrame API) and its
 from __future__ import annotations
 
 import hashlib
+import os
+import sys
 from collections.abc import Callable
+
+# Make the package importable by driver AND executor python workers no matter
+# where the harness launches from (workers inherit the driver's env).
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+if _REPO_ROOT not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+    os.environ["PYTHONPATH"] = (
+        _REPO_ROOT + os.pathsep + os.environ.get("PYTHONPATH", "")
+    )
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -122,10 +134,17 @@ def _q_find_by_name(spark, sf_dir):
     )
 
 
+def _anchor_workspace(g) -> str:
+    """Workspace of the Supplier_3 anchor (varies by sf — nation assignment
+    is part of the generated data, so resolve it like a user who knows
+    their workspace would)."""
+    return g["visible"].where(F.col("id") == S3).select("codebase").collect()[0][0]
+
+
 def _q_find_by_name_alias(spark, sf_dir):
     # CLI 'struct' alias resolves to storage 'type'
     g = gm.graph(spark, sf_dir)
-    return lk.find_by_name(g["visible"], "NATION_3", "struct", "Supplier_3").select(
+    return lk.find_by_name(g["visible"], _anchor_workspace(g), "struct", "Supplier_3").select(
         "id", "unit_id", "codebase"
     )
 
@@ -153,7 +172,7 @@ def _q_callers_1hop(spark, sf_dir):
     return (
         reached.where(F.col("depth") == 1)
         .join(vis, "id")
-        .where(F.col("codebase") == "NATION_3")
+        .where(F.col("codebase") == _anchor_workspace(g))
         .select("id", "unit_id", "codebase", "depth")
     )
 
@@ -285,6 +304,34 @@ def _q_sessionize(spark, sf_dir):
     return ev.sessionize(ev.load_events(spark, sf_dir))
 
 
+def _context_q(workspace: str):
+    from kausaldb_spark.operators import context as cx
+
+    return cx.ContextQuery(
+        workspace=workspace,
+        anchors=(cx.Anchor("entity_name", unit_type="type", name="Supplier_3"),),
+        rules=(cx.TraversalRule(direction=tv.INCOMING, max_depth=2),),
+    )
+
+
+def _q_context_blocks(spark, sf_dir):
+    from kausaldb_spark.operators import context as cx
+
+    g = gm.graph(spark, sf_dir)
+    q = _context_q(_anchor_workspace(g))
+    out = cx.execute_context_query(g["visible"], g["edges_vis"], q)
+    return out["blocks"].select("id", "depth", "unit_type", "codebase")
+
+
+def _q_context_edges(spark, sf_dir):
+    from kausaldb_spark.operators import context as cx
+
+    g = gm.graph(spark, sf_dir)
+    q = _context_q(_anchor_workspace(g))
+    out = cx.execute_context_query(g["visible"], g["edges_vis"], q)
+    return out["edges"]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "snapshot_view": _q_snapshot_view,
@@ -319,6 +366,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "events_hourly": _q_events_hourly,
         "sessionize": _q_sessionize,
+        "context_blocks": _q_context_blocks,
+        "context_edges": _q_context_edges,
     }
 
 
@@ -379,7 +428,8 @@ def oracle_sql() -> dict[str, str]:
                AND string_split(unit_id, ':')[-1] = 'PART_42'""",
         "find_by_name_alias": _P
         + """SELECT id, unit_id, codebase FROM vis
-             WHERE codebase = 'NATION_3' AND unit_type = 'type'
+             WHERE codebase = (SELECT codebase FROM vis WHERE id = md5('S3'))
+               AND unit_type = 'type'
                AND string_split(unit_id, ':')[-1] = 'Supplier_3'""",
         "find_by_file_path": _P
         + """SELECT id, sequence, unit_id FROM vis
@@ -398,7 +448,7 @@ def oracle_sql() -> dict[str, str]:
         + """SELECT DISTINCT e.src AS id, v.unit_id, v.codebase, CAST(1 AS INT) AS depth
              FROM edges_vis e JOIN vis v ON v.id = e.src
              WHERE e.dst = md5('S3') AND e.edge_type = 'calls'
-               AND v.codebase = 'NATION_3'""",
+               AND v.codebase = (SELECT codebase FROM vis WHERE id = md5('S3'))""",
         "bfs_depth3": _bfs_oracle("md5('C42')", 3),
         "traversal_only_type": _bfs_oracle(
             "md5('C42')", 2, "WHERE edge_type = 'depends_on'"
@@ -487,4 +537,30 @@ FROM documents""",
         "embedding_near_dup": oracles.embedding_near_dup_sql(EMB_NEAR_DUP_MIN_DOT),
         "events_hourly": oracles.events_hourly_sql(),
         "sessionize": oracles.sessionize_sql(ev.SESSION_GAP_US),
+        "context_blocks": _PR
+        + ", adj AS (SELECT DISTINCT dst AS src, src AS dst FROM edges_vis)"
+        + """,
+rec AS (
+  SELECT id, 0 AS depth FROM vis WHERE id = md5('S3') AND unit_type = 'type'
+  UNION
+  SELECT a.dst, r.depth + 1 FROM rec r JOIN adj a ON a.src = r.id
+  WHERE r.depth < 2
+),
+reached AS (SELECT id, CAST(min(depth) AS INT) AS depth FROM rec GROUP BY id)
+SELECT v.id, r.depth, v.unit_type, v.codebase
+FROM vis v JOIN reached r ON r.id = v.id
+WHERE v.codebase = (SELECT codebase FROM vis WHERE id = md5('S3'))""",
+        "context_edges": _PR
+        + ", adj AS (SELECT DISTINCT dst AS src, src AS dst FROM edges_vis)"
+        + """,
+rec AS (
+  SELECT id, 0 AS depth FROM vis WHERE id = md5('S3') AND unit_type = 'type'
+  UNION
+  SELECT a.dst, r.depth + 1 FROM rec r JOIN adj a ON a.src = r.id
+  WHERE r.depth < 2
+),
+reached AS (SELECT DISTINCT id FROM rec)
+SELECT DISTINCT e.src, e.dst, e.edge_type
+FROM edges_vis e
+WHERE e.src IN (SELECT id FROM reached) AND e.dst IN (SELECT id FROM reached)""",
     }

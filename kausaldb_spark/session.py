@@ -17,6 +17,12 @@ from pyspark.sql import SparkSession
 
 def get_spark(app_name: str = "kausaldb-spark", cpus: str | None = None) -> SparkSession:
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "*")
+    # Executor Python workers must be able to import this package even when
+    # the driver runs from elsewhere (mapInPandas closures reference it).
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pythonpath = os.environ.get("PYTHONPATH", "")
+    if repo_root not in pythonpath.split(os.pathsep):
+        os.environ["PYTHONPATH"] = repo_root + os.pathsep + pythonpath
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -27,6 +33,7 @@ def get_spark(app_name: str = "kausaldb-spark", cpus: str | None = None) -> Spar
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()

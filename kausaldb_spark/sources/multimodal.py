@@ -1,0 +1,148 @@
+"""Multimodal asset columns: images/audio/video as opaque binary + typed
+metadata, with Arrow-batched decode/feature/transform stages.
+
+Schema contract: an asset row is
+    (asset_id string, kind string, payload binary, meta map<string,string>)
+- ``kind`` ∈ image|audio|video
+- ``payload`` is the raw encoded bytes (never decoded at rest)
+- ``meta`` carries typed sidecar fields (width, sample_rate, …) as strings
+
+The heavy stages run as ``mapInPandas`` over Arrow batches — payload bytes
+never pass through Python row-at-a-time. The actual codec work (PIL/ffmpeg)
+is NOT available in this container, so the codec boundary is explicit:
+``_decode_image_real`` raises NotImplementedError, and the default path is a
+deterministic fake decoder (header-derived dimensions + md5 content hash)
+that keeps every piece of Spark plumbing — schema, batching, partitioning,
+UDF signatures — real and testable.
+
+Scale notes: decode is the classic CPU-bound embarrassing-parallel stage —
+``repartition`` by asset_id to spread codec cost, and keep batch size bounded
+(spark.sql.execution.arrow.maxRecordsPerBatch) so a partition of 100 MB
+videos doesn't materialize as one Arrow batch.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+ASSET_SCHEMA = StructType(
+    [
+        StructField("asset_id", StringType()),
+        StructField("kind", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("meta", MapType(StringType(), StringType())),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = StructType(
+    [
+        StructField("asset_id", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_bytes", LongType()),
+        StructField("content_hash", StringType()),
+    ]
+)
+
+FRAME_SAMPLE_SCHEMA = StructType(
+    [
+        StructField("asset_id", StringType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_hash", StringType()),
+    ]
+)
+
+
+def synthetic_assets(spark: SparkSession, n: int = 64) -> DataFrame:
+    """Deterministic fake assets: payload = md5-stream bytes, fake 'header'
+    encodes dimensions. Stands in for a real binary-file scan
+    (spark.read.format('binaryFile'))."""
+    return spark.range(n).select(
+        F.concat(F.lit("asset_"), F.col("id").cast("string")).alias("asset_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.to_binary(
+            F.concat(
+                F.lpad(F.conv((F.col("id") % 16 + 1) * 64, 10, 16), 4, "0"),
+                F.lpad(F.conv((F.col("id") % 9 + 1) * 64, 10, 16), 4, "0"),
+                F.repeat(F.md5(F.col("id").cast("string")), 8),
+            ),
+            F.lit("hex"),
+        ).alias("payload"),
+        F.create_map(
+            F.lit("source"), F.concat(F.lit("s3://corpus/"), F.col("id").cast("string")),
+        ).alias("meta"),
+    )
+
+
+def _decode_image_real(payload: bytes):
+    """The real codec boundary. PIL/libjpeg are not in this container."""
+    raise NotImplementedError(
+        "real image decode requires PIL/libvips — not available here; "
+        "the fake decoder below exercises the identical Spark plumbing"
+    )
+
+
+def _decode_image_fake(payload: bytes) -> tuple[int, int]:
+    """Deterministic stand-in: first 8 hex-encoded bytes are width/height."""
+    return int(payload[:2].hex(), 16), int(payload[2:4].hex(), 16)
+
+
+def extract_image_features(assets: DataFrame, use_real_codec: bool = False) -> DataFrame:
+    """Decode + feature-extract stage (mapInPandas; payload stays in Arrow
+    buffers between JVM and Python)."""
+
+    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = _decode_image_real if use_real_codec else _decode_image_fake
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                data = bytes(payload)
+                w, h = decode(data)
+                rows.append((aid, w, h, len(data), hashlib.md5(data).hexdigest()))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields]
+            )
+
+    return (
+        assets.where(F.col("kind") == "image")
+        .select("asset_id", "payload")
+        .mapInPandas(batch_fn, IMAGE_FEATURES_SCHEMA)
+    )
+
+
+def sample_frames(assets: DataFrame, every_n_bytes: int = 32, max_frames: int = 4) -> DataFrame:
+    """Frame-sampling stage for video payloads: emits one row per sampled
+    'frame' (here: a byte stride; a real impl strides by keyframe)."""
+
+    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                data = bytes(payload)
+                for i in range(min(max_frames, max(1, len(data) // every_n_bytes))):
+                    chunk = data[i * every_n_bytes : (i + 1) * every_n_bytes]
+                    rows.append((aid, i, hashlib.md5(chunk).hexdigest()))
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SAMPLE_SCHEMA.fields])
+
+    return (
+        assets.where(F.col("kind") == "video")
+        .select("asset_id", "payload")
+        .mapInPandas(batch_fn, FRAME_SAMPLE_SCHEMA)
+    )

@@ -1,0 +1,173 @@
+"""Structured Streaming over the event stream.
+
+The reference has no streaming surface (SURVEY.md §2.7) — its closest
+analogue is incremental re-sync, which maps to ``foreachBatch``. This module
+supplies the streaming counterparts a large-scale pipeline needs:
+
+- ``windowed_rollup``: watermarked tumbling-window aggregation (late data
+  dropped after the watermark horizon) — the streaming twin of
+  ``sources.events.hourly_rollup``.
+- ``sessionize_stream``: gap-based sessions via ``applyInPandasWithState``
+  (custom stateful operator — the state is one open session per user, flushed
+  on gap expiry or event-time timeout).
+- ``incremental_ingest``: ``foreachBatch`` append of micro-batches into a
+  parquet "storage engine" (the reference's link/sync loop,
+  ``src/workspace/manager.zig:113-205``).
+
+Testing: streams are driven from file sources with ``availableNow`` triggers
+(deterministic, bounded) and compared against the batch implementations —
+the streaming/batch parity is the correctness claim.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+)
+
+from kausaldb_spark.sources.events import SESSION_GAP_US
+
+
+def stream_events(spark: SparkSession, events_dir: str, files_per_trigger: int = 1) -> DataFrame:
+    """File-source stream over parquet chunks with schema
+    (event_id, us, user_id, event_type, value): each micro-batch consumes
+    ``files_per_trigger`` files — a deterministic replay of the table."""
+    schema = (
+        "event_id long, us long, user_id long, event_type string, value double"
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(events_dir)
+    )
+
+
+def windowed_rollup(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1h counts + integer-cent sums per event_type with a
+    watermark: complete, late-tolerant, incrementally-emitting."""
+    with_ts = stream.withColumn("ts", F.timestamp_micros(F.col("us")))
+    return (
+        with_ts.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint")).alias("value_cents"),
+        )
+        .select(
+            F.expr("CAST(unix_micros(win.start) DIV 3600000000 AS BIGINT)").alias("hour_bucket"),
+            "event_type",
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
+_SESSION_STATE = StructType(
+    [
+        StructField("first_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n_events", LongType()),
+        StructField("session_idx", LongType()),
+    ]
+)
+
+_SESSION_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_idx", LongType()),
+        StructField("n_events", LongType()),
+        StructField("duration_us", LongType()),
+        StructField("first_us", LongType()),
+    ]
+)
+
+
+def _session_fn(
+    key: tuple[Any, ...], batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user session state machine. Emits a row for every *closed*
+    session; the open session lives in GroupState between micro-batches."""
+    (user_id,) = key
+    if state.exists:
+        first_us, last_us, n_events, session_idx = state.get
+    else:
+        first_us, last_us, n_events, session_idx = None, None, 0, -1
+
+    closed = []
+    us_values = []
+    for pdf in batches:
+        us_values.extend(pdf["us"].tolist())
+    for us in sorted(us_values):
+        if first_us is None:
+            session_idx += 1
+            first_us, last_us, n_events = us, us, 1
+        elif us - last_us > SESSION_GAP_US:
+            closed.append((user_id, session_idx, n_events, last_us - first_us, first_us))
+            session_idx += 1
+            first_us, last_us, n_events = us, us, 1
+        else:
+            last_us, n_events = us, n_events + 1
+
+    if state.hasTimedOut:
+        if first_us is not None:
+            closed.append((user_id, session_idx, n_events, last_us - first_us, first_us))
+        state.remove()
+    elif first_us is not None:
+        wm_ms = state.getCurrentWatermarkMs()
+        end_ms = last_us // 1000 + SESSION_GAP_US // 1000
+        if wm_ms > end_ms:
+            # event time has already passed the gap horizon — close now, but
+            # keep the per-user counter so later sessions index monotonically
+            closed.append((user_id, session_idx, n_events, last_us - first_us, first_us))
+            state.update((None, None, 0, session_idx))
+            state.setTimeoutTimestamp(wm_ms + SESSION_GAP_US // 1000)
+        else:
+            state.update((first_us, last_us, n_events, session_idx))
+            # timeout may never be below the current watermark
+            state.setTimeoutTimestamp(max(end_ms, wm_ms + 1))
+
+    if closed:
+        yield pd.DataFrame(closed, columns=[f.name for f in _SESSION_OUT.fields])
+
+
+def sessionize_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Custom stateful sessionization (applyInPandasWithState): closed
+    sessions stream out; at most one open session per user is state."""
+    with_ts = stream.withColumn("ts", F.timestamp_micros(F.col("us")))
+    return (
+        with_ts.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn,
+            outputStructType=_SESSION_OUT,
+            stateStructType=_SESSION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def incremental_ingest(
+    stream: DataFrame, out_dir: str, checkpoint_dir: str
+):
+    """foreachBatch micro-batch appender — the reference's incremental sync
+    loop. Each batch lands as an atomic parquet append; exactly-once comes
+    from the checkpointed batch id."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("_batch_id", F.lit(batch_id)).write.mode("append").parquet(out_dir)
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
