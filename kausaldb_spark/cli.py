@@ -1,0 +1,145 @@
+"""CLI — the reference's command surface (``src/cli/parser.zig:38-156``):
+``link / unlink / find / show / trace / search / filter / status / compact``.
+
+The reference splits client/daemon over a binary TCP protocol because its
+core is single-threaded; a Spark engine *is* the daemon, so the CLI is a thin
+argparse layer over ``KausalEngine`` (the client/daemon split maps to Spark
+Connect if remoting is needed).
+
+Output formats (S11/S12): ``text`` table, ``json`` lines, and ``llm`` — the
+reference's LLM context format (``src/query/operations.zig:156-174``):
+    --- BEGIN CONTEXT BLOCK ---
+    id: ...
+    source: ...
+    <content>
+    --- END CONTEXT BLOCK ---
+Response caps mirror protocol limits: ≤1000 blocks per response
+(``src/cli/protocol.zig:27-32``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import DataFrame
+
+MAX_RESPONSE_BLOCKS = 1000  # src/cli/protocol.zig:27-32
+
+
+def format_llm(rows) -> str:
+    """S11: stream blocks as LLM context sections."""
+    out = []
+    for r in rows:
+        d = r.asDict() if hasattr(r, "asDict") else dict(r)
+        out.append("--- BEGIN CONTEXT BLOCK ---")
+        out.append(f"id: {d.get('id', '')}")
+        out.append(f"unit: {d.get('unit_id', '')} [{d.get('unit_type', '')}]")
+        out.append(f"source: {d.get('source_uri', d.get('file_path', ''))}")
+        if "content" in d:
+            out.append(d["content"] or "")
+        out.append("--- END CONTEXT BLOCK ---")
+    return "\n".join(out)
+
+
+def emit(df: DataFrame, fmt: str, file=None) -> int:
+    file = file or sys.stdout
+    rows = df.limit(MAX_RESPONSE_BLOCKS).collect()
+    if fmt == "json":
+        for r in rows:
+            print(json.dumps(r.asDict(), default=str), file=file)
+    elif fmt == "llm":
+        print(format_llm(rows), file=file)
+    else:
+        cols = df.columns
+        print("\t".join(cols), file=file)
+        for r in rows:
+            print("\t".join(str(r[c]) for c in cols), file=file)
+    return len(rows)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="kausal", description="kausaldb_spark CLI")
+    p.add_argument("--store", required=True, help="block store directory")
+    p.add_argument("--format", choices=["text", "json", "llm"], default="text")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    link = sub.add_parser("link", help="ingest a source tree")
+    link.add_argument("--path", required=True)
+    link.add_argument("--name", required=True)
+
+    unlink = sub.add_parser("unlink", help="tombstone a codebase")
+    unlink.add_argument("--name", required=True)
+
+    find = sub.add_parser("find", help="find by type+name")
+    find.add_argument("--workspace", required=True)
+    find.add_argument("--type", dest="unit_type", default="function")
+    find.add_argument("--name", required=True)
+
+    show = sub.add_parser("show", help="relations of a target")
+    show.add_argument("--workspace", required=True)
+    show.add_argument("--relation", choices=["callers", "callees"], required=True)
+    show.add_argument("--target", required=True)
+    show.add_argument("--depth", type=int, default=1)
+
+    trace = sub.add_parser("trace", help="paths between two units")
+    trace.add_argument("--workspace", required=True)
+    trace.add_argument("--from", dest="from_name", required=True)
+    trace.add_argument("--to", dest="to_name", required=True)
+    trace.add_argument("--depth", type=int, default=10)
+
+    search = sub.add_parser("search", help="keyword search")
+    search.add_argument("--query", required=True)
+    search.add_argument("--threshold", type=float, default=0.7)
+
+    sub.add_parser("status", help="store + query statistics")
+    sub.add_parser("compact", help="rewrite store to visible snapshot")
+    return p
+
+
+def main(argv: list[str] | None = None, spark=None, engine=None, file=None) -> int:
+    args = build_parser().parse_args(argv)
+    file = file or sys.stdout
+    if engine is None:
+        from kausaldb_spark.engine import KausalEngine
+        from kausaldb_spark.session import get_spark
+
+        spark = spark or get_spark("kausal-cli")
+        engine = KausalEngine(spark, args.store)
+
+    if args.command == "link":
+        info = engine.link_codebase(args.path, args.name)
+        print(json.dumps({"linked": args.name, **info}), file=file)
+        return 0
+    if args.command == "unlink":
+        n = engine.unlink_codebase(args.name)
+        print(json.dumps({"unlinked": args.name, "blocks_tombstoned": n}), file=file)
+        return 0
+    if args.command == "find":
+        df = engine.find_by_name(args.workspace, args.unit_type, args.name)
+        return 0 if emit(df, args.format, file) else 1
+    if args.command == "show":
+        fn = engine.find_callers if args.relation == "callers" else engine.find_callees
+        df = fn(args.workspace, args.target, args.depth)
+        return 0 if emit(df, args.format, file) >= 0 else 1
+    if args.command == "trace":
+        df = engine.trace_paths(args.workspace, args.from_name, args.to_name, args.depth)
+        emit(df, args.format, file)
+        return 0
+    if args.command == "search":
+        df = engine.keyword_search(args.query, args.threshold)
+        emit(df, args.format, file)
+        return 0
+    if args.command == "status":
+        print(json.dumps(engine.status(), default=str), file=file)
+        return 0
+    if args.command == "compact":
+        engine.store.compact()
+        print(json.dumps({"compacted": True}), file=file)
+        return 0
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,252 @@
+"""Engine facade — the library API mirroring the reference's QueryEngine
+(``src/kausaldb.zig:29-45``), with query statistics (X4) and a result cache
+(X1).
+
+Cache semantics (``src/query/cache.zig:26-103,181-346``): LRU + TTL keyed by
+the query signature; invalidate-all on any mutation. Here a cache entry holds
+a *materialized* (localCheckpoint-ed) DataFrame — the Spark analogue of the
+reference caching fully-owned result blocks.
+
+Statistics (``src/query/engine.zig:66-131``): per-type counters + latency —
+kept driver-side (cheap, exact); executor-side metrics (rows scanned,
+shuffle bytes) come from Spark's own listeners and are surfaced by bench.py.
+"""
+
+from __future__ import annotations
+
+import time
+from collections import OrderedDict
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kausaldb_spark.operators import context as cx
+from kausaldb_spark.operators import filtering as flt
+from kausaldb_spark.operators import lookup as lk
+from kausaldb_spark.operators import traversal as tv
+from kausaldb_spark.sources import ingest as ing
+from kausaldb_spark.storage import BlockStore
+
+CACHE_MAX_ENTRIES = 1000   # src/query/cache.zig defaults
+CACHE_TTL_SEC = 30 * 60
+
+
+@dataclass
+class QueryStats:
+    queries_by_type: dict[str, int] = field(default_factory=dict)
+    total_latency_ns: int = 0
+    total_queries: int = 0
+    cache_hits: int = 0
+    cache_misses: int = 0
+    started_at: float = field(default_factory=time.monotonic)
+
+    def record(self, qtype: str, latency_ns: int) -> None:
+        self.queries_by_type[qtype] = self.queries_by_type.get(qtype, 0) + 1
+        self.total_latency_ns += latency_ns
+        self.total_queries += 1
+
+    @property
+    def average_query_latency_ns(self) -> float:
+        return self.total_latency_ns / self.total_queries if self.total_queries else 0.0
+
+    @property
+    def queries_per_second(self) -> float:
+        dt = time.monotonic() - self.started_at
+        return self.total_queries / dt if dt > 0 else 0.0
+
+
+class KausalEngine:
+    """put/find/traverse/filter/search over a BlockStore."""
+
+    def __init__(self, spark: SparkSession, store_path: str):
+        self.spark = spark
+        self.store = BlockStore(spark, store_path)
+        self.stats = QueryStats()
+        self._cache: OrderedDict[tuple, tuple[float, DataFrame]] = OrderedDict()
+
+    # -- mutations (invalidate cache, reference src/query/engine.zig:493-502)
+
+    def link_codebase(self, root: str, codebase: str) -> dict[str, int]:
+        """The CLI `link` flow (§3.3): ingest a source tree into the store."""
+        base = self.store.max_sequence()
+        blocks, edges = ing.ingest_directory(self.spark, root, codebase, sequence_base=base)
+        self.store.append_blocks(blocks, resequence=False)
+        self.store.append_edges(edges)
+        self._invalidate()
+        return {
+            "blocks": self.store.visible().where(f"codebase = '{codebase}'").count(),
+            "edges": self.store.visible_edges().count(),
+        }
+
+    def unlink_codebase(self, codebase: str) -> int:
+        ids = [
+            r["id"]
+            for r in self.store.visible().where(f"codebase = '{codebase}'").select("id").collect()
+        ]
+        if ids:
+            self.store.delete_blocks(ids)
+        self._invalidate()
+        return len(ids)
+
+    def put_blocks(self, blocks: DataFrame) -> int:
+        hi = self.store.append_blocks(blocks)
+        self._invalidate()
+        return hi
+
+    def delete_blocks(self, block_ids: list[str]) -> None:
+        self.store.delete_blocks(block_ids)
+        self._invalidate()
+
+    # -- queries ------------------------------------------------------------
+
+    def _timed(self, qtype: str, key: tuple | None, build) -> DataFrame:
+        if key is not None:
+            hit = self._cache_get(key)
+            if hit is not None:
+                self.stats.cache_hits += 1
+                return hit
+            self.stats.cache_misses += 1
+        t0 = time.monotonic_ns()
+        df = build()
+        if key is not None:
+            df = df.localCheckpoint(eager=True)
+            self._cache_put(key, df)
+        self.stats.record(qtype, time.monotonic_ns() - t0)
+        return df
+
+    def find_block(self, block_id: str) -> DataFrame:
+        return self._timed(
+            "find_block", None, lambda: lk.find_block(self.store.visible(), block_id)
+        )
+
+    def find_by_name(self, workspace: str, unit_type: str, name: str) -> DataFrame:
+        return self._timed(
+            "find_by_name",
+            ("find_by_name", workspace, unit_type, name),
+            lambda: lk.find_by_name(self.store.visible(), workspace, unit_type, name),
+        )
+
+    def find_by_file_path(self, workspace: str, file_path: str) -> DataFrame:
+        return self._timed(
+            "find_by_file_path",
+            ("find_by_file_path", workspace, file_path),
+            lambda: lk.find_by_file_path(self.store.visible(), workspace, file_path),
+        )
+
+    def keyword_search(self, query: str, threshold: float = 0.7, max_results: int = 500) -> DataFrame:
+        return self._timed(
+            "keyword_search",
+            ("keyword_search", query, threshold, max_results),
+            lambda: lk.keyword_search(self.store.visible(), query, threshold, max_results),
+        )
+
+    def filtered(self, expr: flt.Expr, offset: int = 0, max_results: int = 10_000) -> DataFrame:
+        return self._timed(
+            "filtered", None,
+            lambda: flt.filtered_query(self.store.visible(), expr, offset, max_results),
+        )
+
+    def traverse(
+        self,
+        start_ids: list[str],
+        direction: str = tv.OUTGOING,
+        edge_filter: tv.EdgeFilter = tv.EdgeFilter.all(),
+        max_depth: int = 10,
+        max_results: int = tv.MAX_RESULTS_LIMIT,
+        workspace: str | None = None,
+    ) -> DataFrame:
+        """T1/T9/T10: traversal joined back to visible blocks (+ optional
+        workspace filter, reference F7)."""
+
+        def build():
+            reached = tv.bfs(
+                self.store.visible_edges(), start_ids, direction, edge_filter,
+                max_depth, max_results,
+            )
+            out = reached.join(self.store.visible(), "id")
+            if workspace:
+                out = out.where(out.codebase == workspace)
+            return out.select(
+                "id", "depth", "unit_type", "unit_id", "codebase", "source_uri", "content"
+            )
+
+        key = ("traverse", tuple(sorted(start_ids)), direction, edge_filter,
+               max_depth, max_results, workspace)
+        return self._timed("traverse", key, build)
+
+    def find_callers(self, workspace: str, name: str, max_depth: int = 1) -> DataFrame:
+        anchors = [
+            r["id"] for r in self.find_by_name(workspace, "function", name).collect()
+        ] or [r["id"] for r in self.find_by_name(workspace, "type", name).collect()]
+        if not anchors:
+            return self.store.visible().limit(0)
+        return self.traverse(
+            anchors, tv.INCOMING, tv.EdgeFilter.include("calls", "calls_method"),
+            max_depth, workspace=workspace,
+        ).where("depth > 0")
+
+    def find_callees(self, workspace: str, name: str, max_depth: int = 1) -> DataFrame:
+        anchors = [
+            r["id"] for r in self.find_by_name(workspace, "function", name).collect()
+        ]
+        if not anchors:
+            return self.store.visible().limit(0)
+        return self.traverse(
+            anchors, tv.OUTGOING, tv.EdgeFilter.include("calls", "calls_method"),
+            max_depth, workspace=workspace,
+        ).where("depth > 0")
+
+    def trace_paths(
+        self, workspace: str, from_name: str, to_name: str, max_depth: int = 10
+    ) -> DataFrame:
+        def one(name):
+            for ut in ("function", "type"):
+                rows = self.find_by_name(workspace, ut, name).collect()
+                if rows:
+                    return rows[0]["id"]
+            return None
+
+        a, b = one(from_name), one(to_name)
+        if a is None or b is None:
+            return self.spark.range(0).selectExpr("'' as path", "0 as depth")
+        return self._timed(
+            "trace", ("trace", a, b, max_depth),
+            lambda: tv.find_paths_between(self.store.visible_edges(), a, b, max_depth=max_depth),
+        )
+
+    def context_query(self, q: cx.ContextQuery) -> dict[str, DataFrame]:
+        return cx.execute_context_query(self.store.visible(), self.store.visible_edges(), q)
+
+    def status(self) -> dict:
+        return {
+            "blocks_visible": self.store.visible().count(),
+            "edges": self.store.edges().count(),
+            "tombstones": self.store.tombstones().count(),
+            "max_sequence": self.store.max_sequence(),
+            "queries": dict(self.stats.queries_by_type),
+            "cache_hits": self.stats.cache_hits,
+            "cache_misses": self.stats.cache_misses,
+            "avg_latency_ms": round(self.stats.average_query_latency_ns / 1e6, 2),
+        }
+
+    # -- cache plumbing -----------------------------------------------------
+
+    def _cache_get(self, key: tuple):
+        ent = self._cache.get(key)
+        if ent is None:
+            return None
+        ts, df = ent
+        if time.monotonic() - ts > CACHE_TTL_SEC:
+            del self._cache[key]
+            return None
+        self._cache.move_to_end(key)
+        return df
+
+    def _cache_put(self, key: tuple, df: DataFrame) -> None:
+        self._cache[key] = (time.monotonic(), df)
+        self._cache.move_to_end(key)
+        while len(self._cache) > CACHE_MAX_ENTRIES:
+            self._cache.popitem(last=False)
+
+    def _invalidate(self) -> None:
+        self._cache.clear()

@@ -1,0 +1,126 @@
+"""Storage write path (S1-S3), engine facade (stats/cache), and the CLI
+end-to-end: link → find → show callers → unlink → MVCC invisibility →
+compact. Mirrors the reference e2e suite (tests/e2e/query.zig)."""
+
+import io
+import json
+import textwrap
+
+import pytest
+from pyspark.sql import functions as F
+
+from kausaldb_spark.cli import main as cli_main
+from kausaldb_spark.engine import KausalEngine
+
+
+@pytest.fixture(scope="module")
+def tree(tmp_path_factory):
+    root = tmp_path_factory.mktemp("proj")
+    (root / "lib.py").write_text(textwrap.dedent('''
+        def helper_function(x):
+            return x + 1
+
+        def main():
+            return helper_function(41)
+    '''))
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tree, tmp_path_factory):
+    store = str(tmp_path_factory.mktemp("store"))
+    eng = KausalEngine(spark, store)
+    eng.link_codebase(tree, "proj")
+    return eng
+
+
+def _run(engine, *argv):
+    buf = io.StringIO()
+    rc = cli_main(["--store", engine.store.path, *argv], engine=engine, file=buf)
+    return rc, buf.getvalue()
+
+
+def test_link_and_find(engine):
+    rc, out = _run(engine, "find", "--workspace", "proj", "--name", "helper_function")
+    assert rc == 0
+    assert "lib.py:helper_function" in out
+
+
+def test_show_callers_flagship(engine):
+    """The README flagship: kausal show --relation callers --target helper_function."""
+    rc, out = _run(
+        engine, "--format", "json", "show", "--workspace", "proj",
+        "--relation", "callers", "--target", "helper_function",
+    )
+    assert rc == 0
+    rows = [json.loads(line) for line in out.strip().splitlines()]
+    assert [r["unit_id"] for r in rows] == ["lib.py:main"]
+
+
+def test_llm_format(engine):
+    rc, out = _run(
+        engine, "--format", "llm", "find", "--workspace", "proj", "--name", "main"
+    )
+    assert "--- BEGIN CONTEXT BLOCK ---" in out
+    assert "--- END CONTEXT BLOCK ---" in out
+    assert "def main" in out
+
+
+def test_trace_paths(engine):
+    rc, out = _run(
+        engine, "--format", "json", "trace", "--workspace", "proj",
+        "--from", "main", "--to", "helper_function",
+    )
+    rows = [json.loads(line) for line in out.strip().splitlines()]
+    assert len(rows) == 1 and rows[0]["depth"] == 1
+
+
+def test_cache_and_stats(engine):
+    engine.find_by_name("proj", "function", "main")
+    h0 = engine.stats.cache_hits
+    engine.find_by_name("proj", "function", "main")
+    assert engine.stats.cache_hits == h0 + 1
+    st = engine.status()
+    assert st["blocks_visible"] > 0 and st["queries"]["find_by_name"] >= 1
+
+
+def test_unlink_mvcc_and_compact(spark, tree, tmp_path_factory):
+    store = str(tmp_path_factory.mktemp("store2"))
+    eng = KausalEngine(spark, store)
+    eng.link_codebase(tree, "proj")
+    n_before = eng.store.visible().count()
+    assert n_before > 0
+    # second link = re-ingest: same visible count, higher sequences (MVCC)
+    eng.link_codebase(tree, "proj")
+    assert eng.store.visible().count() == n_before
+    assert eng.store.blocks_raw().count() == 2 * n_before
+    # unlink tombstones everything
+    n = eng.unlink_codebase("proj")
+    assert n == n_before
+    assert eng.store.visible().count() == 0
+    # re-link after unlink resurrects (sequence above tombstones)
+    eng.link_codebase(tree, "proj")
+    assert eng.store.visible().count() == n_before
+    # compaction drops shadowed versions + tombstones, preserves snapshot
+    eng.store.compact()
+    assert eng.store.blocks_raw().count() == n_before
+    assert eng.store.tombstones().count() == 0
+    assert eng.store.visible().count() == n_before
+
+
+def test_edge_endpoint_enforcement(spark, tmp_path_factory):
+    store = str(tmp_path_factory.mktemp("store3"))
+    eng = KausalEngine(spark, store)
+    blocks = spark.createDataFrame(
+        [("a" * 32, 1, "file://x#L1-1", "function", "x.py:f", "w", "x.py", "{}", "def f(): pass")],
+        "id string, sequence bigint, source_uri string, unit_type string,"
+        " unit_id string, codebase string, file_path string, metadata_json string, content string",
+    )
+    eng.put_blocks(blocks)
+    edges = spark.createDataFrame(
+        [("a" * 32, "b" * 32, "calls"),   # dst missing
+         ("a" * 32, "a" * 32, "calls")],  # self-loop
+        "src string, dst string, edge_type string",
+    )
+    eng.store.append_edges(edges)
+    assert eng.store.edges().count() == 0  # both rejected

@@ -1,0 +1,119 @@
+"""Traversal scenario suite over controlled topologies — replicates the
+reference's scenario tests (src/tests/scenarios/graph_traversal.zig:20-476,
+query.zig:34-559; fixture shapes from FIXTURES.md §2)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kausaldb_spark.operators import traversal as tv
+
+
+def _edges(spark, pairs, edge_type="calls"):
+    rows = [(a, b, t) for a, b, t in (
+        (p[0], p[1], p[2] if len(p) > 2 else edge_type) for p in pairs
+    )]
+    return spark.createDataFrame(rows, "src string, dst string, edge_type string")
+
+
+def _ids(df):
+    return {r["id"]: r["depth"] for r in df.collect()}
+
+
+def test_chain_exact_depth_boundary(spark):
+    chain = [(f"n{i}", f"n{i+1}") for i in range(10)]
+    e = _edges(spark, chain)
+    # depth 3: exactly n0..n3
+    got = _ids(tv.bfs(e, ["n0"], max_depth=3))
+    assert got == {"n0": 0, "n1": 1, "n2": 2, "n3": 3}
+    # depth 10 reaches the end; depth values exact
+    got = _ids(tv.bfs(e, ["n0"], max_depth=100))
+    assert got["n10"] == 10 and len(got) == 11
+
+
+def test_cycle_termination(spark):
+    e = _edges(spark, [("a", "b"), ("b", "a")])
+    got = _ids(tv.bfs(e, ["a"], max_depth=50))
+    assert got == {"a": 0, "b": 1}
+    e5 = _edges(spark, [(f"c{i}", f"c{(i+1) % 5}") for i in range(5)])
+    got = _ids(tv.bfs(e5, ["c0"], max_depth=100))
+    assert got == {f"c{i}": i for i in range(5)}
+
+
+def test_topo_sort_empty_on_cycle(spark):
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a")])
+    assert tv.topo_sort(e, ["a"], max_depth=10).count() == 0
+
+
+def test_topo_sort_layers(spark):
+    e = _edges(spark, [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "e")])
+    got = {r["id"]: r["layer"] for r in tv.topo_sort(e, ["a"], max_depth=10).collect()}
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2, "e": 3}
+
+
+def test_hub_fanout_max_results(spark):
+    e = _edges(spark, [("hub", f"leaf{i:03d}") for i in range(50)])
+    got = tv.bfs(e, ["hub"], max_depth=1, max_results=10)
+    rows = got.collect()
+    assert len(rows) == 10
+    # BFS-order truncation: hub (depth 0) first, then lexicographically
+    # smallest leaves
+    assert {r["id"] for r in rows} == {"hub"} | {f"leaf{i:03d}" for i in range(9)}
+
+
+def test_diamond_path_enumeration(spark):
+    e = _edges(spark, [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d")])
+    paths = tv.find_paths_between(e, "a", "d", max_depth=5)
+    got = sorted(r["path"] for r in paths.collect())
+    assert got == ["a->b->d", "a->c->d"]
+    assert all(r["depth"] == 2 for r in paths.collect())
+
+
+def test_paths_cap_shortest_first(spark):
+    # two short paths + one long path; cap at 2 keeps the short ones
+    e = _edges(spark, [("a", "b"), ("a", "c"), ("b", "z"), ("c", "z"),
+                       ("a", "x"), ("x", "y"), ("y", "z")])
+    paths = tv.find_paths_between(e, "a", "z", max_depth=5, max_paths=2)
+    got = [r["path"] for r in paths.collect()]
+    assert got == ["a->b->z", "a->c->z"]
+
+
+def test_mixed_edge_type_filters(spark):
+    e = _edges(spark, [("a", "b", "calls"), ("b", "c", "imports"),
+                       ("c", "d", "references")])
+    only = _ids(tv.bfs(e, ["a"], edge_filter=tv.EdgeFilter.only("calls"), max_depth=5))
+    assert only == {"a": 0, "b": 1}
+    inc = _ids(tv.bfs(e, ["a"], edge_filter=tv.EdgeFilter.include("calls", "imports"), max_depth=5))
+    assert inc == {"a": 0, "b": 1, "c": 2}
+    exc = _ids(tv.bfs(e, ["a"], edge_filter=tv.EdgeFilter.exclude("imports"), max_depth=5))
+    assert exc == {"a": 0, "b": 1}
+
+
+def test_direction_semantics(spark):
+    e = _edges(spark, [("a", "b"), ("c", "a")])
+    assert _ids(tv.bfs(e, ["a"], tv.OUTGOING, max_depth=2)) == {"a": 0, "b": 1}
+    assert _ids(tv.bfs(e, ["a"], tv.INCOMING, max_depth=2)) == {"a": 0, "c": 1}
+    assert _ids(tv.bfs(e, ["a"], tv.BIDIRECTIONAL, max_depth=2)) == {"a": 0, "b": 1, "c": 1}
+
+
+def test_dangling_edge_tolerance(spark):
+    """Edges to ids with no block row: traversal still terminates and reports
+    the id (block materialization drops it later) — reference scenario
+    'queries during writes / dangling edges'."""
+    e = _edges(spark, [("a", "ghost")])
+    got = _ids(tv.bfs(e, ["a"], max_depth=3))
+    assert got == {"a": 0, "ghost": 1}
+
+
+def test_duplicate_edges_no_duplicate_results(spark):
+    e = _edges(spark, [("a", "b"), ("a", "b"), ("a", "b")])
+    got = tv.bfs(e, ["a"], max_depth=2)
+    assert got.count() == 2  # a + b, duplicates collapsed
+
+
+def test_deep_chain_500(spark):
+    """Scalability scenario (query.zig:527): 500-node chain, depth >= 20."""
+    chain = [(f"d{i:04d}", f"d{i+1:04d}") for i in range(499)]
+    e = _edges(spark, chain)
+    got = tv.bfs(e, ["d0000"], max_depth=25)
+    assert got.count() == 26
+    assert _ids(got)[f"d0025"] == 25
