@@ -182,6 +182,11 @@ def _q_bfs_depth3(spark, sf_dir):
     return tv.bfs(g["edges_vis"], [C42], tv.OUTGOING, max_depth=3).select("id", "depth")
 
 
+def _q_bfs_depth5(spark, sf_dir):
+    g = gm.graph(spark, sf_dir)
+    return tv.bfs(g["edges_vis"], [C42], tv.OUTGOING, max_depth=5).select("id", "depth")
+
+
 def _q_traversal_only_type(spark, sf_dir):
     g = gm.graph(spark, sf_dir)
     return tv.bfs(
@@ -347,6 +352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyword_search": _q_keyword_search,
         "callers_1hop": _q_callers_1hop,
         "bfs_depth3": _q_bfs_depth3,
+        "bfs_depth5": _q_bfs_depth5,
         "traversal_only_type": _q_traversal_only_type,
         "traversal_exclude": _q_traversal_exclude,
         "traversal_incoming": _q_traversal_incoming,
@@ -450,6 +456,7 @@ def oracle_sql() -> dict[str, str]:
              WHERE e.dst = md5('S3') AND e.edge_type = 'calls'
                AND v.codebase = (SELECT codebase FROM vis WHERE id = md5('S3'))""",
         "bfs_depth3": _bfs_oracle("md5('C42')", 3),
+        "bfs_depth5": _bfs_oracle("md5('C42')", 5),
         "traversal_only_type": _bfs_oracle(
             "md5('C42')", 2, "WHERE edge_type = 'depends_on'"
         ),

@@ -4,21 +4,30 @@ Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
 on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
 
-Each query is forced with the noop sink (full computation of every output
-column, no driver collect). graph_build = one-time derivation + snapshot
-materialization cost, reported separately; per-query numbers are post-warm.
+Methodology:
+- every query forced via the noop sink (full computation of all output
+  columns, no driver collect);
+- per-query time = median of N_RUNS runs (local timings showed ±50% noise);
+- graph_build = one-time derivation + snapshot/edge materialization,
+  reported separately (it's the fixture cost, amortized across all queries
+  in a session — the production path reads a materialized BlockStore with
+  parquet pushdown instead, see kausaldb_spark.storage).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+N_RUNS = 3
+
 BENCH_QUERIES = [
+    # reference-parity ops (BASELINE.md §3 table)
     "point_lookup",
     "batch_lookup_100",
     "filter_metadata_eq",
@@ -27,11 +36,24 @@ BENCH_QUERIES = [
     "find_by_name",
     "callers_1hop",
     "bfs_depth3",
+    "bfs_depth5",
     "bidirectional",
     "topo_sort",
     "snapshot_view",
+    "context_blocks",
+    # pipeline ops
     "exact_dedup",
+    "minhash_near_dup",
+    "ngram_jaccard",
+    "simhash_pairs",
     "token_count",
+    "lang_id",
+    "quality_score",
+    "ann_topk",
+    "ann_lsh",
+    "embedding_near_dup",
+    "events_hourly",
+    "sessionize",
 ]
 
 
@@ -59,11 +81,14 @@ def main() -> None:
     for name in BENCH_QUERIES:
         if name not in qs:
             continue
-        t0 = time.monotonic()
-        _force(qs[name](spark, sf_dir))
-        dt = time.monotonic() - t0
-        timings[name] = round(dt, 3)
-        total += dt
+        runs = []
+        for _ in range(N_RUNS):
+            t0 = time.monotonic()
+            _force(qs[name](spark, sf_dir))
+            runs.append(time.monotonic() - t0)
+        med = statistics.median(runs)
+        timings[name] = round(med, 3)
+        total += med
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
