@@ -127,6 +127,52 @@ def _q_filter_pagination(spark, sf_dir):
     )
 
 
+def _q_filter_content_length(spark, sf_dir):
+    g = gm.graph(spark, sf_dir)
+    expr = flt.Expr.and_(
+        flt.Expr.cond(flt.TARGET_CONTENT_LENGTH, "gte", "40"),
+        flt.Expr.cond(flt.TARGET_CONTENT_LENGTH, "lte", "60"),
+        flt.Expr.cond(flt.TARGET_SOURCE_URI, "starts_with", "file://tpch/customers"),
+    )
+    return flt.filtered_query(g["visible"], expr).select("id", "sequence")
+
+
+def _q_filter_numeric_lexical(spark, sf_dir):
+    # "8000042.0" equals sequence 8000042 via float-parse equality;
+    # the source_uri comparison is lexicographic (non-numeric operands)
+    g = gm.graph(spark, sf_dir)
+    expr = flt.Expr.or_(
+        flt.Expr.cond(flt.TARGET_SEQUENCE, "eq", "8000042.0"),
+        flt.Expr.cond(flt.TARGET_SOURCE_URI, "gt", "file://tpch/sup"),
+    )
+    return flt.filtered_query(g["visible"], expr).select("id", "sequence", "source_uri")
+
+
+def _q_filter_starts_ends(spark, sf_dir):
+    g = gm.graph(spark, sf_dir)
+    expr = flt.Expr.and_(
+        flt.Expr.cond(flt.TARGET_SOURCE_URI, "starts_with", "file://tpch/orders/o7"),
+        flt.Expr.cond(flt.TARGET_CONTENT, "ends_with", "O"),
+    )
+    return flt.filtered_query(g["visible"], expr).select("id", "content")
+
+
+def _q_iterate_all(spark, sf_dir):
+    # S4: full MVCC-merged scan, summarized per unit_type
+    g = gm.graph(spark, sf_dir)
+    return g["visible"].groupBy("unit_type").agg(
+        F.count("*").alias("n_blocks"),
+        F.sum(F.length("content")).alias("content_bytes"),
+    )
+
+
+def _q_edge_ordering(spark, sf_dir):
+    # X2: deterministic edge ordering (src, dst, edge_type) for a block's
+    # out-edges; duplicates preserved (multigraph)
+    g = gm.graph(spark, sf_dir)
+    return g["edges"].where(F.col("src") == O100).orderBy("src", "dst", "edge_type")
+
+
 def _q_find_by_name(spark, sf_dir):
     g = gm.graph(spark, sf_dir)
     return lk.find_by_name(g["visible"], "catalog", "const", "PART_42").select(
@@ -346,6 +392,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_metadata_eq": _q_filter_metadata_eq,
         "filter_compound": _q_filter_compound,
         "filter_pagination": _q_filter_pagination,
+        "filter_content_length": _q_filter_content_length,
+        "filter_numeric_lexical": _q_filter_numeric_lexical,
+        "filter_starts_ends": _q_filter_starts_ends,
+        "iterate_all": _q_iterate_all,
+        "edge_ordering": _q_edge_ordering,
         "find_by_name": _q_find_by_name,
         "find_by_name_alias": _q_find_by_name_alias,
         "find_by_file_path": _q_find_by_file_path,
@@ -428,6 +479,22 @@ def oracle_sql() -> dict[str, str]:
                FROM vis
                WHERE json_extract_string(metadata_json, '$.unit_type') = 'function'
              ) WHERE rn > 100 AND rn <= 150""",
+        "filter_content_length": _P
+        + """SELECT id, sequence FROM vis
+             WHERE length(content) >= 40 AND length(content) <= 60
+               AND source_uri LIKE 'file://tpch/customers%'""",
+        "filter_numeric_lexical": _P
+        + """SELECT id, sequence, source_uri FROM vis
+             WHERE sequence = 8000042 OR source_uri > 'file://tpch/sup'""",
+        "filter_starts_ends": _P
+        + """SELECT id, content FROM vis
+             WHERE source_uri LIKE 'file://tpch/orders/o7%' AND content LIKE '%O'""",
+        "iterate_all": _P
+        + """SELECT unit_type, CAST(count(*) AS BIGINT) AS n_blocks,
+                    CAST(sum(length(content)) AS BIGINT) AS content_bytes
+             FROM vis GROUP BY unit_type""",
+        "edge_ordering": _P
+        + "SELECT src, dst, edge_type FROM edges WHERE src = md5('O100')",
         "find_by_name": _P
         + """SELECT id, unit_id, content FROM vis
              WHERE codebase = 'catalog' AND unit_type = 'const'

@@ -107,6 +107,7 @@ def lsh_candidates(sigs: DataFrame, band_size: int = BAND_SIZE) -> DataFrame:
         sigs.withColumn("band", (F.col("k") / band_size).cast("int"))
         .groupBy("doc_id", "band")
         .agg(F.md5(F.concat_ws("|", F.array_sort(F.collect_list("minh")))).alias("bucket"))
+        .localCheckpoint(eager=True)  # self-joined below — avoid recomputing both sides
     )
     a = bands.alias("a")
     b = bands.alias("b")
@@ -177,7 +178,7 @@ def ngram_jaccard_pairs(
             .where(F.col("df") <= RARE_SHINGLE_DF)
             .select("shingle")
         )
-        rare_sh = sh.join(rare, "shingle")
+        rare_sh = sh.join(rare, "shingle").localCheckpoint(eager=True)
         a = rare_sh.selectExpr("shingle", "doc_id as doc_a")
         b = rare_sh.selectExpr("shingle", "doc_id as doc_b")
         cands = (
@@ -196,7 +197,9 @@ def simhash_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding would split the signature into chunks; distance-0 is the
     groupBy-only special case.)"""
     corpus = dedup_corpus(spark, sf_dir)
-    sigs = corpus.select("doc_id", simhash16(tokens(F.col("text"))).alias("sh"))
+    sigs = corpus.select(
+        "doc_id", simhash16(tokens(F.col("text"))).alias("sh")
+    ).localCheckpoint(eager=True)  # signature pass runs once, not per join side
     a = sigs.selectExpr("sh", "doc_id as doc_a")
     b = sigs.selectExpr("sh", "doc_id as doc_b")
     return (

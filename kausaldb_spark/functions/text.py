@@ -113,18 +113,27 @@ def simhash16(toks: Column) -> Column:
     """16-bit SimHash over tokens (with multiplicity). Bit j of a token's
     hash = (hex nibble j of md5(token)) >= 8; document bit j = majority sign.
     Pure column expr, bit-identical in DuckDB (same md5, same nibble test).
-    """
-    def _contrib_fn(j):
-        def fn(acc, t):
-            return acc + F.when(
-                F.substring(F.md5(t), j + 1, 1).isin(*"89abcdef"), F.lit(1)
-            ).otherwise(F.lit(-1))
-        return fn
 
+    Single-pass formulation: one md5 per token, accumulated into an array of
+    16 signed sums (the naive 16-aggregates version hashes every token 16×
+    — measured ~3× slower at sf0.1).
+    """
+    def step(acc, t):
+        h = F.md5(t)
+        contrib = F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda j: F.when(
+                F.substring(h, j + 1, 1).isin(*"89abcdef"), F.lit(1)
+            ).otherwise(F.lit(-1)),
+        )
+        return F.zip_with(acc, contrib, lambda a, c: a + c)
+
+    sums = F.aggregate(
+        toks, F.array_repeat(F.lit(0), 16), step
+    )
     total = None
     for j in range(16):
-        contrib = F.aggregate(toks, F.lit(0), _contrib_fn(j))
-        bit = F.when(contrib >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bit = F.when(F.element_at(sums, j + 1) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
         total = bit if total is None else total + bit
     return total.cast("int")
 
