@@ -383,6 +383,40 @@ def _q_context_edges(spark, sf_dir):
     return out["edges"]
 
 
+_stream_counter = [0]
+
+
+def _q_streaming_rollup(spark, sf_dir):
+    """Structured Streaming windowed rollup, driven to completion with an
+    availableNow trigger over a file-source replay of the events table.
+    No oracle entry (streaming append-mode emits only watermark-sealed
+    windows — deliberately not SQL-equivalent); the driver records the
+    weaker rows-only check. Streaming/batch parity is asserted in
+    tests/test_streaming.py instead."""
+    import tempfile
+
+    from kausaldb_spark.streaming import events as sev
+
+    d = tempfile.mkdtemp(prefix="kdb_stream_src_")
+    ck = tempfile.mkdtemp(prefix="kdb_stream_ck_")
+    ev.load_events(spark, sf_dir).select(
+        "event_id", "us", "user_id", "event_type", "value"
+    ).coalesce(2).write.mode("overwrite").parquet(d)
+    _stream_counter[0] += 1
+    name = f"kdb_streaming_rollup_{_stream_counter[0]}"
+    q = (
+        sev.windowed_rollup(sev.stream_events(spark, d, files_per_trigger=1))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "snapshot_view": _q_snapshot_view,
@@ -425,6 +459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "context_blocks": _q_context_blocks,
         "context_edges": _q_context_edges,
+        "streaming_rollup": _q_streaming_rollup,
     }
 
 

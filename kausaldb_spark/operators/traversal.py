@@ -161,6 +161,61 @@ def bfs(
 dfs = bfs
 astar = bfs
 
+# T5: the reference's SCC is a stub that falls through to DFS
+# (src/query/traversal.zig:976-983) — same parity alias here. For a real
+# whole-graph analytic, see weakly_connected_components below (which the
+# reference does not have).
+scc = bfs
+
+
+def weakly_connected_components(
+    edges: DataFrame, max_iterations: int = 50
+) -> DataFrame:
+    """Whole-graph weakly-connected components via iterative min-label
+    propagation: every node adopts the smallest id seen in its undirected
+    neighborhood until fixpoint. Returns DataFrame[id, component] where
+    component = min id of the component.
+
+    Scale shape: each iteration is one join + one min-aggregate, both keyed
+    by node id (stable partitioning — at cluster scale both sides bucket by
+    id and iterations are shuffle-free). Iteration count is the graph
+    diameter, not the node count. This is a beyond-reference analytic
+    (SURVEY.md §2.7 lists whole-graph ops as absent there)."""
+    und = orient(edges, BIDIRECTIONAL)
+    labels = (
+        und.select(F.col("src").alias("id"))
+        .unionByName(und.select(F.col("dst").alias("id")))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            und.join(labels, und.src == labels.id)
+            .groupBy(F.col("dst").alias("nid"))
+            .agg(F.min("component").alias("nbr_comp"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.id == F.col("nid"), "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_comp"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        converged = (
+            updated.alias("u")
+            .join(labels.alias("l"), "id")
+            .where(F.col("u.component") != F.col("l.component"))
+            .isEmpty()
+        )
+        labels = updated
+        if converged:
+            break
+    return labels
+
 
 def bidirectional_search(
     edges: DataFrame,

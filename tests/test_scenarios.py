@@ -110,6 +110,19 @@ def test_duplicate_edges_no_duplicate_results(spark):
     assert got.count() == 2  # a + b, duplicates collapsed
 
 
+def test_weakly_connected_components(spark):
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("x", "y"), ("z", "y")])
+    got = {r["id"]: r["component"] for r in tv.weakly_connected_components(e).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "z": "x"}
+
+
+def test_scc_parity_alias(spark):
+    # reference SCC is a stub that falls through to DFS reachability
+    e = _edges(spark, [("a", "b"), ("b", "a"), ("b", "c")])
+    got = {r["id"]: r["depth"] for r in tv.scc(e, ["a"], max_depth=10).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2}
+
+
 def test_deep_chain_500(spark):
     """Scalability scenario (query.zig:527): 500-node chain, depth >= 20."""
     chain = [(f"d{i:04d}", f"d{i+1:04d}") for i in range(499)]
