@@ -69,6 +69,11 @@ def build_parser() -> argparse.ArgumentParser:
     link.add_argument("--path", required=True)
     link.add_argument("--name", required=True)
 
+    # sync = re-ingest (new versions shadow old via MVCC sequences)
+    sync = sub.add_parser("sync", help="re-ingest a linked source tree")
+    sync.add_argument("--path", required=True)
+    sync.add_argument("--name", required=True)
+
     unlink = sub.add_parser("unlink", help="tombstone a codebase")
     unlink.add_argument("--name", required=True)
 
@@ -108,7 +113,7 @@ def main(argv: list[str] | None = None, spark=None, engine=None, file=None) -> i
         spark = spark or get_spark("kausal-cli")
         engine = KausalEngine(spark, args.store)
 
-    if args.command == "link":
+    if args.command in ("link", "sync"):
         info = engine.link_codebase(args.path, args.name)
         print(json.dumps({"linked": args.name, **info}), file=file)
         return 0

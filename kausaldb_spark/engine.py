@@ -217,6 +217,15 @@ class KausalEngine:
     def context_query(self, q: cx.ContextQuery) -> dict[str, DataFrame]:
         return cx.execute_context_query(self.store.visible(), self.store.visible_edges(), q)
 
+    def register_sql_views(self, prefix: str = "kausal") -> None:
+        """Expose the snapshot as SQL temp views: <prefix>_blocks (visible
+        set), <prefix>_edges, <prefix>_blocks_raw — the reference has no SQL
+        dialect, but on Spark the whole engine is queryable via spark.sql
+        for free once the MVCC view is registered."""
+        self.store.visible().createOrReplaceTempView(f"{prefix}_blocks")
+        self.store.visible_edges().createOrReplaceTempView(f"{prefix}_edges")
+        self.store.blocks_raw().createOrReplaceTempView(f"{prefix}_blocks_raw")
+
     def status(self) -> dict:
         return {
             "blocks_visible": self.store.visible().count(),

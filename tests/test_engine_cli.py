@@ -108,6 +108,34 @@ def test_unlink_mvcc_and_compact(spark, tree, tmp_path_factory):
     assert eng.store.visible().count() == n_before
 
 
+def test_sql_views(spark, engine):
+    engine.register_sql_views()
+    n = spark.sql(
+        "SELECT count(*) AS n FROM kausal_blocks WHERE unit_type = 'function'"
+    ).collect()[0]["n"]
+    assert n == 2  # helper_function + main
+    joined = spark.sql("""
+        SELECT b2.unit_id AS callee FROM kausal_edges e
+        JOIN kausal_blocks b1 ON b1.id = e.src
+        JOIN kausal_blocks b2 ON b2.id = e.dst
+        WHERE b1.unit_id = 'lib.py:main' AND e.edge_type = 'calls'
+    """).collect()
+    assert [r["callee"] for r in joined] == ["lib.py:helper_function"]
+
+
+def test_cli_sync_reingest(spark, tree, tmp_path_factory):
+    store = str(tmp_path_factory.mktemp("store4"))
+    eng = KausalEngine(spark, store)
+    _run_args = ["--store", store]
+    rc, _ = _run(eng, "link", "--path", tree, "--name", "proj")
+    assert rc == 0
+    n1 = eng.store.visible().count()
+    rc, _ = _run(eng, "sync", "--path", tree, "--name", "proj")
+    assert rc == 0
+    assert eng.store.visible().count() == n1          # same visible set
+    assert eng.store.blocks_raw().count() == 2 * n1   # versions accumulated
+
+
 def test_edge_endpoint_enforcement(spark, tmp_path_factory):
     store = str(tmp_path_factory.mktemp("store3"))
     eng = KausalEngine(spark, store)
