@@ -499,15 +499,19 @@ def oracle_sql() -> dict[str, str]:
         "count_existing": _P
         + """SELECT CAST(count(*) AS BIGINT) AS n_existing FROM vis
              WHERE id IN (SELECT md5('C' || range) FROM range(0, 150))""",
+        # every filtered_query twin carries the reference's ≤10000 cap in
+        # deterministic (sequence, id) order — the cap binds at sf >= 0.1
         "filter_metadata_eq": _P
         + """SELECT id, unit_id, sequence FROM vis
              WHERE json_extract_string(metadata_json, '$.unit_type') = 'const'
-               AND json_extract_string(metadata_json, '$.codebase') = 'catalog'""",
+               AND json_extract_string(metadata_json, '$.codebase') = 'catalog'
+             ORDER BY sequence, id LIMIT 10000""",
         "filter_compound": _P
         + """SELECT id, sequence, content FROM vis
              WHERE (content LIKE '%BUILDING%' OR content LIKE '%MACHINERY%')
                AND NOT (sequence > 6000000)
-               AND length(content) >= 40""",
+               AND length(content) >= 40
+             ORDER BY sequence, id LIMIT 10000""",
         "filter_pagination": _P
         + """SELECT id, sequence FROM (
                SELECT id, sequence, row_number() OVER (ORDER BY sequence, id) AS rn
@@ -517,13 +521,16 @@ def oracle_sql() -> dict[str, str]:
         "filter_content_length": _P
         + """SELECT id, sequence FROM vis
              WHERE length(content) >= 40 AND length(content) <= 60
-               AND source_uri LIKE 'file://tpch/customers%'""",
+               AND source_uri LIKE 'file://tpch/customers%'
+             ORDER BY sequence, id LIMIT 10000""",
         "filter_numeric_lexical": _P
         + """SELECT id, sequence, source_uri FROM vis
-             WHERE sequence = 8000042 OR source_uri > 'file://tpch/sup'""",
+             WHERE sequence = 8000042 OR source_uri > 'file://tpch/sup'
+             ORDER BY sequence, id LIMIT 10000""",
         "filter_starts_ends": _P
         + """SELECT id, content FROM vis
-             WHERE source_uri LIKE 'file://tpch/orders/o7%' AND content LIKE '%O'""",
+             WHERE source_uri LIKE 'file://tpch/orders/o7%' AND content LIKE '%O'
+             ORDER BY sequence, id LIMIT 10000""",
         "iterate_all": _P
         + """SELECT unit_type, CAST(count(*) AS BIGINT) AS n_blocks,
                     CAST(sum(length(content)) AS BIGINT) AS content_bytes

@@ -120,11 +120,14 @@ def _bfs_on_adj(
     for d in range(1, max_depth + 1):
         if n_visited >= max_results:
             break
+        # frontier and visited are bounded by max_results (≤10k) — broadcast
+        # both so the edge table never shuffles: the probe is a map-side
+        # broadcast join and the visited-check a broadcast anti-join.
         nxt = (
-            frontier.join(adj, frontier.id == adj.src)
+            F.broadcast(frontier).join(adj, frontier.id == adj.src)
             .select(F.col("dst").alias("id"))
             .distinct()
-            .join(visited.select("id"), "id", "left_anti")
+            .join(F.broadcast(visited.select("id")), "id", "left_anti")
             .withColumn("depth", F.lit(d).cast("int"))
             .localCheckpoint(eager=True)
         )
