@@ -355,6 +355,14 @@ def _q_sessionize(spark, sf_dir):
     return ev.sessionize(ev.load_events(spark, sf_dir))
 
 
+def _q_events_topk_users(spark, sf_dir):
+    return ev.topk_users(ev.load_events(spark, sf_dir))
+
+
+def _q_events_retention(spark, sf_dir):
+    return ev.hourly_retention(ev.load_events(spark, sf_dir))
+
+
 def _context_q(workspace: str):
     from kausaldb_spark.operators import context as cx
 
@@ -457,6 +465,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "events_hourly": _q_events_hourly,
         "sessionize": _q_sessionize,
+        "events_topk_users": _q_events_topk_users,
+        "events_retention": _q_events_retention,
         "context_blocks": _q_context_blocks,
         "context_edges": _q_context_edges,
         "streaming_rollup": _q_streaming_rollup,
@@ -653,6 +663,26 @@ FROM documents""",
         "embedding_near_dup": oracles.embedding_near_dup_sql(EMB_NEAR_DUP_MIN_DOT),
         "events_hourly": oracles.events_hourly_sql(),
         "sessionize": oracles.sessionize_sql(ev.SESSION_GAP_US),
+        "events_topk_users": """
+WITH counts AS (
+  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY n_events DESC, user_id) AS rnk
+  FROM counts)
+SELECT event_type, user_id, n_events, CAST(rnk AS INT) AS rank
+FROM ranked WHERE rnk <= 5""",
+        "events_retention": """
+WITH hours AS (
+  SELECT DISTINCT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_bucket, user_id
+  FROM events),
+nxt AS (SELECT hour_bucket - 1 AS hour_bucket, user_id AS user_next FROM hours)
+SELECT h.hour_bucket, CAST(count(*) AS BIGINT) AS n_active,
+       CAST(count(n.user_next) AS BIGINT) AS n_retained
+FROM hours h LEFT JOIN nxt n
+  ON n.hour_bucket = h.hour_bucket AND n.user_next = h.user_id
+GROUP BY h.hour_bucket""",
         "context_blocks": _PR
         + ", adj AS (SELECT DISTINCT dst AS src, src AS dst FROM edges_vis)"
         + """,

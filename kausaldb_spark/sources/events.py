@@ -51,6 +51,44 @@ def hourly_rollup(events: DataFrame) -> DataFrame:
     )
 
 
+def topk_users(events: DataFrame, k: int = 5) -> DataFrame:
+    """Top-k users per event_type by event count (window ranking; ties break
+    by user_id). Demonstrates the window/agg surface the reference lacks
+    (SURVEY.md §2.7) — free on Spark."""
+    counts = events.groupBy("event_type", "user_id").agg(F.count("*").alias("n_events"))
+    w = Window.partitionBy("event_type").orderBy(F.col("n_events").desc(), "user_id")
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def hourly_retention(events: DataFrame) -> DataFrame:
+    """Users active in hour h who are also active in hour h+1:
+    (hour_bucket, n_active, n_retained)."""
+    hours = (
+        events.select(
+            F.expr(f"CAST(us DIV {HOUR_US} AS BIGINT)").alias("hour_bucket"), "user_id"
+        ).distinct()
+    )
+    nxt = hours.select(
+        (F.col("hour_bucket") - 1).alias("hour_bucket"), F.col("user_id").alias("user_next")
+    )
+    return (
+        hours.join(
+            nxt,
+            (hours.hour_bucket == nxt.hour_bucket) & (hours.user_id == nxt.user_next),
+            "left",
+        )
+        .drop(nxt.hour_bucket)
+        .groupBy("hour_bucket")
+        .agg(
+            F.count("*").alias("n_active"),
+            F.count("user_next").alias("n_retained"),
+        )
+    )
+
+
 def sessionize(events: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
     """Gap-based sessions per user: a new session starts when the time since
     the previous event exceeds ``gap_us``. Output one row per session:

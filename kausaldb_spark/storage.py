@@ -123,6 +123,24 @@ class BlockStore:
             ids, e.dst == ids.id, "left_semi"
         )
 
+    # -- cluster-scale layout ----------------------------------------------
+
+    def materialize_bucketed(self, table_prefix: str, buckets: int = 32) -> None:
+        """Write the snapshot as *bucketed* tables (blocks by id, edges by
+        src): multi-hop edge-edge joins and id-keyed lookups then run
+        without a shuffle exchange — the co-located-join layout a 100 TB
+        deployment would maintain. (Plain parquet files can't carry bucket
+        metadata; this uses the session catalog's saveAsTable.)"""
+        spark = self.spark
+        for t in (f"{table_prefix}_blocks_b", f"{table_prefix}_edges_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        self.visible().write.bucketBy(buckets, "id").sortBy("id").saveAsTable(
+            f"{table_prefix}_blocks_b"
+        )
+        self.visible_edges().write.bucketBy(buckets, "src").sortBy("src").saveAsTable(
+            f"{table_prefix}_edges_b"
+        )
+
     # -- maintenance --------------------------------------------------------
 
     def compact(self) -> None:

@@ -136,6 +136,25 @@ def test_cli_sync_reingest(spark, tree, tmp_path_factory):
     assert eng.store.blocks_raw().count() == 2 * n1   # versions accumulated
 
 
+def test_bucketed_layout_avoids_shuffle(spark, engine):
+    """Edge-edge self-join (2-hop expansion) on the bucketed layout must not
+    shuffle the fact table — the co-located join claim, checked in the plan."""
+    engine.store.materialize_bucketed("t_cocol", buckets=4)
+    e = spark.table("t_cocol_edges_b")
+    # force a sort-merge join (tiny test tables would broadcast otherwise,
+    # which hides the bucketing effect this test is about)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        same_src = e.alias("x").join(e.alias("y"), "src")
+        plan = same_src._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan[:2000]
+        assert same_src.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_edge_endpoint_enforcement(spark, tmp_path_factory):
     store = str(tmp_path_factory.mktemp("store3"))
     eng = KausalEngine(spark, store)
