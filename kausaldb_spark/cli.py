@@ -98,9 +98,36 @@ def build_parser() -> argparse.ArgumentParser:
     search.add_argument("--query", required=True)
     search.add_argument("--threshold", type=float, default=0.7)
 
+    flt_p = sub.add_parser("filter", help="boolean-filtered scan")
+    flt_p.add_argument(
+        "--where",
+        action="append",
+        required=True,
+        metavar="TARGET:OP:VALUE",
+        help="condition, e.g. content:contains:foo or sequence:gt:42 or "
+        "metadata.unit_type:eq:function (repeat for AND)",
+    )
+    flt_p.add_argument("--offset", type=int, default=0)
+    flt_p.add_argument("--limit", type=int, default=100)
+
+    sub.add_parser("ping", help="engine liveness check")
     sub.add_parser("status", help="store + query statistics")
     sub.add_parser("compact", help="rewrite store to visible snapshot")
     return p
+
+
+def parse_condition(spec: str):
+    """TARGET:OP:VALUE → filtering.Expr leaf. metadata fields spell the
+    target as metadata.<field>."""
+    from kausaldb_spark.operators import filtering as flt
+
+    parts = spec.split(":", 2)
+    if len(parts) != 3:
+        raise SystemExit(f"bad --where {spec!r}: expected TARGET:OP:VALUE")
+    target, op, value = parts
+    if target.startswith("metadata."):
+        return flt.Expr.cond(flt.TARGET_METADATA, op, value, target.split(".", 1)[1])
+    return flt.Expr.cond(target, op, value)
 
 
 def main(argv: list[str] | None = None, spark=None, engine=None, file=None) -> int:
@@ -135,6 +162,18 @@ def main(argv: list[str] | None = None, spark=None, engine=None, file=None) -> i
     if args.command == "search":
         df = engine.keyword_search(args.query, args.threshold)
         emit(df, args.format, file)
+        return 0
+    if args.command == "filter":
+        from kausaldb_spark.operators import filtering as flt
+
+        conds = [parse_condition(w) for w in args.where]
+        expr = conds[0] if len(conds) == 1 else flt.Expr.and_(*conds)
+        df = engine.filtered(expr, offset=args.offset, max_results=args.limit)
+        emit(df, args.format, file)
+        return 0
+    if args.command == "ping":
+        engine.spark.range(1).count()
+        print(json.dumps({"pong": True}), file=file)
         return 0
     if args.command == "status":
         print(json.dumps(engine.status(), default=str), file=file)

@@ -131,9 +131,16 @@ class BlockStore:
         without a shuffle exchange — the co-located-join layout a 100 TB
         deployment would maintain. (Plain parquet files can't carry bucket
         metadata; this uses the session catalog's saveAsTable.)"""
+        import shutil
+        from urllib.parse import urlparse
+
         spark = self.spark
+        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
         for t in (f"{table_prefix}_blocks_b", f"{table_prefix}_edges_b"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+            # a dropped-but-orphaned location (e.g. from a previous session)
+            # blocks managed-table creation — clear it
+            shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
         self.visible().write.bucketBy(buckets, "id").sortBy("id").saveAsTable(
             f"{table_prefix}_blocks_b"
         )

@@ -136,6 +136,19 @@ def test_cli_sync_reingest(spark, tree, tmp_path_factory):
     assert eng.store.blocks_raw().count() == 2 * n1   # versions accumulated
 
 
+def test_cli_filter_and_ping(engine):
+    rc, out = _run(
+        engine, "--format", "json", "filter",
+        "--where", "content:contains:helper_function",
+        "--where", "metadata.unit_type:eq:function",
+    )
+    assert rc == 0
+    rows = [json.loads(line) for line in out.strip().splitlines()]
+    assert {r["unit_id"] for r in rows} == {"lib.py:helper_function", "lib.py:main"}
+    rc, out = _run(engine, "ping")
+    assert rc == 0 and json.loads(out)["pong"] is True
+
+
 def test_bucketed_layout_avoids_shuffle(spark, engine):
     """Edge-edge self-join (2-hop expansion) on the bucketed layout must not
     shuffle the fact table — the co-located join claim, checked in the plan."""
