@@ -25,6 +25,21 @@ def test_edges_match_oracle(spark, duck):
     assert_frames_match(sdf, ddf, "edges")
 
 
+def test_dataframe_and_sql_paths_agree(spark):
+    """The DataFrame builders and the shared SQL text must produce identical
+    visible/edge sets (graph() routes through SQL for plan-build speed)."""
+    from kausaldb_spark.snapshot import visible_blocks
+
+    df_vis = visible_blocks(gm.raw_blocks(spark, SF_DIR), gm.tombstones(spark, SF_DIR))
+    sql_vis = spark.sql(gm.spark_sql_prefix(SF_DIR) + " SELECT * FROM vis")
+    assert df_vis.exceptAll(sql_vis).count() == 0
+    assert sql_vis.exceptAll(df_vis).count() == 0
+    df_e = gm.edges(spark, SF_DIR)
+    sql_e = spark.sql(gm.spark_sql_prefix(SF_DIR) + " SELECT * FROM edges")
+    assert df_e.exceptAll(sql_e).count() == 0
+    assert sql_e.exceptAll(df_e).count() == 0
+
+
 def test_mvcc_semantics(spark):
     g = gm.graph(spark, SF_DIR)
     vis = g["visible"].toPandas().set_index("id")
