@@ -126,20 +126,28 @@ def jaccard_verify(
     keep pairs with inter/union >= num/den (integer arithmetic — no float
     drift). Returns (doc_a, doc_b, n_inter, n_union)."""
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # Size-ratio prefilter: J(A,B) <= min/max, so den*min < num*max can never
+    # pass — drop those pairs BEFORE the (expensive) intersection join.
+    sized = (
+        candidates.join(sizes.selectExpr("doc_id as doc_a", "n_sh as n_a"), "doc_a")
+        .join(sizes.selectExpr("doc_id as doc_b", "n_sh as n_b"), "doc_b")
+        .where(
+            F.least(F.col("n_a"), F.col("n_b")) * den
+            >= F.greatest(F.col("n_a"), F.col("n_b")) * num
+        )
+    )
     # shingles of doc_a equi-joined with shingles of doc_b → intersection size
     inter = (
-        candidates.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        sized.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .join(
             sh.selectExpr("doc_id as doc_b", "shingle"),
             ["doc_b", "shingle"],
         )
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(F.count("*").alias("n_inter"))
     )
     return (
-        inter.join(sizes.selectExpr("doc_id as doc_a", "n_sh as n_a"), "doc_a")
-        .join(sizes.selectExpr("doc_id as doc_b", "n_sh as n_b"), "doc_b")
-        .withColumn("n_union", (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
+        inter.withColumn("n_union", (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
         .where(F.col("n_inter") * den >= F.col("n_union") * num)
         .select(
             "doc_a", "doc_b",
