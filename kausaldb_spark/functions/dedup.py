@@ -186,12 +186,23 @@ def ngram_jaccard_pairs(
             .where(F.col("df") <= RARE_SHINGLE_DF)
             .select("shingle")
         )
-        rare_sh = sh.join(rare, "shingle").localCheckpoint(eager=True)
-        a = rare_sh.selectExpr("shingle", "doc_id as doc_a")
-        b = rare_sh.selectExpr("shingle", "doc_id as doc_b")
+        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+        rare_sh = (
+            sh.join(rare, "shingle").join(sizes, "doc_id").localCheckpoint(eager=True)
+        )
+        a = rare_sh.selectExpr("shingle", "doc_id as doc_a", "n_sh as sa")
+        b = rare_sh.selectExpr("shingle", "doc_id as doc_b", "n_sh as sb")
+        # size-ratio predicate inside the self-join (lossless w.r.t. the final
+        # Jaccard threshold) prunes the quadratic per-shingle pair blowup
+        # before the distinct
         cands = (
-            a.join(b, "shingle")
-            .where(F.col("doc_a") < F.col("doc_b"))
+            a.join(
+                b,
+                (a.shingle == b.shingle)
+                & (F.col("doc_a") < F.col("doc_b"))
+                & (F.least(F.col("sa"), F.col("sb")) * den
+                   >= F.greatest(F.col("sa"), F.col("sb")) * num),
+            )
             .select("doc_a", "doc_b")
             .distinct()
         )

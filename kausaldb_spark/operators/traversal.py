@@ -134,7 +134,10 @@ def _bfs_on_adj(
         cnt = nxt.count()
         if cnt == 0:
             break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        # visited stays a lazy union of *checkpointed* levels: concatenating
+        # materialized RDDs costs nothing to recompute, and skipping the
+        # eager checkpoint here saves a full materialization job per level
+        visited = visited.unionByName(nxt)
         frontier = nxt
         n_visited += cnt
 
