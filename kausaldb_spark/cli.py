@@ -84,7 +84,9 @@ def build_parser() -> argparse.ArgumentParser:
 
     show = sub.add_parser("show", help="relations of a target")
     show.add_argument("--workspace", required=True)
-    show.add_argument("--relation", choices=["callers", "callees"], required=True)
+    show.add_argument(
+        "--relation", choices=["callers", "callees", "references"], required=True
+    )
     show.add_argument("--target", required=True)
     show.add_argument("--depth", type=int, default=1)
 
@@ -152,7 +154,11 @@ def main(argv: list[str] | None = None, spark=None, engine=None, file=None) -> i
         df = engine.find_by_name(args.workspace, args.unit_type, args.name)
         return 0 if emit(df, args.format, file) else 1
     if args.command == "show":
-        fn = engine.find_callers if args.relation == "callers" else engine.find_callees
+        fn = {
+            "callers": engine.find_callers,
+            "callees": engine.find_callees,
+            "references": engine.find_references,
+        }[args.relation]
         df = fn(args.workspace, args.target, args.depth)
         return 0 if emit(df, args.format, file) >= 0 else 1
     if args.command == "trace":

@@ -196,6 +196,20 @@ class KausalEngine:
             max_depth, workspace=workspace,
         ).where("depth > 0")
 
+    def find_references(self, workspace: str, name: str, max_depth: int = 1) -> DataFrame:
+        """T9: bidirectional traversal over reference-ish edge types
+        (src/query/engine.zig:661-742)."""
+        anchors = []
+        for ut in ("function", "type", "const"):
+            anchors += [r["id"] for r in self.find_by_name(workspace, ut, name).collect()]
+        if not anchors:
+            return self.store.visible().limit(0)
+        return self.traverse(
+            anchors, tv.BIDIRECTIONAL,
+            tv.EdgeFilter.include("references", "imports", "depends_on"),
+            max_depth, workspace=workspace,
+        ).where("depth > 0")
+
     def trace_paths(
         self, workspace: str, from_name: str, to_name: str, max_depth: int = 10
     ) -> DataFrame:

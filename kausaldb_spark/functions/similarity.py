@@ -122,6 +122,78 @@ def lsh_bucketed_topk(
     )
 
 
+def ivf_topk(
+    embeddings: DataFrame, query_ids: list[int], k: int = 5,
+    n_clusters: int = 16, n_probe: int = 4, seed: int = 42,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: k-means-partition the corpus, probe only
+    the ``n_probe`` centroids nearest each query. The second scale path next
+    to sign-LSH: learned partitions follow the data distribution, so probes
+    prune better on clustered corpora (at cluster scale the corpus is
+    *written* partitioned by centroid id and a probe is partition pruning).
+
+    Scoring matches dot_topk (quantized integer dot products), so recall is
+    directly measurable against the exact baseline. Requires pyspark.ml
+    (guarded import — returns the brute-force result if MLlib is absent).
+    """
+    try:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector, vector_to_array
+    except ImportError:  # pragma: no cover - mllib always ships with pyspark
+        return dot_topk(embeddings, query_ids, k, id_col, vec_col)
+
+    feats = embeddings.select(
+        F.col(id_col), F.col(vec_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=n_clusters, seed=seed, maxIter=10).fit(feats)
+    assigned = model.transform(feats).select(
+        F.col(id_col), F.col(vec_col), F.col("prediction").alias("centroid")
+    )
+
+    # centroid table is tiny: rank each query's centroids by distance driver-side
+    centers = [c.tolist() for c in model.clusterCenters()]
+    q_rows = (
+        embeddings.where(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col))
+        .collect()
+    )
+    probe_pairs = []
+    for r in q_rows:
+        v = list(r[vec_col])
+        dists = sorted(
+            range(len(centers)),
+            key=lambda c: sum((float(a) - b) ** 2 for a, b in zip(v, centers[c])),
+        )
+        for c in dists[:n_probe]:
+            probe_pairs.append((r["query_id"], c))
+    spark = embeddings.sparkSession
+    probes = spark.createDataFrame(probe_pairs, "query_id long, centroid int")
+
+    q = (
+        embeddings.where(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("query_id"), quantized(F.col(vec_col)).alias("qv"))
+        .join(probes, "query_id")
+    )
+    corpus = assigned.select(
+        F.col(id_col).alias("neighbor_id"), quantized(F.col(vec_col)).alias("cv"), "centroid"
+    )
+    scored = (
+        F.broadcast(q)
+        .join(corpus, "centroid")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", int_dot(F.col("qv"), F.col("cv")).alias("dot"))
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dot").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "dot")
+    )
+
+
 def embedding_near_duplicates(
     embeddings: DataFrame, min_dot: int, n_bits: int = 8,
     id_col: str = "vec_id", vec_col: str = "embedding",
