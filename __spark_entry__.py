@@ -311,6 +311,10 @@ def _q_simhash_pairs(spark, sf_dir):
     return dd.simhash_exact_pairs(spark, sf_dir)
 
 
+def _q_near_dup_clusters(spark, sf_dir):
+    return dd.near_dup_clusters(spark, sf_dir)
+
+
 def _q_lang_id(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     return docs.select("doc_id", tx.lang_id(tx.tokens(F.col("text"))).alias("pred_lang"))
@@ -457,6 +461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dup": _q_minhash_near_dup,
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash_pairs": _q_simhash_pairs,
+        "near_dup_clusters": _q_near_dup_clusters,
         "lang_id": _q_lang_id,
         "quality_score": _q_quality_score,
         "fingerprint": _q_fingerprint,
@@ -655,6 +660,7 @@ FROM documents""",
         "minhash_near_dup": oracles.minhash_sql(),
         "ngram_jaccard": oracles.ngram_jaccard_sql(),
         "simhash_pairs": oracles.simhash_pairs_sql(),
+        "near_dup_clusters": oracles.near_dup_clusters_sql(),
         "lang_id": oracles.lang_id_sql(),
         "quality_score": oracles.quality_sql(),
         "fingerprint": oracles.fingerprint_sql(),

@@ -211,6 +211,33 @@ def ngram_jaccard_pairs(
         sh.unpersist()
 
 
+def near_dup_clusters(
+    spark: SparkSession, sf_dir: str, num: int = 7, den: int = 10
+) -> DataFrame:
+    """Dedup decision layer: MinHash pair graph → connected components →
+    canonical selection (keep the min doc_id per cluster, drop the rest).
+    Output (doc_id, cluster_id, is_canonical); singleton docs don't appear
+    (nothing to decide). Composes the LSH pipeline with the WCC analytic —
+    the end-to-end 'which documents do we keep' operator."""
+    from kausaldb_spark.operators.traversal import weakly_connected_components
+
+    pairs = minhash_near_duplicates(spark, sf_dir, num, den)
+    e = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"),
+        F.lit("near_dup").alias("edge_type"),
+    )
+    comp = weakly_connected_components(e)
+    return (
+        comp.select(
+            F.col("id").cast("bigint").alias("doc_id"),
+            F.col("component").cast("bigint").alias("cluster_id"),
+        )
+        .withColumn(
+            "is_canonical", (F.col("doc_id") == F.col("cluster_id")).cast("int")
+        )
+    )
+
+
 def simhash_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distance-0 SimHash pairs: identical 16-bit signatures. (Near-distance
     banding would split the signature into chunks; distance-0 is the

@@ -33,18 +33,21 @@ sh AS (
 """
 )
 
-_VERIFY = """
+_VERIFY_CTES = """
 sizes AS (SELECT doc_id, count(*) n_sh FROM sh GROUP BY doc_id),
 inter AS (SELECT c.doc_a, c.doc_b, count(*) n_inter FROM cands c
           JOIN sh x ON x.doc_id = c.doc_a
           JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
-          GROUP BY c.doc_a, c.doc_b)
-SELECT i.doc_a, i.doc_b, CAST(n_inter AS BIGINT) AS n_inter,
-       CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT) AS n_union
-FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
-             JOIN sizes sb ON sb.doc_id = i.doc_b
-WHERE n_inter * {den} >= (sa.n_sh + sb.n_sh - n_inter) * {num}
+          GROUP BY c.doc_a, c.doc_b),
+verified AS (
+  SELECT i.doc_a, i.doc_b, CAST(n_inter AS BIGINT) AS n_inter,
+         CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT) AS n_union
+  FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+               JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE n_inter * {den} >= (sa.n_sh + sb.n_sh - n_inter) * {num})
 """
+
+_VERIFY = _VERIFY_CTES + "\nSELECT * FROM verified"
 
 
 def exact_dedup_sql() -> str:
@@ -58,10 +61,9 @@ FROM corpus GROUP BY md5(text) HAVING count(*) > 1"""
     )
 
 
-def minhash_sql(num: int = 7, den: int = 10, n_hashes: int = 8, band: int = 2) -> str:
+def _minhash_ctes(num: int = 7, den: int = 10, n_hashes: int = 8, band: int = 2) -> str:
     return (
-        "WITH "
-        + _TOK_SH
+        _TOK_SH
         + f""",
 sigs AS (
   SELECT doc_id, k, min(md5(k || '|' || shingle)) AS minh
@@ -77,7 +79,33 @@ cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
           FROM bands a JOIN bands b
             ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
 """
-        + _VERIFY.format(num=num, den=den)
+        + _VERIFY_CTES.format(num=num, den=den)
+    )
+
+
+def minhash_sql(num: int = 7, den: int = 10, n_hashes: int = 8, band: int = 2) -> str:
+    return "WITH " + _minhash_ctes(num, den, n_hashes, band) + "\nSELECT * FROM verified"
+
+
+def near_dup_clusters_sql(num: int = 7, den: int = 10) -> str:
+    """MinHash pairs → undirected closure → per-doc min-id component label →
+    canonical flag. The recursive closure is bounded by component size
+    (near-dup clusters are tiny)."""
+    return (
+        "WITH RECURSIVE "
+        + _minhash_ctes(num, den)
+        + """,
+und AS (SELECT doc_a AS a, doc_b AS b FROM verified
+        UNION ALL SELECT doc_b, doc_a FROM verified),
+nodes AS (SELECT DISTINCT a AS doc FROM und),
+rec AS (
+  SELECT doc, doc AS comp FROM nodes
+  UNION
+  SELECT u.b AS doc, r.comp FROM rec r JOIN und u ON u.a = r.doc
+),
+clusters AS (SELECT doc AS doc_id, min(comp) AS cluster_id FROM rec GROUP BY doc)
+SELECT doc_id, cluster_id, CAST(doc_id = cluster_id AS INT) AS is_canonical
+FROM clusters"""
     )
 
 
