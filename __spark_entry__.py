@@ -315,6 +315,24 @@ def _q_near_dup_clusters(spark, sf_dir):
     return dd.near_dup_clusters(spark, sf_dir)
 
 
+def _q_token_count_bpe(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id", F.size(tx.bpe_ish_tokens(F.col("text"))).alias("n_bpe_tokens")
+    )
+
+
+def _q_split_assignment(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id", tx.split_assignment(F.col("doc_id")).alias("split")
+    )
+
+
+def _q_contamination(spark, sf_dir):
+    return dd.contaminated_docs(spark, sf_dir)
+
+
 def _q_lang_id(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     return docs.select("doc_id", tx.lang_id(tx.tokens(F.col("text"))).alias("pred_lang"))
@@ -462,6 +480,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash_pairs": _q_simhash_pairs,
         "near_dup_clusters": _q_near_dup_clusters,
+        "token_count_bpe": _q_token_count_bpe,
+        "split_assignment": _q_split_assignment,
+        "contamination": _q_contamination,
         "lang_id": _q_lang_id,
         "quality_score": _q_quality_score,
         "fingerprint": _q_fingerprint,
@@ -661,6 +682,34 @@ FROM documents""",
         "ngram_jaccard": oracles.ngram_jaccard_sql(),
         "simhash_pairs": oracles.simhash_pairs_sql(),
         "near_dup_clusters": oracles.near_dup_clusters_sql(),
+        "token_count_bpe": r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+')) AS INT)
+         AS n_bpe_tokens
+FROM documents""",
+        "split_assignment": """
+SELECT doc_id,
+       CASE WHEN ('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 8))::BIGINT % 100 < 5
+              THEN 'val'
+            WHEN ('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 8))::BIGINT % 100 < 10
+              THEN 'test'
+            ELSE 'train' END AS split
+FROM documents""",
+        "contamination": r"""
+WITH tok AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, unnest(CASE WHEN len(t) < 8 THEN [] ELSE
+      list_transform(generate_series(1, len(t) - 7),
+                     i -> array_to_string(t[i:i+7], ' ')) END) AS shingle
+    FROM tok)
+),
+bench AS (SELECT doc_id AS benchmark_id, shingle FROM sh WHERE doc_id < 10)
+SELECT s.doc_id, b.benchmark_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM sh s JOIN bench b ON b.shingle = s.shingle
+WHERE s.doc_id >= 10
+GROUP BY s.doc_id, b.benchmark_id
+HAVING count(*) >= 2""",
         "lang_id": oracles.lang_id_sql(),
         "quality_score": oracles.quality_sql(),
         "fingerprint": oracles.fingerprint_sql(),

@@ -211,6 +211,33 @@ def ngram_jaccard_pairs(
         sh.unpersist()
 
 
+def contaminated_docs(
+    spark: SparkSession, sf_dir: str, benchmark_max_id: int = 10,
+    n: int = 8, min_shared: int = 2,
+) -> DataFrame:
+    """Benchmark-contamination flagging: corpus docs sharing >= min_shared
+    word n-grams with any 'benchmark' document (here: doc_id < benchmark_max_id
+    stands in for the eval set). The canonical decontamination pass for
+    training data: inverted n-gram index join, grouped per (doc, benchmark)
+    pair. Output (doc_id, benchmark_id, n_shared)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(tokens(F.col("text")), n))).alias("shingle"),
+    )
+    bench = (
+        sh.where(F.col("doc_id") < benchmark_max_id)
+        .selectExpr("doc_id as benchmark_id", "shingle")
+    )
+    return (
+        sh.where(F.col("doc_id") >= benchmark_max_id)
+        .join(bench, "shingle")
+        .groupBy("doc_id", "benchmark_id")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
 def near_dup_clusters(
     spark: SparkSession, sf_dir: str, num: int = 7, den: int = 10
 ) -> DataFrame:

@@ -38,6 +38,33 @@ def shingles(toks: Column, n: int = 3) -> Column:
     )
 
 
+# A GPT-2-flavored pre-tokenization pattern restricted to the regex subset
+# that Java (Spark) and RE2 (DuckDB) interpret identically: letter runs,
+# single digits, punctuation runs. No lookarounds, no \p classes.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+"
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """Subword-ish token stream (the 'BPE-ish regex' counter): splits letter
+    runs from digits and punctuation the way GPT-2's pre-tokenizer does,
+    minus the unicode categories (engine-portable subset)."""
+    return F.regexp_extract_all(F.lower(text), F.lit(BPE_ISH_PATTERN), 0)
+
+
+def split_assignment(key: Column, val_pct: int = 5, test_pct: int = 5) -> Column:
+    """Deterministic train/val/test split: bucket = first 8 md5 hex digits of
+    the key mod 100. Stable under corpus growth (a doc's split never changes
+    when other docs are added) — the property random splits lack."""
+    bucket = F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    ) % 100
+    return (
+        F.when(bucket < val_pct, F.lit("val"))
+        .when(bucket < val_pct + test_pct, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # language ID (stopword-hit heuristic)
 # ---------------------------------------------------------------------------
