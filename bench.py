@@ -44,9 +44,13 @@ BENCH_QUERIES = [
     # pipeline ops
     "exact_dedup",
     "minhash_near_dup",
+    "near_dup_clusters",
     "ngram_jaccard",
     "simhash_pairs",
+    "contamination",
     "token_count",
+    "token_count_bpe",
+    "split_assignment",
     "lang_id",
     "quality_score",
     "ann_topk",
