@@ -228,6 +228,13 @@ def _q_bfs_depth3(spark, sf_dir):
     return tv.bfs(g["edges_vis"], [C42], tv.OUTGOING, max_depth=3).select("id", "depth")
 
 
+def _q_bfs_paths_depth3(spark, sf_dir):
+    g = gm.graph(spark, sf_dir)
+    return tv.bfs_with_paths(g["edges_vis"], C42, tv.OUTGOING, max_depth=3).select(
+        "id", "depth", "path"
+    )
+
+
 def _q_bfs_depth5(spark, sf_dir):
     g = gm.graph(spark, sf_dir)
     return tv.bfs(g["edges_vis"], [C42], tv.OUTGOING, max_depth=5).select("id", "depth")
@@ -468,6 +475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "callers_1hop": _q_callers_1hop,
         "bfs_depth3": _q_bfs_depth3,
         "bfs_depth5": _q_bfs_depth5,
+        "bfs_paths_depth3": _q_bfs_paths_depth3,
         "traversal_only_type": _q_traversal_only_type,
         "traversal_exclude": _q_traversal_exclude,
         "traversal_incoming": _q_traversal_incoming,
@@ -602,6 +610,24 @@ def oracle_sql() -> dict[str, str]:
                AND v.codebase = (SELECT codebase FROM vis WHERE id = md5('S3'))""",
         "bfs_depth3": _bfs_oracle("md5('C42')", 3),
         "bfs_depth5": _bfs_oracle("md5('C42')", 5),
+        # min-lex shortest path per reached block: enumerate simple paths to
+        # max_depth, keep (min depth, then min path) per id — every prefix of
+        # a shortest path is itself shortest, so this equals the level-DP the
+        # Spark impl runs
+        "bfs_paths_depth3": _PR
+        + ", adj AS (SELECT DISTINCT src, dst FROM edges_vis)"
+        + """,
+rec AS (
+  SELECT md5('C42') AS id, 0 AS depth, md5('C42') AS path
+  UNION
+  SELECT a.dst, r.depth + 1, r.path || '->' || a.dst
+  FROM rec r JOIN adj a ON a.src = r.id
+  WHERE r.depth < 3 AND NOT contains(r.path, a.dst)
+),
+best AS (SELECT id, CAST(min(depth) AS INT) AS depth FROM rec GROUP BY id)
+SELECT b.id, b.depth, min(r.path) AS path
+FROM best b JOIN rec r ON r.id = b.id AND r.depth = b.depth
+GROUP BY b.id, b.depth""",
         "traversal_only_type": _bfs_oracle(
             "md5('C42')", 2, "WHERE edge_type = 'depends_on'"
         ),

@@ -163,6 +163,60 @@ def bfs(
     return _bfs_on_adj(adj, _start_frame(edges, start_ids), max_depth, max_results)
 
 
+def bfs_with_paths(
+    edges: DataFrame,
+    start_id: str,
+    direction: str = OUTGOING,
+    edge_filter: EdgeFilter = EdgeFilter.all(),
+    max_depth: int = 10,
+    max_results: int = MAX_RESULTS_LIMIT,
+) -> DataFrame:
+    """BFS that also reports the discovery path per reached block —
+    reference results carry (path, depth) per block
+    (src/query/traversal.zig:251-278). A parallel engine has no single
+    'discovery order', so the deterministic choice is: among all shortest
+    paths to a block, the lexicographically smallest ('->'-joined ids).
+    That's a proper DP (min-lex shortest path extends min-lex prefixes), so
+    it's computable level-by-level without path enumeration.
+    Returns DataFrame[id, depth, path]."""
+    max_depth = min(max_depth, MAX_DEPTH_LIMIT)
+    max_results = min(max_results, MAX_RESULTS_LIMIT)
+    adj = orient(edges, direction, edge_filter)
+    spark = edges.sparkSession
+
+    frontier = spark.range(1).select(
+        F.lit(start_id).alias("id"),
+        F.lit(0).cast("int").alias("depth"),
+        F.lit(start_id).alias("path"),
+    ).localCheckpoint(eager=True)
+    visited = frontier
+    n_visited = 1
+
+    for d in range(1, max_depth + 1):
+        if n_visited >= max_results:
+            break
+        nxt = (
+            F.broadcast(frontier).join(adj, frontier.id == adj.src)
+            .select(
+                F.col("dst").alias("id"),
+                F.concat(F.col("path"), F.lit("->"), F.col("dst")).alias("path"),
+            )
+            .groupBy("id")
+            .agg(F.min("path").alias("path"))
+            .join(F.broadcast(visited.select("id")), "id", "left_anti")
+            .select("id", F.lit(d).cast("int").alias("depth"), "path")
+            .localCheckpoint(eager=True)
+        )
+        cnt = nxt.count()
+        if cnt == 0:
+            break
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+        n_visited += cnt
+
+    return visited.orderBy("depth", "id").limit(max_results)
+
+
 # DFS and A* reach the same set (see module docstring); exposed for API parity.
 dfs = bfs
 astar = bfs

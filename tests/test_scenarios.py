@@ -110,6 +110,21 @@ def test_duplicate_edges_no_duplicate_results(spark):
     assert got.count() == 2  # a + b, duplicates collapsed
 
 
+def test_bfs_with_paths_minlex_shortest(spark):
+    # two shortest routes a->d (via b and via c): min-lex picks via b
+    e = _edges(spark, [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "e")])
+    got = {r["id"]: (r["depth"], r["path"]) for r in
+           tv.bfs_with_paths(e, "a", max_depth=5).collect()}
+    assert got["a"] == (0, "a")
+    assert got["d"] == (2, "a->b->d")
+    assert got["e"] == (3, "a->b->d->e")
+    # longer route never overrides a shorter one
+    e2 = _edges(spark, [("a", "z"), ("a", "b"), ("b", "z")])
+    got2 = {r["id"]: (r["depth"], r["path"]) for r in
+            tv.bfs_with_paths(e2, "a", max_depth=5).collect()}
+    assert got2["z"] == (1, "a->z")
+
+
 def test_weakly_connected_components(spark):
     e = _edges(spark, [("a", "b"), ("b", "c"), ("x", "y"), ("z", "y")])
     got = {r["id"]: r["component"] for r in tv.weakly_connected_components(e).collect()}
