@@ -168,6 +168,59 @@ def test_bucketed_layout_avoids_shuffle(spark, engine):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_cross_workspace_isolation(spark, tree, tmp_path_factory):
+    """Identical names in two workspaces: queries stay inside their
+    workspace (reference e2e: cross-workspace isolation,
+    tests/e2e/query.zig)."""
+    store = str(tmp_path_factory.mktemp("store5"))
+    eng = KausalEngine(spark, store)
+    eng.link_codebase(tree, "w1")
+    eng.link_codebase(tree, "w2")
+    r1 = eng.find_by_name("w1", "function", "helper_function").collect()
+    r2 = eng.find_by_name("w2", "function", "helper_function").collect()
+    assert len(r1) == len(r2) == 1
+    assert r1[0]["codebase"] == "w1" and r2[0]["codebase"] == "w2"
+    assert r1[0]["id"] != r2[0]["id"]
+    # callers resolved per-workspace too
+    c1 = eng.find_callers("w1", "helper_function").collect()
+    assert {r["codebase"] for r in c1} == {"w1"}
+
+
+def test_qualified_name_lookup(spark, tmp_path_factory):
+    """find --type function --name Greeter.greet resolves the qualified
+    method (reference qualified-name disambiguation)."""
+    import textwrap
+
+    root = tmp_path_factory.mktemp("qual")
+    (root / "g.py").write_text(textwrap.dedent('''
+        class Greeter:
+            def greet(self):
+                return 1
+
+        def greet():
+            return 2
+    '''))
+    store = str(tmp_path_factory.mktemp("store6"))
+    eng = KausalEngine(spark, store)
+    eng.link_codebase(str(root), "q")
+    qual = eng.find_by_name("q", "function", "Greeter.greet").collect()
+    bare = eng.find_by_name("q", "function", "greet").collect()
+    assert [r["unit_id"] for r in qual] == ["g.py:Greeter.greet"]
+    assert [r["unit_id"] for r in bare] == ["g.py:greet"]
+
+
+def test_store_pushdown_plan_regression(spark, engine):
+    """Point lookups on the store must keep parquet filter pushdown, and
+    workspace filters must keep partition pruning (the F6 'secondary index
+    for free' claim — guard it against plan regressions)."""
+    df = engine.store.blocks_raw().where(F.col("id") == "a" * 32)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(id), EqualTo(id," in plan
+    df2 = engine.store.blocks_raw().where(F.col("codebase") == "proj")
+    plan2 = df2._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(codebase" in plan2
+
+
 def test_edge_endpoint_enforcement(spark, tmp_path_factory):
     store = str(tmp_path_factory.mktemp("store3"))
     eng = KausalEngine(spark, store)
