@@ -157,6 +157,8 @@ def bfs(
     max_results truncation is BFS-ordered (depth asc, id asc) so results are
     deterministic — the reference truncates in visit order.
     """
+    if max_depth < 1:
+        raise ValueError("max_depth must be >= 1 (src/query/traversal.zig:242-247)")
     max_depth = min(max_depth, MAX_DEPTH_LIMIT)
     max_results = min(max_results, MAX_RESULTS_LIMIT)
     adj = orient(edges, direction, edge_filter)
@@ -385,8 +387,10 @@ def topo_sort(
     layer = 0
     n_remaining = remaining.count()
     while n_remaining > 0:
+        # the live edge subset is bounded by the reachable subgraph —
+        # broadcast it as the anti-join build side so the peel never shuffles
         zero_in = remaining.join(
-            live_edges.select(F.col("dst").alias("id")), "id", "left_anti"
+            F.broadcast(live_edges.select(F.col("dst").alias("id"))), "id", "left_anti"
         ).localCheckpoint(eager=True)
         n_zero = zero_in.count()
         if n_zero == 0:
