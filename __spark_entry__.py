@@ -454,6 +454,35 @@ def _q_streaming_rollup(spark, sf_dir):
     return spark.table(name)
 
 
+def _q_streaming_sessionize(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState gap
+    sessions) driven to completion. Rows-only check (closed-session set
+    depends on watermark progression); streaming==batch parity is asserted
+    in tests/test_streaming.py."""
+    import tempfile
+
+    from kausaldb_spark.streaming import events as sev
+
+    d = tempfile.mkdtemp(prefix="kdb_sess_src_")
+    ck = tempfile.mkdtemp(prefix="kdb_sess_ck_")
+    ev.load_events(spark, sf_dir).select(
+        "event_id", "us", "user_id", "event_type", "value"
+    ).coalesce(2).write.mode("overwrite").parquet(d)
+    _stream_counter[0] += 1
+    name = f"kdb_streaming_sessionize_{_stream_counter[0]}"
+    q = (
+        sev.sessionize_stream(sev.stream_events(spark, d, files_per_trigger=1))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "snapshot_view": _q_snapshot_view,
@@ -504,6 +533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "context_blocks": _q_context_blocks,
         "context_edges": _q_context_edges,
         "streaming_rollup": _q_streaming_rollup,
+        "streaming_sessionize": _q_streaming_sessionize,
     }
 
 
