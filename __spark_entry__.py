@@ -340,6 +340,12 @@ def _q_contamination(spark, sf_dir):
     return dd.contaminated_docs(spark, sf_dir)
 
 
+def _q_corpus_curation(spark, sf_dir):
+    from kausaldb_spark.functions.curation import curate
+
+    return curate(spark, sf_dir)
+
+
 def _q_lang_id(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     return docs.select("doc_id", tx.lang_id(tx.tokens(F.col("text"))).alias("pred_lang"))
@@ -520,6 +526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_bpe": _q_token_count_bpe,
         "split_assignment": _q_split_assignment,
         "contamination": _q_contamination,
+        "corpus_curation": _q_corpus_curation,
         "lang_id": _q_lang_id,
         "quality_score": _q_quality_score,
         "fingerprint": _q_fingerprint,
@@ -766,6 +773,7 @@ FROM sh s JOIN bench b ON b.shingle = s.shingle
 WHERE s.doc_id >= 10
 GROUP BY s.doc_id, b.benchmark_id
 HAVING count(*) >= 2""",
+        "corpus_curation": oracles.curation_sql(),
         "lang_id": oracles.lang_id_sql(),
         "quality_score": oracles.quality_sql(),
         "fingerprint": oracles.fingerprint_sql(),

@@ -157,12 +157,9 @@ def jaccard_verify(
     )
 
 
-def minhash_near_duplicates(
-    spark: SparkSession, sf_dir: str, num: int = 7, den: int = 10
-) -> DataFrame:
-    """Full MinHash-LSH pipeline: corpus → shingles → signatures → banded
-    candidates → Jaccard ≥ num/den verify."""
-    corpus = dedup_corpus(spark, sf_dir)
+def minhash_pairs_for(corpus: DataFrame, num: int = 7, den: int = 10) -> DataFrame:
+    """MinHash-LSH near-dup pairs over an arbitrary (doc_id, text) corpus:
+    shingles → signatures → banded candidates → Jaccard ≥ num/den verify."""
     sh = doc_shingles(corpus).persist()
     try:
         sigs = minhash_signatures(sh)
@@ -170,6 +167,13 @@ def minhash_near_duplicates(
         return jaccard_verify(cands, sh, num, den).localCheckpoint(eager=True)
     finally:
         sh.unpersist()
+
+
+def minhash_near_duplicates(
+    spark: SparkSession, sf_dir: str, num: int = 7, den: int = 10
+) -> DataFrame:
+    """Full MinHash-LSH pipeline over the planted-duplicate test corpus."""
+    return minhash_pairs_for(dedup_corpus(spark, sf_dir), num, den)
 
 
 def ngram_jaccard_pairs(

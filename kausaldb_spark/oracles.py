@@ -123,6 +123,62 @@ cands AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
     )
 
 
+def curation_sql(num: int = 7, den: int = 10, benchmark_max_id: int = 10) -> str:
+    """End-to-end curation report oracle: quality + language + canonical
+    near-dup + decontamination + split, over the BASE documents table (the
+    planted-dup corpus is only for dedup unit parity)."""
+    base = "\ncorpus AS (SELECT doc_id, text FROM documents)\n"
+    chain = _minhash_ctes(num, den).replace(DUCK_CORPUS, base)
+    score_cols = ", ".join(
+        f"len(list_filter(t, x -> x IN ({', '.join(repr(w) for w in words)}))) AS s_{lang}"
+        for lang, words in LANG_STOPWORDS.items()
+    )
+    mx = "greatest(" + ", ".join(f"s_{la}" for la in LANG_STOPWORDS) + ")"
+    bucket = "('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 8))::BIGINT % 100"
+    bm = benchmark_max_id
+    return (
+        "WITH RECURSIVE "
+        + chain
+        + f""",
+und AS (SELECT doc_a AS a, doc_b AS b FROM verified
+        UNION ALL SELECT doc_b, doc_a FROM verified),
+nodes AS (SELECT DISTINCT a AS doc FROM und),
+rec AS (SELECT doc, doc AS comp FROM nodes
+        UNION SELECT u.b, r.comp FROM rec r JOIN und u ON u.a = r.doc),
+non_canonical AS (SELECT doc AS doc_id FROM rec GROUP BY doc HAVING doc != min(comp)),
+sh8 AS (SELECT DISTINCT doc_id, shingle FROM (
+  SELECT doc_id, unnest(CASE WHEN len(t) < 8 THEN [] ELSE
+    list_transform(generate_series(1, len(t) - 7),
+                   i -> array_to_string(t[i:i+7], ' ')) END) AS shingle FROM tok)),
+bench AS (SELECT doc_id AS benchmark_id, shingle FROM sh8 WHERE doc_id < {bm}),
+contaminated AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT s.doc_id, b.benchmark_id FROM sh8 s JOIN bench b ON b.shingle = s.shingle
+    WHERE s.doc_id >= {bm} GROUP BY s.doc_id, b.benchmark_id HAVING count(*) >= 2)),
+metrics AS (
+  SELECT doc_id, len(t) AS n_tokens,
+         floor(list_sum(list_transform(t, x -> length(x))) * 100 / len(t)) AS avg_len,
+         len(list_distinct(t)) AS n_distinct,
+         {score_cols}
+  FROM tok),
+curated AS (
+  SELECT m.doc_id, m.n_tokens FROM metrics m
+  WHERE m.n_tokens BETWEEN 10 AND 100000
+    AND m.avg_len BETWEEN 200 AND 1500
+    AND m.n_distinct * 4 >= m.n_tokens
+    AND {mx} > 0
+    AND m.doc_id >= {bm}
+    AND m.doc_id NOT IN (SELECT doc_id FROM non_canonical)
+    AND m.doc_id NOT IN (SELECT doc_id FROM contaminated))
+SELECT CASE WHEN {bucket} < 5 THEN 'val'
+            WHEN {bucket} < 10 THEN 'test'
+            ELSE 'train' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM curated GROUP BY 1"""
+    )
+
+
 def _simhash_expr(tokens_col: str = "t") -> str:
     terms = []
     for j in range(16):
