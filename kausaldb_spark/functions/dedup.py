@@ -157,13 +157,60 @@ def jaccard_verify(
     )
 
 
+def _wide_signature_buckets(
+    sh: DataFrame, n_hashes: int = N_MINHASH, band_size: int = BAND_SIZE
+) -> DataFrame:
+    """(doc_id, band, bucket) via ONE groupBy pass: all n_hashes mins as
+    aggregate columns (the explode-by-seed formulation shuffles the shingle
+    relation n_hashes times; this shuffles it once). Band buckets hash the
+    sorted pair (least, greatest) — string-identical to the sorted-list
+    formulation the oracle uses."""
+    assert band_size == 2, "wide bucket builder is specialized for band_size=2"
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("shingle")))).alias(f"h{k}")
+        for k in range(n_hashes)
+    ]
+    wide = sh.groupBy("doc_id").agg(*aggs)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.least(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")),
+                        F.greatest(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")),
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(n_hashes // band_size)
+        ]
+    )
+    return (
+        wide.select("doc_id", F.explode(bands).alias("bb"))
+        .select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        .localCheckpoint(eager=True)
+    )
+
+
 def minhash_pairs_for(corpus: DataFrame, num: int = 7, den: int = 10) -> DataFrame:
     """MinHash-LSH near-dup pairs over an arbitrary (doc_id, text) corpus:
     shingles → signatures → banded candidates → Jaccard ≥ num/den verify."""
     sh = doc_shingles(corpus).persist()
     try:
-        sigs = minhash_signatures(sh)
-        cands = lsh_candidates(sigs)
+        bands = _wide_signature_buckets(sh)
+        a = bands.alias("a")
+        b = bands.alias("b")
+        cands = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket")),
+            )
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .distinct()
+        )
         return jaccard_verify(cands, sh, num, den).localCheckpoint(eager=True)
     finally:
         sh.unpersist()
