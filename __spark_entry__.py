@@ -346,6 +346,29 @@ def _q_corpus_curation(spark, sf_dir):
     return curate(spark, sf_dir)
 
 
+def _q_vocab_top20(spark, sf_dir):
+    # corpus vocabulary: top-20 whitespace tokens by frequency (explode +
+    # count + deterministic top-k) — the "what's in my data" staple
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(F.explode(tx.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(20)
+    )
+
+
+def _q_doc_length_histogram(spark, sf_dir):
+    # token-count histogram in buckets of 10 — corpus shape at a glance
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select((F.size(tx.tokens(F.col("text"))) / 10).cast("int").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 def _q_lang_id(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     return docs.select("doc_id", tx.lang_id(tx.tokens(F.col("text"))).alias("pred_lang"))
@@ -527,6 +550,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assignment": _q_split_assignment,
         "contamination": _q_contamination,
         "corpus_curation": _q_corpus_curation,
+        "vocab_top20": _q_vocab_top20,
+        "doc_length_histogram": _q_doc_length_histogram,
         "lang_id": _q_lang_id,
         "quality_score": _q_quality_score,
         "fingerprint": _q_fingerprint,
@@ -774,6 +799,15 @@ WHERE s.doc_id >= 10
 GROUP BY s.doc_id, b.benchmark_id
 HAVING count(*) >= 2""",
         "corpus_curation": oracles.curation_sql(),
+        "vocab_top20": r"""
+SELECT token, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+  FROM documents)
+GROUP BY token ORDER BY n DESC, token LIMIT 20""",
+        "doc_length_histogram": r"""
+SELECT CAST(len(string_split_regex(trim(lower(text)), '\s+')) // 10 AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY 1""",
         "lang_id": oracles.lang_id_sql(),
         "quality_score": oracles.quality_sql(),
         "fingerprint": oracles.fingerprint_sql(),

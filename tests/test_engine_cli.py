@@ -75,6 +75,19 @@ def test_trace_paths(engine):
     assert len(rows) == 1 and rows[0]["depth"] == 1
 
 
+def test_cache_ttl_expiry(engine, monkeypatch):
+    import kausaldb_spark.engine as eng_mod
+
+    engine._invalidate()
+    engine.find_by_name("proj", "function", "main")
+    m0 = engine.stats.cache_misses
+    # age every entry past the TTL
+    real = eng_mod.time.monotonic
+    monkeypatch.setattr(eng_mod.time, "monotonic", lambda: real() + eng_mod.CACHE_TTL_SEC + 1)
+    engine.find_by_name("proj", "function", "main")
+    assert engine.stats.cache_misses == m0 + 1  # expired -> miss, recomputed
+
+
 def test_cache_and_stats(engine):
     engine.find_by_name("proj", "function", "main")
     h0 = engine.stats.cache_hits
