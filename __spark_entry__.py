@@ -590,7 +590,8 @@ rec AS (
   FROM rec r JOIN adj a ON a.src = r.id
   WHERE r.depth < {depth}
 )
-SELECT id, CAST(min(depth) AS INT) AS depth FROM rec GROUP BY id"""
+SELECT id, CAST(min(depth) AS INT) AS depth FROM rec GROUP BY id
+ORDER BY depth, id LIMIT 10000"""
     )
 
 
@@ -689,7 +690,8 @@ rec AS (
 best AS (SELECT id, CAST(min(depth) AS INT) AS depth FROM rec GROUP BY id)
 SELECT b.id, b.depth, min(r.path) AS path
 FROM best b JOIN rec r ON r.id = b.id AND r.depth = b.depth
-GROUP BY b.id, b.depth""",
+GROUP BY b.id, b.depth
+ORDER BY b.depth, b.id LIMIT 10000""",
         "traversal_only_type": _bfs_oracle(
             "md5('C42')", 2, "WHERE edge_type = 'depends_on'"
         ),
@@ -705,7 +707,8 @@ rec AS (
   SELECT a.dst, r.depth + 1 FROM rec r JOIN adj a ON a.src = r.id
   WHERE r.depth < 2
 )
-SELECT id, CAST(min(depth) AS INT) AS depth FROM rec GROUP BY id""",
+SELECT id, CAST(min(depth) AS INT) AS depth FROM rec GROUP BY id
+ORDER BY depth, id LIMIT 10000""",
         "bidirectional": _PR
         + ", adj_f AS (SELECT DISTINCT src, dst FROM edges_vis)"
         + ", adj_b AS (SELECT DISTINCT dst AS src, src AS dst FROM edges_vis)"
@@ -723,7 +726,8 @@ rec_b AS (
   WHERE r.depth < 2
 ),
 uni AS (SELECT * FROM rec_f UNION ALL SELECT * FROM rec_b)
-SELECT id, CAST(min(depth) AS INT) AS depth FROM uni GROUP BY id""",
+SELECT id, CAST(min(depth) AS INT) AS depth FROM uni GROUP BY id
+ORDER BY depth, id LIMIT 10000""",
         # Kahn peel layer == longest-path level from the (single) zero-in-degree
         # root of the reachable subgraph — computable as max depth over all paths
         "topo_sort": _PR

@@ -19,6 +19,7 @@ from collections import OrderedDict
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from kausaldb_spark.operators import context as cx
 from kausaldb_spark.operators import filtering as flt
@@ -73,20 +74,24 @@ class KausalEngine:
         self.store.append_blocks(blocks, resequence=False)
         self.store.append_edges(edges)
         self._invalidate()
+        cb_ids = self.store.visible().where(F.col("codebase") == codebase).select("id")
+        e = self.store.visible_edges()
         return {
-            "blocks": self.store.visible().where(f"codebase = '{codebase}'").count(),
-            "edges": self.store.visible_edges().count(),
+            "blocks": cb_ids.count(),
+            # only edges whose source lives in the linked codebase — not the
+            # whole store's edge count
+            "edges": e.join(cb_ids, e.src == cb_ids.id, "left_semi").count(),
         }
 
     def unlink_codebase(self, codebase: str) -> int:
-        ids = [
-            r["id"]
-            for r in self.store.visible().where(f"codebase = '{codebase}'").select("id").collect()
-        ]
-        if ids:
-            self.store.delete_blocks(ids)
+        """Bulk unlink as ONE distributed tombstone job — no block-id list is
+        ever collected to the driver (a 10M-block workspace unlinks in
+        constant driver memory)."""
+        n = self.store.visible().where(F.col("codebase") == codebase).count()
+        if n:
+            self.store.tombstone_codebase(codebase)
         self._invalidate()
-        return len(ids)
+        return n
 
     def put_blocks(self, blocks: DataFrame) -> int:
         hi = self.store.append_blocks(blocks)

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 MAX_FILTER_RESULTS = 10_000  # src/query/filtering.zig:210
@@ -145,17 +145,14 @@ def filtered_query(
 ) -> DataFrame:
     """F5: predicate + deterministic pagination. The reference streams in
     storage order with an offset/cap; we define the deterministic order as
-    (sequence, id) — a global sort only over the (already capped) match set.
+    (sequence, id).
 
-    At scale: the predicate pushes down to the scan; the sort ranks only
-    matching rows (use with selective filters, like the reference's
-    ≤10000-result cap implies).
+    At scale: the predicate pushes down to the scan, and the
+    ``orderBy + offset + limit`` chain compiles to a single
+    ``TakeOrderedAndProject(limit=offset+max, offset)`` — a distributed
+    top-k (per-partition heaps, then a bounded merge), never a global sort
+    or a single-partition window over the full match set.
     """
     max_results = min(max_results, MAX_FILTER_RESULTS)
     matched = blocks.where(expr.to_column())
-    w = F.row_number().over(Window.orderBy("sequence", "id"))
-    return (
-        matched.withColumn("_pos", w)
-        .where((F.col("_pos") > offset) & (F.col("_pos") <= offset + max_results))
-        .drop("_pos")
-    )
+    return matched.orderBy("sequence", "id").offset(offset).limit(max_results)

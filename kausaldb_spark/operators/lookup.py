@@ -98,6 +98,15 @@ def keyword_search(
     plus the float score; ties broken by id for determinism."""
     max_results = min(max_results, MAX_KEYWORD_RESULTS)
     matched, total = keyword_score(query)
+    if total == 0:
+        # empty/whitespace query: nothing can score — empty result, not a
+        # divide-by-zero (reference rejects empty queries up front)
+        return (
+            blocks.withColumn("score_matched", F.lit(0))
+            .withColumn("score_total", F.lit(0))
+            .withColumn("score", F.lit(0.0))
+            .limit(0)
+        )
     return (
         blocks.withColumn("score_matched", matched)
         .withColumn("score_total", F.lit(total))

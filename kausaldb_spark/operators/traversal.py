@@ -111,9 +111,10 @@ def _bfs_on_adj(
     adj: DataFrame, start: DataFrame, max_depth: int, max_results: int
 ) -> DataFrame:
     """Level loop over a *materialized* adjacency. Every level's frontier is
-    localCheckpoint-ed: frontiers are small (bounded by max_results), and the
-    checkpoint both cuts lineage and makes the per-level count() free."""
-    frontier = start.withColumn("depth", F.lit(0).cast("int")).localCheckpoint(eager=True)
+    localCheckpoint-ed lazily and materialized BY the count() — one fused
+    Spark job per level (an eager checkpoint followed by count() would be
+    two); per-level job latency, not data volume, dominates traversal time."""
+    frontier = start.withColumn("depth", F.lit(0).cast("int")).localCheckpoint(eager=False)
     visited = frontier
     n_visited = visited.count()
 
@@ -129,7 +130,7 @@ def _bfs_on_adj(
             .distinct()
             .join(F.broadcast(visited.select("id")), "id", "left_anti")
             .withColumn("depth", F.lit(d).cast("int"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         cnt = nxt.count()
         if cnt == 0:
@@ -190,7 +191,7 @@ def bfs_with_paths(
         F.lit(start_id).alias("id"),
         F.lit(0).cast("int").alias("depth"),
         F.lit(start_id).alias("path"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     visited = frontier
     n_visited = 1
 
@@ -207,7 +208,7 @@ def bfs_with_paths(
             .agg(F.min("path").alias("path"))
             .join(F.broadcast(visited.select("id")), "id", "left_anti")
             .select("id", F.lit(d).cast("int").alias("depth"), "path")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         cnt = nxt.count()
         if cnt == 0:
@@ -328,9 +329,12 @@ def find_paths_between(
     )
     done = frontier.where(F.col("last") == F.lit(target_id)).select(
         "path", F.lit(0).cast("int").alias("depth")
-    ).localCheckpoint(eager=True)
+    )
 
     for d in range(1, max_depth + 1):
+        # lazy checkpoint materialized by the count — one fused job per level;
+        # `done` stays a plain union of slices of already-checkpointed
+        # frontiers, so it needs no materialization of its own
         frontier = (
             frontier.join(adj, frontier.last == adj.src)
             .where(~F.col("path").contains(F.col("dst")))
@@ -339,15 +343,15 @@ def find_paths_between(
                 F.col("dst").alias("last"),
             )
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        if frontier.isEmpty():
+        if frontier.count() == 0:
             break
         done = done.unionByName(
             frontier.where(F.col("last") == F.lit(target_id)).select(
                 "path", F.lit(d).cast("int").alias("depth")
             )
-        ).localCheckpoint(eager=True)
+        )
 
     return done.orderBy("depth", "path").limit(max_paths)
 
@@ -377,7 +381,7 @@ def topo_sort(
         .localCheckpoint(eager=True)
     )
 
-    remaining = reach.localCheckpoint(eager=True)
+    remaining = reach.localCheckpoint(eager=False)
     live_edges = sub
     spark = edges.sparkSession
     empty = spark.range(0).select(
@@ -388,20 +392,23 @@ def topo_sort(
     n_remaining = remaining.count()
     while n_remaining > 0:
         # the live edge subset is bounded by the reachable subgraph —
-        # broadcast it as the anti-join build side so the peel never shuffles
+        # broadcast it as the anti-join build side so the peel never shuffles.
+        # All per-layer checkpoints are lazy: zero_in's count() is the single
+        # materializing job; remaining/live_edges persist as side effects of
+        # the next layer's job instead of paying dedicated jobs.
         zero_in = remaining.join(
             F.broadcast(live_edges.select(F.col("dst").alias("id"))), "id", "left_anti"
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         n_zero = zero_in.count()
         if n_zero == 0:
             # cycle among the remaining nodes
             return empty
         out = out.unionByName(zero_in.withColumn("layer", F.lit(layer).cast("int")))
-        remaining = remaining.join(zero_in, "id", "left_anti").localCheckpoint(eager=True)
+        remaining = remaining.join(zero_in, "id", "left_anti").localCheckpoint(eager=False)
         # drop edges whose source was just peeled — they no longer block dst
         live_edges = live_edges.join(
             zero_in.withColumnRenamed("id", "src"), "src", "left_anti"
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         n_remaining -= n_zero
         layer += 1
     return out.orderBy("layer", "id")

@@ -28,9 +28,11 @@ the reference's tiered compaction, as a batch job.
 from __future__ import annotations
 
 import os
+import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 
 from kausaldb_spark.snapshot import visible_blocks
 
@@ -47,10 +49,25 @@ class BlockStore:
 
     # -- raw table accessors ------------------------------------------------
 
+    @staticmethod
+    def _dir_has_data(d: str) -> bool:
+        for _root, _dirs, files in os.walk(d):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
     def _read_or_empty(self, d: str, schema_of: DataFrame | str) -> DataFrame:
+        """Empty frame ONLY when the table genuinely holds no data yet — the
+        directory is absent, or a write of an empty frame left it without
+        data files. Any failure while data files ARE present (corruption,
+        permissions) re-raises: silently treating a broken store as empty
+        would reset sequences and let compact() overwrite real data with
+        nothing. (On an object store the walk becomes a prefix listing.)"""
         try:
             return self.spark.read.parquet(d)
-        except Exception:
+        except AnalysisException:
+            if self._dir_has_data(d):
+                raise
             if isinstance(schema_of, str):
                 return self.spark.createDataFrame([], schema_of)
             return schema_of.limit(0)
@@ -102,13 +119,41 @@ class BlockStore:
         checked.write.mode("append").parquet(self._edges_dir)
 
     def delete_blocks(self, block_ids: list[str]) -> None:
-        """S3: tombstones with a fresh sequence above everything current."""
+        """S3: tombstones with a fresh sequence above everything current.
+        Driver-side list API — for small explicit batches (the CLI `delete
+        <id>` path). Bulk deletes go through :meth:`tombstone_where`."""
         seq = self.max_sequence() + 1
         tomb = self.spark.createDataFrame(
             [(b, seq + i, (seq + i) * 1000) for i, b in enumerate(sorted(block_ids))],
             _EMPTY_TOMB,
         )
         tomb.write.mode("append").parquet(self._tomb_dir)
+
+    def tombstone_where(self, predicate: Column | str) -> None:
+        """S3 at scale: tombstone every *visible* block matching a predicate
+        as one distributed job — no id list ever touches the driver
+        (reference bulk delete: ``src/storage/engine.zig:1132-1174``).
+
+        All tombstones in the batch share one fresh sequence above the
+        current high-water mark; shadowing only needs tombstone.sequence >=
+        the shadowed version's sequence, and a later re-put claims a higher
+        sequence, so resurrection semantics are unchanged."""
+        seq = self.max_sequence() + 1
+        tomb = (
+            self.visible()
+            .where(predicate)
+            .select(
+                F.col("id").alias("block_id"),
+                F.lit(seq).cast("bigint").alias("sequence"),
+                F.lit(seq * 1000).cast("bigint").alias("deletion_timestamp"),
+            )
+        )
+        tomb.write.mode("append").parquet(self._tomb_dir)
+
+    def tombstone_codebase(self, codebase: str) -> None:
+        """Unlink a workspace: partition-pruned scan + distributed tombstone
+        write, constant driver memory at any store size."""
+        self.tombstone_where(F.col("codebase") == codebase)
 
     # -- reads --------------------------------------------------------------
 
@@ -152,10 +197,30 @@ class BlockStore:
 
     def compact(self) -> None:
         """Rewrite to the visible snapshot only (drops shadowed versions and
-        consumed tombstones) — the compaction analogue, run as a batch job."""
-        vis = self.visible().localCheckpoint(eager=True)
-        live_edges = self.visible_edges().localCheckpoint(eager=True)
-        vis.write.mode("overwrite").partitionBy("codebase").parquet(self._blocks_dir)
-        live_edges.write.mode("overwrite").parquet(self._edges_dir)
+        consumed tombstones) — the compaction analogue, run as a batch job.
+
+        Crash-safe like the reference's compaction: the new snapshot is fully
+        written to side directories *while the live store is untouched*, then
+        swapped in with directory renames. A failure before the swap leaves
+        the live store intact; a failure between the two renames of one table
+        is recovered by the ``.compact-old`` copy still being on disk. On an
+        object store this maps to write-new-prefix + pointer flip (or a Delta
+        REPLACE transaction). Leftover tombstones after a partial swap are
+        harmless: every version they shadow was already dropped."""
+        tmp_blocks = self._blocks_dir + ".compact-tmp"
+        tmp_edges = self._edges_dir + ".compact-tmp"
+        shutil.rmtree(tmp_blocks, ignore_errors=True)
+        shutil.rmtree(tmp_edges, ignore_errors=True)
+        # reads source dirs, writes ONLY to the side dirs — recomputation
+        # after an executor loss re-reads the still-intact live store
+        self.visible().write.partitionBy("codebase").parquet(tmp_blocks)
+        self.visible_edges().write.parquet(tmp_edges)
+        for live, tmp in ((self._blocks_dir, tmp_blocks), (self._edges_dir, tmp_edges)):
+            old = live + ".compact-old"
+            shutil.rmtree(old, ignore_errors=True)
+            if os.path.exists(live):
+                os.rename(live, old)
+            os.rename(tmp, live)
+            shutil.rmtree(old, ignore_errors=True)
         empty = self.spark.createDataFrame([], _EMPTY_TOMB)
         empty.write.mode("overwrite").parquet(self._tomb_dir)

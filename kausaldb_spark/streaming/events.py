@@ -106,7 +106,13 @@ def _session_fn(
     us_values = []
     for pdf in batches:
         us_values.extend(pdf["us"].tolist())
-    for us in sorted(us_values):
+    # Out-of-order arrival across micro-batches: rows below the watermark are
+    # dropped explicitly (the streaming contract); rows above it that land
+    # before the open session's start still merge (first_us tracks the min)
+    # or, if they can never merge (> gap before the open session), close
+    # immediately as their own session.
+    wm_us = state.getCurrentWatermarkMs() * 1000
+    for us in sorted(u for u in us_values if u >= wm_us):
         if first_us is None:
             session_idx += 1
             first_us, last_us, n_events = us, us, 1
@@ -114,8 +120,13 @@ def _session_fn(
             closed.append((user_id, session_idx, n_events, last_us - first_us, first_us))
             session_idx += 1
             first_us, last_us, n_events = us, us, 1
+        elif us < first_us - SESSION_GAP_US:
+            # late event from an earlier, already-gapped-out session
+            session_idx += 1
+            closed.append((user_id, session_idx, 1, 0, us))
         else:
-            last_us, n_events = us, n_events + 1
+            first_us = min(first_us, us)
+            last_us, n_events = max(last_us, us), n_events + 1
 
     if state.hasTimedOut:
         if first_us is not None:

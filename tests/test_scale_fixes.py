@@ -1,0 +1,161 @@
+"""Scale-hardening regressions (round 2): distributed pagination plan,
+driver-memory-free unlink, crash-safe compaction, strict store reads, and
+the empty-keyword guard."""
+
+import os
+import textwrap
+
+import pytest
+from pyspark.sql import functions as F
+
+from kausaldb_spark.engine import KausalEngine
+from kausaldb_spark.operators import filtering as flt
+from kausaldb_spark.operators import lookup as lk
+from kausaldb_spark.storage import BlockStore
+
+
+@pytest.fixture(scope="module")
+def tree(tmp_path_factory):
+    root = tmp_path_factory.mktemp("proj2")
+    (root / "lib.py").write_text(textwrap.dedent('''
+        def helper_function(x):
+            return x + 1
+
+        def main():
+            return helper_function(41)
+    '''))
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tree, tmp_path_factory):
+    store = str(tmp_path_factory.mktemp("store2"))
+    eng = KausalEngine(spark, store)
+    eng.link_codebase(tree, "proj")
+    return eng
+
+
+def test_pagination_plan_is_distributed_topk(spark):
+    """F5 pagination must compile to TakeOrderedAndProject (per-partition
+    heaps + bounded merge) — never a global unpartitioned Window that
+    funnels the whole match set through one task. Tested over a plain frame
+    so the only possible Window would be pagination's own (the MVCC view
+    legitimately uses a partitioned window for last-writer-wins)."""
+    blocks = spark.range(0, 10_000).selectExpr(
+        "cast(id as string) as id",
+        "id as sequence",
+        "concat('file://x/', id) as source_uri",
+        "'function' as unit_type",
+        "cast(id as string) as unit_id",
+        "'cb' as codebase",
+        "'f.py' as file_path",
+        "'{}' as metadata_json",
+        "concat('content ', id) as content",
+    ).repartition(8)
+    expr = flt.Expr.cond(flt.TARGET_CONTENT, "contains", "content")
+    df = flt.filtered_query(blocks, expr, offset=100, max_results=50)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+    got = [int(r["id"]) for r in df.collect()]
+    assert len(got) == 50 and got[0] == 100 and got[-1] == 149
+
+
+def test_pagination_offset_semantics(engine):
+    """offset/max_results slice the (sequence, id)-ordered match set."""
+    expr = flt.Expr.cond(flt.TARGET_CONTENT, "contains", "def")
+    full = [
+        (r["sequence"], r["id"])
+        for r in flt.filtered_query(engine.store.visible(), expr).select(
+            "sequence", "id"
+        ).collect()
+    ]
+    page = [
+        (r["sequence"], r["id"])
+        for r in flt.filtered_query(
+            engine.store.visible(), expr, offset=1, max_results=1
+        ).select("sequence", "id").collect()
+    ]
+    assert page == sorted(full)[1:2]
+
+
+def test_unlink_never_collects_id_list(spark, tree, tmp_path_factory, monkeypatch):
+    """Bulk unlink must go through the distributed tombstone path — the
+    driver-side delete_blocks(list) API must not be touched."""
+    store = str(tmp_path_factory.mktemp("store_unlink"))
+    eng = KausalEngine(spark, store)
+    eng.link_codebase(tree, "proj")
+
+    def boom(self, ids):
+        raise AssertionError("unlink_codebase collected a driver-side id list")
+
+    monkeypatch.setattr(BlockStore, "delete_blocks", boom)
+    n = eng.unlink_codebase("proj")
+    assert n > 0
+    assert eng.store.visible().where(F.col("codebase") == "proj").count() == 0
+    # resurrection still works: re-link claims sequences above the tombstones
+    eng.link_codebase(tree, "proj")
+    assert eng.store.visible().where(F.col("codebase") == "proj").count() == n
+
+
+def test_tombstone_where_predicate(spark, tree, tmp_path_factory):
+    store = str(tmp_path_factory.mktemp("store_tw"))
+    eng = KausalEngine(spark, store)
+    eng.link_codebase(tree, "proj")
+    before = eng.store.visible().count()
+    victims = eng.store.visible().where(F.col("unit_type") == "function").count()
+    assert victims > 0
+    eng.store.tombstone_where(F.col("unit_type") == "function")
+    after = eng.store.visible()
+    assert after.count() == before - victims
+    assert after.where(F.col("unit_type") == "function").count() == 0
+
+
+def test_compact_swaps_atomically_and_preserves_snapshot(spark, tree, tmp_path_factory):
+    store_path = str(tmp_path_factory.mktemp("store_compact"))
+    eng = KausalEngine(spark, store_path)
+    eng.link_codebase(tree, "proj")
+    eng.store.tombstone_where(F.col("unit_type") == "function")
+    want = sorted(r["id"] for r in eng.store.visible().select("id").collect())
+    eng.store.compact()
+    got = sorted(r["id"] for r in eng.store.visible().select("id").collect())
+    assert got == want
+    assert eng.store.tombstones().count() == 0
+    # no stray side directories after a clean compact
+    leftovers = [d for d in os.listdir(store_path) if ".compact-" in d]
+    assert leftovers == []
+
+
+def test_corrupt_store_raises_instead_of_reading_empty(spark, tmp_path_factory):
+    """A broken table must surface the error — silently reading empty would
+    reset sequences and let compact() erase the store."""
+    store_path = str(tmp_path_factory.mktemp("store_corrupt"))
+    blocks_dir = os.path.join(store_path, "blocks")
+    os.makedirs(blocks_dir)
+    with open(os.path.join(blocks_dir, "part-00000.parquet"), "w") as f:
+        f.write("this is not a parquet file")
+    store = BlockStore(spark, store_path)
+    with pytest.raises(Exception):
+        store.blocks_raw().count()
+    # a genuinely absent table still reads as empty
+    assert BlockStore(spark, str(tmp_path_factory.mktemp("fresh"))).blocks_raw().count() == 0
+
+
+def test_keyword_search_empty_query(engine):
+    out = lk.keyword_search(engine.store.visible(), "   ")
+    assert out.count() == 0
+    assert "score" in out.columns
+
+
+def test_link_reports_codebase_scoped_edge_count(spark, tree, tmp_path_factory):
+    """link_codebase must count only the linked codebase's edges, not the
+    whole store's."""
+    other = tmp_path_factory.mktemp("other")
+    (other / "a.py").write_text("def lonely():\n    return 1\n")
+    store = str(tmp_path_factory.mktemp("store_lc"))
+    eng = KausalEngine(spark, store)
+    first = eng.link_codebase(tree, "proj")
+    assert first["edges"] > 0
+    second = eng.link_codebase(str(other), "other")
+    # 'other' has no call edges; the old bug reported proj's edges here
+    assert second["edges"] == 0

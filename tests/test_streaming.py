@@ -103,6 +103,62 @@ def test_sessionize_stream_matches_batch(spark, event_chunks, tmp_path):
     assert not mismatches, f"session mismatches: {dict(list(mismatches.items())[:5])}"
 
 
+def test_sessionize_stream_out_of_order_chunks(spark, tmp_path):
+    """Cross-micro-batch reordering: a later chunk carries an event that
+    falls INSIDE the open session's span (above the watermark). Streaming
+    must still agree with batch sessionize — first_us tracks the min and
+    last_us the max, not arrival order."""
+    sec = 1_000_000  # us per second
+    B = 100_000 * sec  # keep event times well above epoch 0: Spark's late-row
+    # filter drops rows whose event time equals the (initial, zero) watermark
+    chunk0 = [(1, B + 0 * sec, 7, "view", 1.0), (2, B + 600 * sec, 7, "view", 1.0)]
+    # +300s arrives AFTER +600s but merges into the same session;
+    # +10_000s and +20_000s open (and close) later sessions + advance watermark
+    chunk1 = [
+        (3, B + 300 * sec, 7, "view", 1.0),
+        (4, B + 10_000 * sec, 7, "view", 1.0),
+        (5, B + 20_000 * sec, 7, "view", 1.0),
+    ]
+    d = os.path.join(str(tmp_path), "ooo_chunks")
+    os.makedirs(d)
+    schema = "event_id long, us long, user_id long, event_type string, value double"
+    for i, rows in enumerate((chunk0, chunk1)):
+        import glob
+        import shutil
+
+        stage = os.path.join(str(tmp_path), f"stage{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(stage)
+        shutil.copy(
+            glob.glob(os.path.join(stage, "part-*.parquet"))[0],
+            os.path.join(d, f"chunk_{i}.parquet"),
+        )
+
+    out = sev.sessionize_stream(sev.stream_events(spark, d, files_per_trigger=1))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_ooo")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ck_ooo"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        r["first_us"]: (r["n_events"], r["duration_us"])
+        for r in spark.sql("select * from sess_ooo").collect()
+    }
+    all_events = spark.createDataFrame(chunk0 + chunk1, schema)
+    want = {
+        r["first_us"]: (r["n_events"], r["duration_us"])
+        for r in ev.sessionize(all_events).collect()
+    }
+    # the reordered session MUST have been emitted and match batch exactly
+    assert B in got, f"merged session not emitted: {got}"
+    assert got[B] == want[B] == (3, 600 * sec)
+    for k, v in got.items():
+        assert want[k] == v, f"session {k}: stream {v} != batch {want[k]}"
+
+
 def test_incremental_ingest_exactly_once(spark, event_chunks, tmp_path):
     out_dir = os.path.join(str(tmp_path), "sink")
     ck = os.path.join(str(tmp_path), "ck3")
