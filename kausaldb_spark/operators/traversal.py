@@ -95,54 +95,63 @@ def orient(edges: DataFrame, direction: str, edge_filter: EdgeFilter = EdgeFilte
     raise ValueError(f"unknown direction {direction}")
 
 
-def _start_frame(edges_or_any: DataFrame, start_ids) -> DataFrame:
-    spark = edges_or_any.sparkSession
-    if isinstance(start_ids, DataFrame):
-        return start_ids.select(F.col(start_ids.columns[0]).alias("id")).distinct()
-    # JVM-side literal array — createDataFrame from a Python list pays a
-    # Python-worker round-trip (~1.5 s of latency per traversal)
-    ids = sorted(set(start_ids))
-    return spark.range(1).select(
-        F.explode(F.array(*[F.lit(s) for s in ids])).alias("id")
-    )
+def _ids_to_frame(spark, rows: list[tuple[str, int]]) -> DataFrame:
+    """DataFrame[id, depth] from driver-side (cap-bounded) rows. Arrow-backed
+    createDataFrame beats a literal-array build at every size — hundreds of
+    struct literals stall Catalyst analysis for seconds (measured)."""
+    if not rows:
+        return spark.range(0).select(
+            F.lit("").alias("id"), F.lit(0).cast("int").alias("depth")
+        )
+    return spark.createDataFrame(rows, "id string, depth int")
 
 
 def _bfs_on_adj(
-    adj: DataFrame, start: DataFrame, max_depth: int, max_results: int
+    adj: DataFrame, start, max_depth: int, max_results: int
 ) -> DataFrame:
-    """Level loop over a *materialized* adjacency. Every level's frontier is
-    localCheckpoint-ed lazily and materialized BY the count() — one fused
-    Spark job per level (an eager checkpoint followed by count() would be
-    two); per-level job latency, not data volume, dominates traversal time."""
-    frontier = start.withColumn("depth", F.lit(0).cast("int")).localCheckpoint(eager=False)
-    visited = frontier
-    n_visited = visited.count()
+    """Driver-coordinated level loop. The frontier and visited sets are both
+    hard-bounded by ``max_results`` (≤10k, the reference's own cap,
+    ``src/query/traversal.zig:227``) — small enough to live on the driver.
+    Each level is then ONE distributed job: filter the (arbitrarily large,
+    never-collected) adjacency to the frontier, distinct the successors, and
+    ordered-truncate to the remaining result budget. Only cap-bounded id
+    sets ever move to the driver; the edge table stays on the cluster.
+
+    Truncation semantics match the reference's visit-order cap: every level
+    before the overflowing one is complete, and the overflowing level keeps
+    the smallest ids (the deterministic (depth, id) order)."""
+    spark = adj.sparkSession
+    if isinstance(start, DataFrame):
+        start_ids = sorted({r[0] for r in start.select(start.columns[0]).collect()})
+    else:
+        start_ids = sorted(set(start))
+    visited: dict[str, int] = {i: 0 for i in start_ids[:max_results]}
+    frontier = list(visited)
 
     for d in range(1, max_depth + 1):
-        if n_visited >= max_results:
+        remaining = max_results - len(visited)
+        if remaining <= 0 or not frontier:
             break
-        # frontier and visited are bounded by max_results (≤10k) — broadcast
-        # both so the edge table never shuffles: the probe is a map-side
-        # broadcast join and the visited-check a broadcast anti-join.
-        nxt = (
-            F.broadcast(frontier).join(adj, frontier.id == adj.src)
-            .select(F.col("dst").alias("id"))
+        # at most len(visited) of the smallest collected ids can be stale,
+        # so this cap still guarantees `remaining` fresh ids when they exist
+        fetch_cap = len(visited) + remaining
+        rows = (
+            adj.where(F.col("src").isin(frontier))
+            .select("dst")
             .distinct()
-            .join(F.broadcast(visited.select("id")), "id", "left_anti")
-            .withColumn("depth", F.lit(d).cast("int"))
-            .localCheckpoint(eager=False)
+            .orderBy("dst")
+            .limit(fetch_cap)
+            .collect()
         )
-        cnt = nxt.count()
-        if cnt == 0:
+        new = [r[0] for r in rows if r[0] not in visited][:remaining]
+        if not new:
             break
-        # visited stays a lazy union of *checkpointed* levels: concatenating
-        # materialized RDDs costs nothing to recompute, and skipping the
-        # eager checkpoint here saves a full materialization job per level
-        visited = visited.unionByName(nxt)
-        frontier = nxt
-        n_visited += cnt
+        for i in new:
+            visited[i] = d
+        frontier = new
 
-    return visited.orderBy("depth", "id").limit(max_results)
+    out = sorted(visited.items(), key=lambda kv: (kv[1], kv[0]))
+    return _ids_to_frame(spark, out)
 
 
 def bfs(
@@ -163,7 +172,7 @@ def bfs(
     max_depth = min(max_depth, MAX_DEPTH_LIMIT)
     max_results = min(max_results, MAX_RESULTS_LIMIT)
     adj = orient(edges, direction, edge_filter)
-    return _bfs_on_adj(adj, _start_frame(edges, start_ids), max_depth, max_results)
+    return _bfs_on_adj(adj, start_ids, max_depth, max_results)
 
 
 def bfs_with_paths(
@@ -372,8 +381,7 @@ def topo_sort(
     """
     adj = orient(edges, direction, edge_filter)
     reach = _bfs_on_adj(
-        adj, _start_frame(edges, start_ids), min(max_depth, MAX_DEPTH_LIMIT),
-        MAX_RESULTS_LIMIT,
+        adj, start_ids, min(max_depth, MAX_DEPTH_LIMIT), MAX_RESULTS_LIMIT
     ).select("id")
     sub = (
         adj.join(reach.withColumnRenamed("id", "src"), "src", "left_semi")
