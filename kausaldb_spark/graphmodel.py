@@ -318,12 +318,19 @@ def graph(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         e = spark.sql(prefix + " SELECT * FROM edges")
         # Traversals never pass through deleted blocks (reference skips ids
         # whose MVCC read comes back empty) — pre-restrict the edge index to
-        # visible endpoints once and cache it. Built from the two persisted
-        # frames (a standalone SQL statement would re-derive everything).
+        # visible endpoints once and cache it. MVCC property: an id can only
+        # be invisible if it is tombstoned, so the restriction is two
+        # broadcast ANTI-joins against the tiny invisible set (tombstoned ids
+        # not resurrected) — the multi-million-row edge list never shuffles,
+        # unlike a semi-join against the full visible id set.
         ids = vis.select("id")
+        tomb_ids = tombstones(spark, sf_dir).select("block_id").distinct()
+        invisible = tomb_ids.join(
+            ids, tomb_ids.block_id == ids.id, "left_anti"
+        ).localCheckpoint(eager=False)
         e_vis = (
-            e.join(ids, e.src == ids.id, "left_semi")
-            .join(ids, e.dst == ids.id, "left_semi")
+            e.join(F.broadcast(invisible), e.src == invisible.block_id, "left_anti")
+            .join(F.broadcast(invisible), e.dst == invisible.block_id, "left_anti")
             .persist()
         )
         _cache[key] = {
@@ -345,13 +352,15 @@ def graph(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 # pre-registered DuckDB views over the same parquet files.
 # DUCK_CTES has no WITH keyword so traversal oracles can use WITH RECURSIVE.
 DUCK_CTES = """
-blocks_raw AS (
+blocks_base AS (
+  -- narrow per-version rows: the derived strings (source_uri, unit_id,
+  -- metadata_json) are attached AFTER the MVCC window so they never ride
+  -- the dedup shuffle/sort (~200 bytes/row saved on the wide exchange)
   -- customers v1
   SELECT md5('C' || c_custkey) AS id,
          1000000 + c_custkey AS sequence,
-         'file://tpch/customers/c' || (c_custkey % 100) || '.py#L1-9' AS source_uri,
          'type' AS unit_type,
-         'tpch/customers/c' || (c_custkey % 100) || '.py:Customer_' || c_custkey AS unit_id,
+         'Customer_' || c_custkey AS name,
          n_name AS codebase,
          'tpch/customers/c' || (c_custkey % 100) || '.py' AS file_path,
          c_name || ' ' || c_mktsegment || ' customer account' AS content
@@ -359,9 +368,8 @@ blocks_raw AS (
   UNION ALL
   -- customers v2 (custkey % 10 == 0)
   SELECT md5('C' || c_custkey), 6000000 + c_custkey,
-         'file://tpch/customers/c' || (c_custkey % 100) || '.py#L1-9',
          'type',
-         'tpch/customers/c' || (c_custkey % 100) || '.py:Customer_' || c_custkey,
+         'Customer_' || c_custkey,
          n_name,
          'tpch/customers/c' || (c_custkey % 100) || '.py',
          c_name || ' ' || c_mktsegment || ' customer account updated v2'
@@ -370,9 +378,8 @@ blocks_raw AS (
   UNION ALL
   -- customers v3 rewrite after tombstone (custkey % 14 == 0)
   SELECT md5('C' || c_custkey), 8000000 + c_custkey,
-         'file://tpch/customers/c' || (c_custkey % 100) || '.py#L1-9',
          'type',
-         'tpch/customers/c' || (c_custkey % 100) || '.py:Customer_' || c_custkey,
+         'Customer_' || c_custkey,
          n_name,
          'tpch/customers/c' || (c_custkey % 100) || '.py',
          c_name || ' ' || c_mktsegment || ' customer account restored v3'
@@ -381,9 +388,8 @@ blocks_raw AS (
   UNION ALL
   -- orders
   SELECT md5('O' || o_orderkey), 2000000 + o_orderkey,
-         'file://tpch/orders/o' || (o_orderkey % 100) || '.py#L1-9',
          'function',
-         'tpch/orders/o' || (o_orderkey % 100) || '.py:order_' || o_orderkey,
+         'order_' || o_orderkey,
          n_name,
          'tpch/orders/o' || (o_orderkey % 100) || '.py',
          'order ' || o_orderstatus || ' priority ' || o_orderpriority
@@ -397,9 +403,8 @@ blocks_raw AS (
                                 ORDER BY l_partkey, l_suppkey, l_quantity,
                                          l_extendedprice, l_discount, l_tax,
                                          l_returnflag, l_linestatus, l_shipdate),
-         'file://tpch/orders/o' || (l_orderkey % 100) || '.py#L1-9',
          'function',
-         'tpch/orders/o' || (l_orderkey % 100) || '.py:line_' || l_orderkey || '_' || l_linenumber,
+         'line_' || l_orderkey || '_' || l_linenumber,
          n_name,
          'tpch/orders/o' || (l_orderkey % 100) || '.py',
          p_name || ' qty ' || CAST(floor(l_quantity) AS BIGINT) || ' flag ' || l_returnflag || l_linestatus
@@ -409,9 +414,8 @@ blocks_raw AS (
   UNION ALL
   -- parts
   SELECT md5('P' || p_partkey), 4000000 + p_partkey,
-         'file://tpch/parts.py#L1-9',
          'const',
-         'tpch/parts.py:PART_' || p_partkey,
+         'PART_' || p_partkey,
          'catalog',
          'tpch/parts.py',
          p_name || ' ' || p_type || ' ' || p_brand
@@ -419,13 +423,20 @@ blocks_raw AS (
   UNION ALL
   -- suppliers
   SELECT md5('S' || s_suppkey), 5000000 + s_suppkey,
-         'file://tpch/suppliers.py#L1-9',
          'type',
-         'tpch/suppliers.py:Supplier_' || s_suppkey,
+         'Supplier_' || s_suppkey,
          n_name,
          'tpch/suppliers.py',
          s_name || ' supplier node'
   FROM supplier JOIN nation ON s_nationkey = n_nationkey
+),
+blocks_raw AS (
+  SELECT id, sequence,
+         'file://' || file_path || '#L1-9' AS source_uri,
+         unit_type,
+         file_path || ':' || name AS unit_id,
+         codebase, file_path, content
+  FROM blocks_base
 ),
 blocks_json AS (
   SELECT *,
@@ -442,12 +453,18 @@ tomb AS (
 latest AS (
   SELECT * FROM (
     SELECT *, row_number() OVER (PARTITION BY id ORDER BY sequence DESC) AS _rn
-    FROM blocks_json
+    FROM blocks_base
   ) WHERE _rn = 1
 ),
 vis AS (
-  SELECT l.id, l.sequence, l.source_uri, l.unit_type, l.unit_id, l.codebase,
-         l.file_path, l.metadata_json, l.content
+  SELECT l.id, l.sequence,
+         'file://' || l.file_path || '#L1-9' AS source_uri,
+         l.unit_type,
+         l.file_path || ':' || l.name AS unit_id,
+         l.codebase, l.file_path,
+         '{"unit_type":"' || l.unit_type || '","unit_id":"' || l.file_path || ':' || l.name ||
+         '","codebase":"' || l.codebase || '","file_path":"' || l.file_path || '"}' AS metadata_json,
+         l.content
   FROM latest l
   WHERE NOT EXISTS (
     SELECT 1 FROM tomb t WHERE t.block_id = l.id AND t.sequence > l.sequence

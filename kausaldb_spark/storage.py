@@ -162,11 +162,19 @@ class BlockStore:
         return visible_blocks(self.blocks_raw(), self.tombstones())
 
     def visible_edges(self) -> DataFrame:
+        """Edges with both endpoints visible. Endpoints existed at insert
+        time (append_edges enforces it), and in MVCC an id only becomes
+        invisible via a tombstone — so it suffices to ANTI-join against the
+        tombstoned-and-not-resurrected id set. That set is delete-rate-sized
+        (tiny), so both anti-joins broadcast and the edge table never
+        shuffles, at any store size."""
         ids = self.visible().select("id")
+        tomb_ids = self.tombstones().select("block_id").distinct()
+        invisible = tomb_ids.join(ids, tomb_ids.block_id == ids.id, "left_anti")
         e = self.edges()
-        return e.join(ids, e.src == ids.id, "left_semi").join(
-            ids, e.dst == ids.id, "left_semi"
-        )
+        return e.join(
+            F.broadcast(invisible), e.src == invisible.block_id, "left_anti"
+        ).join(F.broadcast(invisible), e.dst == invisible.block_id, "left_anti")
 
     # -- cluster-scale layout ----------------------------------------------
 
