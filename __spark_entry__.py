@@ -318,6 +318,10 @@ def _q_simhash_pairs(spark, sf_dir):
     return dd.simhash_exact_pairs(spark, sf_dir)
 
 
+def _q_simhash_band(spark, sf_dir):
+    return dd.simhash_band_pairs(spark, sf_dir)
+
+
 def _q_near_dup_clusters(spark, sf_dir):
     return dd.near_dup_clusters(spark, sf_dir)
 
@@ -545,6 +549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dup": _q_minhash_near_dup,
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash_pairs": _q_simhash_pairs,
+        "simhash_band": _q_simhash_band,
         "near_dup_clusters": _q_near_dup_clusters,
         "token_count_bpe": _q_token_count_bpe,
         "split_assignment": _q_split_assignment,
@@ -773,6 +778,7 @@ FROM documents""",
         "minhash_near_dup": oracles.minhash_sql(),
         "ngram_jaccard": oracles.ngram_jaccard_sql(),
         "simhash_pairs": oracles.simhash_pairs_sql(),
+        "simhash_band": oracles.simhash_band_sql(),
         "near_dup_clusters": oracles.near_dup_clusters_sql(),
         "token_count_bpe": r"""
 SELECT doc_id,

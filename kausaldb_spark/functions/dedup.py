@@ -28,11 +28,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kausaldb_spark.functions.text import shingles, simhash16, tokens
+from kausaldb_spark.functions.text import (
+    N_SIMHASH_BANDS,
+    shingles,
+    simhash16,
+    simhash64_bands,
+    tokens,
+)
 
 N_MINHASH = 8          # seeds
 BAND_SIZE = 2          # → 4 bands; P(candidate) = 1-(1-j^2)^4
 RARE_SHINGLE_DF = 20   # df-cut for the inverted-index candidate pass
+# LSH robustness: a band bucket holding more than this many docs is dropped
+# from candidate generation (the quadratic-within-bucket guard — same role
+# the df-cut plays for the inverted index). Mirrored in every oracle.
+MAX_LSH_BUCKET = 500
+MAX_SIMHASH_HAMMING = 3  # ≤3 bit flips over 64 bits ⇒ ≥1 of 4 bands equal
 
 EXACT_COPY_MOD = 50
 NEAR_COPY_MOD = 37
@@ -99,16 +110,33 @@ def minhash_signatures(sh: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
     )
 
 
-def lsh_candidates(sigs: DataFrame, band_size: int = BAND_SIZE) -> DataFrame:
+def capped_buckets(
+    bands: DataFrame, max_bucket_size: int, keys: tuple[str, ...] = ("band", "bucket")
+) -> tuple[DataFrame, DataFrame]:
+    """Split a (.., band, bucket) relation into (rows in buckets within the
+    cap, the dropped oversized buckets with their sizes). A degenerate
+    bucket — thousands of empty/boilerplate docs hashing alike — would
+    otherwise re-introduce the quadratic blowup LSH exists to avoid."""
+    counts = bands.groupBy(*keys).agg(F.count("*").alias("_bucket_n"))
+    ok = counts.where(F.col("_bucket_n") <= max_bucket_size).select(*keys)
+    dropped = counts.where(F.col("_bucket_n") > max_bucket_size)
+    return bands.join(ok, list(keys)), dropped
+
+
+def lsh_candidates(
+    sigs: DataFrame, band_size: int = BAND_SIZE, max_bucket_size: int = MAX_LSH_BUCKET
+) -> DataFrame:
     """Band the signature, bucket-hash each band, emit candidate pairs that
     share any (band, bucket) — the only join in the pipeline, and it is
-    per-bucket (never all-pairs)."""
+    per-bucket (never all-pairs). Buckets over ``max_bucket_size`` are
+    dropped before the self-join (quadratic guard)."""
     bands = (
         sigs.withColumn("band", (F.col("k") / band_size).cast("int"))
         .groupBy("doc_id", "band")
         .agg(F.md5(F.concat_ws("|", F.array_sort(F.collect_list("minh")))).alias("bucket"))
         .localCheckpoint(eager=True)  # self-joined below — avoid recomputing both sides
     )
+    bands, _dropped = capped_buckets(bands, max_bucket_size)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -193,12 +221,17 @@ def _wide_signature_buckets(
     )
 
 
-def minhash_pairs_for(corpus: DataFrame, num: int = 7, den: int = 10) -> DataFrame:
+def minhash_pairs_for(
+    corpus: DataFrame, num: int = 7, den: int = 10,
+    max_bucket_size: int = MAX_LSH_BUCKET,
+) -> DataFrame:
     """MinHash-LSH near-dup pairs over an arbitrary (doc_id, text) corpus:
-    shingles → signatures → banded candidates → Jaccard ≥ num/den verify."""
+    shingles → signatures → banded candidates (oversized buckets dropped) →
+    Jaccard ≥ num/den verify."""
     sh = doc_shingles(corpus).persist()
     try:
         bands = _wide_signature_buckets(sh)
+        bands, _dropped = capped_buckets(bands, max_bucket_size)
         a = bands.alias("a")
         b = bands.alias("b")
         cands = (
@@ -318,8 +351,8 @@ def near_dup_clusters(
 
 def simhash_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distance-0 SimHash pairs: identical 16-bit signatures. (Near-distance
-    banding would split the signature into chunks; distance-0 is the
-    groupBy-only special case.)"""
+    pairing over the full 64-bit signature is ``simhash_band_pairs``;
+    distance-0 on one band is the groupBy-only special case.)"""
     corpus = dedup_corpus(spark, sf_dir)
     sigs = corpus.select(
         "doc_id", simhash16(tokens(F.col("text"))).alias("sh")
@@ -330,4 +363,62 @@ def simhash_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "sh")
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", F.col("sh").alias("simhash"))
+    )
+
+
+def simhash_band_pairs(
+    spark: SparkSession, sf_dir: str,
+    max_hamming: int = MAX_SIMHASH_HAMMING,
+    max_bucket_size: int = MAX_LSH_BUCKET,
+) -> DataFrame:
+    """Near-distance SimHash pairs over the 64-bit signature: candidates are
+    pairs agreeing on at least one of the 4 salted 16-bit bands (pigeonhole:
+    hamming ≤ 3 ⇒ some band identical), verified by
+    bit_count(sig_a XOR sig_b) ≤ max_hamming.
+
+    Scale shape: 4 per-band equi-joins (each within 16-bit-value buckets,
+    with oversized buckets dropped), never an all-pairs comparison — the fix
+    for the 16-bit signature whose 65,536 buckets go quadratic at corpus
+    scale. Output (doc_a, doc_b, hamming)."""
+    corpus = dedup_corpus(spark, sf_dir)
+    tk = tokens(F.col("text"))
+    band_cols = simhash64_bands(tk)
+    all_bands = [f"b{b}" for b in range(N_SIMHASH_BANDS)]
+    sigs = corpus.select(
+        "doc_id", *[c.alias(n) for n, c in zip(all_bands, band_cols)]
+    ).localCheckpoint(eager=True)  # one signature pass feeds all 4 band joins
+
+    cands = None
+    for b in range(N_SIMHASH_BANDS):
+        col = f"b{b}"
+        banded, _dropped = capped_buckets(sigs, max_bucket_size, keys=(col,))
+        a = banded.select(
+            F.col(col).alias("_bv"), F.col("doc_id").alias("doc_a"),
+            *[F.col(n).alias(f"a_{n}") for n in all_bands],
+        )
+        bb = banded.select(
+            F.col(col).alias("_bv"), F.col("doc_id").alias("doc_b"),
+            *[F.col(n).alias(f"c_{n}") for n in all_bands],
+        )
+        p = (
+            a.join(bb, "_bv")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select(
+                "doc_a", "doc_b",
+                *[f"a_{n}" for n in all_bands], *[f"c_{n}" for n in all_bands],
+            )
+        )
+        cands = p if cands is None else cands.unionByName(p)
+
+    # hamming over the 64-bit signature = sum of per-band 16-bit hammings
+    # (no bigint packing: band 3 in bits 48-63 would overflow signed int64)
+    hamming = None
+    for n in all_bands:
+        h = F.bit_count(F.col(f"a_{n}").bitwiseXOR(F.col(f"c_{n}")))
+        hamming = h if hamming is None else hamming + h
+    return (
+        cands.distinct()
+        .withColumn("hamming", hamming.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
     )

@@ -197,13 +197,23 @@ def ivf_topk(
 def embedding_near_duplicates(
     embeddings: DataFrame, min_dot: int, n_bits: int = 8,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-similarity near-dup pairs: sign-LSH bucket join, then exact
-    quantized dot >= min_dot. Output (id_a, id_b, dot)."""
+    quantized dot >= min_dot. Output (id_a, id_b, dot).
+
+    ``max_bucket_size`` (default: dedup.MAX_LSH_BUCKET) drops degenerate
+    buckets — e.g. thousands of zero vectors landing in one sign bucket —
+    before the quadratic-within-bucket self-join."""
+    from kausaldb_spark.functions.dedup import MAX_LSH_BUCKET, capped_buckets
+
+    if max_bucket_size is None:
+        max_bucket_size = MAX_LSH_BUCKET
     with_bucket = embeddings.select(
         F.col(id_col).alias("id"), quantized(F.col(vec_col)).alias("qv"),
         sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
     )
+    with_bucket, _dropped = capped_buckets(with_bucket, max_bucket_size, keys=("bucket",))
     a = with_bucket.selectExpr("bucket", "id as id_a", "qv as qa")
     b = with_bucket.selectExpr("bucket", "id as id_b", "qv as qb")
     return (

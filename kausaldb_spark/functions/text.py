@@ -133,20 +133,25 @@ def quality_flag(cols: dict[str, Column]) -> Column:
 
 
 # ---------------------------------------------------------------------------
-# SimHash (16-bit, md5-nibble hash family)
+# SimHash (16-bit bands, md5-nibble hash family; 64-bit = 4 salted bands)
 # ---------------------------------------------------------------------------
 
-def simhash16(toks: Column) -> Column:
+N_SIMHASH_BANDS = 4  # 4 x 16-bit salted bands = a 64-bit signature
+
+
+def simhash16(toks: Column, salt: str = "") -> Column:
     """16-bit SimHash over tokens (with multiplicity). Bit j of a token's
-    hash = (hex nibble j of md5(token)) >= 8; document bit j = majority sign.
-    Pure column expr, bit-identical in DuckDB (same md5, same nibble test).
+    hash = (hex nibble j of md5(salt || token)) >= 8; document bit j =
+    majority sign. Pure column expr, bit-identical in DuckDB (same md5,
+    same nibble test). ``salt`` selects an independent hash family — the
+    64-bit signature is four salted 16-bit bands.
 
     Single-pass formulation: one md5 per token, accumulated into an array of
     16 signed sums (the naive 16-aggregates version hashes every token 16×
     — measured ~3× slower at sf0.1).
     """
     def step(acc, t):
-        h = F.md5(t)
+        h = F.md5(F.concat(F.lit(salt), t)) if salt else F.md5(t)
         contrib = F.transform(
             F.sequence(F.lit(0), F.lit(15)),
             lambda j: F.when(
@@ -163,6 +168,27 @@ def simhash16(toks: Column) -> Column:
         bit = F.when(F.element_at(sums, j + 1) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
         total = bit if total is None else total + bit
     return total.cast("int")
+
+
+def simhash64_bands(toks: Column) -> list[Column]:
+    """The four 16-bit bands of the 64-bit SimHash (band b uses the salted
+    family md5('b<b>:' || token)). Band-identical signatures are the LSH
+    candidate condition for hamming-distance pairing: two 64-bit signatures
+    within hamming distance 3 must agree on at least one of 4 bands
+    (pigeonhole)."""
+    return [simhash16(toks, salt=f"b{b}:") for b in range(N_SIMHASH_BANDS)]
+
+
+def simhash64(toks: Column) -> Column:
+    """64-bit SimHash signature as a bigint: band b occupies bits
+    [16b, 16b+15] (shiftleft wraps band 3 through the sign bit — the value
+    is an opaque 64-bit pattern, XOR/bit_count semantics are unaffected)."""
+    bands = simhash64_bands(toks)
+    total = None
+    for b, col in enumerate(bands):
+        part = F.shiftleft(col.cast("bigint"), 16 * b)
+        total = part if total is None else total.bitwiseOR(part)
+    return total.cast("bigint")
 
 
 # ---------------------------------------------------------------------------

@@ -13,10 +13,13 @@ from kausaldb_spark.functions.dedup import (
     DUCK_CORPUS,
     EXACT_COPY_MOD,
     EXACT_COPY_OFFSET,
+    MAX_LSH_BUCKET,
+    MAX_SIMHASH_HAMMING,
     NEAR_COPY_MOD,
     NEAR_COPY_OFFSET,
     RARE_SHINGLE_DF,
 )
+from kausaldb_spark.functions.text import N_SIMHASH_BANDS
 from kausaldb_spark.functions.text import LANG_STOPWORDS
 
 # tokenized corpus + distinct (doc, 3-shingle) relation
@@ -75,8 +78,11 @@ bands AS (
          md5(array_to_string(list_sort(list(minh)), '|')) AS bucket
   FROM sigs GROUP BY doc_id, k // {band}
 ),
+elig AS (SELECT band, bucket FROM bands GROUP BY band, bucket
+         HAVING count(*) <= {MAX_LSH_BUCKET}),
 cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM bands a JOIN bands b
+          FROM bands a JOIN elig e ON a.band = e.band AND a.bucket = e.bucket
+          JOIN bands b
             ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
 """
         + _VERIFY_CTES.format(num=num, den=den)
@@ -179,12 +185,13 @@ FROM curated GROUP BY 1"""
     )
 
 
-def _simhash_expr(tokens_col: str = "t") -> str:
+def _simhash_expr(tokens_col: str = "t", salt: str = "") -> str:
+    md5_arg = f"'{salt}' || tk" if salt else "tk"
     terms = []
     for j in range(16):
         terms.append(
             f"(CASE WHEN list_sum(list_transform({tokens_col}, tk -> CASE WHEN "
-            f"contains('89abcdef', substr(md5(tk), {j + 1}, 1)) THEN 1 ELSE -1 END)) >= 0 "
+            f"contains('89abcdef', substr(md5({md5_arg}), {j + 1}, 1)) THEN 1 ELSE -1 END)) >= 0 "
             f"THEN {1 << j} ELSE 0 END)"
         )
     return "CAST(" + " + ".join(terms) + " AS INT)"
@@ -199,6 +206,40 @@ tok AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM co
 sims AS (SELECT doc_id, {_simhash_expr()} AS sh FROM tok)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS simhash
 FROM sims a JOIN sims b ON a.sh = b.sh AND a.doc_id < b.doc_id"""
+    )
+
+
+def simhash_band_sql(
+    max_hamming: int = MAX_SIMHASH_HAMMING, max_bucket: int = MAX_LSH_BUCKET
+) -> str:
+    """64-bit banded SimHash oracle: 4 salted 16-bit bands, per-band
+    candidate union (bucket-capped), bit_count-verified hamming distance."""
+    band_cols = ", ".join(
+        f"{_simhash_expr(salt=f'b{b}:')} AS b{b}" for b in range(N_SIMHASH_BANDS)
+    )
+    # hamming = sum of per-band 16-bit hammings (same no-packing formulation
+    # as the Spark side — packing band 3 into bits 48-63 would overflow
+    # signed int64)
+    hamming = " + ".join(
+        f"bit_count(xor(sa.b{b}, sb.b{b}))" for b in range(N_SIMHASH_BANDS)
+    )
+    per_band = "\nUNION\n".join(
+        f"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sims a JOIN sims b ON a.b{b} = b.b{b} AND a.doc_id < b.doc_id
+    WHERE a.b{b} IN (SELECT b{b} FROM sims GROUP BY b{b} HAVING count(*) <= {max_bucket})"""
+        for b in range(N_SIMHASH_BANDS)
+    )
+    return (
+        "WITH "
+        + DUCK_CORPUS
+        + rf""",
+tok AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM corpus),
+sims AS (SELECT doc_id, {band_cols} FROM tok),
+cand AS ({per_band})
+SELECT c.doc_a, c.doc_b, CAST({hamming} AS INT) AS hamming
+FROM cand c JOIN sims sa ON sa.doc_id = c.doc_a
+            JOIN sims sb ON sb.doc_id = c.doc_b
+WHERE {hamming} <= {max_hamming}"""
     )
 
 
@@ -296,10 +337,12 @@ SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank, dot FROM ranked WHERE rn
 
 def embedding_near_dup_sql(min_dot: int, n_bits: int = 8) -> str:
     return f"""
-WITH e AS (SELECT vec_id, {_QUANT} AS v, {_sign_bucket_expr(n_bits)} AS bucket FROM embeddings)
+WITH e AS (SELECT vec_id, {_QUANT} AS v, {_sign_bucket_expr(n_bits)} AS bucket FROM embeddings),
+ec AS (SELECT e.* FROM e WHERE e.bucket IN
+       (SELECT bucket FROM e GROUP BY bucket HAVING count(*) <= {MAX_LSH_BUCKET}))
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        CAST(list_dot_product(a.v, b.v) AS BIGINT) AS dot
-FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+FROM ec a JOIN ec b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE list_dot_product(a.v, b.v) >= {min_dot}"""
 
 

@@ -1,0 +1,88 @@
+"""LSH robustness: degenerate corpora must not go quadratic (bucket caps),
+and the 64-bit banded SimHash must find near pairs the 16-bit exact join
+can only find at distance 0."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+from kausaldb_spark.functions import dedup as dd
+from kausaldb_spark.functions import similarity as sim
+from kausaldb_spark.functions.text import simhash64, tokens
+
+
+@pytest.fixture(scope="module")
+def degenerate_corpus(spark):
+    """600 identical docs + a handful of distinct ones — the pathological
+    bucket every LSH scheme must survive."""
+    same = spark.range(0, 600).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate text repeated in every document body").alias("text"),
+    )
+    distinct = spark.range(600, 610).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("unique document number "), F.col("id").cast("string"),
+                 F.lit(" with its own words entirely")).alias("text"),
+    )
+    return same.unionByName(distinct)
+
+
+def test_minhash_bucket_cap_bounds_degenerate_corpus(degenerate_corpus):
+    """With the cap, the 600-doc identical bucket is dropped: candidate
+    generation stays bounded instead of emitting ~180k pairs."""
+    capped = dd.minhash_pairs_for(degenerate_corpus, max_bucket_size=500)
+    assert capped.count() == 0
+    # a cap above the bucket size keeps the pairs (cap is the only change)
+    uncapped = dd.minhash_pairs_for(
+        degenerate_corpus.where(F.col("doc_id") < 20), max_bucket_size=10_000
+    )
+    assert uncapped.count() == 20 * 19 // 2
+
+
+def test_capped_buckets_surfaces_dropped(spark, degenerate_corpus):
+    sh = dd.doc_shingles(degenerate_corpus)
+    bands = dd._wide_signature_buckets(sh)
+    kept, dropped = dd.capped_buckets(bands, 500)
+    drops = dropped.collect()
+    assert len(drops) == 4  # all 4 bands of the identical docs overflow
+    assert all(r["_bucket_n"] == 600 for r in drops)
+    # kept rows exclude the oversized buckets entirely
+    assert kept.count() == bands.count() - 4 * 600
+
+
+def test_embedding_near_dup_bucket_cap(spark):
+    """500 identical embeddings in one sign bucket: capped join returns
+    nothing instead of 125k pairs."""
+    vec = F.array(*[F.lit(0.5)] * 8).cast("array<float>")
+    emb = spark.range(0, 500).select(F.col("id").alias("vec_id"), vec.alias("embedding"))
+    capped = sim.embedding_near_duplicates(emb, min_dot=0, max_bucket_size=100)
+    assert capped.count() == 0
+    small = sim.embedding_near_duplicates(emb.where(F.col("vec_id") < 10), min_dot=0,
+                                          max_bucket_size=100)
+    assert small.count() == 10 * 9 // 2
+
+
+def test_simhash_band_finds_near_misses(spark, tmp_path):
+    """A doc pair differing by one rare word is hamming-near but not
+    hamming-0: the banded 64-bit path must pair them, and the hamming it
+    reports must equal bit_count over the packed 64-bit signatures."""
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon " * 3)
+    rows = [(1, base), (2, base + " extraword"), (3, "another text entirely different")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    d = str(tmp_path / "docs")
+    docs.write.parquet(f"{d}/documents.parquet")
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dd.simhash_band_pairs(spark, d, max_hamming=8).collect()
+    }
+    # the planted near-miss pair must appear (small, possibly-nonzero distance)
+    assert (1, 2) in pairs, pairs
+    # cross-check the reported hamming against the packed bigint signature
+    sigs = {
+        r["doc_id"]: r["sig"]
+        for r in docs.select("doc_id", simhash64(tokens(F.col("text"))).alias("sig")).collect()
+    }
+    expect = bin((sigs[1] ^ sigs[2]) & (2**64 - 1)).count("1")
+    assert pairs[(1, 2)] == expect
