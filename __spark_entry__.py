@@ -871,5 +871,6 @@ rec AS (
 reached AS (SELECT DISTINCT id FROM rec)
 SELECT DISTINCT e.src, e.dst, e.edge_type
 FROM edges_vis e
-WHERE e.src IN (SELECT id FROM reached) AND e.dst IN (SELECT id FROM reached)""",
+WHERE e.src IN (SELECT id FROM reached) AND e.dst IN (SELECT id FROM reached)
+ORDER BY e.src, e.dst, e.edge_type LIMIT 10000""",
     }

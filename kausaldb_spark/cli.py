@@ -25,7 +25,8 @@ import sys
 
 from pyspark.sql import DataFrame
 
-MAX_RESPONSE_BLOCKS = 1000  # src/cli/protocol.zig:27-32
+MAX_RESPONSE_BLOCKS = 1000    # src/cli/protocol.zig:27-32
+MAX_RESPONSE_EDGES = 10_000   # src/cli/protocol.zig:27-32 (ShowResponse)
 
 
 def format_llm(rows) -> str:
@@ -45,7 +46,11 @@ def format_llm(rows) -> str:
 
 def emit(df: DataFrame, fmt: str, file=None) -> int:
     file = file or sys.stdout
-    rows = df.limit(MAX_RESPONSE_BLOCKS).collect()
+    # edge frames (src/dst rows) carry the ≤10000-edge ShowResponse cap;
+    # block frames the ≤1000-block cap
+    is_edges = {"src", "dst"} <= set(df.columns) and "id" not in df.columns
+    cap = MAX_RESPONSE_EDGES if is_edges else MAX_RESPONSE_BLOCKS
+    rows = df.limit(cap).collect()
     if fmt == "json":
         for r in rows:
             print(json.dumps(r.asDict(), default=str), file=file)

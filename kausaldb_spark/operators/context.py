@@ -27,6 +27,7 @@ MAX_RULES = 2
 MAX_RULE_DEPTH = 32
 MAX_RULE_NODES = 10_000
 MAX_EDGE_TYPES = 8
+MAX_RESPONSE_EDGES = 10_000  # src/cli/protocol.zig:27-32 (ShowResponse cap)
 
 # C3 static cost model (µs): anchors*10 + rules*depth*5; caps 1s / 100MB
 COST_PER_ANCHOR_US = 10
@@ -115,10 +116,13 @@ def resolve_anchors(blocks: DataFrame, q: ContextQuery) -> DataFrame:
 
 
 def execute_context_query(
-    blocks: DataFrame, edges: DataFrame, q: ContextQuery
+    blocks: DataFrame, edges: DataFrame, q: ContextQuery,
+    max_edges: int = MAX_RESPONSE_EDGES,
 ) -> dict[str, DataFrame]:
     """Phases 1-3. Returns {'blocks', 'edges'}: the context block set (with
-    min depth) workspace-filtered, and the edge subgraph among reached ids.
+    min depth) workspace-filtered, and the edge subgraph among reached ids —
+    capped at ``max_edges`` in deterministic (src, dst, edge_type) order
+    (the reference's ≤10000-edge ShowResponse cap).
     """
     q.admit()
     anchors = resolve_anchors(blocks, q).localCheckpoint(eager=True)
@@ -149,5 +153,6 @@ def execute_context_query(
         .select("src", "dst", "edge_type")
         .distinct()
         .orderBy("src", "dst", "edge_type")
+        .limit(max_edges)
     )
     return {"blocks": ctx_blocks, "edges": ctx_edges}

@@ -77,3 +77,41 @@ def test_rule_depth_validation():
             "w", anchors=(cx.Anchor("block_id", block_id="x"),),
             rules=(cx.TraversalRule(max_depth=33),),
         ).admit()
+
+
+def test_edge_response_cap_binds_deterministically(spark, g):
+    """ShowResponse ≤10000-edge cap (src/cli/protocol.zig:27-32): with a
+    small max_edges the edge frame truncates to the first rows of the
+    deterministic (src, dst, edge_type) order."""
+    ws = (
+        g["visible"].where(F.col("id") == _md5("S3")).select("codebase").collect()[0][0]
+    )
+    q = cx.ContextQuery(
+        workspace=ws,
+        anchors=(cx.Anchor("entity_name", unit_type="type", name="Supplier_3"),),
+        rules=(cx.TraversalRule(direction=tv.INCOMING, max_depth=2),),
+    )
+    full = cx.execute_context_query(g["visible"], g["edges_vis"], q)["edges"].collect()
+    assert len(full) > 5
+    capped = cx.execute_context_query(
+        g["visible"], g["edges_vis"], q, max_edges=5
+    )["edges"].collect()
+    key = lambda r: (r["src"], r["dst"], r["edge_type"])
+    assert [key(r) for r in capped] == sorted(key(r) for r in full)[:5]
+
+
+def test_cli_emit_edge_cap(spark):
+    from kausaldb_spark import cli
+
+    edges = spark.range(0, 50).selectExpr(
+        "cast(id as string) as src", "cast(id + 1 as string) as dst",
+        "'calls' as edge_type",
+    )
+    import io
+
+    buf = io.StringIO()
+    n = cli.emit(edges, "json", buf)
+    assert n == 50  # under the 10k edge cap, NOT truncated to the 1000-block cap shape
+    blocks = spark.range(0, 1500).selectExpr("cast(id as string) as id", "'x' as content")
+    buf2 = io.StringIO()
+    assert cli.emit(blocks, "json", buf2) == 1000  # block cap binds
