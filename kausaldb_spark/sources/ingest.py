@@ -22,8 +22,12 @@ key, bounding any one group by the codebase size.
 
 from __future__ import annotations
 
+import fnmatch
 import os
+import re
+import subprocess
 from collections.abc import Iterator
+from dataclasses import dataclass
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -36,8 +40,33 @@ from pyspark.sql.types import (
 )
 
 DEFAULT_EXTENSIONS = (".py",)
+ZIG_EXTENSIONS = (".zig",)
 TEXT_EXTENSIONS = (".md", ".txt", ".rst")
+CODE_EXTENSIONS = DEFAULT_EXTENSIONS + ZIG_EXTENSIONS
 MAX_FILE_SIZE = 1_048_576  # 1 MiB cap, mirrors ingest_directory.zig config
+
+
+@dataclass(frozen=True)
+class IngestConfig:
+    """File-discovery configuration — parity with the reference's
+    ``IngestionConfig`` (``src/ingestion/ingest_directory.zig:37-173``):
+    per-config extension set, include/exclude glob patterns over the
+    relative path, size cap, and git-aware listing (``git ls-files``
+    honors .gitignore like the reference's walker honors its excludes;
+    falls back to a plain directory walk outside a repo)."""
+
+    extensions: tuple[str, ...] = CODE_EXTENSIONS + TEXT_EXTENSIONS
+    include: tuple[str, ...] = ()  # glob patterns; empty = everything
+    exclude: tuple[str, ...] = ()  # e.g. ("vendor/*", "*_generated.py")
+    max_file_size: int = MAX_FILE_SIZE
+    prefer_git: bool = True
+
+    def admits(self, rel_path: str) -> bool:
+        if not rel_path.endswith(self.extensions):
+            return False
+        if self.include and not any(fnmatch.fnmatch(rel_path, p) for p in self.include):
+            return False
+        return not any(fnmatch.fnmatch(rel_path, p) for p in self.exclude)
 
 _UNIT_SCHEMA = StructType(
     [
@@ -62,26 +91,60 @@ _EDGE_SCHEMA = StructType(
 )
 
 
-def list_files(
-    root: str,
-    extensions: tuple[str, ...] = DEFAULT_EXTENSIONS + TEXT_EXTENSIONS,
-    max_size: int = MAX_FILE_SIZE,
-) -> list[tuple[str, str]]:
-    """(abs_path, rel_path) of ingestible files under root. Driver-side —
-    directory metadata, not data."""
+def _git_candidates(root: str) -> list[str] | None:
+    """Relative paths from ``git ls-files`` (tracked + untracked-unignored,
+    the reference walker's effective file set); None when root is not a
+    work tree or git is unavailable."""
+    try:
+        res = subprocess.run(
+            ["git", "-C", root, "ls-files", "--cached", "--others",
+             "--exclude-standard"],
+            capture_output=True, text=True, timeout=30,
+        )
+    except (OSError, subprocess.TimeoutExpired):
+        return None
+    if res.returncode != 0:
+        return None
+    return [p for p in res.stdout.splitlines() if p]
+
+
+def _walk_candidates(root: str) -> list[str]:
     out = []
     for dirpath, dirnames, filenames in os.walk(root):
         dirnames[:] = [d for d in dirnames if not d.startswith((".", "__pycache__"))]
         for fn in sorted(filenames):
-            if not fn.endswith(extensions):
+            out.append(os.path.relpath(os.path.join(dirpath, fn), root))
+    return out
+
+
+def list_files(
+    root: str,
+    extensions: tuple[str, ...] | None = None,
+    max_size: int | None = None,
+    config: IngestConfig | None = None,
+) -> list[tuple[str, str]]:
+    """(abs_path, rel_path) of ingestible files under root. Driver-side —
+    directory metadata, not data. ``config`` carries the discovery policy;
+    the ``extensions``/``max_size`` kwargs are a back-compat shorthand."""
+    if config is None:
+        config = IngestConfig(
+            extensions=extensions or IngestConfig.extensions,
+            max_file_size=max_size or MAX_FILE_SIZE,
+        )
+    candidates = _git_candidates(root) if config.prefer_git else None
+    if candidates is None:
+        candidates = _walk_candidates(root)
+    out = []
+    for rel in candidates:
+        if not config.admits(rel):
+            continue
+        ap = os.path.join(root, rel)
+        try:
+            if os.path.getsize(ap) > config.max_file_size:
                 continue
-            ap = os.path.join(dirpath, fn)
-            try:
-                if os.path.getsize(ap) > max_size:
-                    continue
-            except OSError:
-                continue
-            out.append((ap, os.path.relpath(ap, root)))
+        except OSError:
+            continue
+        out.append((ap, rel))
     return sorted(out, key=lambda x: x[1])
 
 
@@ -162,6 +225,196 @@ def _parse_python(rel_path: str, source: str) -> tuple[list, list]:
     return units, edges
 
 
+# -- Zig parser tier ---------------------------------------------------------
+# Line-heuristic extractor matching the unit taxonomy of the reference's AST
+# walker (src/ingestion/parsers/zig_parser.zig:80-134,317-440): units
+# function/type/const/var/import/test with Container.name qualification,
+# edges calls / calls_method / method_of / imports. tree-sitter is not in
+# the container, so structure comes from brace-depth scanning with strings
+# and comments stripped. Divergence from the reference (documented): local
+# const/var inside function bodies are not emitted as units (the reference
+# emits every var decl at any scope; file-level and container-level decls
+# are the useful surface).
+
+_Z_STR = re.compile(r'"(?:[^"\\]|\\.)*"')
+_Z_CHAR = re.compile(r"'(?:[^'\\]|\\.)*'")
+_Z_FN = re.compile(
+    r'^\s*(?:pub\s+)?(?:export\s+)?(?:extern\s+(?:"[^"]*"\s+)?)?(?:inline\s+|noinline\s+)?'
+    r"fn\s+([A-Za-z_]\w*)\s*\("
+)
+_Z_TYPE = re.compile(
+    r"^\s*(?:pub\s+)?const\s+([A-Za-z_]\w*)(?::[^=]+)?\s*=\s*"
+    r"(?:packed\s+|extern\s+)?(?:struct|enum(?:\s*\([^)]*\))?|union(?:\s*\([^)]*\))?|opaque)\s*\{"
+)
+_Z_IMPORT = re.compile(
+    r'^\s*(?:pub\s+)?const\s+([A-Za-z_]\w*)\s*=\s*@import\s*\(\s*"([^"]+)"'
+)
+_Z_CONST = re.compile(r"^\s*(?:pub\s+)?const\s+([A-Za-z_]\w*)")
+_Z_VAR = re.compile(r"^\s*(?:pub\s+)?var\s+([A-Za-z_]\w*)")
+_Z_TEST = re.compile(r'^\s*test\s+(?:"([^"]*)"|([A-Za-z_]\w*))?\s*\{')
+_Z_CALL = re.compile(r"(?<![\w@.])([A-Za-z_]\w*)\s*\(")
+_Z_METHOD = re.compile(r"\.([A-Za-z_]\w*)\s*\(")
+_Z_KEYWORDS = frozenset(
+    "if while for switch return break continue defer errdefer catch orelse try "
+    "and or fn struct enum union opaque unreachable test comptime inline "
+    "suspend resume await async asm align callconv linksection".split()
+)
+
+
+def _zig_structural(line: str) -> str:
+    """Line with string/char literals and comments removed — safe for brace
+    counting and call scanning."""
+    if line.lstrip().startswith("\\\\"):  # multiline string literal line
+        return ""
+    line = _Z_STR.sub('""', line)
+    line = _Z_CHAR.sub("''", line)
+    i = line.find("//")
+    return line[:i] if i >= 0 else line
+
+
+def _parse_zig(rel_path: str, source: str) -> tuple[list, list]:
+    """One Zig file → (units, syntactic edges), same tuple shapes as
+    ``_parse_python``."""
+    units, edges = [], []
+    lines = source.splitlines()
+    if not lines:
+        return [(rel_path, "document", os.path.basename(rel_path), "", 1, 1,
+                 source, None)], []
+    sl = [_zig_structural(ln) for ln in lines]
+    n = len(lines)
+    depth_before = []
+    d = 0
+    for s in sl:
+        depth_before.append(d)
+        d += s.count("{") - s.count("}")
+
+    def depth_after(i: int) -> int:
+        return depth_before[i] + sl[i].count("{") - sl[i].count("}")
+
+    def block_end(i: int) -> int:
+        """Last line of the decl starting at line i: the line where depth
+        returns to the decl's depth after a block opened, or the ';' line
+        for blockless decls."""
+        opened = False
+        for j in range(i, n):
+            opened = opened or "{" in sl[j]
+            if opened and depth_after(j) <= depth_before[i]:
+                return j
+            if not opened and ";" in sl[j]:
+                return j
+        return n - 1
+
+    # pass 1: containers, functions, tests (their extents gate pass 2)
+    containers: list[tuple[str, int, int]] = []  # (name, start, end)
+    fn_extents: list[tuple[int, int]] = []
+
+    def enclosing_container(i: int) -> str:
+        best = ""
+        for name, a, b in containers:
+            if a < i <= b:
+                best = name  # innermost wins (containers listed outer-first)
+        return best
+
+    for i in range(n):
+        m = _Z_TYPE.match(sl[i])
+        if m:
+            containers.append((m.group(1), i, block_end(i)))
+
+    for i in range(n):
+        m = _Z_FN.match(sl[i])
+        if m:
+            name = m.group(1)
+            end = block_end(i)
+            fn_extents.append((i, end))
+            container = enclosing_container(i)
+            qual = f"{container}.{name}" if container else name
+            content = "\n".join(lines[i : end + 1])
+            units.append((rel_path, "function", qual, container, i + 1, end + 1,
+                          content, None))
+            if container:
+                edges.append((rel_path, qual, container, "method_of"))
+            # calls inside the body (skip the decl line's own `fn name(`)
+            for j in range(i, end + 1):
+                body = sl[j]
+                for mm in _Z_METHOD.finditer(body):
+                    tgt = mm.group(1)
+                    if tgt not in _Z_KEYWORDS:
+                        edges.append((rel_path, qual, tgt, "calls_method"))
+                for mm in _Z_CALL.finditer(body):
+                    tgt = mm.group(1)
+                    before = body[: mm.start()]
+                    if re.search(r"\bfn\s*$", before):
+                        continue  # the decl itself (this or a nested fn)
+                    if tgt not in _Z_KEYWORDS and tgt != name:
+                        edges.append((rel_path, qual, tgt, "calls"))
+            continue
+        # raw line: the quoted test name would be blanked by the structural pass
+        m = _Z_TEST.match(lines[i]) if _Z_TEST.match(sl[i]) else None
+        if m:
+            tname = m.group(1) or m.group(2) or f"test_L{i + 1}"
+            end = block_end(i)
+            fn_extents.append((i, end))
+            safe = re.sub(r"\W+", "_", tname).strip("_") or f"test_L{i + 1}"
+            units.append((rel_path, "test", safe, "", i + 1, end + 1,
+                          "\n".join(lines[i : end + 1]), None))
+
+    def inside_fn(i: int) -> bool:
+        return any(a < i <= b or a == i for a, b in fn_extents)
+
+    # pass 2: imports / type units / const / var outside function bodies
+    for i in range(n):
+        if inside_fn(i):
+            continue
+        # raw line here: the structural pass blanks string literals, which
+        # would erase the @import("...") target
+        m = _Z_IMPORT.match(lines[i])
+        if m:
+            alias, target = m.group(1), m.group(2)
+            end = block_end(i)
+            container = enclosing_container(i)
+            qual = f"{container}.{alias}" if container else alias
+            units.append((rel_path, "import", qual, container, i + 1, end + 1,
+                          "\n".join(lines[i : end + 1]), None))
+            bare_target = os.path.basename(target)
+            bare_target = bare_target[:-4] if bare_target.endswith(".zig") else bare_target
+            edges.append((rel_path, qual, bare_target, "imports"))
+            continue
+        m = _Z_TYPE.match(sl[i])
+        if m:
+            name = m.group(1)
+            end = block_end(i)
+            container = enclosing_container(i)
+            qual = f"{container}.{name}" if container and container != name else name
+            units.append((rel_path, "type", qual, container, i + 1, end + 1,
+                          "\n".join(lines[i : end + 1]), None))
+            continue
+        for rx, ut in ((_Z_CONST, "const"), (_Z_VAR, "var")):
+            m = rx.match(sl[i])
+            if m:
+                name = m.group(1)
+                end = block_end(i)
+                container = enclosing_container(i)
+                qual = f"{container}.{name}" if container else name
+                units.append((rel_path, ut, qual, container, i + 1, end + 1,
+                              "\n".join(lines[i : end + 1]), None))
+                break
+
+    if not units:
+        units.append((rel_path, "document", os.path.basename(rel_path), "", 1,
+                      max(1, len(lines)), source, None))
+    return units, edges
+
+
+def _parse_source(rel_path: str, source: str) -> tuple[list, list]:
+    """Extension-dispatched parser tier (S8): Python ast, Zig heuristic."""
+    if rel_path.endswith(DEFAULT_EXTENSIONS):
+        return _parse_python(rel_path, source)
+    if rel_path.endswith(ZIG_EXTENSIONS):
+        return _parse_zig(rel_path, source)
+    return [(rel_path, "document", os.path.basename(rel_path), "", 1,
+             max(1, source.count("\n") + 1), source, None)], []
+
+
 def parse_files(
     spark: SparkSession, files: list[tuple[str, str]]
 ) -> tuple[DataFrame, DataFrame]:
@@ -183,26 +436,22 @@ def parse_files(
                     rows.append((rp, "document", os.path.basename(rp), "", 1, 1,
                                  "", f"read error: {exc}"))
                     continue
-                if rp.endswith(DEFAULT_EXTENSIONS):
-                    units, _ = _parse_python(rp, src)
-                    rows.extend(units)
-                else:
-                    rows.append((rp, "document", os.path.basename(rp), "", 1,
-                                 max(1, src.count("\n") + 1), src, None))
+                units, _ = _parse_source(rp, src)
+                rows.extend(units)
             yield pd.DataFrame(rows, columns=[f.name for f in _UNIT_SCHEMA.fields])
 
     def edge_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for ap, rp in zip(pdf["abs_path"], pdf["file_path"]):
-                if not rp.endswith(DEFAULT_EXTENSIONS):
+                if not rp.endswith(CODE_EXTENSIONS):
                     continue
                 try:
                     with open(ap, encoding="utf-8", errors="replace") as f:
                         src = f.read()
                 except OSError:
                     continue
-                _, edges = _parse_python(rp, src)
+                _, edges = _parse_source(rp, src)
                 rows.extend(edges)
             yield pd.DataFrame(rows, columns=[f.name for f in _EDGE_SCHEMA.fields])
 
@@ -226,11 +475,13 @@ def resolve_and_build(
     Unresolved edges are dropped (the reference drops edges whose endpoints
     don't exist, ``src/storage/engine.zig:1207-1217``).
 
-    Sequence assignment: base + file_idx*100_000 + row_number within the
+    Sequence assignment: base + file_idx*1_000_000 + row_number within the
     file. The per-file window keeps sequence generation fully parallel (a
     single global row_number would funnel every row through one partition);
     MVCC only needs sequences to be unique within a batch and monotone
-    *across* batches, which ``sequence_base`` provides.
+    *across* batches, which ``sequence_base`` provides. The stride cannot
+    collide: a MAX_FILE_SIZE (1 MiB) file yields < 1M units (every unit
+    spans at least one source line).
     """
     from pyspark.sql.window import Window
 
@@ -247,7 +498,7 @@ def resolve_and_build(
     in_file = F.row_number().over(
         Window.partitionBy("file_path").orderBy("line_start", "name")
     )
-    seq = F.lit(sequence_base) + F.col("file_idx") * 100_000 + in_file
+    seq = F.lit(sequence_base) + F.col("file_idx") * 1_000_000 + in_file
     err_json = F.when(
         F.col("parse_error").isNotNull(),
         F.concat(
@@ -325,10 +576,12 @@ def resolve_and_build(
 
 
 def ingest_directory(
-    spark: SparkSession, root: str, codebase: str, sequence_base: int = 0
+    spark: SparkSession, root: str, codebase: str, sequence_base: int = 0,
+    config: IngestConfig | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """S7 end-to-end: walk → parse → resolve → (blocks, edges)."""
-    files = list_files(root)
+    """S7 end-to-end: discover (git-aware, glob-configurable) → parse →
+    resolve → (blocks, edges)."""
+    files = list_files(root, config=config)
     units, raw_edges = parse_files(spark, files)
     file_index = spark.createDataFrame(
         [(i, rel) for i, (_, rel) in enumerate(files)], "file_idx long, file_path string"

@@ -115,3 +115,106 @@ def test_ingest_own_package(spark):
         for r in callers.where(F.col("depth") == 1).join(blocks, "id").collect()
     }
     assert "bfs" in caller_names  # bfs() calls orient()
+
+
+def test_zig_ingest_of_reference_query_dir(spark, tmp_path_factory):
+    """The engine must ingest the reference's own Zig sources
+    (zig_parser.zig taxonomy) and answer `show --relation callers` on a
+    known function with non-empty results."""
+    from kausaldb_spark.engine import KausalEngine
+
+    store = str(tmp_path_factory.mktemp("store_zig"))
+    eng = KausalEngine(spark, store)
+    info = eng.link_codebase("/root/reference/src/query", "refquery")
+    assert info["blocks"] > 100 and info["edges"] > 100
+
+    vis = eng.store.visible()
+    types = {r["unit_type"] for r in vis.select("unit_type").distinct().collect()}
+    assert {"function", "type", "const", "import", "test"} <= types
+
+    callers = eng.find_callers("refquery", "execute_traversal")
+    names = {r["unit_id"].split(":")[-1] for r in callers.collect()}
+    assert {"traverse_outgoing", "traverse_incoming"} <= names, names
+
+
+def test_zig_method_qualification_and_imports(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("zigproj")
+    (root / "a.zig").write_text(
+        'const std = @import("std");\n'
+        'const helper = @import("b.zig");\n'
+        "pub const Counter = struct {\n"
+        "    count: u32,\n"
+        "    pub fn increment(self: *Counter) void {\n"
+        "        self.count += 1;\n"
+        "        helper.log_event();\n"
+        "    }\n"
+        "};\n"
+        "pub fn main() void {\n"
+        "    var c = Counter{ .count = 0 };\n"
+        "    c.increment();\n"
+        "    bump_twice();\n"
+        "}\n"
+        "fn bump_twice() void {}\n"
+        'test "counter increments" {\n'
+        "    bump_twice();\n"
+        "}\n"
+    )
+    (root / "b.zig").write_text("pub fn log_event() void {}\n")
+    blocks, edges = ingest.ingest_directory(spark, str(root), "zp")
+    units = {r["unit_id"]: r["unit_type"] for r in blocks.collect()}
+    assert units["a.zig:Counter"] == "type"
+    assert units["a.zig:Counter.increment"] == "function"
+    assert units["a.zig:main"] == "function"
+    assert units["a.zig:std"] == "import"
+    assert units["b.zig:log_event"] == "function"
+    assert units["a.zig:counter_increments"] == "test"
+    # cross-file method call resolves via the global-unique symbol table
+    mains = blocks.where(F.col("unit_id") == "a.zig:main").collect()[0]["id"]
+    callees = tv.bfs(edges, [mains], tv.OUTGOING,
+                     tv.EdgeFilter.include("calls", "calls_method"), max_depth=1)
+    callee_names = {
+        r["unit_id"].split(":")[-1]
+        for r in callees.where(F.col("depth") == 1).join(blocks, "id").collect()
+    }
+    assert {"Counter.increment", "bump_twice"} <= callee_names, callee_names
+
+
+def test_discovery_exclude_patterns(spark, tmp_path_factory):
+    """File-discovery parity (ingest_directory.zig:37-173): an excluded
+    directory yields no blocks."""
+    root = tmp_path_factory.mktemp("exclproj")
+    (root / "app.py").write_text("def real():\n    return 1\n")
+    (root / "vendor").mkdir()
+    (root / "vendor" / "dep.py").write_text("def vendored():\n    return 2\n")
+    cfg = ingest.IngestConfig(exclude=("vendor/*",))
+    blocks, _ = ingest.ingest_directory(spark, str(root), "ex", config=cfg)
+    paths = {r["file_path"] for r in blocks.select("file_path").distinct().collect()}
+    assert paths == {"app.py"}
+    # include patterns narrow further
+    cfg2 = ingest.IngestConfig(include=("vendor/*",))
+    blocks2, _ = ingest.ingest_directory(spark, str(root), "ex2", config=cfg2)
+    paths2 = {r["file_path"] for r in blocks2.select("file_path").distinct().collect()}
+    assert paths2 == {"vendor/dep.py"}
+
+
+def test_discovery_git_ls_files(tmp_path_factory):
+    """In a git work tree, discovery honors .gitignore (tracked +
+    untracked-unignored, like the reference's exclude config)."""
+    import subprocess
+
+    root = str(tmp_path_factory.mktemp("gitproj"))
+    subprocess.run(["git", "init", "-q", root], check=True)
+    with open(os.path.join(root, "kept.py"), "w") as f:
+        f.write("def kept():\n    return 1\n")
+    os.makedirs(os.path.join(root, "build"))
+    with open(os.path.join(root, "build", "gen.py"), "w") as f:
+        f.write("def generated():\n    return 2\n")
+    with open(os.path.join(root, ".gitignore"), "w") as f:
+        f.write("build/\n")
+    files = ingest.list_files(root)
+    rels = [rel for _, rel in files]
+    assert "kept.py" in rels and "build/gen.py" not in rels
+    # prefer_git=False falls back to the plain walk (sees everything)
+    files2 = ingest.list_files(root, config=ingest.IngestConfig(prefer_git=False))
+    rels2 = [rel for _, rel in files2]
+    assert "build/gen.py" in rels2
