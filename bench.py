@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "near_dup_clusters",
     "ngram_jaccard",
     "simhash_pairs",
+    "simhash_band",
     "contamination",
     "token_count",
     "token_count_bpe",

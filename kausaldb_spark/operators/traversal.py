@@ -253,13 +253,13 @@ def weakly_connected_components(
     id and iterations are shuffle-free). Iteration count is the graph
     diameter, not the node count. This is a beyond-reference analytic
     (SURVEY.md §2.7 lists whole-graph ops as absent there)."""
-    und = orient(edges, BIDIRECTIONAL)
+    und = orient(edges, BIDIRECTIONAL).localCheckpoint(eager=False)
     labels = (
         und.select(F.col("src").alias("id"))
         .unionByName(und.select(F.col("dst").alias("id")))
         .distinct()
         .withColumn("component", F.col("id"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iterations):
         neighbor_min = (
@@ -275,16 +275,18 @@ def weakly_connected_components(
                     F.col("component"), F.coalesce(F.col("nbr_comp"), F.col("component"))
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        converged = (
+        # the convergence count doubles as the materializing action for the
+        # lazy checkpoint — one job per iteration, not three
+        n_changed = (
             updated.alias("u")
             .join(labels.alias("l"), "id")
             .where(F.col("u.component") != F.col("l.component"))
-            .isEmpty()
+            .count()
         )
         labels = updated
-        if converged:
+        if n_changed == 0:
             break
     return labels
 

@@ -209,13 +209,30 @@ FROM sims a JOIN sims b ON a.sh = b.sh AND a.doc_id < b.doc_id"""
     )
 
 
+def _simhash64_band_expr(b: int, tokens_col: str = "t") -> str:
+    """Band b of the one-md5-per-token 64-bit SimHash: signature bit
+    j = 16b + jb uses bit (j mod 2) of hex nibble (j div 2)."""
+    terms = []
+    for jb in range(16):
+        j = 16 * b + jb
+        pos, shift = j // 2 + 1, j % 2
+        v = f"(strpos('0123456789abcdef', substr(md5(tk), {pos}, 1)) - 1)"
+        bit = f"(({v} >> {shift}) & 1)"
+        terms.append(
+            f"(CASE WHEN list_sum(list_transform({tokens_col}, tk -> {bit} * 2 - 1)) >= 0 "
+            f"THEN {1 << jb} ELSE 0 END)"
+        )
+    return "CAST(" + " + ".join(terms) + " AS INT)"
+
+
 def simhash_band_sql(
     max_hamming: int = MAX_SIMHASH_HAMMING, max_bucket: int = MAX_LSH_BUCKET
 ) -> str:
-    """64-bit banded SimHash oracle: 4 salted 16-bit bands, per-band
-    candidate union (bucket-capped), bit_count-verified hamming distance."""
+    """64-bit banded SimHash oracle: 4 bands of the single-md5 signature,
+    per-band candidate union (bucket-capped), bit_count-verified hamming
+    distance."""
     band_cols = ", ".join(
-        f"{_simhash_expr(salt=f'b{b}:')} AS b{b}" for b in range(N_SIMHASH_BANDS)
+        f"{_simhash64_band_expr(b)} AS b{b}" for b in range(N_SIMHASH_BANDS)
     )
     # hamming = sum of per-band 16-bit hammings (same no-packing formulation
     # as the Spark side — packing band 3 into bits 48-63 would overflow
