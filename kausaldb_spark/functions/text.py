@@ -27,15 +27,18 @@ def tokens(text: Column) -> Column:
 
 def shingles(toks: Column, n: int = 3) -> Column:
     """Word n-grams as ' '-joined strings; empty array when fewer than n
-    tokens. (slice is 1-based; sequence guarded because sequence(0,-1)
-    would generate a descending range.)"""
+    tokens. Built by zipping n shifted slices of the token array — each
+    shingle costs one concat, where the transform-with-slice formulation
+    re-sliced the array per position (O(len²) per doc, measured dominating
+    the whole MinHash pipeline)."""
     t = toks
-    return F.when(F.size(t) < n, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), F.size(t) - n),
-            lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
+    m = F.greatest(F.size(t) - (n - 1), F.lit(0))
+    out = F.slice(t, 1, m)
+    for i in range(1, n):
+        out = F.zip_with(
+            out, F.slice(t, i + 1, m), lambda a, b: F.concat(a, F.lit(" "), b)
         )
-    )
+    return out
 
 
 # A GPT-2-flavored pre-tokenization pattern restricted to the regex subset
