@@ -115,15 +115,16 @@ FROM clusters"""
     )
 
 
-def ngram_jaccard_sql(num: int = 5, den: int = 10) -> str:
+def ngram_jaccard_sql(num: int = 5, den: int = 10, min_shared: int = 2) -> str:
     return (
         "WITH "
         + _TOK_SH
         + f""",
 rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {RARE_SHINGLE_DF}),
-cands AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+cands AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
           FROM sh x JOIN rare r ON x.shingle = r.shingle
-          JOIN sh y ON y.shingle = x.shingle AND x.doc_id < y.doc_id),
+          JOIN sh y ON y.shingle = x.shingle AND x.doc_id < y.doc_id
+          GROUP BY x.doc_id, y.doc_id HAVING count(*) >= {min_shared}),
 """
         + _VERIFY.format(num=num, den=den)
     )
