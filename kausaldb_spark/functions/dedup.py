@@ -343,11 +343,47 @@ def near_dup_clusters(
     """Dedup decision layer: MinHash pair graph → connected components →
     canonical selection (keep the min doc_id per cluster, drop the rest).
     Output (doc_id, cluster_id, is_canonical); singleton docs don't appear
-    (nothing to decide). Composes the LSH pipeline with the WCC analytic —
-    the end-to-end 'which documents do we keep' operator."""
+    (nothing to decide).
+
+    The verified pair set is orders of magnitude smaller than the corpus
+    (it IS the duplication rate), so up to a threshold the components come
+    from a driver-side union-find in one collect; a pathologically large
+    pair set falls back to the distributed WCC min-label analytic."""
+    pairs = minhash_near_duplicates(spark, sf_dir, num, den)
+    pair_cap = 500_000
+    rows = pairs.select("doc_a", "doc_b").limit(pair_cap + 1).collect()
+    if len(rows) <= pair_cap:
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in rows:
+            a, b = r["doc_a"], r["doc_b"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # min-id root so cluster_id = min doc_id of the component
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        out = sorted((doc, find(doc)) for doc in parent)
+        if not out:
+            return spark.range(0).selectExpr(
+                "cast(id as bigint) as doc_id",
+                "cast(id as bigint) as cluster_id",
+                "cast(id as int) as is_canonical",
+            )
+        return spark.createDataFrame(
+            [(d, c, int(d == c)) for d, c in out],
+            "doc_id bigint, cluster_id bigint, is_canonical int",
+        )
+
     from kausaldb_spark.operators.traversal import weakly_connected_components
 
-    pairs = minhash_near_duplicates(spark, sf_dir, num, den)
     e = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"),
         F.lit("near_dup").alias("edge_type"),
