@@ -405,15 +405,14 @@ def simhash_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairing over the full 64-bit signature is ``simhash_band_pairs``;
     distance-0 on one band is the groupBy-only special case.)"""
     corpus = dedup_corpus(spark, sf_dir)
-    # same explode+groupBy codegen formulation as _simhash64_signatures
-    # (bit j = md5 nibble j >= 8, i.e. simhash16's definition)
-    ex = corpus.select(
-        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
-    ).select("doc_id", F.md5(F.col("tok")).alias("h"))
+    # same explode+groupBy chunked-int formulation as _simhash64_signatures
+    # (bit j = md5 nibble j >= 8 — nibble bit 3 — i.e. simhash16's definition)
+    ex = (
+        corpus.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .select("doc_id", *_md5_chunk_cols(F.md5(F.col("tok"))))
+    )
     aggs = [
-        F.sum(
-            F.when(F.substring(F.col("h"), j + 1, 1).isin(*"89abcdef"), 1).otherwise(-1)
-        ).alias(f"s{j}")
+        F.sum(F.when(_md5_nibble_bit(j, 3) == 1, 1).otherwise(-1)).alias(f"s{j}")
         for j in range(16)
     ]
     sh_col = None
@@ -434,25 +433,45 @@ def simhash_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_HEX_BIT0 = tuple("13579bdf")  # hex digits with nibble bit 0 set
-_HEX_BIT1 = tuple("2367abef")  # hex digits with nibble bit 1 set
+# md5 hex (32 nibbles) parsed into 3 bigint chunks of 11/11/10 nibbles
+# (each < 16^11 = 2^44, safely inside int64)
+_MD5_CHUNKS = ((0, 11), (11, 11), (22, 10))
+
+
+def _md5_nibble_bit(k: int, b: int):
+    """Column: bit ``b`` of hex nibble ``k`` of the pre-parsed chunk columns
+    c0/c1/c2 — pure integer shift/mask, no per-row string work."""
+    for ci, (a, ln) in enumerate(_MD5_CHUNKS):
+        if a <= k < a + ln:
+            shift = 4 * (ln - 1 - (k - a)) + b
+            return F.shiftright(F.col(f"c{ci}"), shift).bitwiseAND(F.lit(1))
+    raise ValueError(f"nibble index {k} out of range")
+
+
+def _md5_chunk_cols(h):
+    return [
+        F.conv(F.substring(h, a + 1, ln), 16, 10).cast("bigint").alias(f"c{i}")
+        for i, (a, ln) in enumerate(_MD5_CHUNKS)
+    ]
 
 
 def _simhash64_signatures(corpus: DataFrame) -> DataFrame:
     """(doc_id, b0..b3): the 64-bit SimHash as 4 16-bit bands, via
     explode + one groupBy with 64 plain aggregate columns. Identical bit
     definition to ``text.simhash64_bands`` (bit j = bit (j%2) of md5 hex
-    nibble (j//2), majority sign over tokens) but 5-10x faster: column
-    aggregates stay inside whole-stage codegen with map-side partial
-    aggregation, where higher-order-function lambdas are interpreted
-    per array element."""
-    ex = corpus.select(
-        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
-    ).select("doc_id", F.md5(F.col("tok")).alias("h"))
+    nibble (j//2), majority sign over tokens) but far faster: the md5 is
+    parsed ONCE into 3 bigint chunks, each signature bit is an integer
+    shift/mask, and the aggregates stay inside whole-stage codegen with
+    map-side partial aggregation (higher-order-function lambdas are
+    interpreted per array element; per-bit substring+isin re-scans the
+    hex string 64 times)."""
+    ex = (
+        corpus.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .select("doc_id", *_md5_chunk_cols(F.md5(F.col("tok"))))
+    )
     aggs = []
     for j in range(64):
-        ch = F.substring(F.col("h"), j // 2 + 1, 1)
-        hit = ch.isin(*(_HEX_BIT0 if j % 2 == 0 else _HEX_BIT1))
+        hit = _md5_nibble_bit(j // 2, j % 2) == 1
         aggs.append(F.sum(F.when(hit, 1).otherwise(-1)).alias(f"s{j}"))
     sums = ex.groupBy("doc_id").agg(*aggs)
     band_cols = []
