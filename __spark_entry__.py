@@ -393,6 +393,34 @@ def _q_fingerprint(spark, sf_dir):
     )
 
 
+def _q_pii_scan(spark, sf_dir):
+    # PII scrub pre-pass: typed hit counts + hash of the redacted text
+    # (the hash keeps the gated output small while pinning the exact
+    # replacement behavior)
+    docs = _docs(spark, sf_dir)
+    counts = tx.pii_counts(F.col("text"))
+    return docs.select(
+        "doc_id",
+        *[c.alias(n) for n, c in counts.items()],
+        F.md5(tx.redact_pii(F.col("text"))).alias("redacted_hash"),
+    )
+
+
+def _q_repetition_score(spark, sf_dir):
+    # Gopher-style repetition signal: share of the most frequent word
+    # 2-gram (with multiplicity — no array_distinct here)
+    docs = _docs(spark, sf_dir)
+    grams = docs.select(
+        "doc_id", F.explode(tx.shingles(tx.tokens(F.col("text")), 2)).alias("gram")
+    )
+    per = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+    return per.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_2grams"),
+        F.max("c").cast("bigint").alias("top2_count"),
+        F.floor(F.max("c") * 100 / F.sum("c")).cast("bigint").alias("top2_frac_x100"),
+    )
+
+
 def _emb(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -560,6 +588,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "quality_score": _q_quality_score,
         "fingerprint": _q_fingerprint,
+        "pii_scan": _q_pii_scan,
+        "repetition_score": _q_repetition_score,
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,
         "embedding_near_dup": _q_embedding_near_dup,
@@ -821,6 +851,8 @@ FROM documents GROUP BY 1""",
         "lang_id": oracles.lang_id_sql(),
         "quality_score": oracles.quality_sql(),
         "fingerprint": oracles.fingerprint_sql(),
+        "pii_scan": oracles.pii_scan_sql(),
+        "repetition_score": oracles.repetition_sql(),
         "ann_topk": oracles.ann_topk_sql(ANN_QUERY_IDS),
         "ann_lsh": oracles.ann_lsh_sql(ANN_QUERY_IDS),
         "embedding_near_dup": oracles.embedding_near_dup_sql(EMB_NEAR_DUP_MIN_DOT),

@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "split_assignment",
     "lang_id",
     "quality_score",
+    "pii_scan",
+    "repetition_score",
     "ann_topk",
     "ann_lsh",
     "embedding_near_dup",

@@ -222,6 +222,40 @@ def simhash64(toks: Column) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# PII detection / redaction (regex subset identical in Java and RE2)
+# ---------------------------------------------------------------------------
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_URL = r"https?://[^\s]+"
+PII_PHONE = r"\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b"
+_PII_PATTERNS = (
+    ("emails", PII_EMAIL, "<EMAIL>"),
+    ("urls", PII_URL, "<URL>"),
+    ("phones", PII_PHONE, "<PHONE>"),
+)
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-document PII-ish hit counts (email/url/phone) — the scrubbing
+    pre-pass every training-data pipeline runs. Pure regexp_count column
+    exprs; the patterns stay in the Java∩RE2 regex subset so DuckDB counts
+    identically."""
+    return {
+        f"n_{name}": F.regexp_count(text, F.lit(pat)).cast("int")
+        for name, pat, _ in _PII_PATTERNS
+    }
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace detected PII spans with typed placeholders (applied in the
+    fixed email → url → phone order, so the output is deterministic)."""
+    out = text
+    for _name, pat, token in _PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # document fingerprinting (k-min sketch over shingles)
 # ---------------------------------------------------------------------------
 

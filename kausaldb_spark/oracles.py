@@ -301,6 +301,36 @@ SELECT *,
 FROM m"""
 
 
+def pii_scan_sql() -> str:
+    from kausaldb_spark.functions.text import PII_EMAIL, PII_PHONE, PII_URL
+
+    red = "text"
+    for pat, tok in ((PII_EMAIL, "<EMAIL>"), (PII_URL, "<URL>"), (PII_PHONE, "<PHONE>")):
+        red = f"regexp_replace({red}, '{pat}', '{tok}', 'g')"
+    return f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{PII_URL}')) AS INT) AS n_urls,
+       CAST(len(regexp_extract_all(text, '{PII_PHONE}')) AS INT) AS n_phones,
+       md5({red}) AS redacted_hash
+FROM documents"""
+
+
+def repetition_sql() -> str:
+    """Gopher-style repetition signal: most-frequent word 2-gram share."""
+    return r"""
+WITH tok AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+g AS (
+  SELECT doc_id, unnest(CASE WHEN len(t) < 2 THEN [] ELSE
+    list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1]) END) AS gram
+  FROM tok),
+per AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_2grams,
+       CAST(max(c) AS BIGINT) AS top2_count,
+       CAST(floor(max(c) * 100 / sum(c)) AS BIGINT) AS top2_frac_x100
+FROM per GROUP BY doc_id"""
+
+
 def fingerprint_sql(n: int = 5, k: int = 4) -> str:
     return rf"""
 WITH tok AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
