@@ -453,6 +453,10 @@ def _q_events_retention(spark, sf_dir):
     return ev.hourly_retention(ev.load_events(spark, sf_dir))
 
 
+def _q_events_asof(spark, sf_dir):
+    return ev.asof_join(ev.load_events(spark, sf_dir))
+
+
 def _context_q(workspace: str):
     from kausaldb_spark.operators import context as cx
 
@@ -597,6 +601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "events_topk_users": _q_events_topk_users,
         "events_retention": _q_events_retention,
+        "events_asof": _q_events_asof,
         "context_blocks": _q_context_blocks,
         "context_edges": _q_context_edges,
         "streaming_rollup": _q_streaming_rollup,
@@ -868,6 +873,7 @@ ranked AS (
   FROM counts)
 SELECT event_type, user_id, n_events, CAST(rnk AS INT) AS rank
 FROM ranked WHERE rnk <= 5""",
+        "events_asof": oracles.events_asof_sql(),
         "events_retention": """
 WITH hours AS (
   SELECT DISTINCT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_bucket, user_id

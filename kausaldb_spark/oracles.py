@@ -394,6 +394,29 @@ FROM ec a JOIN ec b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE list_dot_product(a.v, b.v) >= {min_dot}"""
 
 
+def events_asof_sql(left_type: str = "purchase", right_type: str = "view") -> str:
+    """Window twin of events.asof_join (same union-stream ordering, so the
+    tie-break — right-before-left at equal us, greatest event_id — is
+    identical)."""
+    return f"""
+WITH ev AS (SELECT event_id, epoch_us(ts) AS us, user_id, event_type FROM events
+            WHERE event_type IN ('{left_type}', '{right_type}')),
+u AS (SELECT event_id, us, user_id,
+             CAST(event_type = '{right_type}' AS INT) AS is_r FROM ev),
+carried AS (
+  SELECT *,
+         last_value(CASE WHEN is_r = 1 THEN us END IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY us, is_r DESC, event_id
+            ROWS UNBOUNDED PRECEDING) AS view_us,
+         last_value(CASE WHEN is_r = 1 THEN event_id END IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY us, is_r DESC, event_id
+            ROWS UNBOUNDED PRECEDING) AS view_id
+  FROM u)
+SELECT event_id AS purchase_id, user_id, us AS p_us, view_id, view_us,
+       CAST(us - view_us AS BIGINT) AS gap_us
+FROM carried WHERE is_r = 0"""
+
+
 def events_hourly_sql() -> str:
     return """
 SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_bucket, event_type,

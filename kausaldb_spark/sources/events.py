@@ -115,3 +115,47 @@ def sessionize(events: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
         (F.max("us") - F.min("us")).cast("bigint").alias("duration_us"),
         F.min("us").alias("first_us"),
     )
+
+
+def asof_join(
+    events: DataFrame,
+    left_type: str = "purchase",
+    right_type: str = "view",
+) -> DataFrame:
+    """Backward as-of join within the event stream: for every ``left_type``
+    event, the most recent ``right_type`` event of the same user at-or-before
+    it (the classic feature-at-event-time lookup Spark has no builtin for).
+
+    Formulation: union both sides into one stream, sort per user by
+    (us, right-before-left-on-ties, event_id), and carry the last-seen right
+    event forward with ``last(..., ignorenulls)`` — ONE shuffle by user and
+    one ordered pass, identical shape to sessionize. Ties (equal us) pick
+    the right event with the greatest event_id (deterministic).
+
+    Output: (purchase_id, user_id, p_us, view_id, view_us, gap_us);
+    view columns are NULL when no prior right event exists.
+    """
+    both = events.where(F.col("event_type").isin([left_type, right_type])).select(
+        "event_id", "us", "user_id",
+        (F.col("event_type") == right_type).cast("int").alias("is_r"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("us"), F.col("is_r").desc(), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r_us = F.last(F.when(F.col("is_r") == 1, F.col("us")), ignorenulls=True).over(w)
+    r_id = F.last(F.when(F.col("is_r") == 1, F.col("event_id")), ignorenulls=True).over(w)
+    return (
+        both.withColumn("view_us", r_us)
+        .withColumn("view_id", r_id)
+        .where(F.col("is_r") == 0)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("us").alias("p_us"),
+            "view_id",
+            "view_us",
+            (F.col("us") - F.col("view_us")).cast("bigint").alias("gap_us"),
+        )
+    )
