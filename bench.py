@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "embedding_near_dup",
     "events_hourly",
     "sessionize",
+    "events_asof",
 ]
 
 
