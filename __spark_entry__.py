@@ -240,6 +240,14 @@ def _q_bfs_depth5(spark, sf_dir):
     return tv.bfs(g["edges_vis"], [C42], tv.OUTGOING, max_depth=5).select("id", "depth")
 
 
+def _q_dfs_preorder(spark, sf_dir):
+    """True DFS visit order (rows-only gate: the visit sequence depends on
+    the evolving visited set — not SQL-expressible; order-determinism and
+    preorder laws are pytest-asserted instead)."""
+    g = gm.graph(spark, sf_dir)
+    return tv.dfs_preorder(g["edges_vis"], C42, tv.OUTGOING, max_depth=3)
+
+
 def _q_traversal_only_type(spark, sf_dir):
     g = gm.graph(spark, sf_dir)
     return tv.bfs(
@@ -569,6 +577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "callers_1hop": _q_callers_1hop,
         "bfs_depth3": _q_bfs_depth3,
         "bfs_depth5": _q_bfs_depth5,
+        "dfs_preorder": _q_dfs_preorder,
         "bfs_paths_depth3": _q_bfs_paths_depth3,
         "traversal_only_type": _q_traversal_only_type,
         "traversal_exclude": _q_traversal_exclude,

@@ -240,6 +240,72 @@ astar = bfs
 scc = bfs
 
 
+def dfs_preorder(
+    edges: DataFrame,
+    start_id: str,
+    direction: str = OUTGOING,
+    edge_filter: EdgeFilter = EdgeFilter.all(),
+    max_depth: int = 10,
+    max_results: int = MAX_RESULTS_LIMIT,
+) -> DataFrame:
+    """True depth-first *visit order* (T2 beyond the set-parity alias):
+    DataFrame[id, visit_order, depth], preorder, neighbors explored in
+    ascending id order (the deterministic stand-in for the reference's
+    insertion order — a parallel engine has no other stable choice).
+
+    Execution: the visited set is cap-bounded (≤10k), so the order is
+    computed driver-side over adjacency fetched level-by-level with the
+    same bounded one-job-per-level scans BFS uses — visit order is
+    inherently sequential; only the successor lookups are distributed.
+    Not SQL-expressible (the order depends on the evolving visited set),
+    so this is pytest-verified rather than oracle-gated.
+    """
+    if max_depth < 1:
+        raise ValueError("max_depth must be >= 1 (src/query/traversal.zig:242-247)")
+    max_depth = min(max_depth, MAX_DEPTH_LIMIT)
+    max_results = min(max_results, MAX_RESULTS_LIMIT)
+    adj = orient(edges, direction, edge_filter)
+    spark = edges.sparkSession
+
+    # Fetch successors of the whole BFS-reachable set up front (bounded by
+    # the cap) — one scan per level, then the DFS itself is pure driver work.
+    reach = _bfs_on_adj(adj, [start_id], max_depth, max_results)
+    ids = [r["id"] for r in reach.select("id").collect()]
+    succ_rows = (
+        adj.where(F.col("src").isin(ids))
+        .join(reach.select("id").withColumnRenamed("id", "dst"), "dst", "left_semi")
+        .select("src", "dst")
+        .distinct()
+        .collect()
+    )
+    succs: dict[str, list[str]] = {}
+    for r in succ_rows:
+        succs.setdefault(r["src"], []).append(r["dst"])
+    for v in succs:
+        succs[v].sort(reverse=True)  # stack pops smallest id first
+
+    visited: dict[str, tuple[int, int]] = {}  # id -> (visit_order, depth)
+    stack = [(start_id, 0)]
+    order = 0
+    while stack and order < max_results:
+        node, d = stack.pop()
+        if node in visited:
+            continue
+        visited[node] = (order, d)
+        order += 1
+        if d < max_depth:
+            for nxt in succs.get(node, ()):
+                if nxt not in visited:
+                    stack.append((nxt, d + 1))
+    rows = [(i, o, d) for i, (o, d) in visited.items()]
+    rows.sort(key=lambda r: r[1])
+    if not rows:
+        return spark.range(0).selectExpr(
+            "'' as id", "cast(0 as int) as visit_order", "cast(0 as int) as depth"
+        )
+    return spark.createDataFrame(rows, "id string, visit_order int, depth int")
+
+
 def weakly_connected_components(
     edges: DataFrame, max_iterations: int = 50
 ) -> DataFrame:

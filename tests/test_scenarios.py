@@ -145,3 +145,34 @@ def test_deep_chain_500(spark):
     got = tv.bfs(e, ["d0000"], max_depth=25)
     assert got.count() == 26
     assert _ids(got)[f"d0025"] == 25
+
+
+def test_dfs_preorder_visit_order(spark):
+    """True DFS preorder: smallest-id neighbor explored first, whole branch
+    before the next sibling."""
+    #      a -> b -> d
+    #      a -> c -> e
+    e = _edges(spark, [("a", "b"), ("a", "c"), ("b", "d"), ("c", "e")])
+    rows = tv.dfs_preorder(e, "a", max_depth=5).collect()
+    order = [r["id"] for r in sorted(rows, key=lambda r: r["visit_order"])]
+    assert order == ["a", "b", "d", "c", "e"]
+    depths = {r["id"]: r["depth"] for r in rows}
+    assert depths == {"a": 0, "b": 1, "d": 2, "c": 1, "e": 2}
+
+
+def test_dfs_preorder_cycle_and_depth_cap(spark):
+    e = _edges(spark, [("a", "b"), ("b", "a"), ("b", "c"), ("c", "d")])
+    rows = tv.dfs_preorder(e, "a", max_depth=2).collect()
+    got = {r["id"]: (r["visit_order"], r["depth"]) for r in rows}
+    # cycle terminates; d is beyond the depth cap
+    assert set(got) == {"a", "b", "c"}
+    assert [i for i, _ in sorted(got.items(), key=lambda kv: kv[1][0])] == ["a", "b", "c"]
+
+
+def test_dfs_preorder_set_matches_bfs_on_diamond(spark):
+    """On a graph where depth-limited DFS has no shadowing (all min-depth
+    paths are found first), the visited set equals BFS's reachable set."""
+    e = _edges(spark, [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "e")])
+    dfs_ids = {r["id"] for r in tv.dfs_preorder(e, "a", max_depth=5).collect()}
+    bfs_ids = set(_ids(tv.bfs(e, ["a"], max_depth=5)))
+    assert dfs_ids == bfs_ids
