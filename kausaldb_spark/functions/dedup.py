@@ -42,6 +42,9 @@ RARE_SHINGLE_DF = 20   # df-cut for the inverted-index candidate pass
 # the df-cut plays for the inverted index). Mirrored in every oracle.
 MAX_LSH_BUCKET = 500
 MAX_SIMHASH_HAMMING = 3  # ≤3 bit flips over 64 bits ⇒ ≥1 of 4 bands equal
+# near-dup clustering runs a driver-side union-find up to this many pairs
+# (one bounded collect); beyond it, the distributed WCC runs
+CLUSTER_COLLECT_PAIR_CAP = 500_000
 
 EXACT_COPY_MOD = 50
 NEAR_COPY_MOD = 37
@@ -350,7 +353,7 @@ def near_dup_clusters(
     from a driver-side union-find in one collect; a pathologically large
     pair set falls back to the distributed WCC min-label analytic."""
     pairs = minhash_near_duplicates(spark, sf_dir, num, den)
-    pair_cap = 500_000
+    pair_cap = CLUSTER_COLLECT_PAIR_CAP
     rows = pairs.select("doc_a", "doc_b").limit(pair_cap + 1).collect()
     if len(rows) <= pair_cap:
         parent: dict = {}

@@ -40,7 +40,9 @@ BIDIRECTIONAL = "bidirectional"
 MAX_DEPTH_LIMIT = 100      # src/query/traversal.zig:242-247
 MAX_RESULTS_LIMIT = 10_000  # src/query/traversal.zig:227
 MAX_PATHS = 100             # src/query/traversal.zig:1374
-_CHECKPOINT_EVERY = 3
+# topo peels driver-side up to this many subgraph edges (one bounded
+# collect); beyond it, the distributed peel runs
+TOPO_COLLECT_EDGE_CAP = 500_000
 
 
 @dataclass(frozen=True)
@@ -465,7 +467,7 @@ def topo_sort(
         .join(reach.withColumnRenamed("id", "dst"), "dst", "left_semi")
         .distinct()
     )
-    edge_cap = 500_000
+    edge_cap = TOPO_COLLECT_EDGE_CAP
     edge_rows = sub.limit(edge_cap + 1).collect()
     if len(edge_rows) <= edge_cap:
         nodes = {r["id"] for r in reach.collect()}
