@@ -416,14 +416,20 @@ def _parse_source(rel_path: str, source: str) -> tuple[list, list]:
 
 
 def parse_files(
-    spark: SparkSession, files: list[tuple[str, str]]
+    spark: SparkSession, files: list[tuple[str, str]] | DataFrame
 ) -> tuple[DataFrame, DataFrame]:
     """Distributed parse: (units_df, raw_edges_df). Each partition parses its
-    file subset inside one Python worker (Arrow-batched)."""
-    n_part = max(1, min(len(files), 32))
-    paths_df = spark.createDataFrame(
-        files, "abs_path string, file_path string"
-    ).repartition(n_part)
+    file subset inside one Python worker (Arrow-batched). ``files`` is a
+    driver-side (abs_path, rel_path) list for directory ingest, or a
+    DataFrame[abs_path, file_path] manifest for monorepo-scale ingest where
+    the listing itself is a table."""
+    if isinstance(files, DataFrame):
+        paths_df = files.select("abs_path", "file_path")
+    else:
+        n_part = max(1, min(len(files), 32))
+        paths_df = spark.createDataFrame(
+            files, "abs_path string, file_path string"
+        ).repartition(n_part)
 
     def parse_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -573,6 +579,28 @@ def resolve_and_build(
         .join(ids, edges.dst == ids.id, "left_semi")
     )
     return blocks, edges
+
+
+def ingest_manifest(
+    spark: SparkSession, manifest: DataFrame, codebase: str,
+    sequence_base: int = 0,
+) -> tuple[DataFrame, DataFrame]:
+    """Monorepo-scale ingest: the file listing is a DataFrame[abs_path,
+    file_path] (e.g. a build-system manifest table), never a driver list.
+    The per-file index for sequence assignment is a row_number over the
+    one-row-per-file manifest ordered by path — a narrow single pass over
+    file COUNT (not unit count), the only global ordering the pipeline
+    needs; parsing and resolution stay fully distributed."""
+    from pyspark.sql.window import Window
+
+    file_index = manifest.select("file_path").distinct().select(
+        "file_path",
+        (F.row_number().over(Window.orderBy("file_path")) - 1)
+        .cast("bigint")
+        .alias("file_idx"),
+    )
+    units, raw_edges = parse_files(spark, manifest)
+    return resolve_and_build(units, raw_edges, codebase, sequence_base, file_index)
 
 
 def ingest_directory(

@@ -218,3 +218,17 @@ def test_discovery_git_ls_files(tmp_path_factory):
     files2 = ingest.list_files(root, config=ingest.IngestConfig(prefer_git=False))
     rels2 = [rel for _, rel in files2]
     assert "build/gen.py" in rels2
+
+
+def test_ingest_manifest_matches_directory(spark, fixture_tree):
+    """Manifest-table ingest (listing as a DataFrame, no driver file list)
+    must produce the identical block/edge sets as directory ingest."""
+    files = ingest.list_files(fixture_tree)
+    b1, e1 = ingest.ingest_directory(spark, fixture_tree, "fix")
+    manifest = spark.createDataFrame(files, "abs_path string, file_path string")
+    b2, e2 = ingest.ingest_manifest(spark, manifest, "fix")
+    cols = ["id", "sequence", "unit_id", "content"]
+    s1 = {tuple(r) for r in b1.select(cols).collect()}
+    s2 = {tuple(r) for r in b2.select(cols).collect()}
+    assert s1 == s2
+    assert {tuple(r) for r in e1.collect()} == {tuple(r) for r in e2.collect()}
