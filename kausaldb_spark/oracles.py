@@ -412,8 +412,10 @@ carried AS (
            (PARTITION BY user_id ORDER BY us, is_r DESC, event_id
             ROWS UNBOUNDED PRECEDING) AS view_id
   FROM u)
-SELECT event_id AS purchase_id, user_id, us AS p_us, view_id, view_us,
-       CAST(us - view_us AS BIGINT) AS gap_us
+SELECT event_id AS purchase_id, user_id, us AS p_us,
+       CAST(coalesce(view_id, -1) AS BIGINT) AS view_id,
+       CAST(coalesce(view_us, -1) AS BIGINT) AS view_us,
+       CAST(coalesce(us - view_us, -1) AS BIGINT) AS gap_us
 FROM carried WHERE is_r = 0"""
 
 

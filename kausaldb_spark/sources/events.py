@@ -133,7 +133,9 @@ def asof_join(
     the right event with the greatest event_id (deterministic).
 
     Output: (purchase_id, user_id, p_us, view_id, view_us, gap_us);
-    view columns are NULL when no prior right event exists.
+    view columns are -1 when no prior right event exists (a sentinel keeps
+    the gated output integer-typed on every engine — NULL stringification
+    differs between comparison harnesses).
     """
     both = events.where(F.col("event_type").isin([left_type, right_type])).select(
         "event_id", "us", "user_id",
@@ -154,8 +156,10 @@ def asof_join(
             F.col("event_id").alias("purchase_id"),
             "user_id",
             F.col("us").alias("p_us"),
-            "view_id",
-            "view_us",
-            (F.col("us") - F.col("view_us")).cast("bigint").alias("gap_us"),
+            F.coalesce(F.col("view_id"), F.lit(-1)).cast("bigint").alias("view_id"),
+            F.coalesce(F.col("view_us"), F.lit(-1)).cast("bigint").alias("view_us"),
+            F.coalesce(F.col("us") - F.col("view_us"), F.lit(-1))
+            .cast("bigint")
+            .alias("gap_us"),
         )
     )
