@@ -386,6 +386,27 @@ def _q_lang_id(spark, sf_dir):
     return docs.select("doc_id", tx.lang_id(tx.tokens(F.col("text"))).alias("pred_lang"))
 
 
+def _q_stratified_sample(spark, sf_dir, per_class: int = 50):
+    """Deterministic per-class downsampling: cap each predicted language at
+    ``per_class`` docs, picked by md5 order (growth-stable like the split
+    assignment — a doc's selection only changes if its class shrinks).
+    Partitioned window → scales per class, never a global sort."""
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir)
+    labeled = docs.select(
+        "doc_id", tx.lang_id(tx.tokens(F.col("text"))).alias("pred_lang")
+    )
+    w = Window.partitionBy("pred_lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        labeled.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= per_class)
+        .select("doc_id", "pred_lang")
+    )
+
+
 def _q_quality_score(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     cols = tx.quality_columns(F.col("text"))
@@ -599,6 +620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_top20": _q_vocab_top20,
         "doc_length_histogram": _q_doc_length_histogram,
         "lang_id": _q_lang_id,
+        "stratified_sample": _q_stratified_sample,
         "quality_score": _q_quality_score,
         "fingerprint": _q_fingerprint,
         "pii_scan": _q_pii_scan,
@@ -863,6 +885,7 @@ SELECT CAST(len(string_split_regex(trim(lower(text)), '\s+')) // 10 AS INT) AS b
        CAST(count(*) AS BIGINT) AS n_docs
 FROM documents GROUP BY 1""",
         "lang_id": oracles.lang_id_sql(),
+        "stratified_sample": oracles.stratified_sample_sql(),
         "quality_score": oracles.quality_sql(),
         "fingerprint": oracles.fingerprint_sql(),
         "pii_scan": oracles.pii_scan_sql(),

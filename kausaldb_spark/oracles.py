@@ -283,6 +283,36 @@ scored AS (SELECT doc_id, """
     )
 
 
+def stratified_sample_sql(per_class: int = 50) -> str:
+    """lang_id labeling + per-class md5-ordered cap (same window spec as the
+    Spark side, so the kept set is identical)."""
+    scores = []
+    for lang, words in LANG_STOPWORDS.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        scores.append(f"len(list_filter(t, x -> x IN ({lst}))) AS s_{lang}")
+    order = list(LANG_STOPWORDS)
+    mx = "greatest(" + ", ".join(f"s_{la}" for la in order) + ")"
+    case = "CASE WHEN " + mx + " = 0 THEN 'und' "
+    for la in order:
+        case += f"WHEN s_{la} = {mx} THEN '{la}' "
+    case += "END"
+    return (
+        r"""
+WITH tok AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+scored AS (SELECT doc_id, """
+        + ", ".join(scores)
+        + f"""
+ FROM tok),
+labeled AS (SELECT doc_id, {case} AS pred_lang FROM scored),
+ranked AS (
+  SELECT doc_id, pred_lang,
+         row_number() OVER (PARTITION BY pred_lang
+                            ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS rnk
+  FROM labeled)
+SELECT doc_id, pred_lang FROM ranked WHERE rnk <= {per_class}"""
+    )
+
+
 def quality_sql() -> str:
     return r"""
 WITH tok AS (SELECT doc_id, text, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
