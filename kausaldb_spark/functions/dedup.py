@@ -120,11 +120,18 @@ def capped_buckets(
     """Split a (.., band, bucket) relation into (rows in buckets within the
     cap, the dropped oversized buckets with their sizes). A degenerate
     bucket — thousands of empty/boilerplate docs hashing alike — would
-    otherwise re-introduce the quadratic blowup LSH exists to avoid."""
+    otherwise re-introduce the quadratic blowup LSH exists to avoid.
+
+    Join shape: the *dropped* set is pathology-sized (usually empty — a
+    bucket only lands there when > max_bucket_size rows collide), so the
+    filter is a broadcast anti-join against it. The ok-set formulation
+    (inner join against nearly-all buckets) costs a full extra shuffle of
+    the bucketed relation; the anti-join is plan-side free when no bucket
+    is degenerate."""
     counts = bands.groupBy(*keys).agg(F.count("*").alias("_bucket_n"))
-    ok = counts.where(F.col("_bucket_n") <= max_bucket_size).select(*keys)
     dropped = counts.where(F.col("_bucket_n") > max_bucket_size)
-    return bands.join(ok, list(keys)), dropped
+    kept = bands.join(F.broadcast(dropped.select(*keys)), list(keys), "left_anti")
+    return kept, dropped
 
 
 def lsh_candidates(

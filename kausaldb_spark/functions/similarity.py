@@ -199,13 +199,21 @@ def embedding_near_duplicates(
     id_col: str = "vec_id", vec_col: str = "embedding",
     max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Embedding-similarity near-dup pairs: sign-LSH bucket join, then exact
-    quantized dot >= min_dot. Output (id_a, id_b, dot).
+    """Embedding-similarity near-dup pairs: sign-LSH bucketing, then exact
+    quantized dot >= min_dot within each bucket. Output (id_a, id_b, dot).
 
-    ``max_bucket_size`` (default: dedup.MAX_LSH_BUCKET) drops degenerate
-    buckets — e.g. thousands of zero vectors landing in one sign bucket —
-    before the quadratic-within-bucket self-join."""
-    from kausaldb_spark.functions.dedup import MAX_LSH_BUCKET, capped_buckets
+    Shape: ONE shuffle (by bucket). The degenerate-bucket guard
+    (``max_bucket_size``, default dedup.MAX_LSH_BUCKET — e.g. thousands of
+    zero vectors landing in one sign bucket) is a window count over that
+    same shuffle: WindowExec buffers per-group with disk spill, so an
+    oversized bucket is filtered out *before* ``collect_list`` ever
+    materializes it, keeping every in-memory pair array ≤ cap rows. Pair
+    generation is then a per-bucket array self-product (higher-order
+    transform, JVM-side) — the r2 formulation (separate count pass +
+    bucket-filter join + bucket self-join) cost two extra jobs that
+    dominated wall-clock at small corpus sizes and an extra full shuffle at
+    large ones."""
+    from kausaldb_spark.functions.dedup import MAX_LSH_BUCKET
 
     if max_bucket_size is None:
         max_bucket_size = MAX_LSH_BUCKET
@@ -213,12 +221,36 @@ def embedding_near_duplicates(
         F.col(id_col).alias("id"), quantized(F.col(vec_col)).alias("qv"),
         sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
     )
-    with_bucket, _dropped = capped_buckets(with_bucket, max_bucket_size, keys=("bucket",))
-    a = with_bucket.selectExpr("bucket", "id as id_a", "qv as qa")
-    b = with_bucket.selectExpr("bucket", "id as id_b", "qv as qb")
+    wn = Window.partitionBy("bucket")
+    capped = (
+        with_bucket.withColumn("_n", F.count("*").over(wn))
+        .where(F.col("_n") <= max_bucket_size)
+    )
+    grouped = capped.groupBy("bucket").agg(
+        F.collect_list(F.struct("id", "qv")).alias("xs")
+    )
+    pairs = grouped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "xs",
+                    lambda x, i: F.transform(
+                        F.slice(F.col("xs"), i + F.lit(2), F.size(F.col("xs"))),
+                        lambda y: F.struct(
+                            x["id"].alias("ia"),
+                            y["id"].alias("ib"),
+                            int_dot(x["qv"], y["qv"]).alias("dot"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
     return (
-        a.join(b, "bucket")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", int_dot(F.col("qa"), F.col("qb")).alias("dot"))
+        pairs.select(
+            F.least("p.ia", "p.ib").alias("id_a"),
+            F.greatest("p.ia", "p.ib").alias("id_b"),
+            F.col("p.dot").alias("dot"),
+        )
         .where(F.col("dot") >= min_dot)
     )
