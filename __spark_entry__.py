@@ -86,15 +86,14 @@ def _ids_range(spark, prefix: str, n: int):
 
 
 def _q_batch_lookup_100(spark, sf_dir):
+    # S6 batch lookup over 100 ids + N4 existence count over 150 ids in one
+    # gate (the count frame is a single row — broadcast cross join)
     g = gm.graph(spark, sf_dir)
-    return lk.find_blocks_batched(g["visible"], _ids_range(spark, "C", 100)).select(
+    batch = lk.find_blocks_batched(g["visible"], _ids_range(spark, "C", 100)).select(
         "id", "sequence", "unit_id", "content"
     )
-
-
-def _q_count_existing(spark, sf_dir):
-    g = gm.graph(spark, sf_dir)
-    return lk.block_exists_count(g["visible"], _ids_range(spark, "C", 150))
+    cnt = lk.block_exists_count(g["visible"], _ids_range(spark, "C", 150))
+    return batch.crossJoin(F.broadcast(cnt))
 
 
 def _q_filter_metadata_eq(spark, sf_dir):
@@ -127,12 +126,21 @@ def _q_filter_pagination(spark, sf_dir):
     )
 
 
-def _q_filter_content_length(spark, sf_dir):
+def _q_filter_targets(spark, sf_dir):
+    # F1 target coverage in one gate: content_length range + source_uri
+    # starts_with on one branch, source_uri prefix + content ends_with on
+    # the other (r2's filter_content_length and filter_starts_ends, OR-ed)
     g = gm.graph(spark, sf_dir)
-    expr = flt.Expr.and_(
-        flt.Expr.cond(flt.TARGET_CONTENT_LENGTH, "gte", "40"),
-        flt.Expr.cond(flt.TARGET_CONTENT_LENGTH, "lte", "60"),
-        flt.Expr.cond(flt.TARGET_SOURCE_URI, "starts_with", "file://tpch/customers"),
+    expr = flt.Expr.or_(
+        flt.Expr.and_(
+            flt.Expr.cond(flt.TARGET_CONTENT_LENGTH, "gte", "40"),
+            flt.Expr.cond(flt.TARGET_CONTENT_LENGTH, "lte", "60"),
+            flt.Expr.cond(flt.TARGET_SOURCE_URI, "starts_with", "file://tpch/customers"),
+        ),
+        flt.Expr.and_(
+            flt.Expr.cond(flt.TARGET_SOURCE_URI, "starts_with", "file://tpch/orders/o7"),
+            flt.Expr.cond(flt.TARGET_CONTENT, "ends_with", "O"),
+        ),
     )
     return flt.filtered_query(g["visible"], expr).select("id", "sequence")
 
@@ -146,15 +154,6 @@ def _q_filter_numeric_lexical(spark, sf_dir):
         flt.Expr.cond(flt.TARGET_SOURCE_URI, "gt", "file://tpch/sup"),
     )
     return flt.filtered_query(g["visible"], expr).select("id", "sequence", "source_uri")
-
-
-def _q_filter_starts_ends(spark, sf_dir):
-    g = gm.graph(spark, sf_dir)
-    expr = flt.Expr.and_(
-        flt.Expr.cond(flt.TARGET_SOURCE_URI, "starts_with", "file://tpch/orders/o7"),
-        flt.Expr.cond(flt.TARGET_CONTENT, "ends_with", "O"),
-    )
-    return flt.filtered_query(g["visible"], expr).select("id", "content")
 
 
 def _q_iterate_all(spark, sf_dir):
@@ -187,19 +186,16 @@ def _anchor_workspace(g) -> str:
     return g["visible"].where(F.col("id") == S3).select("codebase").collect()[0][0]
 
 
-def _q_find_by_name_alias(spark, sf_dir):
-    # CLI 'struct' alias resolves to storage 'type'
+def _q_find_alias_and_path(spark, sf_dir):
+    # N1 CLI 'struct'→'type' alias lookup + N2 file-path lookup, one gate
     g = gm.graph(spark, sf_dir)
-    return lk.find_by_name(g["visible"], _anchor_workspace(g), "struct", "Supplier_3").select(
-        "id", "unit_id", "codebase"
+    alias_q = lk.find_by_name(
+        g["visible"], _anchor_workspace(g), "struct", "Supplier_3"
+    ).select(F.lit("alias").alias("kind"), "id", "unit_id")
+    path_q = lk.find_by_file_path(g["visible"], "catalog", "tpch/parts.py").select(
+        F.lit("path").alias("kind"), "id", "unit_id"
     )
-
-
-def _q_find_by_file_path(spark, sf_dir):
-    g = gm.graph(spark, sf_dir)
-    return lk.find_by_file_path(g["visible"], "catalog", "tpch/parts.py").select(
-        "id", "sequence", "unit_id"
-    )
+    return alias_q.unionByName(path_q)
 
 
 def _q_keyword_search(spark, sf_dir):
@@ -228,11 +224,26 @@ def _q_bfs_depth3(spark, sf_dir):
     return tv.bfs(g["edges_vis"], [C42], tv.OUTGOING, max_depth=3).select("id", "depth")
 
 
-def _q_bfs_paths_depth3(spark, sf_dir):
+def _q_path_enumeration(spark, sf_dir):
+    # T1-with-paths (min-lex shortest path per reached block) + T7
+    # all-simple-paths-to-target, one gate with a kind column
     g = gm.graph(spark, sf_dir)
-    return tv.bfs_with_paths(g["edges_vis"], C42, tv.OUTGOING, max_depth=3).select(
-        "id", "depth", "path"
+    bp = tv.bfs_with_paths(g["edges_vis"], C42, tv.OUTGOING, max_depth=3).select(
+        F.lit("bfs").alias("kind"), "path", "depth"
     )
+    t = gm.load_tables(spark, sf_dir, ("orders", "lineitem"))
+    target = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("o_custkey") == 42)
+        .select(F.md5(F.concat(F.lit("P"), F.col("l_partkey").cast("string"))).alias("p"))
+        .agg(F.min("p"))
+        .collect()[0][0]
+    )
+    pb = tv.find_paths_between(g["edges_vis"], C42, target, max_depth=3).select(
+        F.lit("pb").alias("kind"), "path", "depth"
+    )
+    return bp.unionByName(pb)
 
 
 def _q_bfs_depth5(spark, sf_dir):
@@ -248,19 +259,17 @@ def _q_dfs_preorder(spark, sf_dir):
     return tv.dfs_preorder(g["edges_vis"], C42, tv.OUTGOING, max_depth=3)
 
 
-def _q_traversal_only_type(spark, sf_dir):
+def _q_traversal_edge_filters(spark, sf_dir):
+    # only_type and exclude_types edge-filter modes in one gate
     g = gm.graph(spark, sf_dir)
-    return tv.bfs(
+    only = tv.bfs(
         g["edges_vis"], [C42], tv.OUTGOING, tv.EdgeFilter.only("depends_on"), max_depth=2
-    ).select("id", "depth")
-
-
-def _q_traversal_exclude(spark, sf_dir):
-    g = gm.graph(spark, sf_dir)
-    return tv.bfs(
+    ).select(F.lit("only").alias("kind"), "id", "depth")
+    excl = tv.bfs(
         g["edges_vis"], [C42], tv.OUTGOING,
         tv.EdgeFilter.exclude("defined_in", "calls"), max_depth=3,
-    ).select("id", "depth")
+    ).select(F.lit("exclude").alias("kind"), "id", "depth")
+    return only.unionByName(excl)
 
 
 def _q_traversal_incoming(spark, sf_dir):
@@ -284,18 +293,27 @@ def _q_topo_sort(spark, sf_dir):
     ).select("id", "layer")
 
 
-def _q_paths_between(spark, sf_dir):
+def _q_store_roundtrip(spark, sf_dir):
+    """Gate the BlockStore write+read path itself (not just the in-session
+    graph derivation): append the visible snapshot + edges into a fresh
+    parquet store, read it back through the MVCC snapshot view with a
+    partition-pruned workspace filter, and carry the visible-edge count.
+    Hash-equal to the same oracle the in-session path answers."""
+    import tempfile
+
+    from kausaldb_spark.storage import BlockStore
+
     g = gm.graph(spark, sf_dir)
-    t = gm.load_tables(spark, sf_dir, ("orders", "lineitem"))
-    target = (
-        t["lineitem"]
-        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .where(F.col("o_custkey") == 42)
-        .select(F.md5(F.concat(F.lit("P"), F.col("l_partkey").cast("string"))).alias("p"))
-        .agg(F.min("p"))
-        .collect()[0][0]
+    store = BlockStore(spark, tempfile.mkdtemp(prefix="kdb_store_rt_"))
+    store.append_blocks(g["visible"], resequence=False)
+    store.append_edges(g["edges_vis"])
+    n_edges = store.visible_edges().agg(F.count("*").alias("n_edges"))
+    return (
+        store.visible()
+        .where(F.col("codebase") == "catalog")
+        .select("id", "sequence", "unit_id")
+        .crossJoin(F.broadcast(n_edges))
     )
-    return tv.find_paths_between(g["edges_vis"], C42, target, max_depth=3)
 
 
 def _q_exact_dedup(spark, sf_dir):
@@ -358,27 +376,27 @@ def _q_corpus_curation(spark, sf_dir):
     return curate(spark, sf_dir)
 
 
-def _q_vocab_top20(spark, sf_dir):
-    # corpus vocabulary: top-20 whitespace tokens by frequency (explode +
-    # count + deterministic top-k) — the "what's in my data" staple
+def _q_corpus_stats(spark, sf_dir):
+    # corpus shape in one gate: top-20 vocabulary tokens by frequency +
+    # token-count histogram in buckets of 10 ("what's in my data" staples)
     docs = _docs(spark, sf_dir)
-    return (
+    vocab = (
         docs.select(F.explode(tx.tokens(F.col("text"))).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("n"))
         .orderBy(F.col("n").desc(), "token")
         .limit(20)
+        .select(F.lit("tok").alias("kind"), F.col("token").alias("key"), "n")
     )
-
-
-def _q_doc_length_histogram(spark, sf_dir):
-    # token-count histogram in buckets of 10 — corpus shape at a glance
-    docs = _docs(spark, sf_dir)
-    return (
+    hist = (
         docs.select((F.size(tx.tokens(F.col("text"))) / 10).cast("int").alias("bucket"))
         .groupBy("bucket")
-        .agg(F.count("*").alias("n_docs"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("len").alias("kind"), F.col("bucket").cast("string").alias("key"), "n"
+        )
     )
+    return vocab.unionByName(hist)
 
 
 def _q_lang_id(spark, sf_dir):
@@ -578,34 +596,43 @@ def _q_streaming_sessionize(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Exactly 50 oracle-gated queries first (the driver's correctness
+    harness samples the first 50 in dict order), then the rows-only entries
+    (dfs_preorder + the two streaming ops — not SQL-expressible; their
+    behavior is pytest-asserted in tests/)."""
     return {
+        # -- previously outside the driver sample: gate these first --
         "snapshot_view": _q_snapshot_view,
+        "events_asof": _q_events_asof,
+        "context_blocks": _q_context_blocks,
+        "context_edges": _q_context_edges,
+        "sessionize": _q_sessionize,
+        "events_topk_users": _q_events_topk_users,
+        "events_retention": _q_events_retention,
+        "store_roundtrip": _q_store_roundtrip,
+        # -- lookups / filters --
         "point_lookup": _q_point_lookup,
         "batch_lookup_100": _q_batch_lookup_100,
-        "count_existing": _q_count_existing,
         "filter_metadata_eq": _q_filter_metadata_eq,
         "filter_compound": _q_filter_compound,
         "filter_pagination": _q_filter_pagination,
-        "filter_content_length": _q_filter_content_length,
+        "filter_targets": _q_filter_targets,
         "filter_numeric_lexical": _q_filter_numeric_lexical,
-        "filter_starts_ends": _q_filter_starts_ends,
         "iterate_all": _q_iterate_all,
         "edge_ordering": _q_edge_ordering,
         "find_by_name": _q_find_by_name,
-        "find_by_name_alias": _q_find_by_name_alias,
-        "find_by_file_path": _q_find_by_file_path,
+        "find_alias_and_path": _q_find_alias_and_path,
         "keyword_search": _q_keyword_search,
+        # -- traversals --
         "callers_1hop": _q_callers_1hop,
         "bfs_depth3": _q_bfs_depth3,
         "bfs_depth5": _q_bfs_depth5,
-        "dfs_preorder": _q_dfs_preorder,
-        "bfs_paths_depth3": _q_bfs_paths_depth3,
-        "traversal_only_type": _q_traversal_only_type,
-        "traversal_exclude": _q_traversal_exclude,
+        "path_enumeration": _q_path_enumeration,
+        "traversal_edge_filters": _q_traversal_edge_filters,
         "traversal_incoming": _q_traversal_incoming,
         "bidirectional": _q_bidirectional,
         "topo_sort": _q_topo_sort,
-        "paths_between": _q_paths_between,
+        # -- dedup / text / similarity pipeline --
         "exact_dedup": _q_exact_dedup,
         "token_count": _q_token_count,
         "minhash_near_dup": _q_minhash_near_dup,
@@ -617,8 +644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assignment": _q_split_assignment,
         "contamination": _q_contamination,
         "corpus_curation": _q_corpus_curation,
-        "vocab_top20": _q_vocab_top20,
-        "doc_length_histogram": _q_doc_length_histogram,
+        "corpus_stats": _q_corpus_stats,
         "lang_id": _q_lang_id,
         "stratified_sample": _q_stratified_sample,
         "quality_score": _q_quality_score,
@@ -629,12 +655,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": _q_ann_lsh,
         "embedding_near_dup": _q_embedding_near_dup,
         "events_hourly": _q_events_hourly,
-        "sessionize": _q_sessionize,
-        "events_topk_users": _q_events_topk_users,
-        "events_retention": _q_events_retention,
-        "events_asof": _q_events_asof,
-        "context_blocks": _q_context_blocks,
-        "context_edges": _q_context_edges,
+        # -- rows-only tail (position > 50: no driver row, pytest-gated) --
+        "dfs_preorder": _q_dfs_preorder,
         "streaming_rollup": _q_streaming_rollup,
         "streaming_sessionize": _q_streaming_sessionize,
     }
@@ -672,11 +694,16 @@ def oracle_sql() -> dict[str, str]:
         "point_lookup": _P
         + "SELECT id, sequence, codebase, content FROM vis WHERE id = md5('C1')",
         "batch_lookup_100": _P
-        + """SELECT id, sequence, unit_id, content FROM vis
+        + """SELECT id, sequence, unit_id, content,
+                    (SELECT CAST(count(*) AS BIGINT) FROM vis
+                     WHERE id IN (SELECT md5('C' || range) FROM range(0, 150)))
+                      AS n_existing
+             FROM vis
              WHERE id IN (SELECT md5('C' || range) FROM range(0, 100))""",
-        "count_existing": _P
-        + """SELECT CAST(count(*) AS BIGINT) AS n_existing FROM vis
-             WHERE id IN (SELECT md5('C' || range) FROM range(0, 150))""",
+        "store_roundtrip": _P
+        + """SELECT v.id, v.sequence, v.unit_id,
+                    (SELECT CAST(count(*) AS BIGINT) FROM edges_vis) AS n_edges
+             FROM vis v WHERE v.codebase = 'catalog'""",
         # every filtered_query twin carries the reference's ≤10000 cap in
         # deterministic (sequence, id) order — the cap binds at sf >= 0.1
         "filter_metadata_eq": _P
@@ -696,18 +723,15 @@ def oracle_sql() -> dict[str, str]:
                FROM vis
                WHERE json_extract_string(metadata_json, '$.unit_type') = 'function'
              ) WHERE rn > 100 AND rn <= 150""",
-        "filter_content_length": _P
+        "filter_targets": _P
         + """SELECT id, sequence FROM vis
-             WHERE length(content) >= 40 AND length(content) <= 60
-               AND source_uri LIKE 'file://tpch/customers%'
+             WHERE (length(content) >= 40 AND length(content) <= 60
+                    AND source_uri LIKE 'file://tpch/customers%')
+                OR (source_uri LIKE 'file://tpch/orders/o7%' AND content LIKE '%O')
              ORDER BY sequence, id LIMIT 10000""",
         "filter_numeric_lexical": _P
         + """SELECT id, sequence, source_uri FROM vis
              WHERE sequence = 8000042 OR source_uri > 'file://tpch/sup'
-             ORDER BY sequence, id LIMIT 10000""",
-        "filter_starts_ends": _P
-        + """SELECT id, content FROM vis
-             WHERE source_uri LIKE 'file://tpch/orders/o7%' AND content LIKE '%O'
              ORDER BY sequence, id LIMIT 10000""",
         "iterate_all": _P
         + """SELECT unit_type, CAST(count(*) AS BIGINT) AS n_blocks,
@@ -719,15 +743,16 @@ def oracle_sql() -> dict[str, str]:
         + """SELECT id, unit_id, content FROM vis
              WHERE codebase = 'catalog' AND unit_type = 'const'
                AND string_split(unit_id, ':')[-1] = 'PART_42'""",
-        "find_by_name_alias": _P
-        + """SELECT id, unit_id, codebase FROM vis
+        "find_alias_and_path": _P
+        + """SELECT 'alias' AS kind, id, unit_id FROM vis
              WHERE codebase = (SELECT codebase FROM vis WHERE id = md5('S3'))
                AND unit_type = 'type'
-               AND string_split(unit_id, ':')[-1] = 'Supplier_3'""",
-        "find_by_file_path": _P
-        + """SELECT id, sequence, unit_id FROM vis
-             WHERE codebase = 'catalog' AND file_path = 'tpch/parts.py'
-             ORDER BY sequence, id LIMIT 1000""",
+               AND string_split(unit_id, ':')[-1] = 'Supplier_3'
+             UNION ALL
+             SELECT 'path' AS kind, id, unit_id FROM (
+               SELECT id, unit_id FROM vis
+               WHERE codebase = 'catalog' AND file_path = 'tpch/parts.py'
+               ORDER BY sequence, id LIMIT 1000)""",
         "keyword_search": _P
         + """SELECT id,
                     CAST(content LIKE '%cold%' AS INT) + CAST(content LIKE '%widget%' AS INT)
@@ -744,31 +769,70 @@ def oracle_sql() -> dict[str, str]:
                AND v.codebase = (SELECT codebase FROM vis WHERE id = md5('S3'))""",
         "bfs_depth3": _bfs_oracle("md5('C42')", 3),
         "bfs_depth5": _bfs_oracle("md5('C42')", 5),
-        # min-lex shortest path per reached block: enumerate simple paths to
-        # max_depth, keep (min depth, then min path) per id — every prefix of
-        # a shortest path is itself shortest, so this equals the level-DP the
-        # Spark impl runs
-        "bfs_paths_depth3": _PR
+        # path_enumeration kind='bfs': min-lex shortest path per reached
+        # block — enumerate simple paths to max_depth, keep (min depth, then
+        # min path) per id; every prefix of a shortest path is itself
+        # shortest, so this equals the level-DP the Spark impl runs.
+        # kind='pb': all simple paths to the target, shortest first, ≤100.
+        "path_enumeration": _PR
         + ", adj AS (SELECT DISTINCT src, dst FROM edges_vis)"
         + """,
-rec AS (
+rec_bp AS (
   SELECT md5('C42') AS id, 0 AS depth, md5('C42') AS path
   UNION
   SELECT a.dst, r.depth + 1, r.path || '->' || a.dst
-  FROM rec r JOIN adj a ON a.src = r.id
+  FROM rec_bp r JOIN adj a ON a.src = r.id
   WHERE r.depth < 3 AND NOT contains(r.path, a.dst)
 ),
-best AS (SELECT id, CAST(min(depth) AS INT) AS depth FROM rec GROUP BY id)
-SELECT b.id, b.depth, min(r.path) AS path
-FROM best b JOIN rec r ON r.id = b.id AND r.depth = b.depth
-GROUP BY b.id, b.depth
-ORDER BY b.depth, b.id LIMIT 10000""",
-        "traversal_only_type": _bfs_oracle(
-            "md5('C42')", 2, "WHERE edge_type = 'depends_on'"
-        ),
-        "traversal_exclude": _bfs_oracle(
-            "md5('C42')", 3, "WHERE edge_type NOT IN ('defined_in', 'calls')"
-        ),
+best AS (SELECT id, CAST(min(depth) AS INT) AS depth FROM rec_bp GROUP BY id),
+bp AS (
+  SELECT 'bfs' AS kind, min(r.path) AS path, b.depth
+  FROM best b JOIN rec_bp r ON r.id = b.id AND r.depth = b.depth
+  GROUP BY b.id, b.depth
+  ORDER BY b.depth, b.id LIMIT 10000
+),
+tgt AS (
+  SELECT min(md5('P' || l_partkey)) AS t FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey WHERE o_custkey = 42
+),
+rec_pb AS (
+  SELECT md5('C42') AS path, md5('C42') AS last, 0 AS depth
+  UNION
+  SELECT r.path || '->' || a.dst, a.dst, r.depth + 1
+  FROM rec_pb r JOIN adj a ON a.src = r.last
+  WHERE r.depth < 3 AND NOT contains(r.path, a.dst)
+),
+pb AS (
+  SELECT 'pb' AS kind, path, CAST(depth AS INT) AS depth FROM rec_pb
+  WHERE last = (SELECT t FROM tgt)
+  ORDER BY depth, path LIMIT 100
+)
+SELECT kind, path, depth FROM bp UNION ALL SELECT kind, path, depth FROM pb""",
+        "traversal_edge_filters": _PR
+        + ", adj_only AS (SELECT DISTINCT src, dst FROM edges_vis WHERE edge_type = 'depends_on')"
+        + ", adj_excl AS (SELECT DISTINCT src, dst FROM edges_vis WHERE edge_type NOT IN ('defined_in', 'calls'))"
+        + """,
+rec_only AS (
+  SELECT md5('C42') AS id, 0 AS depth
+  UNION
+  SELECT a.dst, r.depth + 1 FROM rec_only r JOIN adj_only a ON a.src = r.id
+  WHERE r.depth < 2
+),
+rec_excl AS (
+  SELECT md5('C42') AS id, 0 AS depth
+  UNION
+  SELECT a.dst, r.depth + 1 FROM rec_excl r JOIN adj_excl a ON a.src = r.id
+  WHERE r.depth < 3
+),
+o AS (
+  SELECT 'only' AS kind, id, CAST(min(depth) AS INT) AS depth FROM rec_only
+  GROUP BY id ORDER BY depth, id LIMIT 10000
+),
+x AS (
+  SELECT 'exclude' AS kind, id, CAST(min(depth) AS INT) AS depth FROM rec_excl
+  GROUP BY id ORDER BY depth, id LIMIT 10000
+)
+SELECT kind, id, depth FROM o UNION ALL SELECT kind, id, depth FROM x""",
         "traversal_incoming": _PR
         + ", adj AS (SELECT DISTINCT dst AS src, src AS dst FROM edges_vis)"
         + """,
@@ -821,22 +885,6 @@ lp AS (
   WHERE r.depth < 10
 )
 SELECT id, CAST(max(depth) AS INT) AS layer FROM lp GROUP BY id""",
-        "paths_between": _PR
-        + ", adj AS (SELECT DISTINCT src, dst FROM edges_vis)"
-        + """,
-tgt AS (
-  SELECT min(md5('P' || l_partkey)) AS t FROM lineitem
-  JOIN orders ON l_orderkey = o_orderkey WHERE o_custkey = 42
-),
-rec AS (
-  SELECT md5('C42') AS path, md5('C42') AS last, 0 AS depth
-  UNION
-  SELECT r.path || '->' || a.dst, a.dst, r.depth + 1
-  FROM rec r JOIN adj a ON a.src = r.last
-  WHERE r.depth < 3 AND NOT contains(r.path, a.dst)
-)
-SELECT path, CAST(depth AS INT) AS depth FROM rec WHERE last = (SELECT t FROM tgt)
-ORDER BY depth, path LIMIT 100""",
         "exact_dedup": oracles.exact_dedup_sql(),
         "token_count": r"""
 SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens
@@ -875,15 +923,18 @@ WHERE s.doc_id >= 10
 GROUP BY s.doc_id, b.benchmark_id
 HAVING count(*) >= 2""",
         "corpus_curation": oracles.curation_sql(),
-        "vocab_top20": r"""
-SELECT token, CAST(count(*) AS BIGINT) AS n FROM (
-  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
-  FROM documents)
-GROUP BY token ORDER BY n DESC, token LIMIT 20""",
-        "doc_length_histogram": r"""
-SELECT CAST(len(string_split_regex(trim(lower(text)), '\s+')) // 10 AS INT) AS bucket,
-       CAST(count(*) AS BIGINT) AS n_docs
-FROM documents GROUP BY 1""",
+        "corpus_stats": r"""
+SELECT * FROM (
+  SELECT 'tok' AS kind, token AS key, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+    FROM documents)
+  GROUP BY token ORDER BY n DESC, token LIMIT 20)
+UNION ALL
+SELECT 'len' AS kind,
+       CAST(CAST(len(string_split_regex(trim(lower(text)), '\s+')) // 10 AS INT)
+            AS VARCHAR) AS key,
+       CAST(count(*) AS BIGINT) AS n
+FROM documents GROUP BY 2""",
         "lang_id": oracles.lang_id_sql(),
         "stratified_sample": oracles.stratified_sample_sql(),
         "quality_score": oracles.quality_sql(),

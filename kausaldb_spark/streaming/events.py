@@ -76,7 +76,8 @@ _SESSION_STATE = StructType(
         StructField("first_us", LongType()),
         StructField("last_us", LongType()),
         StructField("n_events", LongType()),
-        StructField("session_idx", LongType()),
+        StructField("open_idx", LongType()),   # index of the OPEN session
+        StructField("next_idx", LongType()),   # next index to hand out
     ]
 )
 
@@ -95,12 +96,17 @@ def _session_fn(
     key: tuple[Any, ...], batches: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     """Per-user session state machine. Emits a row for every *closed*
-    session; the open session lives in GroupState between micro-batches."""
+    session; the open session lives in GroupState between micro-batches.
+
+    The open session's index (``open_idx``) is tracked separately from the
+    hand-out counter (``next_idx``): late singleton sessions closing while a
+    session is open take fresh indices without ever renumbering the open one
+    (two sessions of one user can never share an index)."""
     (user_id,) = key
     if state.exists:
-        first_us, last_us, n_events, session_idx = state.get
+        first_us, last_us, n_events, open_idx, next_idx = state.get
     else:
-        first_us, last_us, n_events, session_idx = None, None, 0, -1
+        first_us, last_us, n_events, open_idx, next_idx = None, None, 0, None, 0
 
     closed = []
     us_values = []
@@ -108,29 +114,50 @@ def _session_fn(
         us_values.extend(pdf["us"].tolist())
     # Out-of-order arrival across micro-batches: rows below the watermark are
     # dropped explicitly (the streaming contract); rows above it that land
-    # before the open session's start still merge (first_us tracks the min)
-    # or, if they can never merge (> gap before the open session), close
-    # immediately as their own session.
+    # before the open session's start still merge (first_us tracks the min).
     wm_us = state.getCurrentWatermarkMs() * 1000
-    for us in sorted(u for u in us_values if u >= wm_us):
+    live = sorted(u for u in us_values if u >= wm_us)
+
+    # Rows that can never merge with the open session (> gap before its
+    # start) belong to earlier, already-gapped-out sessions. Adjacent ones
+    # within the gap of each other merge into shared late sessions (matching
+    # what batch sessionize would produce), each closed immediately.
+    if first_us is not None:
+        horizon = first_us - SESSION_GAP_US
+        late = [u for u in live if u < horizon]
+        live = [u for u in live if u >= horizon]
+        lf = ll = None
+        ln = 0
+        for us in late:
+            if lf is None:
+                lf, ll, ln = us, us, 1
+            elif us - ll > SESSION_GAP_US:
+                closed.append((user_id, next_idx, ln, ll - lf, lf))
+                next_idx += 1
+                lf, ll, ln = us, us, 1
+            else:
+                ll, ln = us, ln + 1
+        if lf is not None:
+            closed.append((user_id, next_idx, ln, ll - lf, lf))
+            next_idx += 1
+
+    for us in live:
         if first_us is None:
-            session_idx += 1
+            open_idx = next_idx
+            next_idx += 1
             first_us, last_us, n_events = us, us, 1
         elif us - last_us > SESSION_GAP_US:
-            closed.append((user_id, session_idx, n_events, last_us - first_us, first_us))
-            session_idx += 1
+            closed.append((user_id, open_idx, n_events, last_us - first_us, first_us))
+            open_idx = next_idx
+            next_idx += 1
             first_us, last_us, n_events = us, us, 1
-        elif us < first_us - SESSION_GAP_US:
-            # late event from an earlier, already-gapped-out session
-            session_idx += 1
-            closed.append((user_id, session_idx, 1, 0, us))
         else:
             first_us = min(first_us, us)
             last_us, n_events = max(last_us, us), n_events + 1
 
     if state.hasTimedOut:
         if first_us is not None:
-            closed.append((user_id, session_idx, n_events, last_us - first_us, first_us))
+            closed.append((user_id, open_idx, n_events, last_us - first_us, first_us))
         state.remove()
     elif first_us is not None:
         wm_ms = state.getCurrentWatermarkMs()
@@ -138,13 +165,15 @@ def _session_fn(
         if wm_ms > end_ms:
             # event time has already passed the gap horizon — close now, but
             # keep the per-user counter so later sessions index monotonically
-            closed.append((user_id, session_idx, n_events, last_us - first_us, first_us))
-            state.update((None, None, 0, session_idx))
+            closed.append((user_id, open_idx, n_events, last_us - first_us, first_us))
+            state.update((None, None, 0, None, next_idx))
             state.setTimeoutTimestamp(wm_ms + SESSION_GAP_US // 1000)
         else:
-            state.update((first_us, last_us, n_events, session_idx))
+            state.update((first_us, last_us, n_events, open_idx, next_idx))
             # timeout may never be below the current watermark
             state.setTimeoutTimestamp(max(end_ms, wm_ms + 1))
+    # (first_us None + not timed out ⇒ this batch had no live rows for the
+    # user; the stored state — including next_idx — persists untouched)
 
     if closed:
         yield pd.DataFrame(closed, columns=[f.name for f in _SESSION_OUT.fields])

@@ -176,3 +176,38 @@ def test_dfs_preorder_set_matches_bfs_on_diamond(spark):
     dfs_ids = {r["id"] for r in tv.dfs_preorder(e, "a", max_depth=5).collect()}
     bfs_ids = set(_ids(tv.bfs(e, ["a"], max_depth=5)))
     assert dfs_ids == bfs_ids
+
+
+def test_traversal_generic_id_types(spark):
+    """Traversal results keep the adjacency's id type (bigint here) instead
+    of stringifying — bfs, topo_sort, dfs_preorder, including empty results."""
+    e = spark.createDataFrame(
+        [(1, 2, "calls"), (2, 3, "calls"), (1, 3, "calls")],
+        "src bigint, dst bigint, edge_type string",
+    )
+    b = tv.bfs(e, [1], max_depth=3)
+    assert dict(b.dtypes)["id"] == "bigint"
+    assert _ids(b) == {1: 0, 2: 1, 3: 1}
+    t = tv.topo_sort(e, [1], max_depth=3)
+    assert dict(t.dtypes)["id"] == "bigint"
+    assert {r["id"]: r["layer"] for r in t.collect()} == {1: 0, 2: 1, 3: 2}
+    d = tv.dfs_preorder(e, 1, max_depth=3)
+    assert dict(d.dtypes)["id"] == "bigint"
+    assert [r["id"] for r in sorted(d.collect(), key=lambda r: r["visit_order"])] == [1, 2, 3]
+    # empty results stay typed too (start id absent from the graph)
+    none = tv.bfs(e, [99], max_depth=2)
+    assert dict(none.dtypes)["id"] == "bigint"
+    assert _ids(none) == {99: 0}
+
+
+def test_bfs_start_frame_bounded_collect(spark):
+    """A DataFrame start set larger than max_results is truncated to the
+    smallest ids BEFORE collection (the driver never sees the full set)."""
+    e = _edges(spark, [("a", "b")])
+    start = spark.createDataFrame(
+        [(f"id{i:04d}",) for i in range(500)], "id string"
+    )
+    out = tv.bfs(e, start, max_depth=1, max_results=10)
+    ids = _ids(out)
+    assert len(ids) == 10
+    assert set(ids) == {f"id{i:04d}" for i in range(10)}

@@ -174,3 +174,65 @@ def test_incremental_ingest_exactly_once(spark, event_chunks, tmp_path):
     ).start()
     q2.awaitTermination(300)
     assert spark.read.parquet(out_dir).count() == total
+
+
+def test_sessionize_stream_late_before_open_session(spark, tmp_path):
+    """Late events that can never merge with the open session (> gap before
+    its start, yet above the watermark — the watermark delay is 1h = 2x the
+    session gap, so the band [open_first - 2*gap, open_first - gap) is live):
+    adjacent ones merge into ONE late session, and its index differs from the
+    open session's — closing the open session later must not reuse an index
+    (the r2 bug shared the counter between the two)."""
+    import glob
+    import shutil
+
+    sec = 1_000_000
+    B = 100_000 * sec
+    from kausaldb_spark.sources.events import SESSION_GAP_US as GAP
+
+    # chunk0 opens a session at B+2*GAP; the watermark then sits at B
+    chunk0 = [(1, B + 2 * GAP, 7, "view", 1.0)]
+    # chunk1: two adjacent late events inside [B, B+GAP) — above the
+    # watermark, > GAP before the open session start; plus one event that
+    # merges into the open session
+    chunk1 = [
+        (2, B + 60 * sec, 7, "view", 1.0),
+        (3, B + 960 * sec, 7, "view", 1.0),
+        (4, B + 2 * GAP + 100 * sec, 7, "view", 1.0),
+    ]
+    # chunk2 far ahead: advances the watermark so the open session closes
+    chunk2 = [(5, B + 100 * GAP, 7, "view", 1.0)]
+
+    d = os.path.join(str(tmp_path), "late_chunks")
+    os.makedirs(d)
+    schema = "event_id long, us long, user_id long, event_type string, value double"
+    for i, rows in enumerate((chunk0, chunk1, chunk2)):
+        stage = os.path.join(str(tmp_path), f"stage_late{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(stage)
+        shutil.copy(
+            glob.glob(os.path.join(stage, "part-*.parquet"))[0],
+            os.path.join(d, f"chunk_{i}.parquet"),
+        )
+
+    out = sev.sessionize_stream(sev.stream_events(spark, d, files_per_trigger=1))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_late")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ck_late"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql("select * from sess_late").collect()
+    by_first = {r["first_us"]: r for r in rows}
+    # the two adjacent late events merged into ONE session of 2 events
+    assert B + 60 * sec in by_first, f"late session missing: {rows}"
+    late = by_first[B + 60 * sec]
+    assert (late["n_events"], late["duration_us"]) == (2, 900 * sec)
+    # the open session (2 events after the merge) closed with its own index
+    assert B + 2 * GAP in by_first, f"open session not closed: {rows}"
+    assert by_first[B + 2 * GAP]["n_events"] == 2
+    # no two sessions of the same user share a session_idx
+    idxs = [r["session_idx"] for r in rows if r["user_id"] == 7]
+    assert len(idxs) == len(set(idxs)), f"duplicate session_idx: {rows}"
