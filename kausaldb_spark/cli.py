@@ -44,12 +44,11 @@ def format_llm(rows) -> str:
     return "\n".join(out)
 
 
-def emit(df: DataFrame, fmt: str, file=None) -> int:
+def emit(df: DataFrame, fmt: str, file=None, cap: int = MAX_RESPONSE_BLOCKS) -> int:
+    """Render ≤cap rows. The cap is the CALLER's choice — each command knows
+    whether it emits blocks (≤1000) or edges (≤10000); inferring it from
+    column shape mis-capped any src/dst-shaped non-edge frame."""
     file = file or sys.stdout
-    # edge frames (src/dst rows) carry the ≤10000-edge ShowResponse cap;
-    # block frames the ≤1000-block cap
-    is_edges = {"src", "dst"} <= set(df.columns) and "id" not in df.columns
-    cap = MAX_RESPONSE_EDGES if is_edges else MAX_RESPONSE_BLOCKS
     rows = df.limit(cap).collect()
     if fmt == "json":
         for r in rows:
@@ -74,9 +73,10 @@ def build_parser() -> argparse.ArgumentParser:
     link.add_argument("--path", required=True)
     link.add_argument("--name", required=True)
 
-    # sync = re-ingest (new versions shadow old via MVCC sequences)
-    sync = sub.add_parser("sync", help="re-ingest a linked source tree")
-    sync.add_argument("--path", required=True)
+    # sync = incremental re-ingest: hash-diff against the stored file state,
+    # re-parse only changed files, tombstone removed ones
+    sync = sub.add_parser("sync", help="incrementally re-sync a linked source tree")
+    sync.add_argument("--path", help="defaults to the linked path from the registry")
     sync.add_argument("--name", required=True)
 
     unlink = sub.add_parser("unlink", help="tombstone a codebase")
@@ -119,6 +119,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     sub.add_parser("ping", help="engine liveness check")
     sub.add_parser("status", help="store + query statistics")
+    sub.add_parser("list", help="linked codebases (name, path, counts)")
     sub.add_parser("compact", help="rewrite store to visible snapshot")
     return p
 
@@ -147,9 +148,13 @@ def main(argv: list[str] | None = None, spark=None, engine=None, file=None) -> i
         spark = spark or get_spark("kausal-cli")
         engine = KausalEngine(spark, args.store)
 
-    if args.command in ("link", "sync"):
+    if args.command == "link":
         info = engine.link_codebase(args.path, args.name)
         print(json.dumps({"linked": args.name, **info}), file=file)
+        return 0
+    if args.command == "sync":
+        info = engine.sync_codebase(args.name, root=args.path)
+        print(json.dumps({"synced": args.name, **info}), file=file)
         return 0
     if args.command == "unlink":
         n = engine.unlink_codebase(args.name)
@@ -188,6 +193,10 @@ def main(argv: list[str] | None = None, spark=None, engine=None, file=None) -> i
         return 0
     if args.command == "status":
         print(json.dumps(engine.status(), default=str), file=file)
+        return 0
+    if args.command == "list":
+        for cb in engine.list_codebases():
+            print(json.dumps(cb, default=str), file=file)
         return 0
     if args.command == "compact":
         engine.store.compact()

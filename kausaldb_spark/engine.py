@@ -14,6 +14,7 @@ shuffle bytes) come from Spark's own listeners and are surfaced by bench.py.
 
 from __future__ import annotations
 
+import json
 import time
 from collections import OrderedDict
 from dataclasses import dataclass, field
@@ -30,6 +31,13 @@ from kausaldb_spark.storage import BlockStore
 
 CACHE_MAX_ENTRIES = 1000   # src/query/cache.zig defaults
 CACHE_TTL_SEC = 30 * 60
+
+# Workspace registry lives IN the store as a config block with a fixed id —
+# the reference's exact pattern (deterministic metadata BlockId 0x111...1 +
+# JSON content, src/workspace/manager.zig:38-54,295-343); MVCC last-writer-
+# wins gives registry updates for free.
+REGISTRY_BLOCK_ID = "1" * 32
+REGISTRY_CODEBASE = "__workspace__"
 
 
 @dataclass
@@ -65,15 +73,43 @@ class KausalEngine:
         self.stats = QueryStats()
         self._cache: OrderedDict[tuple, tuple[float, DataFrame]] = OrderedDict()
 
-    # -- mutations (invalidate cache, reference src/query/engine.zig:493-502)
+    # -- workspace registry (src/workspace/manager.zig:38-54,113-187) -------
 
-    def link_codebase(self, root: str, codebase: str) -> dict[str, int]:
-        """The CLI `link` flow (§3.3): ingest a source tree into the store."""
-        base = self.store.max_sequence()
-        blocks, edges = ing.ingest_directory(self.spark, root, codebase, sequence_base=base)
-        self.store.append_blocks(blocks, resequence=False)
-        self.store.append_edges(edges)
-        self._invalidate()
+    def registry(self) -> dict[str, dict]:
+        """Per-codebase link metadata: {name: {path, linked_at, last_sync_at,
+        block_count, edge_count}} from the workspace-config block."""
+        rows = lk.find_block(self.store.visible(), REGISTRY_BLOCK_ID).select(
+            "content"
+        ).collect()
+        if not rows:
+            return {}
+        try:
+            return json.loads(rows[0][0]).get("codebases", {})
+        except (ValueError, AttributeError):
+            return {}
+
+    def _save_registry(self, reg: dict[str, dict]) -> None:
+        content = json.dumps({"version": 1, "codebases": reg}, sort_keys=True)
+        block = self.spark.createDataFrame(
+            [(
+                REGISTRY_BLOCK_ID, 0, "workspace://metadata", "workspace_config",
+                "workspace://metadata", REGISTRY_CODEBASE, "",
+                '{"type":"workspace_config"}', content,
+            )],
+            "id string, sequence bigint, source_uri string, unit_type string,"
+            " unit_id string, codebase string, file_path string,"
+            " metadata_json string, content string",
+        )
+        self.store.append_blocks(block)  # resequence → last-writer-wins
+
+    def list_codebases(self) -> list[dict]:
+        """`kausal list`: what is linked, since when, how big
+        (src/workspace/manager.zig:208-222)."""
+        return [
+            {"name": name, **info} for name, info in sorted(self.registry().items())
+        ]
+
+    def _codebase_counts(self, codebase: str) -> dict[str, int]:
         cb_ids = self.store.visible().where(F.col("codebase") == codebase).select("id")
         e = self.store.visible_edges()
         return {
@@ -83,13 +119,148 @@ class KausalEngine:
             "edges": e.join(cb_ids, e.src == cb_ids.id, "left_semi").count(),
         }
 
+    # -- mutations (invalidate cache, reference src/query/engine.zig:493-502)
+
+    def link_codebase(self, root: str, codebase: str) -> dict[str, int]:
+        """The CLI `link` flow (§3.3): ingest a source tree into the store,
+        record per-file content hashes (sync's change-detection baseline)
+        and the registry entry."""
+        files = ing.list_files(root)
+        base = self.store.max_sequence()
+        units, raw_edges = ing.parse_files(self.spark, files)
+        file_index = self.spark.createDataFrame(
+            [(i, rel) for i, (_, rel) in enumerate(files)],
+            "file_idx long, file_path string",
+        )
+        blocks, edges = ing.resolve_and_build(
+            units, raw_edges, codebase, base, file_index
+        )
+        self.store.append_blocks(blocks, resequence=False)
+        self.store.append_edges(edges)
+        self.store.record_file_state(
+            ing.file_hashes(self.spark, files).select(
+                F.lit(codebase).alias("codebase"), "file_path", "content_hash",
+                F.lit(base).cast("bigint").alias("ingest_seq"),
+            )
+        )
+        self._invalidate()
+        counts = self._codebase_counts(codebase)
+        now = int(time.time())
+        reg = self.registry()
+        reg[codebase] = {
+            "path": root, "linked_at": reg.get(codebase, {}).get("linked_at", now),
+            "last_sync_at": now,
+            "block_count": counts["blocks"], "edge_count": counts["edges"],
+        }
+        self._save_registry(reg)
+        return counts
+
+    def sync_codebase(self, codebase: str, root: str | None = None) -> dict[str, int]:
+        """Incremental re-sync: hash-diff the tree against the stored
+        file_state, re-parse ONLY changed/new files, tombstone removed ones.
+        A no-op sync reads file bytes but parses nothing and appends no
+        blocks. (The reference re-ingests the whole tree on sync,
+        src/workspace/manager.zig:248-273 — change detection is the
+        at-monorepo-scale upgrade its metadata tracking points toward.)
+
+        Resolution scope: re-parsed edges resolve against the changed units
+        PLUS the unchanged files' symbol table reconstructed from the store,
+        so cross-file targets keep resolving codebase-wide; stale edges of
+        re-ingested files are epoch-shadowed (BlockStore.visible_edges)."""
+        reg = self.registry()
+        if root is None:
+            if codebase not in reg:
+                raise ValueError(f"codebase {codebase!r} is not linked")
+            root = reg[codebase]["path"]
+        files = ing.list_files(root)
+        cur = {
+            r["file_path"]: r["content_hash"]
+            for r in ing.file_hashes(self.spark, files).collect()
+        }
+        stored = {
+            r["file_path"]: r["content_hash"]
+            for r in self.store.current_file_state()
+            .where(F.col("codebase") == codebase)
+            .collect()
+        }
+        changed = sorted(rel for rel, h in cur.items() if stored.get(rel) != h)
+        removed = sorted(
+            rel for rel, h in stored.items() if h is not None and rel not in cur
+        )
+        stats = {
+            "files_changed": len(changed), "files_removed": len(removed),
+            "files_unchanged": len(cur) - len(changed),
+        }
+        if not changed and not removed:
+            if codebase in reg:
+                reg[codebase]["last_sync_at"] = int(time.time())
+                self._save_registry(reg)
+            return stats
+
+        affected = changed + removed
+        self.store.tombstone_where(
+            (F.col("codebase") == codebase) & F.col("file_path").isin(affected)
+        )
+        base = self.store.max_sequence()
+        if changed:
+            abs_by_rel = dict((rel, ap) for ap, rel in files)
+            changed_files = [(abs_by_rel[rel], rel) for rel in changed]
+            units, raw_edges = ing.parse_files(self.spark, changed_files)
+            file_index = self.spark.createDataFrame(
+                [(i, rel) for i, rel in enumerate(changed)],
+                "file_idx long, file_path string",
+            )
+            vis_rest = self.store.visible().where(
+                (F.col("codebase") == codebase) & ~F.col("file_path").isin(affected)
+            )
+            entity = F.element_at(F.split(F.col("unit_id"), ":"), -1)
+            extra_symbols = vis_rest.select(
+                "file_path",
+                F.element_at(F.split(entity, r"\."), -1).alias("bare"),
+                "unit_id",
+            )
+            blocks, edges = ing.resolve_and_build(
+                units, raw_edges, codebase, base, file_index,
+                extra_symbols=extra_symbols, known_ids=vis_rest.select("id"),
+            )
+            self.store.append_blocks(blocks, resequence=False)
+            self.store.append_edges(edges)
+        state_rows = [(codebase, rel, cur[rel], base) for rel in changed] + [
+            (codebase, rel, None, base) for rel in removed
+        ]
+        self.store.record_file_state(
+            self.spark.createDataFrame(
+                state_rows,
+                "codebase string, file_path string, content_hash string,"
+                " ingest_seq bigint",
+            )
+        )
+        self._invalidate()
+        counts = self._codebase_counts(codebase)
+        now = int(time.time())
+        entry = reg.get(codebase, {"path": root, "linked_at": now})
+        entry.update(
+            {"path": root, "last_sync_at": now,
+             "block_count": counts["blocks"], "edge_count": counts["edges"]}
+        )
+        reg[codebase] = entry
+        self._save_registry(reg)
+        return {**stats, **counts}
+
     def unlink_codebase(self, codebase: str) -> int:
         """Bulk unlink as ONE distributed tombstone job — no block-id list is
         ever collected to the driver (a 10M-block workspace unlinks in
-        constant driver memory)."""
+        constant driver memory). Also drops the registry entry (the
+        reference's unlink removes only metadata, manager.zig:190-205; ours
+        tombstones the blocks too — the stronger cleanup its docstring
+        defers to 'future versions')."""
         n = self.store.visible().where(F.col("codebase") == codebase).count()
         if n:
             self.store.tombstone_codebase(codebase)
+        reg = self.registry()
+        if codebase in reg:
+            del reg[codebase]
+            self._save_registry(reg)
         self._invalidate()
         return n
 
@@ -251,6 +422,7 @@ class KausalEngine:
             "edges": self.store.edges().count(),
             "tombstones": self.store.tombstones().count(),
             "max_sequence": self.store.max_sequence(),
+            "codebases": self.registry(),
             "queries": dict(self.stats.queries_by_type),
             "cache_hits": self.stats.cache_hits,
             "cache_misses": self.stats.cache_misses,

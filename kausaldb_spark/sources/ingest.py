@@ -416,13 +416,22 @@ def _parse_source(rel_path: str, source: str) -> tuple[list, list]:
 
 
 def parse_files(
-    spark: SparkSession, files: list[tuple[str, str]] | DataFrame
+    spark: SparkSession,
+    files: list[tuple[str, str]] | DataFrame,
+    max_file_size: int = MAX_FILE_SIZE,
 ) -> tuple[DataFrame, DataFrame]:
     """Distributed parse: (units_df, raw_edges_df). Each partition parses its
     file subset inside one Python worker (Arrow-batched). ``files`` is a
     driver-side (abs_path, rel_path) list for directory ingest, or a
     DataFrame[abs_path, file_path] manifest for monorepo-scale ingest where
-    the listing itself is a table."""
+    the listing itself is a table.
+
+    The size cap is enforced HERE, not only in list_files: the manifest path
+    has no listing step, and resolve_and_build's 1M sequence stride relies
+    on every file being <= MAX_FILE_SIZE (a multi-MiB file could exceed 1M
+    units and collide sequence ranges). Oversize files become a single
+    parse_error marker block."""
+
     if isinstance(files, DataFrame):
         paths_df = files.select("abs_path", "file_path")
     else:
@@ -431,16 +440,24 @@ def parse_files(
             files, "abs_path string, file_path string"
         ).repartition(n_part)
 
+    def _read_capped(ap: str) -> tuple[str | None, str | None]:
+        """(source, error) — error set for unreadable or oversize files."""
+        try:
+            if os.path.getsize(ap) > max_file_size:
+                return None, f"file exceeds max_file_size ({max_file_size})"
+            with open(ap, encoding="utf-8", errors="replace") as f:
+                return f.read(), None
+        except OSError as exc:
+            return None, f"read error: {exc}"
+
     def parse_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for ap, rp in zip(pdf["abs_path"], pdf["file_path"]):
-                try:
-                    with open(ap, encoding="utf-8", errors="replace") as f:
-                        src = f.read()
-                except OSError as exc:
+                src, err = _read_capped(ap)
+                if err is not None:
                     rows.append((rp, "document", os.path.basename(rp), "", 1, 1,
-                                 "", f"read error: {exc}"))
+                                 "", err))
                     continue
                 units, _ = _parse_source(rp, src)
                 rows.extend(units)
@@ -452,10 +469,8 @@ def parse_files(
             for ap, rp in zip(pdf["abs_path"], pdf["file_path"]):
                 if not rp.endswith(CODE_EXTENSIONS):
                     continue
-                try:
-                    with open(ap, encoding="utf-8", errors="replace") as f:
-                        src = f.read()
-                except OSError:
+                src, err = _read_capped(ap)
+                if err is not None:
                     continue
                 _, edges = _parse_source(rp, src)
                 rows.extend(edges)
@@ -466,12 +481,46 @@ def parse_files(
     return units, raw_edges
 
 
+def file_hashes(
+    spark: SparkSession, files: list[tuple[str, str]] | DataFrame
+) -> DataFrame:
+    """(file_path, content_hash) — md5 of raw bytes, computed on executors
+    (the change-detection pass of incremental sync; reading beats parsing by
+    an order of magnitude, and unchanged files are never parsed)."""
+    import hashlib
+
+    if isinstance(files, DataFrame):
+        paths_df = files.select("abs_path", "file_path")
+    else:
+        n_part = max(1, min(len(files), 32)) if files else 1
+        paths_df = spark.createDataFrame(
+            files, "abs_path string, file_path string"
+        ).repartition(n_part)
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ap, rp in zip(pdf["abs_path"], pdf["file_path"]):
+                try:
+                    with open(ap, "rb") as f:
+                        rows.append((rp, hashlib.md5(f.read()).hexdigest()))
+                except OSError:
+                    rows.append((rp, None))
+            yield pd.DataFrame(rows, columns=["file_path", "content_hash"])
+
+    return paths_df.mapInPandas(
+        hash_batch, "file_path string, content_hash string"
+    )
+
+
 def resolve_and_build(
     units: DataFrame,
     raw_edges: DataFrame,
     codebase: str,
     sequence_base: int = 0,
     file_index: DataFrame | None = None,
+    extra_symbols: DataFrame | None = None,
+    known_ids: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Semantic resolution + ContextBlock/GraphEdge materialization.
 
@@ -480,6 +529,16 @@ def resolve_and_build(
     (2) the unique unit with that bare name anywhere in the codebase.
     Unresolved edges are dropped (the reference drops edges whose endpoints
     don't exist, ``src/storage/engine.zig:1207-1217``).
+
+    Incremental re-ingest (a subset of the codebase's files): pass
+    ``extra_symbols`` — DataFrame[file_path, bare, unit_id] for the
+    *unchanged* files (derivable from the store's visible blocks) so
+    cross-file targets resolve codebase-wide, and ``known_ids`` — visible
+    block ids — so edges into unchanged files survive the endpoint check.
+
+    Edges carry provenance (codebase, src_file, ingest_seq=sequence_base):
+    the storage layer's epoch rule uses it to shadow a re-ingested file's
+    older edges (BlockStore.visible_edges).
 
     Sequence assignment: base + file_idx*1_000_000 + row_number within the
     file. The per-file window keeps sequence generation fully parallel (a
@@ -541,6 +600,10 @@ def resolve_and_build(
         F.element_at(F.split(F.col("name"), r"\."), -1).alias("bare"),
         F.concat(F.col("file_path"), F.lit(":"), F.col("name")).alias("unit_id"),
     )
+    if extra_symbols is not None:
+        syms = syms.unionByName(
+            extra_symbols.select("file_path", "bare", "unit_id")
+        )
     per_file = syms.groupBy("file_path", "bare").agg(
         F.min("unit_id").alias("uid_file")
     )
@@ -570,10 +633,16 @@ def resolve_and_build(
         ).alias("src"),
         F.md5(F.concat(F.lit(codebase), F.lit("/"), F.col("dst_uid"))).alias("dst"),
         "edge_type",
+        F.lit(codebase).alias("codebase"),
+        F.col("file_path").alias("src_file"),
+        F.lit(sequence_base).cast("bigint").alias("ingest_seq"),
     ).where(F.col("src") != F.col("dst"))
 
-    # endpoints must exist (put_edge contract)
+    # endpoints must exist (put_edge contract); incremental re-ingest also
+    # admits endpoints already visible in the store
     ids = blocks.select("id")
+    if known_ids is not None:
+        ids = ids.unionByName(known_ids.select(F.col(known_ids.columns[0]).alias("id")))
     edges = (
         edges.join(ids, edges.src == ids.id, "left_semi")
         .join(ids, edges.dst == ids.id, "left_semi")

@@ -27,6 +27,7 @@ the reference's tiered compaction, as a batch job.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -37,6 +38,13 @@ from pyspark.errors import AnalysisException
 from kausaldb_spark.snapshot import visible_blocks
 
 _EMPTY_TOMB = "block_id string, sequence bigint, deletion_timestamp bigint"
+# per-file ingest state: content hash + the sequence base of the batch that
+# last (re-)ingested the file. Drives incremental sync (hash diff) and edge
+# staleness (an edge from an older ingest of the same file is shadowed).
+_EMPTY_FILE_STATE = (
+    "codebase string, file_path string, content_hash string, ingest_seq bigint"
+)
+_EDGE_COLS = ("src", "dst", "edge_type", "codebase", "src_file", "ingest_seq")
 
 
 class BlockStore:
@@ -46,6 +54,8 @@ class BlockStore:
         self._blocks_dir = os.path.join(path, "blocks")
         self._edges_dir = os.path.join(path, "edges")
         self._tomb_dir = os.path.join(path, "tombstones")
+        self._file_state_dir = os.path.join(path, "file_state")
+        self._hwm_path = os.path.join(path, "_max_seq.json")
 
     # -- raw table accessors ------------------------------------------------
 
@@ -81,42 +91,121 @@ class BlockStore:
         )
 
     def edges(self) -> DataFrame:
-        return self._read_or_empty(self._edges_dir, "src string, dst string, edge_type string")
+        """Edge rows with provenance: (src, dst, edge_type, codebase,
+        src_file, ingest_seq). Provenance is NULL/0 for edges appended via
+        the plain API (they are then never epoch-shadowed)."""
+        e = self._read_or_empty(
+            self._edges_dir,
+            "src string, dst string, edge_type string, codebase string,"
+            " src_file string, ingest_seq bigint",
+        )
+        # stores written before provenance existed lack the extra columns
+        for name, typ in (
+            ("codebase", "string"), ("src_file", "string"), ("ingest_seq", "bigint")
+        ):
+            if name not in e.columns:
+                e = e.withColumn(name, F.lit(None).cast(typ))
+        return e
 
     def tombstones(self) -> DataFrame:
         return self._read_or_empty(self._tomb_dir, _EMPTY_TOMB)
 
+    def file_state(self) -> DataFrame:
+        """Append-only per-file ingest log; the latest row per (codebase,
+        file_path) is the current state (content_hash NULL = file removed)."""
+        return self._read_or_empty(self._file_state_dir, _EMPTY_FILE_STATE)
+
+    def current_file_state(self) -> DataFrame:
+        """Last-writer-wins view of file_state (same MVCC rule as blocks)."""
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("codebase", "file_path").orderBy(
+            F.col("ingest_seq").desc()
+        )
+        return (
+            self.file_state()
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def record_file_state(self, rows: DataFrame) -> None:
+        """Append (codebase, file_path, content_hash, ingest_seq) rows."""
+        rows.select(
+            "codebase", "file_path", "content_hash",
+            F.col("ingest_seq").cast("bigint"),
+        ).write.mode("append").parquet(self._file_state_dir)
+
     # -- sequence management ------------------------------------------------
 
-    def max_sequence(self) -> int:
+    def _scan_max_sequence(self) -> int:
         hi_b = self.blocks_raw().agg(F.max("sequence")).collect()[0][0] or 0
         hi_t = self.tombstones().agg(F.max("sequence")).collect()[0][0] or 0
         return max(hi_b, hi_t)
+
+    def max_sequence(self) -> int:
+        """High-water mark from the ``_max_seq.json`` side-file — O(1), no
+        full-table aggregation in the write path (the r2 version paid two
+        table scans per append). Falls back to (and repairs from) the scan
+        when the side-file is absent — e.g. a store written by an older
+        version, or a compact() swap that raced a crash. Single-writer, like
+        the reference's global sequence counter; a multi-writer deployment
+        would move this into a transaction log (Delta) or a conditional put."""
+        if os.path.exists(self._hwm_path):
+            try:
+                with open(self._hwm_path, encoding="utf-8") as f:
+                    return int(json.load(f)["max_sequence"])
+            except (ValueError, KeyError, OSError):
+                pass  # corrupt side-file: repair from the scan below
+        hi = self._scan_max_sequence()
+        self._write_hwm(hi)
+        return hi
+
+    def _write_hwm(self, hi: int) -> None:
+        tmp = self._hwm_path + ".tmp"
+        os.makedirs(self.path, exist_ok=True)
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump({"max_sequence": int(hi)}, f)
+        os.replace(tmp, self._hwm_path)  # atomic on POSIX
 
     # -- writes -------------------------------------------------------------
 
     def append_blocks(self, blocks: DataFrame, resequence: bool = True) -> int:
         """S1: append a batch. With ``resequence``, incoming sequences are
         shifted above the store's current max (write order = MVCC order).
-        Returns the new high-water sequence."""
+        Returns the new high-water sequence. The new mark is derived from
+        one aggregation over the *incoming batch* (not a store rescan) and
+        persisted to the side-file."""
         base = self.max_sequence()
+        lo, hi = blocks.agg(F.min("sequence"), F.max("sequence")).collect()[0]
+        lo, hi = lo or 0, hi or 0
         if resequence:
-            lo = blocks.agg(F.min("sequence")).collect()[0][0] or 0
             blocks = blocks.withColumn(
                 "sequence", (F.col("sequence") - lo + base + 1).cast("bigint")
             )
+            new_hi = hi - lo + base + 1
+        else:
+            new_hi = max(hi, base)
         blocks.write.mode("append").partitionBy("codebase").parquet(self._blocks_dir)
-        return self.max_sequence()
+        self._write_hwm(new_hi)
+        return new_hi
 
     def append_edges(self, edges: DataFrame) -> None:
-        """S2: endpoints must exist in the *visible* snapshot at insert time."""
+        """S2: endpoints must exist in the *visible* snapshot at insert time.
+        Missing provenance columns (plain (src, dst, edge_type) callers) are
+        filled with NULLs — such edges are never epoch-shadowed."""
+        for name, typ in (
+            ("codebase", "string"), ("src_file", "string"), ("ingest_seq", "bigint")
+        ):
+            if name not in edges.columns:
+                edges = edges.withColumn(name, F.lit(None).cast(typ))
         ids = self.visible().select("id")
         checked = (
             edges.join(ids, edges.src == ids.id, "left_semi")
             .join(ids, edges.dst == ids.id, "left_semi")
             .where(F.col("src") != F.col("dst"))
         )
-        checked.write.mode("append").parquet(self._edges_dir)
+        checked.select(*_EDGE_COLS).write.mode("append").parquet(self._edges_dir)
 
     def delete_blocks(self, block_ids: list[str]) -> None:
         """S3: tombstones with a fresh sequence above everything current.
@@ -128,6 +217,7 @@ class BlockStore:
             _EMPTY_TOMB,
         )
         tomb.write.mode("append").parquet(self._tomb_dir)
+        self._write_hwm(seq + max(len(block_ids) - 1, 0))
 
     def tombstone_where(self, predicate: Column | str) -> None:
         """S3 at scale: tombstone every *visible* block matching a predicate
@@ -149,6 +239,7 @@ class BlockStore:
             )
         )
         tomb.write.mode("append").parquet(self._tomb_dir)
+        self._write_hwm(seq)
 
     def tombstone_codebase(self, codebase: str) -> None:
         """Unlink a workspace: partition-pruned scan + distributed tombstone
@@ -162,19 +253,42 @@ class BlockStore:
         return visible_blocks(self.blocks_raw(), self.tombstones())
 
     def visible_edges(self) -> DataFrame:
-        """Edges with both endpoints visible. Endpoints existed at insert
-        time (append_edges enforces it), and in MVCC an id only becomes
-        invisible via a tombstone — so it suffices to ANTI-join against the
+        """Edges with both endpoints visible AND not epoch-shadowed.
+
+        Endpoint rule: endpoints existed at insert time (append_edges
+        enforces it), and in MVCC an id only becomes invisible via a
+        tombstone — so it suffices to ANTI-join against the
         tombstoned-and-not-resurrected id set. That set is delete-rate-sized
         (tiny), so both anti-joins broadcast and the edge table never
-        shuffles, at any store size."""
+        shuffles, at any store size.
+
+        Epoch rule (incremental sync): when a file is re-ingested, its new
+        edges carry the new batch's ingest_seq and a file_state row records
+        that epoch; edges of the same (codebase, src_file) from an OLDER
+        epoch are shadowed — re-syncing never duplicates a surviving edge
+        and drops edges the new file version no longer has (even when both
+        endpoint blocks still exist). file_state is file-count-sized, so
+        this is a third broadcast anti-join; legacy edges without provenance
+        are exempt."""
         ids = self.visible().select("id")
         tomb_ids = self.tombstones().select("block_id").distinct()
         invisible = tomb_ids.join(ids, tomb_ids.block_id == ids.id, "left_anti")
         e = self.edges()
-        return e.join(
+        e = e.join(
             F.broadcast(invisible), e.src == invisible.block_id, "left_anti"
         ).join(F.broadcast(invisible), e.dst == invisible.block_id, "left_anti")
+        st = self.current_file_state().select(
+            F.col("codebase").alias("_cb"),
+            F.col("file_path").alias("_fp"),
+            F.col("ingest_seq").alias("_epoch"),
+        )
+        return e.join(
+            F.broadcast(st),
+            (e.codebase == F.col("_cb"))
+            & (e.src_file == F.col("_fp"))
+            & (e.ingest_seq < F.col("_epoch")),
+            "left_anti",
+        )
 
     # -- cluster-scale layout ----------------------------------------------
 
@@ -217,13 +331,21 @@ class BlockStore:
         harmless: every version they shadow was already dropped."""
         tmp_blocks = self._blocks_dir + ".compact-tmp"
         tmp_edges = self._edges_dir + ".compact-tmp"
-        shutil.rmtree(tmp_blocks, ignore_errors=True)
-        shutil.rmtree(tmp_edges, ignore_errors=True)
+        tmp_state = self._file_state_dir + ".compact-tmp"
+        for t in (tmp_blocks, tmp_edges, tmp_state):
+            shutil.rmtree(t, ignore_errors=True)
         # reads source dirs, writes ONLY to the side dirs — recomputation
         # after an executor loss re-reads the still-intact live store
         self.visible().write.partitionBy("codebase").parquet(tmp_blocks)
         self.visible_edges().write.parquet(tmp_edges)
-        for live, tmp in ((self._blocks_dir, tmp_blocks), (self._edges_dir, tmp_edges)):
+        # file_state folds to its latest row per file (epoch history consumed
+        # along with the stale edges it shadowed)
+        self.current_file_state().write.parquet(tmp_state)
+        for live, tmp in (
+            (self._blocks_dir, tmp_blocks),
+            (self._edges_dir, tmp_edges),
+            (self._file_state_dir, tmp_state),
+        ):
             old = live + ".compact-old"
             shutil.rmtree(old, ignore_errors=True)
             if os.path.exists(live):

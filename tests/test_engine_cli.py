@@ -101,24 +101,30 @@ def test_unlink_mvcc_and_compact(spark, tree, tmp_path_factory):
     store = str(tmp_path_factory.mktemp("store2"))
     eng = KausalEngine(spark, store)
     eng.link_codebase(tree, "proj")
-    n_before = eng.store.visible().count()
-    assert n_before > 0
-    # second link = re-ingest: same visible count, higher sequences (MVCC)
+
+    def vis_cb():
+        return eng.store.visible().where(F.col("codebase") == "proj").count()
+
+    n_cb = vis_cb()
+    assert n_cb > 0
+    raw1 = eng.store.blocks_raw().count()
+    # second link = re-ingest: same visible set, higher sequences (MVCC);
+    # raw grows by one version set + the registry-config update block
     eng.link_codebase(tree, "proj")
-    assert eng.store.visible().count() == n_before
-    assert eng.store.blocks_raw().count() == 2 * n_before
-    # unlink tombstones everything
+    assert vis_cb() == n_cb
+    assert eng.store.blocks_raw().count() == raw1 + n_cb + 1
+    # unlink tombstones the codebase (the workspace-config block remains)
     n = eng.unlink_codebase("proj")
-    assert n == n_before
-    assert eng.store.visible().count() == 0
+    assert n == n_cb
+    assert vis_cb() == 0
     # re-link after unlink resurrects (sequence above tombstones)
     eng.link_codebase(tree, "proj")
-    assert eng.store.visible().count() == n_before
+    assert vis_cb() == n_cb
     # compaction drops shadowed versions + tombstones, preserves snapshot
     eng.store.compact()
-    assert eng.store.blocks_raw().count() == n_before
+    assert eng.store.blocks_raw().count() == n_cb + 1  # + config block
     assert eng.store.tombstones().count() == 0
-    assert eng.store.visible().count() == n_before
+    assert vis_cb() == n_cb
 
 
 def test_sql_views(spark, engine):
@@ -136,17 +142,21 @@ def test_sql_views(spark, engine):
     assert [r["callee"] for r in joined] == ["lib.py:helper_function"]
 
 
-def test_cli_sync_reingest(spark, tree, tmp_path_factory):
+def test_cli_sync_noop(spark, tree, tmp_path_factory):
+    """An unchanged tree syncs for ~free: nothing is re-parsed, no block
+    versions are appended (only the registry timestamp updates)."""
     store = str(tmp_path_factory.mktemp("store4"))
     eng = KausalEngine(spark, store)
-    _run_args = ["--store", store]
     rc, _ = _run(eng, "link", "--path", tree, "--name", "proj")
     assert rc == 0
     n1 = eng.store.visible().count()
-    rc, _ = _run(eng, "sync", "--path", tree, "--name", "proj")
+    raw1 = eng.store.blocks_raw().count()
+    rc, out = _run(eng, "sync", "--name", "proj")  # path from the registry
     assert rc == 0
-    assert eng.store.visible().count() == n1          # same visible set
-    assert eng.store.blocks_raw().count() == 2 * n1   # versions accumulated
+    info = json.loads(out)
+    assert info["files_changed"] == 0 and info["files_removed"] == 0
+    assert eng.store.visible().count() == n1
+    assert eng.store.blocks_raw().count() == raw1 + 1  # registry update only
 
 
 def test_cli_filter_and_ping(engine):

@@ -1,0 +1,204 @@
+"""Incremental sync (content-hash change detection, per-file re-ingest,
+epoch-shadowed edges), the workspace registry, and the max-sequence
+high-water mark.
+
+Reference semantics being extended: the reference's sync re-ingests the
+whole tree (src/workspace/manager.zig:248-273) and stores workspace
+metadata as a fixed-id config block (manager.zig:38-54,295-343); here sync
+re-parses only files whose content hash changed and tombstones removed
+files' blocks — the monorepo-scale behavior the reference's last_sync
+tracking points toward.
+"""
+
+import textwrap
+
+import pytest
+from pyspark.sql import functions as F
+
+from kausaldb_spark.engine import REGISTRY_BLOCK_ID, KausalEngine
+from kausaldb_spark.storage import BlockStore
+
+A_PY = textwrap.dedent('''
+    def fa():
+        return util()
+''')
+B_PY_V1 = textwrap.dedent('''
+    def fb():
+        return util()
+''')
+B_PY_V2 = textwrap.dedent('''
+    def fb():
+        x = 5
+        return util()
+''')
+B_PY_V3 = textwrap.dedent('''
+    def fb():
+        return 2
+''')
+UTIL_PY = textwrap.dedent('''
+    def util():
+        return 0
+''')
+
+
+@pytest.fixture()
+def proj(tmp_path_factory):
+    root = tmp_path_factory.mktemp("syncproj")
+    (root / "a.py").write_text(A_PY)
+    (root / "b.py").write_text(B_PY_V1)
+    (root / "util.py").write_text(UTIL_PY)
+    return root
+
+
+def _seqs(eng, codebase, file_path):
+    return {
+        r["id"]: r["sequence"]
+        for r in eng.store.visible()
+        .where((F.col("codebase") == codebase) & (F.col("file_path") == file_path))
+        .collect()
+    }
+
+
+def _edges_from(eng, src_file):
+    return [
+        (r["src"], r["dst"], r["edge_type"])
+        for r in eng.store.visible_edges()
+        .where(F.col("src_file") == src_file)
+        .collect()
+    ]
+
+
+def test_incremental_sync(spark, proj, tmp_path_factory):
+    store = str(tmp_path_factory.mktemp("sync_store"))
+    eng = KausalEngine(spark, store)
+    eng.link_codebase(str(proj), "p")
+
+    util_seqs_1 = _seqs(eng, "p", "util.py")
+    b_seqs_1 = _seqs(eng, "p", "b.py")
+    a_ids = set(_seqs(eng, "p", "a.py"))
+    assert util_seqs_1 and b_seqs_1 and a_ids
+    assert len(_edges_from(eng, "a.py")) == 1  # fa -> util
+    assert len(_edges_from(eng, "b.py")) == 1  # fb -> util
+    raw1 = eng.store.blocks_raw().count()
+    max1 = eng.store.max_sequence()
+
+    # modify one file (keeps the cross-file call), delete another
+    (proj / "b.py").write_text(B_PY_V2)
+    (proj / "a.py").unlink()
+    info = eng.sync_codebase("p")
+    assert info["files_changed"] == 1 and info["files_removed"] == 1
+    assert info["files_unchanged"] == 1
+
+    # unchanged file: same visible versions, same sequences
+    assert _seqs(eng, "p", "util.py") == util_seqs_1
+    # changed file: same ids (deterministic), strictly newer sequences
+    b_seqs_2 = _seqs(eng, "p", "b.py")
+    assert set(b_seqs_2) == set(b_seqs_1)
+    assert all(s > max1 for s in b_seqs_2.values())
+    # deleted file: invisible
+    assert not _seqs(eng, "p", "a.py")
+    vis_ids = {r["id"] for r in eng.store.visible().select("id").collect()}
+    assert not (a_ids & vis_ids)
+    # raw store grew by ~one file's units (b.py blocks + registry update),
+    # NOT by the whole tree
+    raw2 = eng.store.blocks_raw().count()
+    assert raw2 == raw1 + len(b_seqs_2) + 1
+
+    # edges: a.py's edge gone (src invisible); b.py's re-resolved cross-file
+    # edge appears EXACTLY once (the old epoch's copy is shadowed, no dups)
+    assert _edges_from(eng, "a.py") == []
+    b_edges = _edges_from(eng, "b.py")
+    assert len(b_edges) == 1 and b_edges[0][2] == "calls"
+
+    # second edit removes the call: both endpoint blocks persist, yet the
+    # edge must disappear — the epoch rule, not endpoint visibility
+    (proj / "b.py").write_text(B_PY_V3)
+    eng.sync_codebase("p")
+    assert _seqs(eng, "p", "b.py")  # blocks still visible
+    assert _edges_from(eng, "b.py") == []
+
+    # no-op sync: nothing re-parsed, no new block versions
+    raw3 = eng.store.blocks_raw().count()
+    info = eng.sync_codebase("p")
+    assert info == {"files_changed": 0, "files_removed": 0, "files_unchanged": 2}
+    assert eng.store.blocks_raw().count() == raw3 + 1  # registry stamp only
+
+
+def test_sync_survives_compact(spark, proj, tmp_path_factory):
+    """Compaction folds epoch history; a post-compact sync still detects
+    changes against the compacted file_state."""
+    store = str(tmp_path_factory.mktemp("sync_store_c"))
+    eng = KausalEngine(spark, store)
+    eng.link_codebase(str(proj), "p")
+    eng.store.compact()
+    (proj / "b.py").write_text(B_PY_V2)
+    info = eng.sync_codebase("p")
+    assert info["files_changed"] == 1 and info["files_removed"] == 0
+    assert len(_edges_from(eng, "b.py")) == 1
+
+
+def test_workspace_registry(spark, proj, tmp_path_factory):
+    store = str(tmp_path_factory.mktemp("reg_store"))
+    eng = KausalEngine(spark, store)
+    eng.link_codebase(str(proj), "one")
+    eng.link_codebase(str(proj), "two")
+
+    cbs = {c["name"]: c for c in eng.list_codebases()}
+    assert set(cbs) == {"one", "two"}
+    n_vis = eng.store.visible().where(F.col("codebase") == "one").count()
+    assert cbs["one"]["block_count"] == n_vis > 0
+    assert cbs["one"]["path"] == str(proj)
+    assert cbs["one"]["linked_at"] <= cbs["one"]["last_sync_at"]
+    assert cbs["one"]["edge_count"] == 2  # fa->util, fb->util
+    assert eng.status()["codebases"] == eng.registry()
+
+    # the registry IS a block (reference: fixed-id workspace-config block)
+    reg_block = eng.store.visible().where(F.col("id") == REGISTRY_BLOCK_ID)
+    assert reg_block.count() == 1
+
+    # unlink drops the entry and the blocks
+    eng.unlink_codebase("one")
+    assert [c["name"] for c in eng.list_codebases()] == ["two"]
+    assert eng.store.visible().where(F.col("codebase") == "one").count() == 0
+    # the survivor's data is untouched
+    assert eng.store.visible().where(F.col("codebase") == "two").count() == n_vis
+
+
+def test_max_sequence_high_water_mark(spark, tmp_path_factory):
+    """The HWM side-file tracks the scan-derived max through append /
+    delete / tombstone / compact, and append no longer rescans the store."""
+    import os
+
+    path = str(tmp_path_factory.mktemp("hwm_store"))
+    st = BlockStore(spark, path)
+    assert st.max_sequence() == 0
+
+    blocks = spark.createDataFrame(
+        [(f"{i:032x}", i + 10, "file://x", "function", f"x.py:f{i}", "w", "x.py",
+          "{}", "def f(): pass") for i in range(5)],
+        "id string, sequence bigint, source_uri string, unit_type string,"
+        " unit_id string, codebase string, file_path string,"
+        " metadata_json string, content string",
+    )
+    hi = st.append_blocks(blocks)  # resequences 10..14 -> 1..5
+    assert hi == 5 == st._scan_max_sequence() == st.max_sequence()
+    assert os.path.exists(st._hwm_path)
+
+    st.delete_blocks([f"{0:032x}", f"{1:032x}"])
+    assert st.max_sequence() == st._scan_max_sequence() == 7
+
+    st.tombstone_where(F.col("id") == f"{2:032x}")
+    assert st.max_sequence() == st._scan_max_sequence() == 8
+
+    hi = st.append_blocks(blocks)
+    assert hi == 13 == st._scan_max_sequence() == st.max_sequence()
+
+    # compact preserves the mark (sequences survive compaction)
+    st.compact()
+    assert st.max_sequence() == 13
+    hi = st.append_blocks(blocks.limit(1))
+    assert hi == 14 == st.max_sequence()
+
+    # a deleted side-file is repaired from the scan
+    os.remove(st._hwm_path)
+    assert st.max_sequence() == st._scan_max_sequence() == 14
