@@ -407,6 +407,105 @@ def weakly_connected_components(
     return labels
 
 
+def strongly_connected_components(
+    edges: DataFrame, max_rounds: int = 20, max_iterations: int = 50
+) -> DataFrame:
+    """TRUE strongly connected components — a beyond-reference analytic (the
+    reference stubs SCC to DFS, ``src/query/traversal.zig:976-983``; the
+    ``scc`` alias above keeps that parity). Useful on code graphs to surface
+    cyclic import/call clusters.
+
+    Algorithm: iterative forward-backward coloring (the join-friendly
+    distributed SCC). Per round over the remaining subgraph:
+      1. propagate the min node id FORWARD along edges to a fixpoint —
+         color(v) = min id that reaches v;
+      2. from each color's root r (the node with id == color), walk
+         BACKWARD within its color class — nodes reached both ways form
+         exactly the SCC of r;
+      3. peel those nodes and repeat.
+    Every step is a join + min-aggregate keyed by node id (bucket-friendly,
+    same scale shape as WCC); rounds ~ number of SCC "layers", iterations
+    within a round ~ graph diameter. Returns DataFrame[id, component]
+    where component = min member id of the SCC.
+    """
+    adj = orient(edges, OUTGOING).distinct().localCheckpoint(eager=False)
+    remaining = (
+        adj.select(F.col("src").alias("id"))
+        .unionByName(adj.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    live = adj
+    done: DataFrame | None = None
+
+    for _ in range(max_rounds):
+        if remaining.count() == 0:
+            break
+        # 1. forward min-color fixpoint over the remaining subgraph
+        label = remaining.withColumn("color", F.col("id")).localCheckpoint(eager=False)
+        for _ in range(max_iterations):
+            nxt = (
+                label.join(live, label.id == live.src)
+                .groupBy(F.col("dst").alias("nid"))
+                .agg(F.min("color").alias("ncolor"))
+            )
+            updated = (
+                label.join(nxt, label.id == F.col("nid"), "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("color"), F.coalesce(F.col("ncolor"), F.col("color"))
+                    ).alias("color"),
+                )
+                .localCheckpoint(eager=False)
+            )
+            n_changed = (
+                updated.alias("u")
+                .join(label.alias("l"), "id")
+                .where(F.col("u.color") != F.col("l.color"))
+                .count()
+            )
+            label = updated
+            if n_changed == 0:
+                break
+        # 2. backward reach of each color root within its color class
+        marked = label.where(F.col("id") == F.col("color")).localCheckpoint(eager=False)
+        frontier = marked
+        while True:
+            preds = (
+                live.join(
+                    frontier.select(F.col("id").alias("dst"), "color"), "dst"
+                )
+                .select(F.col("src").alias("id"), "color")
+                .distinct()
+            )
+            new = (
+                preds.join(label.withColumnRenamed("color", "lcolor"), "id")
+                .where(F.col("color") == F.col("lcolor"))
+                .select("id", "color")
+                .join(marked.select("id"), "id", "left_anti")
+                .localCheckpoint(eager=False)
+            )
+            if new.count() == 0:
+                break
+            marked = marked.unionByName(new).localCheckpoint(eager=False)
+            frontier = new
+        # 3. peel the found SCCs
+        found = marked.select("id", F.col("color").alias("component"))
+        done = found if done is None else done.unionByName(found)
+        remaining = remaining.join(marked.select("id"), "id", "left_anti").localCheckpoint(
+            eager=False
+        )
+        live = (
+            live.join(remaining.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(remaining.withColumnRenamed("id", "dst"), "dst", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    if done is None:
+        return remaining.select("id", F.col("id").alias("component")).limit(0)
+    return done
+
+
 def bidirectional_search(
     edges: DataFrame,
     start_ids,
