@@ -86,14 +86,20 @@ def _ids_range(spark, prefix: str, n: int):
 
 
 def _q_batch_lookup_100(spark, sf_dir):
-    # S6 batch lookup over 100 ids + N4 existence count over 150 ids in one
-    # gate (the count frame is a single row — broadcast cross join)
+    # S6 batch lookup + N4 existence count in ONE scan: the 100-id batch is
+    # a subset of the 150-id existence set, so one semi-join on the 150 set
+    # feeds both — the count is a global window over the ≤150 matched rows
+    # (bounded by construction, so the single-partition window is free),
+    # then the batch rows are the 100-id subset of the same pass.
+    from pyspark.sql.window import Window
+
     g = gm.graph(spark, sf_dir)
-    batch = lk.find_blocks_batched(g["visible"], _ids_range(spark, "C", 100)).select(
-        "id", "sequence", "unit_id", "content"
+    base = lk.find_blocks_batched(g["visible"], _ids_range(spark, "C", 150))
+    return (
+        base.withColumn("n_existing", F.count("*").over(Window.partitionBy()))
+        .join(F.broadcast(_ids_range(spark, "C", 100)), "id", "left_semi")
+        .select("id", "sequence", "unit_id", "content", "n_existing")
     )
-    cnt = lk.block_exists_count(g["visible"], _ids_range(spark, "C", 150))
-    return batch.crossJoin(F.broadcast(cnt))
 
 
 def _q_filter_metadata_eq(spark, sf_dir):
