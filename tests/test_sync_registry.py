@@ -202,3 +202,71 @@ def test_max_sequence_high_water_mark(spark, tmp_path_factory):
     # a deleted side-file is repaired from the scan
     os.remove(st._hwm_path)
     assert st.max_sequence() == st._scan_max_sequence() == 14
+
+
+def test_sync_equals_fresh_link(spark, tmp_path_factory):
+    """Convergence property: after ANY sequence of edits + syncs, the store's
+    visible blocks and edges for the codebase equal what a FRESH link of the
+    final tree produces (ids/content/edges identical; only sequences may
+    differ). This pins the whole incremental machinery — hash diff, partial
+    re-parse, cross-file re-resolution, tombstoning, edge epoch shadowing —
+    to the semantics of full re-ingestion."""
+    import shutil
+
+    root = tmp_path_factory.mktemp("conv")
+    files = {
+        "f0.py": "def a0():\n    return b1()\n",
+        "f1.py": "def b1():\n    return c2()\n",
+        "f2.py": "def c2():\n    return 0\n",
+        "f3.py": "def d3():\n    return b1() + c2()\n",
+    }
+    for name, body in files.items():
+        (root / name).write_text(body)
+
+    store = str(tmp_path_factory.mktemp("conv_store"))
+    eng = KausalEngine(spark, store)
+    eng.link_codebase(str(root), "cb")
+
+    edit_script = [
+        # (action, file, new_content)
+        ("mod", "f1.py", "def b1():\n    x = 1\n    return c2()\n"),
+        ("del", "f3.py", None),
+        ("add", "f4.py", "def e4():\n    return a0()\n"),
+        ("mod", "f2.py", "def c2():\n    return 42\n\ndef c2b():\n    return a0()\n"),
+        ("del", "f1.py", None),
+    ]
+
+    def blocks_snapshot(e, cb):
+        return {
+            (r["id"], r["unit_id"], r["file_path"], r["content"])
+            for r in e.store.visible()
+            .where(F.col("codebase") == cb)
+            .select("id", "unit_id", "file_path", "content")
+            .collect()
+        }
+
+    def edges_snapshot(e, cb):
+        ids = e.store.visible().where(F.col("codebase") == cb).select("id")
+        ev = e.store.visible_edges()
+        ev = ev.join(ids, ev.src == ids.id, "left_semi")
+        return {(r["src"], r["dst"], r["edge_type"]) for r in ev.collect()}
+
+    for i, (action, name, body) in enumerate(edit_script):
+        if action == "del":
+            (root / name).unlink()
+        else:
+            (root / name).write_text(body)
+        eng.sync_codebase("cb")
+
+        # fresh link of the current tree into a pristine store
+        fresh_store = str(tmp_path_factory.mktemp(f"conv_fresh{i}"))
+        fresh = KausalEngine(spark, fresh_store)
+        fresh.link_codebase(str(root), "cb")
+
+        assert blocks_snapshot(eng, "cb") == blocks_snapshot(fresh, "cb"), (
+            f"block divergence after step {i}: {action} {name}"
+        )
+        assert edges_snapshot(eng, "cb") == edges_snapshot(fresh, "cb"), (
+            f"edge divergence after step {i}: {action} {name}"
+        )
+        shutil.rmtree(fresh_store, ignore_errors=True)
