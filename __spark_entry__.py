@@ -494,6 +494,29 @@ def _q_events_hourly(spark, sf_dir):
     return ev.hourly_rollup(ev.load_events(spark, sf_dir))
 
 
+def _q_corpus_report(spark, sf_dir):
+    # corpus composition: per (source, lang) doc/char/token totals — the
+    # "what is my training mix" report every pipeline run starts with
+    docs = _docs(spark, sf_dir)
+    return docs.groupBy("source", "lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum(F.size(tx.tokens(F.col("text")))).cast("bigint").alias("total_tokens"),
+    )
+
+
+SOURCE_MIX_WEIGHTS = {"src0": 2.0, "src1": 0.5, "src2": 1.25}
+
+
+def _q_source_mix(spark, sf_dir):
+    # deterministic data mixing: per-source upsampling/downsampling with
+    # fractional weights (floor copies + md5-selected extra copy)
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    return tx.mix_sources(docs, SOURCE_MIX_WEIGHTS).select(
+        "doc_id", "source", F.col("copy_idx").cast("int").alias("copy_idx")
+    )
+
+
 def _q_sessionize(spark, sf_dir):
     return ev.sessionize(ev.load_events(spark, sf_dir))
 
@@ -661,7 +684,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": _q_ann_lsh,
         "embedding_near_dup": _q_embedding_near_dup,
         "events_hourly": _q_events_hourly,
-        # -- rows-only tail (position > 50: no driver row, pytest-gated) --
+        # -- tail (position > 50: outside the driver sample; the oracle-
+        #    backed entries here are still hash-gated by the local parity
+        #    suite, the rows-only ones are pytest-gated) --
+        "corpus_report": _q_corpus_report,
+        "source_mix": _q_source_mix,
         "dfs_preorder": _q_dfs_preorder,
         "streaming_rollup": _q_streaming_rollup,
         "streaming_sessionize": _q_streaming_sessionize,
@@ -951,6 +978,28 @@ FROM documents GROUP BY 2""",
         "ann_lsh": oracles.ann_lsh_sql(ANN_QUERY_IDS),
         "embedding_near_dup": oracles.embedding_near_dup_sql(EMB_NEAR_DUP_MIN_DOT),
         "events_hourly": oracles.events_hourly_sql(),
+        "corpus_report": r"""
+SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(len(string_split_regex(trim(lower(text)), '\s+'))) AS BIGINT)
+         AS total_tokens
+FROM documents GROUP BY source, lang""",
+        "source_mix": """
+WITH wd AS (
+  SELECT doc_id, source,
+         CASE source WHEN 'src0' THEN 2.0 WHEN 'src1' THEN 0.5
+                     WHEN 'src2' THEN 1.25 ELSE 1.0 END AS w,
+         ('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 8))::BIGINT % 100
+           AS bucket
+  FROM documents),
+n AS (
+  SELECT doc_id, source,
+         CAST(floor(w) AS INT)
+           + CASE WHEN bucket < CAST((w - floor(w)) * 100 AS INT)
+                  THEN 1 ELSE 0 END AS n_copies
+  FROM wd)
+SELECT doc_id, source, CAST(unnest(range(n_copies)) AS INT) AS copy_idx
+FROM n WHERE n_copies > 0""",
         "sessionize": oracles.sessionize_sql(ev.SESSION_GAP_US),
         "events_topk_users": """
 WITH counts AS (

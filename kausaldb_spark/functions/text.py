@@ -266,3 +266,69 @@ def fingerprint(toks: Column, n: int = 5, k: int = 4) -> Column:
     sh = shingles(toks, n)
     hashed = F.transform(sh, lambda s: F.md5(s))
     return F.concat_ws("|", F.slice(F.array_sort(hashed), 1, k))
+
+
+# ---------------------------------------------------------------------------
+# unigram LM quality scoring (CCNet-style typicality filter)
+# ---------------------------------------------------------------------------
+
+def unigram_lm_scores(docs, text_col: str = "text", alpha: float = 1.0):
+    """Per-document unigram language-model score over the corpus's own
+    token distribution — the CCNet/KenLM-style "typicality" quality signal
+    (docs whose tokens are corpus-typical score a higher mean log-prob;
+    boilerplate-free rare-token junk scores low). Returns
+    DataFrame[doc_id, n_tokens, avg_logprob, ppl] with add-``alpha``
+    smoothing.
+
+    Scale shape: explode → vocab count (one shuffle, map-side combined) →
+    token⨝vocab equi-join (shuffle by token; at cluster scale the vocab is
+    Zipf-headed so AQE's skew split applies) → per-doc mean (shuffle by
+    doc_id). Everything JVM-side; floats only in the final ln (this is a
+    ranking signal, not an oracle-gated integer)."""
+    toks = docs.select("doc_id", F.explode(tokens(F.col(text_col))).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    totals = vocab.agg(
+        F.sum("c").alias("n_total"), F.count("*").alias("v_size")
+    )
+    scored = (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            F.log(
+                (F.col("c") + F.lit(alpha))
+                / (F.col("n_total") + F.lit(alpha) * F.col("v_size"))
+            ).alias("logp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.avg("logp").alias("avg_logprob"),
+        F.exp(-F.avg("logp")).alias("ppl"),
+    )
+
+
+def mix_sources(docs, weights: dict[str, float], key_col: str = "doc_id",
+                source_col: str = "source"):
+    """Deterministic source mixing/upsampling — the pretraining data-mixing
+    op: each source's docs are repeated ``weights[source]`` times in
+    expectation (floor copies always, +1 copy for the md5-selected fraction;
+    sources absent from ``weights`` default to 1.0, weight 0 drops). Output
+    adds a ``copy_idx`` column (0-based). Growth-stable like the split
+    assignment: a doc's copy count never changes when other docs appear.
+    Pure column expressions — explode of a per-row sequence, no shuffle at
+    all (the mix is embarrassingly parallel)."""
+    w = F.lit(1.0)
+    for name, weight in sorted(weights.items()):
+        w = F.when(F.col(source_col) == name, F.lit(float(weight))).otherwise(w)
+    base = F.floor(w).cast("int")
+    frac_pct = ((w - F.floor(w)) * 100).cast("int")
+    bucket = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
+                    ).cast("bigint") % 100
+    n_copies = base + (bucket < frac_pct).cast("int")
+    return (
+        docs.withColumn("_n_copies", n_copies)
+        .where(F.col("_n_copies") > 0)
+        .withColumn("copy_idx", F.explode(F.sequence(F.lit(0), F.col("_n_copies") - 1)))
+        .drop("_n_copies")
+    )

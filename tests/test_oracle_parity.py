@@ -32,3 +32,13 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
     assert len(df.columns) > 0
+
+
+def test_first_50_queries_are_oracle_gated():
+    """The driver's correctness harness samples the first 50 entries of
+    queries() in dict order — every one of them must carry an oracle (the
+    rows-only entries belong in the tail). Guards the r2 verdict's top
+    finding against future reorders."""
+    names = list(_QUERIES)
+    missing = [n for n in names[:50] if n not in _ORACLES]
+    assert missing == [], f"first-50 queries without oracle: {missing}"

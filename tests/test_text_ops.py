@@ -52,3 +52,50 @@ def test_repetition_score_shape(spark):
     assert (out[1]["n"], out[1]["top"], out[1]["frac"]) == (5, 3, 60)
     assert (out[2]["n"], out[2]["top"], out[2]["frac"]) == (3, 1, 33)
     assert 3 not in out
+
+
+def test_unigram_lm_scores(spark):
+    """Corpus-typical docs score higher mean log-prob than rare-token docs;
+    smoothing keeps everything finite; ppl = exp(-avg_logprob)."""
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the mat"),
+        (3, "zyx qwv jkl pbn"),  # tokens that appear nowhere else
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in tx.unigram_lm_scores(df).collect()}
+    assert out[1]["n_tokens"] == 6 and out[3]["n_tokens"] == 4
+    # common-token docs are more "typical" than the rare-token doc
+    assert out[1]["avg_logprob"] > out[3]["avg_logprob"]
+    assert out[2]["avg_logprob"] > out[3]["avg_logprob"]
+    for r in out.values():
+        assert r["avg_logprob"] < 0
+        assert abs(r["ppl"] - pow(2.718281828459045, -r["avg_logprob"])) < 1e-6
+
+
+def test_mix_sources_deterministic_upsampling(spark):
+    """floor(w) copies always; the fractional extra copy hits ~frac of docs
+    (md5-selected, deterministic); weight 0 drops; absent sources keep 1."""
+    rows = [(i, "a" if i < 100 else ("b" if i < 200 else "c")) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = tx.mix_sources(df, {"a": 2.5, "b": 0.0, "c": 1.0})
+    per_doc = {
+        (r["doc_id"], r["copy_idx"]) for r in out.collect()
+    }
+    from collections import Counter
+
+    copies = Counter(d for d, _ in per_doc)
+    # source a: every doc has 2 or 3 copies; ~50% have 3
+    a_counts = [copies[i] for i in range(100)]
+    assert set(a_counts) <= {2, 3}
+    assert 30 <= sum(1 for c in a_counts if c == 3) <= 70
+    # source b dropped entirely
+    assert all(copies[i] == 0 for i in range(100, 200))
+    # source c untouched (weight defaults would give the same)
+    assert all(copies[i] == 1 for i in range(200, 300))
+    # copy_idx is dense 0..n-1
+    assert ({c for d, c in per_doc if d == 0} in ({0, 1}, {0, 1, 2}))
+    # deterministic across invocations
+    again = {(r["doc_id"], r["copy_idx"]) for r in tx.mix_sources(
+        df, {"a": 2.5, "b": 0.0, "c": 1.0}).collect()}
+    assert again == per_doc
