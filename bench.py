@@ -8,6 +8,9 @@ Methodology:
 - every query forced via the noop sink (full computation of all output
   columns, no driver collect);
 - per-query time = median of N_RUNS runs (local timings showed ±50% noise);
+- per-query ERROR ISOLATION (VERDICT r4 §Wrong #2): one failing query records
+  an "err" entry and the run continues; exit 0 as long as >=1 query succeeds,
+  so a single regression can never erase the whole round's numbers again;
 - graph_build = one-time derivation + snapshot/edge materialization,
   reported separately (it's the fixture cost, amortized across all queries
   in a session — the production path reads a materialized BlockStore with
@@ -78,39 +81,63 @@ def main() -> None:
     spark = get_spark("kausaldb-bench")
     qs = entry_mod.queries()
 
-    t0 = time.monotonic()
-    g = gm.graph(spark, sf_dir)
-    g["visible"].count()
-    g["edges_vis"].count()
-    build_sec = time.monotonic() - t0
+    timings: dict[str, object] = {}
+    errors: dict[str, str] = {}
+    total = 0.0
+    n_ok = 0
 
-    timings: dict[str, float] = {"graph_build": round(build_sec, 3)}
-    total = build_sec
+    try:
+        t0 = time.monotonic()
+        g = gm.graph(spark, sf_dir)
+        g["visible"].count()
+        g["edges_vis"].count()
+        build_sec = time.monotonic() - t0
+        timings["graph_build"] = round(build_sec, 3)
+        total += build_sec
+        n_ok += 1
+    except Exception as exc:  # noqa: BLE001 — isolation: record, keep benching
+        errors["graph_build"] = _err_tail(exc)
+        timings["graph_build"] = {"err": _err_tail(exc)}
+
     for name in BENCH_QUERIES:
         if name not in qs:
             continue
         runs = []
-        for _ in range(N_RUNS):
-            t0 = time.monotonic()
-            _force(qs[name](spark, sf_dir))
-            runs.append(time.monotonic() - t0)
+        try:
+            for _ in range(N_RUNS):
+                t0 = time.monotonic()
+                _force(qs[name](spark, sf_dir))
+                runs.append(time.monotonic() - t0)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = _err_tail(exc)
+            timings[name] = {"err": _err_tail(exc)}
+            continue
         med = statistics.median(runs)
         timings[name] = round(med, 3)
         total += med
+        n_ok += 1
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "bench_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["n_errors"] = len(errors)
+    print(json.dumps(out))
     spark.stop()
+    if n_ok == 0:
+        sys.exit(1)
+
+
+def _err_tail(exc: Exception, limit: int = 300) -> str:
+    """Last `limit` chars of the exception text — enough to diagnose, small
+    enough to keep the one-line JSON readable."""
+    msg = f"{type(exc).__name__}: {exc}"
+    return msg[-limit:] if len(msg) > limit else msg
 
 
 if __name__ == "__main__":

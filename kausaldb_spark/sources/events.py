@@ -1,35 +1,92 @@
 """Event-stream table source + time analytics (batch side).
 
-The testdata ``events.parquet`` stores TIMESTAMP(NANOS), which Spark's
-vectorized parquet reader rejects by default — we flip the session to read
-nanos as raw int64 and work in integer microseconds throughout. That is also
-the oracle-portability trick: all windowing is integer arithmetic on epoch
-micros (``floor(us / window)``), immune to timezone/rounding drift between
-engines. Money-ish doubles are aggregated as integer cents
+The testdata ``events.parquet`` has changed physical ``ts`` encoding between
+driver rounds (TIMESTAMP(NANOS) in r1-r3, ``timestamp[us]`` since r4), so the
+loader sniffs the parquet footer and adapts instead of assuming one layout.
+Everything downstream works in integer epoch microseconds: all windowing is
+integer arithmetic (``floor(us / window)``), immune to timezone/rounding
+drift between engines. Money-ish doubles are aggregated as integer cents
 (floor(value*100 + 0.5)) — float sums are order-dependent, integer sums are
 not, and a 1000-executor aggregation has no deterministic sum order.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import glob
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 from pyspark.sql.window import Window
 
 HOUR_US = 3_600_000_000
 SESSION_GAP_US = 1_800_000_000  # 30 min
 
 
+def _sniff_parquet_field(path: str, name: str):
+    """Arrow type of column ``name`` from the parquet footer (driver-side
+    metadata read only — no data scan). ``path`` may be a file or a dataset
+    directory."""
+    if os.path.isdir(path):
+        files = sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+        if not files:
+            raise FileNotFoundError(f"no parquet files under {path}")
+        path = files[0]
+    return pq.read_schema(path).field(name).type
+
+
+def _ts_to_us(spark: SparkSession, path: str) -> tuple[SparkSession, Column]:
+    """Schema-drift guard for the ``ts`` column (VERDICT r4 §Next-round #9).
+
+    Adapts every encoding the driver has shipped so far and fails with a
+    one-line diagnosis for anything else:
+
+    - ``timestamp[us|ms|s]`` without tz → Spark reads TimestampNTZType →
+      ``timestampdiff(MICROSECOND, NTZ-epoch, ts)`` (wall-clock arithmetic,
+      no session-timezone dependence — matches DuckDB's ``epoch_us`` on a
+      naive TIMESTAMP regardless of what the host/session tz is).
+    - ``timestamp[us|ms|s, tz=...]`` → TimestampType → ``unix_micros``.
+    - ``timestamp[ns]`` → Spark only reads it with
+      ``spark.sql.legacy.parquet.nanosAsLong`` → int64 nanos → ``ts DIV 1000``
+      (integer division: ~1.7e18 ns exceeds double's 2^53 mantissa, so a
+      float divide would be off by ±1 µs).
+    - raw ``int64`` → assumed epoch nanos (the only long encoding the driver
+      has ever produced) → ``ts DIV 1000``.
+    """
+    arrow_type = _sniff_parquet_field(path, "ts")
+    ts = str(arrow_type)
+    if ts.startswith("timestamp[ns"):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return spark, F.expr("CAST(ts DIV 1000 AS BIGINT)")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    if ts.startswith("timestamp") and "tz=" in ts:
+        return spark, F.unix_micros(F.col("ts")).cast("bigint")
+    if ts.startswith("timestamp"):
+        return spark, F.expr(
+            "CAST(timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts) AS BIGINT)"
+        )
+    if ts == "int64":
+        return spark, F.expr("CAST(ts DIV 1000 AS BIGINT)")
+    raise TypeError(
+        f"events.parquet ts has unsupported physical type {ts!r} at {path} — "
+        "expected timestamp[us|ms|s|ns] or int64 epoch-nanos; adapt _ts_to_us"
+    )
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(event_id, us, user_id, event_type, value, props) with us = epoch
-    microseconds bigint."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    microseconds bigint, regardless of the parquet's physical ts encoding."""
+    path = f"{sf_dir}/events.parquet"
+    spark, us_col = _ts_to_us(spark, path)
+    raw = spark.read.parquet(path)
+    ts_dt = raw.schema["ts"].dataType
+    if not isinstance(ts_dt, (TimestampType, TimestampNTZType, LongType)):
+        raise TypeError(f"events ts read as {ts_dt} — loader/reader disagree at {path}")
     return raw.select(
         "event_id",
-        # integer division — ts (~1.7e18 ns) exceeds double's 2^53 mantissa,
-        # so floor(ts/1000) would be off by ±1 µs
-        F.expr("CAST(ts DIV 1000 AS BIGINT)").alias("us"),
+        us_col.alias("us"),
         "user_id",
         "event_type",
         "value",

@@ -174,8 +174,15 @@ class BlockStore:
         """S1: append a batch. With ``resequence``, incoming sequences are
         shifted above the store's current max (write order = MVCC order).
         Returns the new high-water sequence. The new mark is derived from
-        one aggregation over the *incoming batch* (not a store rescan) and
-        persisted to the side-file."""
+        one aggregation over the *incoming batch* (not a store rescan).
+
+        Crash ordering (VERDICT r4 §Wrong #5): the mark is RESERVED — persisted
+        to the side-file *before* the data write. A crash between the two
+        leaves a too-high mark, which is only a harmless sequence gap; the
+        reverse order left a stale-low mark that the next append would trust,
+        reusing a sequence range and misordering MVCC. Same discipline as the
+        reference's counter-before-commit (``src/storage/engine.zig:663-674``).
+        """
         base = self.max_sequence()
         lo, hi = blocks.agg(F.min("sequence"), F.max("sequence")).collect()[0]
         lo, hi = lo or 0, hi or 0
@@ -186,8 +193,8 @@ class BlockStore:
             new_hi = hi - lo + base + 1
         else:
             new_hi = max(hi, base)
+        self._write_hwm(new_hi)  # reserve first — see docstring
         blocks.write.mode("append").partitionBy("codebase").parquet(self._blocks_dir)
-        self._write_hwm(new_hi)
         return new_hi
 
     def append_edges(self, edges: DataFrame) -> None:
@@ -212,12 +219,12 @@ class BlockStore:
         Driver-side list API — for small explicit batches (the CLI `delete
         <id>` path). Bulk deletes go through :meth:`tombstone_where`."""
         seq = self.max_sequence() + 1
+        self._write_hwm(seq + max(len(block_ids) - 1, 0))  # reserve-then-write
         tomb = self.spark.createDataFrame(
             [(b, seq + i, (seq + i) * 1000) for i, b in enumerate(sorted(block_ids))],
             _EMPTY_TOMB,
         )
         tomb.write.mode("append").parquet(self._tomb_dir)
-        self._write_hwm(seq + max(len(block_ids) - 1, 0))
 
     def tombstone_where(self, predicate: Column | str) -> None:
         """S3 at scale: tombstone every *visible* block matching a predicate
@@ -229,6 +236,7 @@ class BlockStore:
         the shadowed version's sequence, and a later re-put claims a higher
         sequence, so resurrection semantics are unchanged."""
         seq = self.max_sequence() + 1
+        self._write_hwm(seq)  # reserve-then-write (see append_blocks)
         tomb = (
             self.visible()
             .where(predicate)
@@ -239,7 +247,6 @@ class BlockStore:
             )
         )
         tomb.write.mode("append").parquet(self._tomb_dir)
-        self._write_hwm(seq)
 
     def tombstone_codebase(self, codebase: str) -> None:
         """Unlink a workspace: partition-pruned scan + distributed tombstone

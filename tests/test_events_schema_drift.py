@@ -1,0 +1,81 @@
+"""Schema-drift guard for the events loader (VERDICT r4 §Next-round #1/#9).
+
+The driver's events.parquet changed physical ts encoding between rounds
+(TIMESTAMP(NANOS) in r1-r3 -> timestamp[us] in r4), silently breaking every
+time-analytics query for a full round. These tests pin the loader's contract:
+every encoding the driver has shipped loads to the same integer-microsecond
+stream, and an unknown encoding fails loudly with a one-line diagnosis.
+"""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from kausaldb_spark.sources import events as ev
+
+US = [1_700_000_000_000_000, 1_700_000_001_500_000, 1_700_003_600_000_123]
+
+
+def _write_events(tmp_path, name, ts_array):
+    table = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": ts_array,
+            "user_id": pa.array([10, 10, 11], pa.int64()),
+            "event_type": pa.array(["view", "purchase", "view"]),
+            "value": pa.array([1.5, 2.25, 0.0]),
+            "props": pa.array(['{"a":1}', "{}", "{}"]),
+        }
+    )
+    path = os.path.join(str(tmp_path), name)
+    pq.write_table(table, path)
+    return os.path.dirname(path), os.path.basename(path)
+
+
+def _load(spark, tmp_path, name, ts_array):
+    d, base = _write_events(tmp_path, name, ts_array)
+    sf_dir_style = os.path.join(d, base)
+    # load_events expects {sf_dir}/events.parquet naming; call the guts directly
+    spark, us_col = ev._ts_to_us(spark, sf_dir_style)
+    raw = spark.read.parquet(sf_dir_style)
+    return raw.select("event_id", us_col.alias("us"), "user_id").orderBy("event_id")
+
+
+def test_micros_and_nanos_load_identically(spark, tmp_path):
+    micros = _load(
+        spark, tmp_path, "ev_us.parquet", pa.array(US, pa.timestamp("us"))
+    ).collect()
+    nanos = _load(
+        spark, tmp_path, "ev_ns.parquet", pa.array([u * 1000 for u in US], pa.timestamp("ns"))
+    ).collect()
+    raw_int64 = _load(
+        spark, tmp_path, "ev_i64.parquet", pa.array([u * 1000 for u in US], pa.int64())
+    ).collect()
+    tz_aware = _load(
+        spark, tmp_path, "ev_tz.parquet", pa.array(US, pa.timestamp("us", tz="UTC"))
+    ).collect()
+    assert [r["us"] for r in micros] == US
+    assert micros == nanos == raw_int64 == tz_aware
+
+
+def test_millis_loads(spark, tmp_path):
+    ms = _load(
+        spark, tmp_path, "ev_ms.parquet", pa.array([u // 1000 for u in US], pa.timestamp("ms"))
+    ).collect()
+    assert [r["us"] for r in ms] == [(u // 1000) * 1000 for u in US]
+
+
+def test_unknown_encoding_fails_loudly(spark, tmp_path):
+    with pytest.raises(TypeError, match="unsupported physical type"):
+        _load(spark, tmp_path, "ev_str.parquet", pa.array(["x", "y", "z"]))
+
+
+def test_real_testdata_loads(spark):
+    df = ev.load_events(spark, "/root/testdata/sf0.001")
+    assert df.columns == ["event_id", "us", "user_id", "event_type", "value", "props"]
+    row = df.selectExpr("min(us) AS lo", "max(us) AS hi", "count(*) AS n").first()
+    assert row["n"] > 0
+    # epoch micros for any plausible event time (2001..2286)
+    assert 1_000_000_000_000_000 < row["lo"] <= row["hi"] < 10_000_000_000_000_000

@@ -159,3 +159,51 @@ def test_link_reports_codebase_scoped_edge_count(spark, tree, tmp_path_factory):
     second = eng.link_codebase(str(other), "other")
     # 'other' has no call edges; the old bug reported proj's edges here
     assert second["edges"] == 0
+
+
+def _mk_blocks(spark, n, start_seq=1):
+    return spark.createDataFrame(
+        [
+            (f"b{start_seq + i}", start_seq + i, f"file://x{i}", "function",
+             f"fn{i}", "cb", f"x{i}.py", "{}", f"def fn{i}(): pass")
+            for i in range(n)
+        ],
+        "id string, sequence bigint, source_uri string, unit_type string,"
+        " unit_id string, codebase string, file_path string,"
+        " metadata_json string, content string",
+    )
+
+
+def test_hwm_reserved_before_data_write(spark, tmp_path_factory, monkeypatch):
+    """Crash between sequence reservation and the parquet append must never
+    allow sequence REUSE (VERDICT r4 §Wrong #5). With reserve-then-write the
+    failure mode is a harmless gap: the mark is already above the dead
+    batch's range, so the next append claims fresh sequences."""
+    store_path = str(tmp_path_factory.mktemp("store_hwm"))
+    store = BlockStore(spark, store_path)
+    hi1 = store.append_blocks(_mk_blocks(spark, 3))
+    assert hi1 == 3
+
+    # simulated crash: the HWM is persisted, then the data write dies
+    import pyspark.sql.readwriter as rw
+
+    orig_parquet = rw.DataFrameWriter.parquet
+
+    def boom(self, path, *a, **kw):
+        raise RuntimeError("simulated executor crash mid-append")
+
+    monkeypatch.setattr(rw.DataFrameWriter, "parquet", boom)
+    with pytest.raises(RuntimeError, match="simulated"):
+        store.append_blocks(_mk_blocks(spark, 5))
+    monkeypatch.setattr(rw.DataFrameWriter, "parquet", orig_parquet)
+
+    # reopen (fresh object = what a restarted writer sees): the reserved
+    # range [4,8] is burned — a gap, never a reuse
+    store2 = BlockStore(spark, store_path)
+    assert store2.max_sequence() == 8
+    hi3 = store2.append_blocks(_mk_blocks(spark, 2, start_seq=100))
+    assert hi3 == 10
+    seqs = sorted(r["sequence"] for r in store2.blocks_raw().select("sequence").collect())
+    assert seqs == [1, 2, 3, 9, 10]
+    # MVCC view unaffected: all five written blocks visible, none shadowed
+    assert store2.visible().count() == 5
