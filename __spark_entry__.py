@@ -995,7 +995,7 @@ WITH wd AS (
 n AS (
   SELECT doc_id, source,
          CAST(floor(w) AS INT)
-           + CASE WHEN bucket < CAST((w - floor(w)) * 100 AS INT)
+           + CASE WHEN bucket < CAST(round((w - floor(w)) * 100) AS INT)
                   THEN 1 ELSE 0 END AS n_copies
   FROM wd)
 SELECT doc_id, source, CAST(unnest(range(n_copies)) AS INT) AS copy_idx

@@ -322,7 +322,10 @@ def mix_sources(docs, weights: dict[str, float], key_col: str = "doc_id",
     for name, weight in sorted(weights.items()):
         w = F.when(F.col(source_col) == name, F.lit(float(weight))).otherwise(w)
     base = F.floor(w).cast("int")
-    frac_pct = ((w - F.floor(w)) * 100).cast("int")
+    # explicit round: .cast('int') TRUNCATES in Spark but ROUNDS in DuckDB,
+    # so weights whose fraction*100 isn't binary-exact (e.g. 1.33 ->
+    # 32.999...) diverged between engines (VERDICT r4 §Wrong #6)
+    frac_pct = F.round((w - F.floor(w)) * 100).cast("int")
     bucket = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
                     ).cast("bigint") % 100
     n_copies = base + (bucket < frac_pct).cast("int")

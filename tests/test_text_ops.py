@@ -99,3 +99,37 @@ def test_mix_sources_deterministic_upsampling(spark):
     again = {(r["doc_id"], r["copy_idx"]) for r in tx.mix_sources(
         df, {"a": 2.5, "b": 0.0, "c": 1.0}).collect()}
     assert again == per_doc
+
+
+def test_mix_sources_rounding_parity_with_duckdb(spark, duck):
+    """Weight 1.33: fraction*100 = 32.999... in binary. Spark's cast-to-int
+    truncates, DuckDB's rounds — both sides must round explicitly or the
+    gated query diverges (VERDICT r4 §Wrong #6)."""
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "source")
+    sources = [r["source"] for r in docs.select("source").distinct().collect()]
+    target = sorted(sources)[0]
+    weights = {target: 1.33}
+    out = tx.mix_sources(docs, weights)
+    spark_set = {(r["doc_id"], r["copy_idx"]) for r in out.collect()}
+    sql = f"""
+WITH wd AS (
+  SELECT doc_id, source,
+         CASE source WHEN '{target}' THEN 1.33 ELSE 1.0 END AS w,
+         ('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 8))::BIGINT % 100 AS bucket
+  FROM documents),
+n AS (
+  SELECT doc_id,
+         CAST(floor(w) AS INT)
+           + CASE WHEN bucket < CAST(round((w - floor(w)) * 100) AS INT)
+                  THEN 1 ELSE 0 END AS n_copies
+  FROM wd)
+SELECT doc_id, CAST(unnest(range(n_copies)) AS INT) AS copy_idx
+FROM n WHERE n_copies > 0"""
+    duck_set = {(int(r[0]), int(r[1])) for r in duck.sql(sql).fetchall()}
+    assert spark_set == duck_set
+    # and the upsampled share is ~33%, i.e. the rounding actually took effect
+    n_target = docs.where(F.col("source") == target).count()
+    n_extra = sum(1 for d, c in spark_set if c == 1)
+    assert abs(n_extra / n_target - 0.33) < 0.12
