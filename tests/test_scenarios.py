@@ -289,3 +289,45 @@ def test_scc_matches_tarjan_on_pseudorandom_graph(spark):
     from collections import Counter
 
     assert max(Counter(want.values()).values()) > 1
+
+
+def test_scc_path_graph_beyond_old_round_cap(spark):
+    """60-node path: every node its own SCC. The old max_rounds=20 silently
+    dropped 40 nodes (one peel per round); the trim phase now resolves the
+    whole path without any coloring round, and caps raise instead of
+    truncating (VERDICT r4 §Wrong #4)."""
+    pairs = [(f"p{i:02d}", f"p{i + 1:02d}") for i in range(59)]
+    e = _edges(spark, pairs)
+    got = {r["id"]: r["component"] for r in tv.strongly_connected_components(e).collect()}
+    assert got == _tarjan(pairs)
+    assert len(got) == 60 and all(k == v for k, v in got.items())
+
+
+def test_scc_long_cycle_beyond_old_iteration_cap(spark):
+    """55-node directed cycle: one SCC whose forward coloring needs ~55
+    propagation steps — past the old max_iterations=50, which would have
+    split the component. Also: an exhausted explicit cap must raise, never
+    return wrong components."""
+    import pytest as _pytest
+
+    n = 55
+    pairs = [(f"c{i:02d}", f"c{(i + 1) % n:02d}") for i in range(n)]
+    e = _edges(spark, pairs)
+    got = {r["id"]: r["component"] for r in tv.strongly_connected_components(e).collect()}
+    assert got == _tarjan(pairs)
+    assert set(got.values()) == {"c00"} and len(got) == n
+    with _pytest.raises(RuntimeError, match="not converged"):
+        tv.strongly_connected_components(e, max_iterations=5)
+
+
+def test_wcc_exhausted_cap_raises(spark):
+    """WCC with an explicit too-small cap raises instead of returning a
+    partial (wrong) labeling."""
+    import pytest as _pytest
+
+    pairs = [(f"w{i:02d}", f"w{i + 1:02d}") for i in range(30)]
+    e = _edges(spark, pairs)
+    with _pytest.raises(RuntimeError, match="not converged"):
+        tv.weakly_connected_components(e, max_iterations=3)
+    got = {r["id"]: r["component"] for r in tv.weakly_connected_components(e).collect()}
+    assert set(got.values()) == {"w00"} and len(got) == 31
