@@ -166,7 +166,20 @@ class KausalEngine:
         Resolution scope: re-parsed edges resolve against the changed units
         PLUS the unchanged files' symbol table reconstructed from the store,
         so cross-file targets keep resolving codebase-wide; stale edges of
-        re-ingested files are epoch-shadowed (BlockStore.visible_edges)."""
+        re-ingested files are epoch-shadowed (BlockStore.visible_edges).
+
+        Convergence (sync ≡ fresh link, ADVICE r4 #1): changing or removing a
+        DEFINITION can flip how *unchanged* files' bare-name references
+        resolve (e.g. deleting one of two same-named functions makes the
+        other the unique global target). So the affected bare-name set (defs
+        in old versions of changed/removed files ∪ defs in new versions of
+        changed files) is computed first, and every unchanged file whose
+        stored block content mentions one of those names as a token is
+        re-parsed and re-resolved too ("files_reresolved" in the stats). The
+        candidate scan is a distributed token-explode + broadcast semi-join
+        over the store — no file I/O, conservative overapproximation
+        (reference semantics: ``src/workspace/manager.zig:113-205``, which
+        re-ingests the whole tree every sync)."""
         reg = self.registry()
         if root is None:
             if codebase not in reg:
@@ -197,26 +210,84 @@ class KausalEngine:
                 self._save_registry(reg)
             return stats
 
+        abs_by_rel = dict((rel, ap) for ap, rel in files)
         affected = changed + removed
+        vis_cb = self.store.visible().where(F.col("codebase") == codebase)
+
+        # affected bare names: defs in the OLD versions of changed/removed
+        # files (about to be shadowed) ...
+        entity = F.element_at(F.split(F.col("unit_id"), ":"), -1)
+        bare_of_unit = F.element_at(F.split(entity, r"\."), -1)
+        names = {
+            r["bare"]
+            for r in vis_cb.where(F.col("file_path").isin(affected))
+            .select(bare_of_unit.alias("bare"))
+            .distinct()
+            .collect()
+        }
+        # ... ∪ defs in the NEW versions of changed files
+        units_c = raw_c = None
+        if changed:
+            changed_files = [(abs_by_rel[rel], rel) for rel in changed]
+            units_c, raw_c = ing.parse_files(self.spark, changed_files)
+            units_c = units_c.localCheckpoint()  # parse once, reuse below
+            raw_c = raw_c.localCheckpoint()
+            names |= {
+                r["bare"]
+                for r in units_c.select(
+                    F.element_at(F.split(F.col("name"), r"\."), -1).alias("bare")
+                )
+                .distinct()
+                .collect()
+            }
+
+        # unchanged files that mention an affected name as a token must be
+        # re-resolved: their references may now bind to a different target
+        reresolve: list[str] = []
+        if names:
+            names_df = self.spark.createDataFrame(
+                [(n,) for n in sorted(names)], "tok string"
+            )
+            reresolve = sorted(
+                r["file_path"]
+                for r in vis_cb.where(~F.col("file_path").isin(affected))
+                .select(
+                    "file_path",
+                    F.explode(F.split(F.col("content"), "[^A-Za-z0-9_]+")).alias("tok"),
+                )
+                .join(F.broadcast(names_df), "tok", "left_semi")
+                .select("file_path")
+                .distinct()
+                .collect()
+                if r["file_path"] in abs_by_rel  # still on disk
+            )
+        stats["files_reresolved"] = len(reresolve)
+
+        touch = changed + reresolve  # files being re-ingested this sync
+        shadowed = affected + reresolve
         self.store.tombstone_where(
-            (F.col("codebase") == codebase) & F.col("file_path").isin(affected)
+            (F.col("codebase") == codebase) & F.col("file_path").isin(shadowed)
         )
         base = self.store.max_sequence()
-        if changed:
-            abs_by_rel = dict((rel, ap) for ap, rel in files)
-            changed_files = [(abs_by_rel[rel], rel) for rel in changed]
-            units, raw_edges = ing.parse_files(self.spark, changed_files)
+        if touch:
+            if reresolve:
+                units_x, raw_x = ing.parse_files(
+                    self.spark, [(abs_by_rel[rel], rel) for rel in reresolve]
+                )
+                units = units_c.unionByName(units_x) if changed else units_x
+                raw_edges = raw_c.unionByName(raw_x) if changed else raw_x
+            else:
+                units, raw_edges = units_c, raw_c
             file_index = self.spark.createDataFrame(
-                [(i, rel) for i, rel in enumerate(changed)],
+                [(i, rel) for i, rel in enumerate(touch)],
                 "file_idx long, file_path string",
             )
             vis_rest = self.store.visible().where(
-                (F.col("codebase") == codebase) & ~F.col("file_path").isin(affected)
+                (F.col("codebase") == codebase) & ~F.col("file_path").isin(shadowed)
             )
-            entity = F.element_at(F.split(F.col("unit_id"), ":"), -1)
             extra_symbols = vis_rest.select(
                 "file_path",
-                F.element_at(F.split(entity, r"\."), -1).alias("bare"),
+                bare_of_unit.alias("bare"),
                 "unit_id",
             )
             blocks, edges = ing.resolve_and_build(
@@ -225,9 +296,13 @@ class KausalEngine:
             )
             self.store.append_blocks(blocks, resequence=False)
             self.store.append_edges(edges)
-        state_rows = [(codebase, rel, cur[rel], base) for rel in changed] + [
-            (codebase, rel, None, base) for rel in removed
-        ]
+        # re-resolved files keep their hash but move to the new epoch so
+        # their superseded edges are shadowed (BlockStore.visible_edges)
+        state_rows = (
+            [(codebase, rel, cur[rel], base) for rel in changed]
+            + [(codebase, rel, None, base) for rel in removed]
+            + [(codebase, rel, cur[rel], base) for rel in reresolve]
+        )
         self.store.record_file_state(
             self.spark.createDataFrame(
                 state_rows,

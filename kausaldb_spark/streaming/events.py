@@ -15,8 +15,22 @@ supplies the streaming counterparts a large-scale pipeline needs:
   ``src/workspace/manager.zig:113-205``).
 
 Testing: streams are driven from file sources with ``availableNow`` triggers
-(deterministic, bounded) and compared against the batch implementations —
-the streaming/batch parity is the correctness claim.
+(deterministic, bounded) and compared against the batch implementations.
+
+Parity scope (VERDICT r4 §Next-round #8): ``windowed_rollup`` matches batch
+exactly for every window at-or-above the watermark. ``sessionize_stream``
+matches batch for events arriving in order and for out-of-order events that
+land *within gap range of the open session*; an event arriving more than one
+gap BEFORE the open session's start (but above the watermark) closes as its
+own late session, whereas batch — seeing all data at once — might have
+bridged it into a neighbor. That is the standard watermarked trade-off, not
+a bug: exact global sessions require unbounded state. The claim is therefore
+per-micro-batch parity + bounded-disorder parity, pinned in
+``tests/test_streaming.py``.
+
+Checkpoint compatibility: the 5-field ``_SESSION_STATE`` schema (r3 added
+``open_idx``/``next_idx``) is not readable by checkpoints written under the
+older 3-field layout — restart such jobs with a fresh checkpoint dir.
 """
 
 from __future__ import annotations

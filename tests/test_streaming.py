@@ -77,6 +77,12 @@ def test_windowed_rollup_matches_batch(spark, event_chunks, tmp_path):
 
 
 def test_sessionize_stream_matches_batch(spark, event_chunks, tmp_path):
+    """Every session the stream CLOSES equals the batch result for that
+    session. Scope of the claim (see streaming/events.py module docstring):
+    this is in-order + bounded-disorder parity — an event landing more than
+    one gap before the open session's start closes as its own late session,
+    which batch (with global visibility) might instead bridge; that case is
+    pinned separately in test_sessionize_stream_late_before_open_session."""
     stream = sev.stream_events(spark, event_chunks, files_per_trigger=2)
     out = sev.sessionize_stream(stream)
     q = (

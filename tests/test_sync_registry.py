@@ -270,3 +270,43 @@ def test_sync_equals_fresh_link(spark, tmp_path_factory):
             f"edge divergence after step {i}: {action} {name}"
         )
         shutil.rmtree(fresh_store, ignore_errors=True)
+
+
+def test_sync_reresolves_unchanged_callers(spark, tmp_path_factory):
+    """ADVICE r4 #1: editing/removing one of two same-named definitions must
+    re-resolve the *unchanged* files that reference the name — incremental
+    sync has to converge to fresh-link semantics even when the changed file
+    isn't the one holding the reference."""
+    root = tmp_path_factory.mktemp("rere")
+    (root / "x.py").write_text("def greet():\n    return 1\n")
+    (root / "y.py").write_text("def greet():\n    return 2\n")
+    (root / "caller.py").write_text("def run():\n    return greet()\n")
+
+    store = str(tmp_path_factory.mktemp("rere_store"))
+    eng = KausalEngine(spark, store)
+    eng.link_codebase(str(root), "cb")
+
+    def caller_targets():
+        vis = eng.store.visible().where(F.col("codebase") == "cb")
+        src = vis.where(F.col("unit_id") == "caller.py:run").select("id")
+        ev = eng.store.visible_edges()
+        hit = ev.join(src, ev.src == src.id, "left_semi").alias("e").join(
+            vis.select(F.col("id").alias("dst"), "unit_id"), "dst"
+        )
+        return sorted(r["unit_id"] for r in hit.select("unit_id").collect())
+
+    # two same-named defs -> the bare reference is globally ambiguous -> no edge
+    assert caller_targets() == []
+
+    # delete one: greet becomes unique; caller.py is UNCHANGED but must rebind
+    (root / "y.py").unlink()
+    stats = eng.sync_codebase("cb")
+    assert stats["files_changed"] == 0 and stats["files_removed"] == 1
+    assert stats["files_reresolved"] >= 1
+    assert caller_targets() == ["x.py:greet"]
+
+    # add a new same-named def: ambiguity returns, the edge must drop again
+    (root / "z.py").write_text("def greet():\n    return 3\n")
+    stats = eng.sync_codebase("cb")
+    assert stats["files_reresolved"] >= 1
+    assert caller_targets() == []
