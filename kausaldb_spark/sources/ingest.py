@@ -231,10 +231,13 @@ def _parse_python(rel_path: str, source: str) -> tuple[list, list]:
 # function/type/const/var/import/test with Container.name qualification,
 # edges calls / calls_method / method_of / imports. tree-sitter is not in
 # the container, so structure comes from brace-depth scanning with strings
-# and comments stripped. Divergence from the reference (documented): local
-# const/var inside function bodies are not emitted as units (the reference
-# emits every var decl at any scope; file-level and container-level decls
-# are the useful surface).
+# and comments stripped. Scope rules match the reference's golden cases
+# (zig_parser.zig:673-975): TYPE and IMPORT decls are emitted at ANY scope,
+# including inside function bodies ("parse nested function", "parse local
+# const struct declaration" require Inner/LocalStruct units); plain
+# const/var inside function bodies are the one documented divergence — the
+# reference emits every var decl at any scope, here only file-level and
+# container-level decls are emitted (the useful query surface).
 
 _Z_STR = re.compile(r'"(?:[^"\\]|\\.)*"')
 _Z_CHAR = re.compile(r"'(?:[^'\\]|\\.)*'")
@@ -361,10 +364,11 @@ def _parse_zig(rel_path: str, source: str) -> tuple[list, list]:
     def inside_fn(i: int) -> bool:
         return any(a < i <= b or a == i for a, b in fn_extents)
 
-    # pass 2: imports / type units / const / var outside function bodies
+    # pass 2: imports and type units at ANY scope (the reference's AST walk
+    # emits nested/local containers — golden cases "parse nested function"
+    # and "parse local const struct declaration"); const/var only outside
+    # function bodies (documented divergence, see module comment above)
     for i in range(n):
-        if inside_fn(i):
-            continue
         # raw line here: the structural pass blanks string literals, which
         # would erase the @import("...") target
         m = _Z_IMPORT.match(lines[i])
@@ -387,6 +391,8 @@ def _parse_zig(rel_path: str, source: str) -> tuple[list, list]:
             qual = f"{container}.{name}" if container and container != name else name
             units.append((rel_path, "type", qual, container, i + 1, end + 1,
                           "\n".join(lines[i : end + 1]), None))
+            continue
+        if inside_fn(i):
             continue
         for rx, ut in ((_Z_CONST, "const"), (_Z_VAR, "var")):
             m = rx.match(sl[i])

@@ -232,3 +232,103 @@ def test_ingest_manifest_matches_directory(spark, fixture_tree):
     s2 = {tuple(r) for r in b2.select(cols).collect()}
     assert s1 == s2
     assert {tuple(r) for r in e1.collect()} == {tuple(r) for r in e2.collect()}
+
+
+def test_zig_golden_cases_from_reference():
+    """Parity with the reference parser's own golden tests
+    (src/ingestion/parsers/zig_parser.zig:683-975): unit taxonomy and edges
+    for each fixture, including nested/local containers inside function
+    bodies ("parse nested function", "parse local const struct
+    declaration"), which the r4 parser skipped."""
+    from kausaldb_spark.sources.ingest import _parse_zig
+
+    def parse(src):
+        units, edges = _parse_zig("t.zig", src)
+        return (
+            {(u[2]): u[1] for u in units},  # name -> unit_type
+            {(e[1], e[2], e[3]) for e in edges},  # (src, dst, type)
+        )
+
+    # "parse top-level function"
+    names, _ = parse("pub fn main() void {\n    return;\n}\n")
+    assert names == {"main": "function"}
+
+    # "parse method inside struct": Config type + both methods, method_of edge
+    names, edges = parse(
+        "pub const Config = struct {\n"
+        "    timeout: u32,\n\n"
+        "    pub fn init() Config {\n"
+        "        return .{ .timeout = 100 };\n"
+        "    }\n\n"
+        "    pub fn validate(self: *const Config) bool {\n"
+        "        return self.timeout > 0;\n"
+        "    }\n"
+        "};\n"
+    )
+    assert names["Config"] == "type"
+    assert names["Config.init"] == "function"
+    assert names["Config.validate"] == "function"
+    assert ("Config.init", "Config", "method_of") in edges
+
+    # "parse nested function": outer + Inner + method ALL present
+    names, _ = parse(
+        "fn outer() void {\n"
+        "    const Inner = struct {\n"
+        "        fn method() void {}\n"
+        "    };\n"
+        "    Inner.method();\n"
+        "}\n"
+    )
+    assert names["outer"] == "function"
+    assert names["Inner"] == "type"
+    assert "Inner.method" in names
+
+    # "extract function call edges"
+    _, edges = parse("fn caller() void {\n    callee();\n}\n\nfn callee() void {}\n")
+    assert ("caller", "callee", "calls") in edges
+
+    # "extract method call edges"
+    _, edges = parse(
+        "pub const Foo = struct {\n"
+        "    pub fn bar(self: *Foo) void {\n"
+        "        self.baz();\n"
+        "    }\n\n"
+        "    fn baz(self: *Foo) void {}\n"
+        "};\n"
+    )
+    assert ("Foo.bar", "baz", "calls_method") in edges
+
+    # "extract @import"
+    names, edges = parse(
+        'const std = @import("std");\nconst types = @import("../core/types.zig");\n'
+    )
+    assert names["std"] == "import" and names["types"] == "import"
+    assert ("std", "std", "imports") in edges
+    assert ("types", "types", "imports") in edges
+
+    # "parse variable declarations"
+    names, _ = parse("pub const VERSION: u32 = 1;\nvar global_counter: usize = 0;\n")
+    assert names["VERSION"] == "const" and names["global_counter"] == "var"
+
+    # "parse enum and union"
+    names, _ = parse(
+        "pub const Color = enum {\n    red,\n    green,\n    blue,\n};\n\n"
+        "pub const Value = union(enum) {\n    int: i32,\n    float: f64,\n};\n"
+    )
+    assert names["Color"] == "type" and names["Value"] == "type"
+
+    # "parse local const struct declaration"
+    names, _ = parse(
+        "fn my_func() void {\n"
+        "    const LocalStruct = struct {\n"
+        "        value: i32,\n"
+        "    };\n"
+        "    _ = LocalStruct{ .value = 1 };\n"
+        "}\n"
+    )
+    assert names["my_func"] == "function"
+    assert names["LocalStruct"] == "type"
+
+    # "handle syntax errors gracefully" — no exception, something emitted
+    units, _ = _parse_zig("t.zig", "pub fn broken( void {")
+    assert units
