@@ -327,7 +327,7 @@ def _q_exact_dedup(spark, sf_dir):
 
 
 def _q_token_count(spark, sf_dir):
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id",
         F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
@@ -335,7 +335,9 @@ def _q_token_count(spark, sf_dir):
 
 
 def _docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from kausaldb_spark.sources import guard
+
+    return guard.documents(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _q_minhash_near_dup(spark, sf_dir):
@@ -475,7 +477,9 @@ def _q_repetition_score(spark, sf_dir):
 
 
 def _emb(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from kausaldb_spark.sources import guard
+
+    return guard.embeddings(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 def _q_ann_topk(spark, sf_dir):

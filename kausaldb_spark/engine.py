@@ -128,6 +128,11 @@ class KausalEngine:
         files = ing.list_files(root)
         base = self.store.max_sequence()
         units, raw_edges = ing.parse_files(self.spark, files)
+        # parse once: blocks, edges, and the reference index all consume the
+        # same mapInPandas output — without the checkpoint each action would
+        # re-run the parse
+        units = units.localCheckpoint()
+        raw_edges = raw_edges.localCheckpoint()
         file_index = self.spark.createDataFrame(
             [(i, rel) for i, (_, rel) in enumerate(files)],
             "file_idx long, file_path string",
@@ -143,6 +148,7 @@ class KausalEngine:
                 F.lit(base).cast("bigint").alias("ingest_seq"),
             )
         )
+        self._record_refs(codebase, [rel for _, rel in files], raw_edges, base)
         self._invalidate()
         counts = self._codebase_counts(codebase)
         now = int(time.time())
@@ -154,6 +160,27 @@ class KausalEngine:
         }
         self._save_registry(reg)
         return counts
+
+    def _record_refs(
+        self, codebase: str, rel_paths: list[str], raw_edges, base: int
+    ) -> None:
+        """Append the inverted reference index rows for freshly-parsed files:
+        distinct (file, referenced bare name) from the raw edges + a
+        name=NULL sentinel per parsed file (coverage marker — a file that
+        references nothing is still indexed). Sync's which-files-must-
+        re-resolve lookup then joins this index instead of token-scanning
+        every stored block's content."""
+        sent = self.spark.createDataFrame(
+            [(codebase, rel, None, base) for rel in rel_paths],
+            "codebase string, file_path string, name string, ingest_seq bigint",
+        )
+        refs = raw_edges.select(
+            F.lit(codebase).alias("codebase"),
+            "file_path",
+            F.col("dst_name").alias("name"),
+            F.lit(base).cast("bigint").alias("ingest_seq"),
+        ).distinct()
+        self.store.record_ref_names(sent.unionByName(refs))
 
     def sync_codebase(self, codebase: str, root: str | None = None) -> dict[str, int]:
         """Incremental re-sync: hash-diff the tree against the stored
@@ -176,10 +203,13 @@ class KausalEngine:
         changed files) is computed first, and every unchanged file whose
         stored block content mentions one of those names as a token is
         re-parsed and re-resolved too ("files_reresolved" in the stats). The
-        candidate scan is a distributed token-explode + broadcast semi-join
-        over the store — no file I/O, conservative overapproximation
-        (reference semantics: ``src/workspace/manager.zig:113-205``, which
-        re-ingests the whole tree every sync)."""
+        candidate lookup joins the inverted ``ref_names`` index maintained at
+        every link/sync (change-bounded: affected-names broadcast against an
+        index row per (file, referenced name)); stores predating the index
+        fall back to a token scan of stored block content (corpus-bounded,
+        conservative). Reference semantics:
+        ``src/workspace/manager.zig:113-205``, which re-ingests the whole
+        tree every sync."""
         reg = self.registry()
         if root is None:
             if codebase not in reg:
@@ -241,24 +271,56 @@ class KausalEngine:
                 .collect()
             }
 
-        # unchanged files that mention an affected name as a token must be
-        # re-resolved: their references may now bind to a different target
+        # unchanged files that REFERENCE an affected name must be re-resolved:
+        # their references may now bind to a different target. Candidate
+        # lookup prefers the inverted ref_names index (change-bounded: one
+        # broadcast join against the names set); stores predating the index
+        # fall back to a token scan of stored block content (corpus-bounded,
+        # conservative overapproximation). Coverage = every current file has
+        # its name=NULL sentinel row, so a partially-indexed legacy store
+        # never silently misses candidates.
         reresolve: list[str] = []
         if names:
             names_df = self.spark.createDataFrame(
                 [(n,) for n in sorted(names)], "tok string"
             )
+            refs = self.store.current_ref_names().where(
+                F.col("codebase") == codebase
+            )
+            n_files_cur = (
+                self.store.current_file_state()
+                .where(
+                    (F.col("codebase") == codebase)
+                    & F.col("content_hash").isNotNull()
+                )
+                .count()
+            )
+            n_covered = refs.where(F.col("name").isNull()).count()
+            if n_covered >= n_files_cur:
+                cand = (
+                    refs.where(~F.col("file_path").isin(affected))
+                    .join(
+                        F.broadcast(names_df), refs.name == names_df.tok, "left_semi"
+                    )
+                    .select("file_path")
+                    .distinct()
+                )
+            else:
+                cand = (
+                    vis_cb.where(~F.col("file_path").isin(affected))
+                    .select(
+                        "file_path",
+                        F.explode(
+                            F.split(F.col("content"), "[^A-Za-z0-9_]+")
+                        ).alias("tok"),
+                    )
+                    .join(F.broadcast(names_df), "tok", "left_semi")
+                    .select("file_path")
+                    .distinct()
+                )
             reresolve = sorted(
                 r["file_path"]
-                for r in vis_cb.where(~F.col("file_path").isin(affected))
-                .select(
-                    "file_path",
-                    F.explode(F.split(F.col("content"), "[^A-Za-z0-9_]+")).alias("tok"),
-                )
-                .join(F.broadcast(names_df), "tok", "left_semi")
-                .select("file_path")
-                .distinct()
-                .collect()
+                for r in cand.collect()
                 if r["file_path"] in abs_by_rel  # still on disk
             )
         stats["files_reresolved"] = len(reresolve)
@@ -274,6 +336,8 @@ class KausalEngine:
                 units_x, raw_x = ing.parse_files(
                     self.spark, [(abs_by_rel[rel], rel) for rel in reresolve]
                 )
+                units_x = units_x.localCheckpoint()
+                raw_x = raw_x.localCheckpoint()
                 units = units_c.unionByName(units_x) if changed else units_x
                 raw_edges = raw_c.unionByName(raw_x) if changed else raw_x
             else:
@@ -296,6 +360,7 @@ class KausalEngine:
             )
             self.store.append_blocks(blocks, resequence=False)
             self.store.append_edges(edges)
+            self._record_refs(codebase, touch, raw_edges, base)
         # re-resolved files keep their hash but move to the new epoch so
         # their superseded edges are shadowed (BlockStore.visible_edges)
         state_rows = (

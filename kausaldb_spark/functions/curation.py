@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kausaldb_spark.sources import guard
+
 from kausaldb_spark.functions import text as tx
 from kausaldb_spark.functions.dedup import contaminated_docs, minhash_pairs_for
 from kausaldb_spark.operators.traversal import weakly_connected_components
@@ -29,7 +31,9 @@ BENCHMARK_MAX_ID = 10
 
 def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(split, n_docs, total_tokens) for the curated corpus."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs = guard.documents_text(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ).select("doc_id", "text")
 
     toks = tx.tokens(F.col("text"))
     qcols = tx.quality_columns(F.col("text"))

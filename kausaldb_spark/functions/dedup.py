@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kausaldb_spark.sources import guard
+
 from kausaldb_spark.functions.text import (
     N_SIMHASH_BANDS,
     shingles,
@@ -55,7 +57,9 @@ NEAR_COPY_OFFSET = 2_000_000
 def dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ planted exact copies ∪ planted near-copies (first five
     words dropped)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs = guard.documents_text(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ).select("doc_id", "text")
     exact = docs.where(F.col("doc_id") % EXACT_COPY_MOD == 0).select(
         (F.col("doc_id") + EXACT_COPY_OFFSET).alias("doc_id"), "text"
     )
@@ -329,7 +333,9 @@ def contaminated_docs(
     stands in for the eval set). The canonical decontamination pass for
     training data: inverted n-gram index join, grouped per (doc, benchmark)
     pair. Output (doc_id, benchmark_id, n_shared)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs = guard.documents_text(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ).select("doc_id", "text")
     sh = docs.select(
         "doc_id",
         F.explode(F.array_distinct(shingles(tokens(F.col("text")), n))).alias("shingle"),

@@ -44,6 +44,14 @@ _EMPTY_TOMB = "block_id string, sequence bigint, deletion_timestamp bigint"
 _EMPTY_FILE_STATE = (
     "codebase string, file_path string, content_hash string, ingest_seq bigint"
 )
+# inverted reference index: one row per (file, referenced bare name) from the
+# parse's raw edges, plus a name=NULL sentinel per parsed file (so coverage
+# is distinguishable from "file references nothing"). Makes sync's
+# which-files-must-re-resolve lookup change-bounded instead of a content
+# token scan over the whole codebase.
+_EMPTY_REF_NAMES = (
+    "codebase string, file_path string, name string, ingest_seq bigint"
+)
 _EDGE_COLS = ("src", "dst", "edge_type", "codebase", "src_file", "ingest_seq")
 
 
@@ -55,6 +63,7 @@ class BlockStore:
         self._edges_dir = os.path.join(path, "edges")
         self._tomb_dir = os.path.join(path, "tombstones")
         self._file_state_dir = os.path.join(path, "file_state")
+        self._ref_names_dir = os.path.join(path, "ref_names")
         self._hwm_path = os.path.join(path, "_max_seq.json")
 
     # -- raw table accessors ------------------------------------------------
@@ -135,6 +144,36 @@ class BlockStore:
             "codebase", "file_path", "content_hash",
             F.col("ingest_seq").cast("bigint"),
         ).write.mode("append").parquet(self._file_state_dir)
+
+    def ref_names(self) -> DataFrame:
+        """Append-only inverted reference index (see _EMPTY_REF_NAMES)."""
+        return self._read_or_empty(self._ref_names_dir, _EMPTY_REF_NAMES)
+
+    def record_ref_names(self, rows: DataFrame) -> None:
+        rows.select(
+            "codebase", "file_path", "name", F.col("ingest_seq").cast("bigint")
+        ).write.mode("append").parquet(self._ref_names_dir)
+
+    def current_ref_names(self) -> DataFrame:
+        """Rows at each file's CURRENT ingest epoch (the file_state view is
+        the authority on which epoch is current — one broadcast join, no
+        second window over the index)."""
+        cur = self.current_file_state().where(
+            F.col("content_hash").isNotNull()
+        ).select(
+            F.col("codebase").alias("_cb"), F.col("file_path").alias("_fp"),
+            F.col("ingest_seq").alias("_epoch"),
+        )
+        r = self.ref_names()
+        return (
+            r.join(
+                F.broadcast(cur),
+                (r.codebase == F.col("_cb"))
+                & (r.file_path == F.col("_fp"))
+                & (r.ingest_seq == F.col("_epoch")),
+            )
+            .select("codebase", "file_path", "name", "ingest_seq")
+        )
 
     # -- sequence management ------------------------------------------------
 
@@ -339,19 +378,22 @@ class BlockStore:
         tmp_blocks = self._blocks_dir + ".compact-tmp"
         tmp_edges = self._edges_dir + ".compact-tmp"
         tmp_state = self._file_state_dir + ".compact-tmp"
-        for t in (tmp_blocks, tmp_edges, tmp_state):
+        tmp_refs = self._ref_names_dir + ".compact-tmp"
+        for t in (tmp_blocks, tmp_edges, tmp_state, tmp_refs):
             shutil.rmtree(t, ignore_errors=True)
         # reads source dirs, writes ONLY to the side dirs — recomputation
         # after an executor loss re-reads the still-intact live store
         self.visible().write.partitionBy("codebase").parquet(tmp_blocks)
         self.visible_edges().write.parquet(tmp_edges)
         # file_state folds to its latest row per file (epoch history consumed
-        # along with the stale edges it shadowed)
+        # along with the stale edges it shadowed); ref_names to current epochs
         self.current_file_state().write.parquet(tmp_state)
+        self.current_ref_names().write.parquet(tmp_refs)
         for live, tmp in (
             (self._blocks_dir, tmp_blocks),
             (self._edges_dir, tmp_edges),
             (self._file_state_dir, tmp_state),
+            (self._ref_names_dir, tmp_refs),
         ):
             old = live + ".compact-old"
             shutil.rmtree(old, ignore_errors=True)

@@ -310,3 +310,67 @@ def test_sync_reresolves_unchanged_callers(spark, tmp_path_factory):
     stats = eng.sync_codebase("cb")
     assert stats["files_reresolved"] >= 1
     assert caller_targets() == []
+
+
+def test_ref_index_drives_reresolution(spark, tmp_path_factory):
+    """The inverted ref_names index must (a) be fully covered after a fresh
+    link (sentinel per file), (b) drive the same re-resolution outcome as
+    the content-scan fallback, and (c) fold correctly through compact()."""
+    root = tmp_path_factory.mktemp("refidx")
+    (root / "x.py").write_text("def greet():\n    return 1\n")
+    (root / "y.py").write_text("def greet():\n    return 2\n")
+    (root / "caller.py").write_text("def run():\n    return greet()\n")
+    (root / "loner.py").write_text("def solo():\n    return 0\n")
+
+    store = str(tmp_path_factory.mktemp("refidx_store"))
+    eng = KausalEngine(spark, store)
+    eng.link_codebase(str(root), "cb")
+
+    refs = eng.store.current_ref_names().where(F.col("codebase") == "cb")
+    # sentinel coverage: one NULL-name row per linked file
+    sentinels = {r["file_path"] for r in refs.where(F.col("name").isNull()).collect()}
+    assert sentinels == {"x.py", "y.py", "caller.py", "loner.py"}
+    # caller.py's greet reference is indexed
+    assert refs.where(
+        (F.col("file_path") == "caller.py") & (F.col("name") == "greet")
+    ).count() == 1
+
+    # indexed path: delete y.py -> caller.py re-resolved, loner.py NOT
+    (root / "y.py").unlink()
+    stats = eng.sync_codebase("cb")
+    assert stats["files_reresolved"] == 1  # exactly caller.py (index is exact)
+    vis = eng.store.visible().where(F.col("codebase") == "cb")
+    src = vis.where(F.col("unit_id") == "caller.py:run").select("id")
+    ev = eng.store.visible_edges()
+    assert ev.join(src, ev.src == src.id, "left_semi").count() == 1
+
+    # compact folds the index to current epochs without losing coverage
+    eng.store.compact()
+    refs2 = eng.store.current_ref_names().where(F.col("codebase") == "cb")
+    assert {r["file_path"] for r in refs2.where(F.col("name").isNull()).collect()} == {
+        "x.py", "caller.py", "loner.py"
+    }
+
+
+def test_legacy_store_falls_back_to_content_scan(spark, tmp_path_factory):
+    """A store written before ref_names existed (simulated by dropping the
+    index dir) must still re-resolve via the content-scan fallback — never
+    silently miss candidates."""
+    import shutil
+
+    root = tmp_path_factory.mktemp("legacy")
+    (root / "x.py").write_text("def greet():\n    return 1\n")
+    (root / "y.py").write_text("def greet():\n    return 2\n")
+    (root / "caller.py").write_text("def run():\n    return greet()\n")
+    store = str(tmp_path_factory.mktemp("legacy_store"))
+    eng = KausalEngine(spark, store)
+    eng.link_codebase(str(root), "cb")
+    shutil.rmtree(eng.store._ref_names_dir)  # pre-index store
+
+    (root / "y.py").unlink()
+    stats = eng.sync_codebase("cb")
+    assert stats["files_reresolved"] >= 1
+    vis = eng.store.visible().where(F.col("codebase") == "cb")
+    src = vis.where(F.col("unit_id") == "caller.py:run").select("id")
+    ev = eng.store.visible_edges()
+    assert ev.join(src, ev.src == src.id, "left_semi").count() == 1
