@@ -121,6 +121,12 @@ def build_parser() -> argparse.ArgumentParser:
     sub.add_parser("status", help="store + query statistics")
     sub.add_parser("list", help="linked codebases (name, path, counts)")
     sub.add_parser("compact", help="rewrite store to visible snapshot")
+
+    srv = sub.add_parser(
+        "serve", help="run the resident TCP daemon (client/daemon split)"
+    )
+    srv.add_argument("--host", default="127.0.0.1")
+    srv.add_argument("--port", type=int, default=7654)
     return p
 
 
@@ -139,8 +145,26 @@ def parse_condition(spec: str):
 
 
 def main(argv: list[str] | None = None, spark=None, engine=None, file=None) -> int:
-    args = build_parser().parse_args(argv)
+    argv = list(sys.argv[1:] if argv is None else argv)
     file = file or sys.stdout
+    if "--remote" in argv:
+        # client mode: forward the command to a running daemon (which owns
+        # the store and the warm SparkSession) and relay its response
+        i = argv.index("--remote")
+        hostport = argv[i + 1]
+        fwd = argv[:i] + argv[i + 2:]
+        if "--store" in fwd:  # the daemon injects its own --store
+            j = fwd.index("--store")
+            fwd = fwd[:j] + fwd[j + 2:]
+        host, _, port = hostport.rpartition(":")
+        from kausaldb_spark.server import KausalClient
+
+        with KausalClient(host or "127.0.0.1", int(port)) as client:
+            resp = client.request(fwd)
+        print(resp.get("output") or resp.get("error", ""), end="", file=file)
+        return int(resp.get("exit", 1))
+
+    args = build_parser().parse_args(argv)
     if engine is None:
         from kausaldb_spark.engine import KausalEngine
         from kausaldb_spark.session import get_spark
@@ -201,6 +225,14 @@ def main(argv: list[str] | None = None, spark=None, engine=None, file=None) -> i
     if args.command == "compact":
         engine.store.compact()
         print(json.dumps({"compacted": True}), file=file)
+        return 0
+    if args.command == "serve":
+        from kausaldb_spark.server import KausalServer
+
+        with KausalServer(engine, args.store, args.host, args.port) as srv:
+            h, p = srv.server_address[:2]
+            print(json.dumps({"serving": True, "host": h, "port": p}), file=file)
+            srv.serve_forever()
         return 0
     return 2
 
