@@ -521,6 +521,14 @@ def _q_source_mix(spark, sf_dir):
     )
 
 
+def _q_line_dedup(spark, sf_dir):
+    # CCNet-style line-level boilerplate removal over the SAME planted
+    # corpus the other dedup gates use (raw documents have no duplicate
+    # lines): the planted exact copies make their text's line df=2, so the
+    # gate exercises real strips + in-order reassembly + empty-doc rows
+    return tx.remove_boilerplate_lines(dd.dedup_corpus(spark, sf_dir), min_df=2)
+
+
 def _q_sessionize(spark, sf_dir):
     return ev.sessionize(ev.load_events(spark, sf_dir))
 
@@ -693,6 +701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    suite, the rows-only ones are pytest-gated) --
         "corpus_report": _q_corpus_report,
         "source_mix": _q_source_mix,
+        "line_dedup": _q_line_dedup,
         "dfs_preorder": _q_dfs_preorder,
         "streaming_rollup": _q_streaming_rollup,
         "streaming_sessionize": _q_streaming_sessionize,
@@ -1004,6 +1013,23 @@ n AS (
   FROM wd)
 SELECT doc_id, source, CAST(unnest(range(n_copies)) AS INT) AS copy_idx
 FROM n WHERE n_copies > 0""",
+        "line_dedup": "WITH " + dd.DUCK_CORPUS.strip() + """,
+t AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM corpus),
+lx AS (SELECT doc_id, unnest(range(len(ls))) AS pos, ls FROM t),
+lines AS (SELECT doc_id, pos, ls[pos + 1] AS line, trim(ls[pos + 1]) AS key FROM lx),
+bp AS (SELECT key FROM lines WHERE key <> ''
+       GROUP BY key HAVING count(DISTINCT doc_id) >= 2),
+kept AS (SELECT doc_id, pos, line FROM lines
+         WHERE key NOT IN (SELECT key FROM bp)),
+agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+               CAST(count(*) AS BIGINT) AS n_kept
+        FROM kept GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(a.text_clean, '') AS text_clean,
+       COALESCE(a.n_kept, 0) AS n_kept,
+       CAST(len(string_split(d.text, chr(10))) AS BIGINT) - COALESCE(a.n_kept, 0)
+         AS n_removed
+FROM corpus d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
         "sessionize": oracles.sessionize_sql(ev.SESSION_GAP_US),
         "events_topk_users": """
 WITH counts AS (

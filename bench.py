@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "context_blocks",
     # pipeline ops
     "exact_dedup",
+    "line_dedup",
     "minhash_near_dup",
     "near_dup_clusters",
     "ngram_jaccard",

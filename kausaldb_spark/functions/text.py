@@ -335,3 +335,56 @@ def mix_sources(docs, weights: dict[str, float], key_col: str = "doc_id",
         .withColumn("copy_idx", F.explode(F.sequence(F.lit(0), F.col("_n_copies") - 1)))
         .drop("_n_copies")
     )
+
+
+def remove_boilerplate_lines(
+    docs, min_df: int = 2, key_col: str = "doc_id", text_col: str = "text"
+):
+    """CCNet-style line-level dedup (boilerplate removal): a trimmed,
+    non-empty line appearing in >= ``min_df`` distinct documents is
+    boilerplate (nav bars, headers, license banners, cookie notices) and is
+    stripped from EVERY document; remaining lines reassemble in original
+    order. Output: (doc_id, text_clean, n_kept, n_removed) — one row per
+    input doc (fully-boilerplate docs come back with empty text, the
+    drop-or-keep decision belongs to the caller's quality gate).
+
+    Scale shape: one explode + one count aggregate keyed by line text + one
+    anti-join on the same key + one per-doc reassembly aggregate — the same
+    two-shuffle profile as exact dedup; no driver-side state and no UDF
+    (reassembly is array_sort + transform, whole-stage codegen). The
+    boilerplate side of the anti-join is duplication-rate-sized, so AQE
+    typically broadcasts it at runtime.
+    """
+    lines = docs.select(
+        key_col, F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line")
+    ).withColumn("key", F.trim("line"))
+    bp = (
+        lines.where(F.col("key") != "")
+        .groupBy("key")
+        .agg(F.countDistinct(key_col).alias("df"))
+        .where(F.col("df") >= min_df)
+        .select("key")
+    )
+    kept = lines.join(bp, "key", "left_anti")
+    agg = kept.groupBy(key_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+        ).alias("text_clean"),
+        F.count("*").cast("bigint").alias("n_kept"),
+    )
+    totals = docs.select(
+        key_col,
+        F.size(F.split(F.col(text_col), "\n")).cast("bigint").alias("_n_lines"),
+    )
+    return totals.join(agg, key_col, "left").select(
+        key_col,
+        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        (F.col("_n_lines") - F.coalesce("n_kept", F.lit(0)))
+        .cast("bigint")
+        .alias("n_removed"),
+    )

@@ -133,3 +133,32 @@ FROM n WHERE n_copies > 0"""
     n_target = docs.where(F.col("source") == target).count()
     n_extra = sum(1 for d, c in spark_set if c == 1)
     assert abs(n_extra / n_target - 0.33) < 0.12
+
+
+def test_remove_boilerplate_lines(spark):
+    """CCNet-style line dedup: a line in >=2 docs is stripped everywhere,
+    survivors reassemble in original order, fully-boilerplate docs come back
+    empty (one output row per input doc)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "COOKIE NOTICE\nreal content one\nmid unique\nfooter text"),
+            (2, "COOKIE NOTICE\nreal content two\nfooter text"),
+            (3, "standalone doc\nwith unique lines"),
+            (4, "COOKIE NOTICE\nfooter text"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in tx.remove_boilerplate_lines(docs).collect()}
+    assert len(out) == 5
+    assert out[1]["text_clean"] == "real content one\nmid unique"
+    assert (out[1]["n_kept"], out[1]["n_removed"]) == (2, 2)
+    assert out[2]["text_clean"] == "real content two"
+    assert out[3]["text_clean"] == "standalone doc\nwith unique lines"
+    assert out[3]["n_removed"] == 0
+    assert out[4]["text_clean"] == "" and out[4]["n_kept"] == 0
+    # empty doc: its one (empty) line is never boilerplate
+    assert out[5]["text_clean"] == "" and out[5]["n_removed"] == 0
+    # min_df high enough -> nothing stripped
+    untouched = tx.remove_boilerplate_lines(docs, min_df=10).collect()
+    assert all(r["n_removed"] == 0 for r in untouched)
