@@ -110,7 +110,7 @@ class KausalEngine:
         ]
 
     def _codebase_counts(self, codebase: str) -> dict[str, int]:
-        cb_ids = self.store.visible().where(F.col("codebase") == codebase).select("id")
+        cb_ids = self.store.visible(codebase).select("id")
         e = self.store.visible_edges()
         return {
             "blocks": cb_ids.count(),
@@ -242,7 +242,7 @@ class KausalEngine:
 
         abs_by_rel = dict((rel, ap) for ap, rel in files)
         affected = changed + removed
-        vis_cb = self.store.visible().where(F.col("codebase") == codebase)
+        vis_cb = self.store.visible(codebase)
 
         # affected bare names: defs in the OLD versions of changed/removed
         # files (about to be shadowed) ...
@@ -346,8 +346,8 @@ class KausalEngine:
                 [(i, rel) for i, rel in enumerate(touch)],
                 "file_idx long, file_path string",
             )
-            vis_rest = self.store.visible().where(
-                (F.col("codebase") == codebase) & ~F.col("file_path").isin(shadowed)
+            vis_rest = self.store.visible(codebase).where(
+                ~F.col("file_path").isin(shadowed)
             )
             extra_symbols = vis_rest.select(
                 "file_path",
@@ -394,7 +394,7 @@ class KausalEngine:
         reference's unlink removes only metadata, manager.zig:190-205; ours
         tombstones the blocks too — the stronger cleanup its docstring
         defers to 'future versions')."""
-        n = self.store.visible().where(F.col("codebase") == codebase).count()
+        n = self.store.visible(codebase).count()
         if n:
             self.store.tombstone_codebase(codebase)
         reg = self.registry()
@@ -439,14 +439,14 @@ class KausalEngine:
         return self._timed(
             "find_by_name",
             ("find_by_name", workspace, unit_type, name),
-            lambda: lk.find_by_name(self.store.visible(), workspace, unit_type, name),
+            lambda: lk.find_by_name(self.store.visible(workspace), workspace, unit_type, name),
         )
 
     def find_by_file_path(self, workspace: str, file_path: str) -> DataFrame:
         return self._timed(
             "find_by_file_path",
             ("find_by_file_path", workspace, file_path),
-            lambda: lk.find_by_file_path(self.store.visible(), workspace, file_path),
+            lambda: lk.find_by_file_path(self.store.visible(workspace), workspace, file_path),
         )
 
     def keyword_search(self, query: str, threshold: float = 0.7, max_results: int = 500) -> DataFrame:

@@ -294,9 +294,25 @@ class BlockStore:
 
     # -- reads --------------------------------------------------------------
 
-    def visible(self) -> DataFrame:
-        """S4: the MVCC snapshot every query reads."""
-        return visible_blocks(self.blocks_raw(), self.tombstones())
+    def visible(self, codebase: str | None = None) -> DataFrame:
+        """S4: the MVCC snapshot every query reads.
+
+        ``codebase`` scopes the snapshot to one workspace by filtering the
+        raw table BEFORE the last-writer-wins window. The plain
+        ``visible().where(codebase=...)`` form cannot push the predicate past
+        the window (it partitions by id, and Catalyst can't know codebase is
+        functionally dependent on id), so the scan read every workspace; the
+        pre-filter form reaches the parquet scan as a PartitionFilter —
+        workspace queries on a multi-tenant store prune to their partition.
+        Equivalent because every version of an id lives in one codebase:
+        ids are md5(codebase/unit_id) (``sources/ingest.py resolve_and_build``),
+        mirroring the reference's content-addressed block ids
+        (``src/core/types.zig:137-151``). Plan-asserted in
+        tests/test_scale_fixes.py."""
+        raw = self.blocks_raw()
+        if codebase is not None:
+            raw = raw.where(F.col("codebase") == codebase)
+        return visible_blocks(raw, self.tombstones())
 
     def visible_edges(self) -> DataFrame:
         """Edges with both endpoints visible AND not epoch-shadowed.

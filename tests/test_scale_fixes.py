@@ -207,3 +207,26 @@ def test_hwm_reserved_before_data_write(spark, tmp_path_factory, monkeypatch):
     assert seqs == [1, 2, 3, 9, 10]
     # MVCC view unaffected: all five written blocks visible, none shadowed
     assert store2.visible().count() == 5
+
+
+def test_point_lookup_pushes_filter_through_mvcc_window(spark, tmp_path_factory):
+    """An id-filtered read of the MVCC snapshot must reach the parquet scan
+    as PushedFilters (the filter commutes with the per-id dedup window) —
+    the plan property that makes point lookups on a 100 TB store touch one
+    row group instead of scanning the table."""
+    store_path = str(tmp_path_factory.mktemp("store_push"))
+    store = BlockStore(spark, store_path)
+    store.append_blocks(_mk_blocks(spark, 20))
+    plan = store.visible().where(F.col("id") == "b7")._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    import re
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("id" in p and ("EqualTo" in p or "IsNotNull" in p) for p in pushed), plan
+    # workspace scoping must use the PRE-window form: a .where() above the
+    # snapshot cannot commute with the id-partitioned window, so
+    # visible(codebase=...) filters blocks_raw first and the predicate
+    # reaches the scan as a PartitionFilter (partition pruning)
+    plan2 = store.visible(codebase="cb")._jdf.queryExecution().executedPlan().toString()
+    assert any(
+        "codebase" in p for p in re.findall(r"PartitionFilters: \[([^\]]*)\]", plan2)
+    ), plan2
