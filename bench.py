@@ -82,6 +82,12 @@ def main() -> None:
     spark = get_spark("kausaldb-bench")
     qs = entry_mod.queries()
 
+    # JVM/codegen warmup: the first job of a fresh session pays ~3-5 s of
+    # classloading that has nothing to do with the measured query (every
+    # other query already runs on a warm session; graph_build shouldn't be
+    # the one entry that eats the cold start)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
     timings: dict[str, object] = {}
     errors: dict[str, str] = {}
     total = 0.0
