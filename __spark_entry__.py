@@ -521,6 +521,18 @@ def _q_source_mix(spark, sf_dir):
     )
 
 
+def _q_binary_dedup(spark, sf_dir):
+    # multimodal step-1 dedup: content-address binary payloads (sha256 over
+    # raw bytes, no decode) and collapse byte-identical assets. Payload =
+    # utf-8 bytes of the planted corpus text (what a binaryFile scan yields)
+    from kausaldb_spark.sources import multimodal as mm
+
+    assets = dd.dedup_corpus(spark, sf_dir).select(
+        F.col("doc_id").alias("asset_id"), F.encode("text", "UTF-8").alias("payload")
+    )
+    return mm.exact_binary_duplicates(assets)
+
+
 def _q_line_dedup(spark, sf_dir):
     # CCNet-style line-level boilerplate removal over the SAME planted
     # corpus the other dedup gates use (raw documents have no duplicate
@@ -702,6 +714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report": _q_corpus_report,
         "source_mix": _q_source_mix,
         "line_dedup": _q_line_dedup,
+        "binary_dedup": _q_binary_dedup,
         "dfs_preorder": _q_dfs_preorder,
         "streaming_rollup": _q_streaming_rollup,
         "streaming_sessionize": _q_streaming_sessionize,
@@ -1030,6 +1043,12 @@ SELECT d.doc_id,
        CAST(len(string_split(d.text, chr(10))) AS BIGINT) - COALESCE(a.n_kept, 0)
          AS n_removed
 FROM corpus d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
+        "binary_dedup": "WITH " + dd.DUCK_CORPUS.strip() + """
+SELECT lower(sha256(text)) AS sha256,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(count(*) AS BIGINT) AS n_assets,
+       CAST(min(doc_id) AS BIGINT) AS keep_id
+FROM corpus GROUP BY 1, 2 HAVING count(*) > 1""",
         "sessionize": oracles.sessionize_sql(ev.SESSION_GAP_US),
         "events_topk_users": """
 WITH counts AS (

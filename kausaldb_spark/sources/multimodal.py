@@ -146,3 +146,36 @@ def sample_frames(assets: DataFrame, every_n_bytes: int = 32, max_frames: int = 
         .select("asset_id", "payload")
         .mapInPandas(batch_fn, FRAME_SAMPLE_SCHEMA)
     )
+
+
+def content_address(
+    assets: DataFrame, id_col: str = "asset_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Content-address binary assets: (id, n_bytes, sha256). This is step 1
+    of multimodal dedup — raw-bytes-identical images/audio collapse to one
+    sha regardless of filename/metadata. Pure JVM expressions over the
+    binary column (no decode, no UDF), so it runs at scan throughput."""
+    return assets.select(
+        F.col(id_col),
+        F.octet_length(F.col(payload_col)).cast("bigint").alias("n_bytes"),
+        F.lower(F.sha2(F.col(payload_col), 256)).alias("sha256"),
+    )
+
+
+def exact_binary_duplicates(
+    assets: DataFrame, id_col: str = "asset_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Exact binary dedup decision: one row per duplicated payload —
+    (sha256, n_bytes, n_assets, keep_id) with keep_id = min asset id (the
+    canonical copy; the caller drops the rest). Same hash-groupBy shape as
+    text exact dedup; the shuffle key is the 32-byte digest, never the
+    payload bytes."""
+    return (
+        content_address(assets, id_col, payload_col)
+        .groupBy("sha256", "n_bytes")
+        .agg(
+            F.count("*").cast("bigint").alias("n_assets"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .where(F.col("n_assets") > 1)
+    )

@@ -47,3 +47,31 @@ def test_frame_sampling(spark):
     per = pdf.groupby("asset_id")["frame_idx"].agg(["min", "max", "count"])
     assert (per["min"] == 0).all()
     assert (per["count"] <= 4).all()
+
+
+def test_content_address_and_binary_dedup(spark):
+    """sha256 over raw payload bytes: byte-identical assets collapse to one
+    keep_id; distinct payloads never group."""
+    from kausaldb_spark.sources.multimodal import (
+        content_address,
+        exact_binary_duplicates,
+        synthetic_assets,
+    )
+    from pyspark.sql import functions as F
+
+    assets = synthetic_assets(spark, n=16)
+    # plant two byte-identical copies of asset 0's payload
+    dup = assets.where(F.col("asset_id") == "asset_0").select(
+        F.lit("asset_copy_a").alias("asset_id"), "kind", "payload", "meta"
+    )
+    dup2 = dup.select(F.lit("asset_copy_b").alias("asset_id"), "kind", "payload", "meta")
+    all_assets = assets.unionByName(dup).unionByName(dup2)
+
+    ca = content_address(all_assets)
+    assert ca.columns == ["asset_id", "n_bytes", "sha256"]
+    assert ca.count() == 18
+    groups = exact_binary_duplicates(all_assets).collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g["n_assets"] == 3 and g["keep_id"] == "asset_0"
+    assert len(g["sha256"]) == 64
