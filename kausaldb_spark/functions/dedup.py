@@ -553,3 +553,44 @@ def simhash_band_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def select_canonical(
+    clusters: DataFrame,
+    scores: DataFrame,
+    cluster_col: str = "cluster_id",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Quality-weighted keep-rule for near-dup clusters: per cluster keep the
+    member with the highest ``score`` (ties break to the smallest id —
+    deterministic on any engine). The min-id rule of ``near_dup_clusters``
+    is the cheap default; real curation keeps the best-quality copy (longest,
+    cleanest, highest LM score) and drops the rest.
+
+    Output: (doc_id, cluster_id, score, is_canonical). Scale shape: one
+    broadcast-or-shuffle join on the doc id + one max_by aggregate keyed by
+    cluster — no window over the full corpus (clusters are
+    duplication-rate-sized)."""
+    joined = clusters.select(id_col, cluster_col).join(
+        scores.select(id_col, score_col), id_col
+    )
+    # max_by with deterministic tiebreak: pack (score, -id) into a struct —
+    # struct ordering compares fields left to right
+    best = joined.groupBy(cluster_col).agg(
+        F.max(F.struct(F.col(score_col), (-F.col(id_col)).alias("_negid")))
+        .alias("_best")
+    ).select(
+        cluster_col,
+        F.col("_best")[score_col].alias("_best_score"),
+        (-F.col("_best._negid")).alias("_best_id"),
+    )
+    return (
+        joined.join(F.broadcast(best), cluster_col)
+        .select(
+            id_col,
+            cluster_col,
+            score_col,
+            (F.col(id_col) == F.col("_best_id")).cast("int").alias("is_canonical"),
+        )
+    )

@@ -86,3 +86,29 @@ def test_simhash_band_finds_near_misses(spark, tmp_path):
     }
     expect = bin((sigs[1] ^ sigs[2]) & (2**64 - 1)).count("1")
     assert pairs[(1, 2)] == expect
+
+
+def test_select_canonical_keeps_best_quality(spark):
+    """Quality-weighted keep-rule: highest score wins the cluster; ties break
+    to the smallest id; every member appears exactly once."""
+    from kausaldb_spark.functions.dedup import select_canonical
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "doc_id long, cluster_id long",
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (10, 0.5), (11, 0.5)],
+        "doc_id long, score double",
+    )
+    out = {r["doc_id"]: r for r in select_canonical(clusters, scores).collect()}
+    assert len(out) == 5
+    # cluster 1: docs 2 and 3 tie at 0.9 -> smaller id (2) wins
+    assert [out[i]["is_canonical"] for i in (1, 2, 3)] == [0, 1, 0]
+    # cluster 10: tie at 0.5 -> doc 10 wins
+    assert [out[i]["is_canonical"] for i in (10, 11)] == [1, 0]
+    # exactly one canonical per cluster
+    from collections import Counter
+
+    per = Counter(r["cluster_id"] for r in out.values() if r["is_canonical"])
+    assert per == {1: 1, 10: 1}
