@@ -521,6 +521,16 @@ def _q_source_mix(spark, sf_dir):
     )
 
 
+def _q_canonical_selection(spark, sf_dir):
+    # quality-weighted keep-rule over the near-dup clusters: highest token
+    # count survives, ties to min doc_id (dedup.select_canonical)
+    clusters = dd.near_dup_clusters(spark, sf_dir)
+    scores = dd.dedup_corpus(spark, sf_dir).select(
+        "doc_id", F.size(tx.tokens(F.col("text"))).cast("bigint").alias("score")
+    )
+    return dd.select_canonical(clusters, scores)
+
+
 def _q_binary_dedup(spark, sf_dir):
     # multimodal step-1 dedup: content-address binary payloads (sha256 over
     # raw bytes, no decode) and collapse byte-identical assets. Payload =
@@ -715,6 +725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mix": _q_source_mix,
         "line_dedup": _q_line_dedup,
         "binary_dedup": _q_binary_dedup,
+        "canonical_selection": _q_canonical_selection,
         "dfs_preorder": _q_dfs_preorder,
         "streaming_rollup": _q_streaming_rollup,
         "streaming_sessionize": _q_streaming_sessionize,
@@ -953,6 +964,7 @@ FROM documents""",
         "simhash_pairs": oracles.simhash_pairs_sql(),
         "simhash_band": oracles.simhash_band_sql(),
         "near_dup_clusters": oracles.near_dup_clusters_sql(),
+        "canonical_selection": oracles.canonical_selection_sql(),
         "token_count_bpe": r"""
 SELECT doc_id,
        CAST(len(regexp_extract_all(lower(text), '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+')) AS INT)

@@ -472,3 +472,36 @@ sess AS (
 SELECT user_id, session_idx, CAST(count(*) AS BIGINT) AS n_events,
        CAST(max(us) - min(us) AS BIGINT) AS duration_us, min(us) AS first_us
 FROM sess GROUP BY 1, 2"""
+
+
+def canonical_selection_sql(num: int = 7, den: int = 10) -> str:
+    """Quality-weighted canonical per near-dup cluster: highest token count
+    wins, ties to min doc_id (the oracle twin of dedup.select_canonical over
+    near_dup_clusters + a token-count score)."""
+    return (
+        "WITH RECURSIVE "
+        + _minhash_ctes(num, den)
+        + r""",
+und AS (SELECT doc_a AS a, doc_b AS b FROM verified
+        UNION ALL SELECT doc_b, doc_a FROM verified),
+nodes AS (SELECT DISTINCT a AS doc FROM und),
+rec AS (
+  SELECT doc, doc AS comp FROM nodes
+  UNION
+  SELECT u.b AS doc, r.comp FROM rec r JOIN und u ON u.a = r.doc
+),
+clusters AS (SELECT doc AS doc_id, min(comp) AS cluster_id FROM rec GROUP BY doc),
+scored AS (
+  SELECT c.doc_id, c.cluster_id,
+         CAST(len(string_split_regex(trim(lower(t.text)), '\s+')) AS BIGINT) AS score
+  FROM clusters c JOIN corpus t USING (doc_id)),
+best AS (SELECT cluster_id, max(score) AS best_score FROM scored GROUP BY 1),
+bestid AS (
+  SELECT s.cluster_id, min(s.doc_id) AS best_id
+  FROM scored s JOIN best b
+    ON s.cluster_id = b.cluster_id AND s.score = b.best_score
+  GROUP BY 1)
+SELECT s.doc_id, s.cluster_id, s.score,
+       CAST(s.doc_id = bi.best_id AS INT) AS is_canonical
+FROM scored s JOIN bestid bi ON s.cluster_id = bi.cluster_id"""
+    )
