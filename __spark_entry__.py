@@ -412,22 +412,42 @@ def _q_lang_id(spark, sf_dir):
     return docs.select("doc_id", tx.lang_id(tx.tokens(F.col("text"))).alias("pred_lang"))
 
 
-def _q_stratified_sample(spark, sf_dir, per_class: int = 50):
+def _q_stratified_sample(spark, sf_dir, per_class: int = 50, n_salts: int = 32):
     """Deterministic per-class downsampling: cap each predicted language at
     ``per_class`` docs, picked by md5 order (growth-stable like the split
     assignment — a doc's selection only changes if its class shrinks).
-    Partitioned window → scales per class, never a global sort."""
+
+    Exact two-phase top-k (r6, replaces the per-class global window the r5
+    verdict flagged): with only ~6 language classes, ``Window.partitionBy(
+    pred_lang)`` funnels each class's full row set through ONE sort task —
+    terabytes per task at 100 TB.  Phase 1 windows over (pred_lang, salt)
+    where salt = crc32(doc_id) % n_salts, bounding every sort task to
+    |class| / n_salts rows, and keeps each salt's local top ``per_class``.
+    Phase 2 re-ranks the ≤ n_salts·per_class survivors per class — a few
+    thousand rows — with the exact window.  The global per-class top-k is a
+    subset of the union of per-salt top-ks, so the output is row-identical
+    to the single-window form (pinned by tests/test_scale_fixes.py).
+    ``n_salts`` scales with cluster width at real deployments."""
     from pyspark.sql.window import Window
 
     docs = _docs(spark, sf_dir)
     labeled = docs.select(
         "doc_id", tx.lang_id(tx.tokens(F.col("text"))).alias("pred_lang")
+    ).withColumn(
+        "_strat_key", F.md5(F.col("doc_id").cast("string"))
+    ).withColumn(
+        "_strat_salt", F.crc32(F.col("doc_id").cast("string")) % n_salts
     )
-    w = Window.partitionBy("pred_lang").orderBy(
-        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    w_local = Window.partitionBy("pred_lang", "_strat_salt").orderBy(
+        "_strat_key", "doc_id"
     )
+    survivors = (
+        labeled.withColumn("_lrnk", F.row_number().over(w_local))
+        .where(F.col("_lrnk") <= per_class)
+    )
+    w_exact = Window.partitionBy("pred_lang").orderBy("_strat_key", "doc_id")
     return (
-        labeled.withColumn("rnk", F.row_number().over(w))
+        survivors.withColumn("rnk", F.row_number().over(w_exact))
         .where(F.col("rnk") <= per_class)
         .select("doc_id", "pred_lang")
     )
@@ -662,9 +682,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 oracle-gated queries first (the driver's correctness
     harness samples the first 50 in dict order), then the rows-only entries
     (dfs_preorder + the two streaming ops — not SQL-expressible; their
-    behavior is pytest-asserted in tests/)."""
+    behavior is pytest-asserted in tests/).
+
+    Round-6 rotation: the five oracle-backed entries that sat past
+    position 50 in r5 (corpus_report, source_mix, line_dedup,
+    binary_dedup, canonical_selection) now gate inside the sample window;
+    five entries unchanged-and-green since r2 (iterate_all, edge_ordering,
+    token_count, split_assignment, filter_pagination) moved to the tail,
+    where the local DuckDB parity suite (tests/test_oracle_parity.py)
+    still hash-checks them every run."""
     return {
-        # -- previously outside the driver sample: gate these first --
+        # -- rotated into the driver sample this round --
+        "corpus_report": _q_corpus_report,
+        "source_mix": _q_source_mix,
+        "line_dedup": _q_line_dedup,
+        "binary_dedup": _q_binary_dedup,
+        "canonical_selection": _q_canonical_selection,
+        # -- gated first since r5 --
         "snapshot_view": _q_snapshot_view,
         "events_asof": _q_events_asof,
         "context_blocks": _q_context_blocks,
@@ -678,11 +712,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "batch_lookup_100": _q_batch_lookup_100,
         "filter_metadata_eq": _q_filter_metadata_eq,
         "filter_compound": _q_filter_compound,
-        "filter_pagination": _q_filter_pagination,
         "filter_targets": _q_filter_targets,
         "filter_numeric_lexical": _q_filter_numeric_lexical,
-        "iterate_all": _q_iterate_all,
-        "edge_ordering": _q_edge_ordering,
         "find_by_name": _q_find_by_name,
         "find_alias_and_path": _q_find_alias_and_path,
         "keyword_search": _q_keyword_search,
@@ -697,14 +728,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topo_sort": _q_topo_sort,
         # -- dedup / text / similarity pipeline --
         "exact_dedup": _q_exact_dedup,
-        "token_count": _q_token_count,
         "minhash_near_dup": _q_minhash_near_dup,
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash_pairs": _q_simhash_pairs,
         "simhash_band": _q_simhash_band,
         "near_dup_clusters": _q_near_dup_clusters,
         "token_count_bpe": _q_token_count_bpe,
-        "split_assignment": _q_split_assignment,
         "contamination": _q_contamination,
         "corpus_curation": _q_corpus_curation,
         "corpus_stats": _q_corpus_stats,
@@ -721,11 +750,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tail (position > 50: outside the driver sample; the oracle-
         #    backed entries here are still hash-gated by the local parity
         #    suite, the rows-only ones are pytest-gated) --
-        "corpus_report": _q_corpus_report,
-        "source_mix": _q_source_mix,
-        "line_dedup": _q_line_dedup,
-        "binary_dedup": _q_binary_dedup,
-        "canonical_selection": _q_canonical_selection,
+        "iterate_all": _q_iterate_all,
+        "edge_ordering": _q_edge_ordering,
+        "token_count": _q_token_count,
+        "split_assignment": _q_split_assignment,
+        "filter_pagination": _q_filter_pagination,
         "dfs_preorder": _q_dfs_preorder,
         "streaming_rollup": _q_streaming_rollup,
         "streaming_sessionize": _q_streaming_sessionize,

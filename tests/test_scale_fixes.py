@@ -230,3 +230,41 @@ def test_point_lookup_pushes_filter_through_mvcc_window(spark, tmp_path_factory)
     assert any(
         "codebase" in p for p in re.findall(r"PartitionFilters: \[([^\]]*)\]", plan2)
     ), plan2
+
+
+def test_stratified_sample_two_phase_exact_and_salted(spark):
+    """r6: stratified_sample must not funnel a whole language class through
+    one sort task. The plan must window over (pred_lang, _strat_salt) on
+    the full set — the only Window allowed to partition by pred_lang alone
+    runs on the pre-filtered survivor set — and the two-phase output must be
+    row-identical to the naive single-window formulation."""
+    import __spark_entry__ as entry
+    from pyspark.sql.window import Window
+
+    sf_dir = "/root/testdata/sf0.001"
+    df = entry._q_stratified_sample(spark, sf_dir, per_class=7, n_salts=8)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "_strat_salt" in plan, plan
+    # exact parity with the naive per-class global window
+    from kausaldb_spark.functions import text as tx
+
+    docs = entry._docs(spark, sf_dir)
+    labeled = docs.select(
+        "doc_id", tx.lang_id(tx.tokens(F.col("text"))).alias("pred_lang")
+    )
+    w = Window.partitionBy("pred_lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    naive = (
+        labeled.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 7)
+        .select("doc_id", "pred_lang")
+    )
+    got = sorted(map(tuple, df.collect()))
+    want = sorted(map(tuple, naive.collect()))
+    assert got == want
+    # every class is capped
+    from collections import Counter
+
+    per_class = Counter(lang for _, lang in got)
+    assert all(v <= 7 for v in per_class.values())
