@@ -127,6 +127,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     srv.add_argument("--host", default="127.0.0.1")
     srv.add_argument("--port", type=int, default=7654)
+    srv.add_argument(
+        "--token",
+        default=None,
+        help="shared secret; REQUIRED for a non-loopback --host (the daemon "
+        "executes destructive argv)",
+    )
     return p
 
 
@@ -151,15 +157,33 @@ def main(argv: list[str] | None = None, spark=None, engine=None, file=None) -> i
         # client mode: forward the command to a running daemon (which owns
         # the store and the warm SparkSession) and relay its response
         i = argv.index("--remote")
+        if i + 1 >= len(argv):
+            print("--remote requires HOST:PORT (e.g. --remote 127.0.0.1:7654)",
+                  file=file)
+            return 2
         hostport = argv[i + 1]
         fwd = argv[:i] + argv[i + 2:]
-        if "--store" in fwd:  # the daemon injects its own --store
+        token = None
+        if "--token" in fwd:  # client-side secret, not a forwarded arg
+            j = fwd.index("--token")
+            if j + 1 >= len(fwd):
+                print("--token requires a value", file=file)
+                return 2
+            token = fwd[j + 1]
+            fwd = fwd[:j] + fwd[j + 2:]
+        # the daemon injects its own --store: scrub both spellings
+        while "--store" in fwd:
             j = fwd.index("--store")
             fwd = fwd[:j] + fwd[j + 2:]
+        fwd = [a for a in fwd if not a.startswith("--store=")]
         host, _, port = hostport.rpartition(":")
+        if not port.isdigit():
+            print(f"bad --remote {hostport!r}: expected HOST:PORT with a "
+                  "numeric port", file=file)
+            return 2
         from kausaldb_spark.server import KausalClient
 
-        with KausalClient(host or "127.0.0.1", int(port)) as client:
+        with KausalClient(host or "127.0.0.1", int(port), token=token) as client:
             resp = client.request(fwd)
         print(resp.get("output") or resp.get("error", ""), end="", file=file)
         return int(resp.get("exit", 1))
@@ -229,7 +253,8 @@ def main(argv: list[str] | None = None, spark=None, engine=None, file=None) -> i
     if args.command == "serve":
         from kausaldb_spark.server import KausalServer
 
-        with KausalServer(engine, args.store, args.host, args.port) as srv:
+        with KausalServer(engine, args.store, args.host, args.port,
+                          token=args.token) as srv:
             h, p = srv.server_address[:2]
             print(json.dumps({"serving": True, "host": h, "port": p}), file=file)
             srv.serve_forever()

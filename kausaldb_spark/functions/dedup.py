@@ -571,7 +571,10 @@ def select_canonical(
     Output: (doc_id, cluster_id, score, is_canonical). Scale shape: one
     broadcast-or-shuffle join on the doc id + one max_by aggregate keyed by
     cluster — no window over the full corpus (clusters are
-    duplication-rate-sized)."""
+    duplication-rate-sized). The best-per-cluster join carries no broadcast
+    hint: at 100 TB the cluster count can exceed driver/broadcast limits,
+    so AQE picks broadcast vs shuffle from the observed size (r6, per
+    ADVICE)."""
     joined = clusters.select(id_col, cluster_col).join(
         scores.select(id_col, score_col), id_col
     )
@@ -586,7 +589,7 @@ def select_canonical(
         (-F.col("_best._negid")).alias("_best_id"),
     )
     return (
-        joined.join(F.broadcast(best), cluster_col)
+        joined.join(best, cluster_col)
         .select(
             id_col,
             cluster_col,

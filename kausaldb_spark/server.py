@@ -36,6 +36,31 @@ import threading
 from kausaldb_spark import cli
 
 
+def _is_loopback(host: str) -> bool:
+    """True iff ``host`` names a loopback interface (127/8, ::1, localhost).
+    Resolution failures count as non-loopback — fail closed."""
+    import ipaddress
+
+    if host in ("localhost", ""):
+        return True
+    try:
+        return ipaddress.ip_address(host).is_loopback
+    except ValueError:
+        try:
+            infos = socket.getaddrinfo(host, None)
+        except OSError:
+            return False
+        return bool(infos) and all(
+            ipaddress.ip_address(i[4][0]).is_loopback for i in infos
+        )
+
+
+#: subcommands a client may NOT forward: ``serve`` would run serve_forever
+#: inside the handler while holding cmd_lock (wedging the daemon), and the
+#: daemon lifecycle verbs are handled by the protocol itself.
+_FORBIDDEN_FORWARDED = {"serve", "shutdown"}
+
+
 class _Handler(socketserver.StreamRequestHandler):
     def handle(self) -> None:  # one connection, many requests
         srv = self.server
@@ -45,11 +70,20 @@ class _Handler(socketserver.StreamRequestHandler):
                 return
             try:
                 req = json.loads(line)
+                if not isinstance(req, dict):
+                    raise ValueError("request must be a JSON object")
                 argv = req["argv"]
                 if not isinstance(argv, list) or not all(isinstance(a, str) for a in argv):
                     raise ValueError("argv must be a list of strings")
-            except (ValueError, KeyError) as exc:
+            except (ValueError, KeyError, TypeError) as exc:
                 self._send({"ok": False, "exit": 2, "error": f"bad request: {exc}"})
+                continue
+            if srv.token is not None and req.get("token") != srv.token:
+                self._send({"ok": False, "exit": 3, "error": "auth required: bad or missing token"})
+                continue
+            if argv and argv != ["shutdown"] and argv[0] in _FORBIDDEN_FORWARDED:
+                self._send({"ok": False, "exit": 2,
+                            "error": f"subcommand {argv[0]!r} cannot be forwarded to a daemon"})
                 continue
             if argv == ["shutdown"]:
                 self._send({"ok": True, "exit": 0, "output": ""})
@@ -83,9 +117,23 @@ class KausalServer(socketserver.ThreadingTCPServer):
     allow_reuse_address = True
     daemon_threads = True
 
-    def __init__(self, engine, store_path: str, host: str = "127.0.0.1", port: int = 0):
+    def __init__(self, engine, store_path: str, host: str = "127.0.0.1", port: int = 0,
+                 token: str | None = None):
+        # The daemon executes arbitrary CLI argv, including destructive
+        # delete/unlink/compact and link of any local path — so a
+        # non-loopback bind without a shared secret is refused outright
+        # (r6, per ADVICE). Loopback needs no token: same-host callers
+        # already have the store on disk.
+        if not _is_loopback(host) and not token:
+            raise ValueError(
+                f"refusing to bind {host!r} without a token: the daemon "
+                "executes unauthenticated argv (delete/unlink/link of local "
+                "paths); pass token=... (clients send {'token': ...}) or "
+                "bind loopback"
+            )
         self.engine = engine
         self.store_path = store_path
+        self.token = token
         self.cmd_lock = threading.Lock()
         super().__init__((host, port), _Handler)
 
@@ -98,12 +146,17 @@ class KausalServer(socketserver.ThreadingTCPServer):
 class KausalClient:
     """Line-oriented client: ``request([...argv...]) -> response dict``."""
 
-    def __init__(self, host: str, port: int, timeout: float = 300.0):
+    def __init__(self, host: str, port: int, timeout: float = 300.0,
+                 token: str | None = None):
         self._sock = socket.create_connection((host, port), timeout=timeout)
         self._rfile = self._sock.makefile("rb")
+        self._token = token
 
     def request(self, argv: list[str]) -> dict:
-        self._sock.sendall((json.dumps({"argv": argv}) + "\n").encode())
+        req: dict = {"argv": argv}
+        if self._token is not None:
+            req["token"] = self._token
+        self._sock.sendall((json.dumps(req) + "\n").encode())
         line = self._rfile.readline()
         if not line:
             raise ConnectionError("daemon closed the connection")
@@ -121,7 +174,7 @@ class KausalClient:
 
 
 def serve(store_path: str, host: str = "127.0.0.1", port: int = 7654,
-          spark=None) -> None:
+          spark=None, token: str | None = None) -> None:
     """``kausal serve`` entrypoint: build the engine once, serve until
     ``shutdown``."""
     from kausaldb_spark.engine import KausalEngine
@@ -129,7 +182,7 @@ def serve(store_path: str, host: str = "127.0.0.1", port: int = 7654,
 
     spark = spark or get_spark("kausal-daemon")
     engine = KausalEngine(spark, store_path)
-    with KausalServer(engine, store_path, host, port) as srv:
+    with KausalServer(engine, store_path, host, port, token=token) as srv:
         h, p = srv.server_address[:2]
         print(json.dumps({"serving": True, "host": h, "port": p}), flush=True)
         srv.serve_forever()

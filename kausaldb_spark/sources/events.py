@@ -28,11 +28,24 @@ SESSION_GAP_US = 1_800_000_000  # 30 min
 def _sniff_parquet_field(path: str, name: str):
     """Arrow type of column ``name`` from the parquet footer (driver-side
     metadata read only — no data scan). ``path`` may be a file or a dataset
-    directory."""
+    directory; for a directory every part footer (up to an evenly-spaced
+    sample of 64 for huge datasets) is checked and a mixed-type dataset
+    raises instead of silently decoding some parts under the wrong reader
+    decision (r6, per ADVICE on single-part sniffing)."""
     if os.path.isdir(path):
         files = sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
         if not files:
             raise FileNotFoundError(f"no parquet files under {path}")
+        if len(files) > 64:  # evenly-spaced deterministic sample, ends included
+            step = (len(files) - 1) / 63
+            files = [files[round(i * step)] for i in range(64)]
+        types = {str(pq.read_schema(f).field(name).type): f for f in files}
+        if len(types) > 1:
+            raise TypeError(
+                f"mixed parquet types for column {name!r} across parts of "
+                f"{path}: {sorted(types)} (e.g. {sorted(types.values())[:2]}) — "
+                "one reader decision cannot decode all parts correctly"
+            )
         path = files[0]
     return pq.read_schema(path).field(name).type
 

@@ -79,3 +79,30 @@ def test_real_testdata_loads(spark):
     assert row["n"] > 0
     # epoch micros for any plausible event time (2001..2286)
     assert 1_000_000_000_000_000 < row["lo"] <= row["hi"] < 10_000_000_000_000_000
+
+
+def test_mixed_part_encodings_raise(tmp_path):
+    """r6 ADVICE: a directory dataset whose parts disagree on the ts
+    encoding must raise at sniff time — one reader decision cannot decode
+    both, and the post-read check only catches gross mismatches."""
+    d = os.path.join(str(tmp_path), "events.parquet")
+    os.makedirs(d)
+    us = pa.array([1, 2, 3], pa.timestamp("us"))
+    ns = pa.array([1, 2, 3], pa.timestamp("ns"))
+    for name, arr in [("part-0.parquet", us), ("part-1.parquet", ns)]:
+        table = pa.table({"event_id": pa.array([1, 2, 3], pa.int64()), "ts": arr})
+        pq.write_table(table, os.path.join(d, name))
+    with pytest.raises(TypeError, match="mixed parquet types"):
+        ev._sniff_parquet_field(d, "ts")
+
+
+def test_uniform_multipart_sniffs_fine(tmp_path):
+    d = os.path.join(str(tmp_path), "events.parquet")
+    os.makedirs(d)
+    for i in range(3):
+        table = pa.table({
+            "event_id": pa.array([i], pa.int64()),
+            "ts": pa.array([i], pa.timestamp("us")),
+        })
+        pq.write_table(table, os.path.join(d, f"part-{i}.parquet"))
+    assert str(ev._sniff_parquet_field(d, "ts")) == "timestamp[us]"
