@@ -91,13 +91,58 @@ def sign_bucket(vec: Column, n_bits: int = 8) -> Column:
     return bucket.cast("int")
 
 
+def auto_n_bits(n_rows: int, target_bucket: int, max_bits: int = 24) -> int:
+    """Bits so the *expected* bucket size n_rows / 2^bits lands at about
+    HALF of ``target_bucket`` (the degenerate-bucket cap): bits =
+    ceil(log2(2n / cap)), clamped to [1, max_bits]. The 2× headroom
+    matters — at expected size == cap the binomial spread puts roughly a
+    third of buckets just over the cap and the guard drops them; at cap/2
+    the over-cap tail is negligible for anything but true pathological
+    collisions (e.g. all-zero vectors).
+
+    The r5 verdict's finding #3: a FIXED n_bits=8 means 256 buckets
+    forever — at real corpus scale every bucket exceeds the cap and the
+    guard (built to drop pathological collisions) silently drops nearly
+    all data. Deriving bits from the corpus count keeps buckets ≈ cap at
+    any scale; ``max_bits`` bounds the bucket count at ~16M (beyond that,
+    partition-pruned probing dominates anyway)."""
+    import math
+
+    if n_rows <= target_bucket:
+        return 1
+    return max(1, min(max_bits, math.ceil(math.log2(2 * n_rows / target_bucket))))
+
+
+def _resolve_bits(embeddings: DataFrame, n_bits: int | None, target_bucket: int,
+                  vec_col: str) -> int:
+    """n_bits=None → derive from the corpus count (one cheap count job) and
+    the embedding dimensionality (sign_bucket reads the first n_bits
+    coordinates, so bits can never exceed dim)."""
+    if n_bits is not None:
+        return n_bits
+    first = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = int(first["d"]) if first is not None else 1
+    return min(max(dim, 1), auto_n_bits(embeddings.count(), target_bucket))
+
+
 def lsh_bucketed_topk(
-    embeddings: DataFrame, query_ids: list[int], k: int = 5, n_bits: int = 8,
-    id_col: str = "vec_id", vec_col: str = "embedding",
+    embeddings: DataFrame, query_ids: list[int], k: int = 5, n_bits: int | None = 8,
+    id_col: str = "vec_id", vec_col: str = "embedding", multi_probe: bool = False,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's sign bucket.
     Same output schema as dot_topk. Queries whose bucket holds < k neighbors
-    return fewer rows (recall tradeoff, by design)."""
+    return fewer rows (recall tradeoff, by design).
+
+    ``n_bits=None`` derives the bit count from the corpus size
+    (``auto_n_bits`` — expected bucket ≈ the degenerate cap at any scale);
+    the gated entry query pins ``n_bits=8`` because its DuckDB oracle is a
+    static SQL string. ``multi_probe=True`` additionally probes every
+    bucket at Hamming distance 1 from the query's (n_bits extra buckets
+    per query — recovers the neighbors that sit just across one
+    hyperplane, the standard recall repair when bits grow with scale)."""
+    from kausaldb_spark.functions.dedup import MAX_LSH_BUCKET
+
+    n_bits = _resolve_bits(embeddings, n_bits, MAX_LSH_BUCKET, vec_col)
     with_bucket = embeddings.select(
         F.col(id_col), F.col(vec_col), sign_bucket(F.col(vec_col), n_bits).alias("bucket")
     )
@@ -105,6 +150,15 @@ def lsh_bucketed_topk(
         with_bucket.where(F.col(id_col).isin(query_ids))
         .select(F.col(id_col).alias("query_id"), quantized(F.col(vec_col)).alias("qv"), "bucket")
     )
+    if multi_probe:
+        probes = F.array(
+            F.col("bucket"), *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(n_bits)
+            ]
+        )
+        q = q.select(
+            "query_id", "qv", F.explode(probes).alias("bucket")
+        )
     corpus = with_bucket.select(
         F.col(id_col).alias("neighbor_id"), quantized(F.col(vec_col)).alias("cv"), "bucket"
     )
@@ -114,6 +168,8 @@ def lsh_bucketed_topk(
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", int_dot(F.col("qv"), F.col("cv")).alias("dot"))
     )
+    if multi_probe:  # a neighbor can match via several probe buckets
+        scored = scored.distinct()
     w = Window.partitionBy("query_id").orderBy(F.col("dot").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -195,12 +251,22 @@ def ivf_topk(
 
 
 def embedding_near_duplicates(
-    embeddings: DataFrame, min_dot: int, n_bits: int = 8,
+    embeddings: DataFrame, min_dot: int, n_bits: int | None = 8,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = None, with_dropped: bool = False,
 ) -> DataFrame:
     """Embedding-similarity near-dup pairs: sign-LSH bucketing, then exact
     quantized dot >= min_dot within each bucket. Output (id_a, id_b, dot).
+
+    ``n_bits=None`` auto-scales the bucket count to the corpus
+    (``auto_n_bits``): with a FIXED 8 bits, a real corpus makes every one
+    of the 256 buckets exceed the degenerate cap, and the quadratic guard
+    silently drops nearly all data (r5 verdict finding #3). The gated
+    entry query pins 8 (static oracle). ``with_dropped=True`` returns
+    ``(pairs, dropped)`` where ``dropped`` is the (bucket, _n) relation of
+    over-cap buckets — the same visibility ``dedup.capped_buckets`` gives
+    the MinHash path; a non-empty ``dropped`` at auto-scaled bits means
+    true pathological collisions (e.g. zero vectors), not under-bucketing.
 
     Shape: ONE shuffle (by bucket). The degenerate-bucket guard
     (``max_bucket_size``, default dedup.MAX_LSH_BUCKET — e.g. thousands of
@@ -217,15 +283,14 @@ def embedding_near_duplicates(
 
     if max_bucket_size is None:
         max_bucket_size = MAX_LSH_BUCKET
+    n_bits = _resolve_bits(embeddings, n_bits, max_bucket_size, vec_col)
     with_bucket = embeddings.select(
         F.col(id_col).alias("id"), quantized(F.col(vec_col)).alias("qv"),
         sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
     )
     wn = Window.partitionBy("bucket")
-    capped = (
-        with_bucket.withColumn("_n", F.count("*").over(wn))
-        .where(F.col("_n") <= max_bucket_size)
-    )
+    sized = with_bucket.withColumn("_n", F.count("*").over(wn))
+    capped = sized.where(F.col("_n") <= max_bucket_size)
     grouped = capped.groupBy("bucket").agg(
         F.collect_list(F.struct("id", "qv")).alias("xs")
     )
@@ -246,7 +311,7 @@ def embedding_near_duplicates(
             )
         ).alias("p")
     )
-    return (
+    out = (
         pairs.select(
             F.least("p.ia", "p.ib").alias("id_a"),
             F.greatest("p.ia", "p.ib").alias("id_b"),
@@ -254,3 +319,11 @@ def embedding_near_duplicates(
         )
         .where(F.col("dot") >= min_dot)
     )
+    if with_dropped:
+        dropped = (
+            sized.where(F.col("_n") > max_bucket_size)
+            .select("bucket", F.col("_n").cast("bigint"))
+            .distinct()
+        )
+        return out, dropped
+    return out
