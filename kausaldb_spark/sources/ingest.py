@@ -234,10 +234,20 @@ def _parse_python(rel_path: str, source: str) -> tuple[list, list]:
 # and comments stripped. Scope rules match the reference's golden cases
 # (zig_parser.zig:673-975): TYPE and IMPORT decls are emitted at ANY scope,
 # including inside function bodies ("parse nested function", "parse local
-# const struct declaration" require Inner/LocalStruct units); plain
-# const/var inside function bodies are the one documented divergence — the
-# reference emits every var decl at any scope, here only file-level and
-# container-level decls are emitted (the useful query surface).
+# const struct declaration" require Inner/LocalStruct units). Plain
+# const/var decls are likewise emitted at ANY scope (r6 — the reference's
+# process_var_decl: "create unit regardless of scope",
+# zig_parser.zig:497-498), EXCEPT inside test bodies: the reference's
+# walk_children has no .test_decl arm (zig_parser.zig:138-316), so test
+# bodies are never walked and their locals produce no units. Because this
+# store keys blocks by md5(codebase/file:name), fn-local const/var names
+# (the same `const allocator = ...` in twenty fns of one file) are
+# qualified by their enclosing function — the reference keeps bare names
+# with a parent_container field and defers disambiguation to a higher
+# level; the qualified spelling carries the same information in the id.
+# Multiline declarations whose `struct {` / `@import(` opener sits on a
+# continuation line (`pub const Foo =\n    struct {`) are matched against
+# a joined lookahead head of the declaration (up to 8 lines).
 
 _Z_STR = re.compile(r'"(?:[^"\\]|\\.)*"')
 _Z_CHAR = re.compile(r"'(?:[^'\\]|\\.)*'")
@@ -307,9 +317,23 @@ def _parse_zig(rel_path: str, source: str) -> tuple[list, list]:
                 return j
         return n - 1
 
+    def head(i: int, raw: bool = False) -> str:
+        """Joined declaration head: lines i.. until one contains '{' or ';'
+        (bounded at 8) — lets the single-line decl regexes see multiline
+        continuations like ``pub const Foo =\\n    struct {``. ``raw``
+        keeps string literals (the @import target)."""
+        src_lines = lines if raw else sl
+        parts = []
+        for j in range(i, min(i + 8, n)):
+            parts.append(src_lines[j].strip())
+            if "{" in sl[j] or ";" in sl[j]:
+                break
+        return " ".join(parts)
+
     # pass 1: containers, functions, tests (their extents gate pass 2)
     containers: list[tuple[str, int, int]] = []  # (name, start, end)
-    fn_extents: list[tuple[int, int]] = []
+    fn_extents: list[tuple[int, int, str]] = []  # (start, end, qual)
+    test_extents: list[tuple[int, int]] = []
 
     def enclosing_container(i: int) -> str:
         best = ""
@@ -319,7 +343,9 @@ def _parse_zig(rel_path: str, source: str) -> tuple[list, list]:
         return best
 
     for i in range(n):
-        m = _Z_TYPE.match(sl[i])
+        m = _Z_TYPE.match(sl[i]) or (
+            _Z_CONST.match(sl[i]) and _Z_TYPE.match(head(i))
+        )
         if m:
             containers.append((m.group(1), i, block_end(i)))
 
@@ -328,9 +354,9 @@ def _parse_zig(rel_path: str, source: str) -> tuple[list, list]:
         if m:
             name = m.group(1)
             end = block_end(i)
-            fn_extents.append((i, end))
             container = enclosing_container(i)
             qual = f"{container}.{name}" if container else name
+            fn_extents.append((i, end, qual))
             content = "\n".join(lines[i : end + 1])
             units.append((rel_path, "function", qual, container, i + 1, end + 1,
                           content, None))
@@ -356,22 +382,37 @@ def _parse_zig(rel_path: str, source: str) -> tuple[list, list]:
         if m:
             tname = m.group(1) or m.group(2) or f"test_L{i + 1}"
             end = block_end(i)
-            fn_extents.append((i, end))
+            test_extents.append((i, end))
             safe = re.sub(r"\W+", "_", tname).strip("_") or f"test_L{i + 1}"
             units.append((rel_path, "test", safe, "", i + 1, end + 1,
                           "\n".join(lines[i : end + 1]), None))
 
-    def inside_fn(i: int) -> bool:
-        return any(a < i <= b or a == i for a, b in fn_extents)
+    def enclosing_fn(i: int) -> str:
+        """Qual of the innermost function whose body contains line i
+        ('' when at file/container scope)."""
+        best, best_start = "", -1
+        for a, b, q in fn_extents:
+            if a < i <= b and a > best_start:
+                best, best_start = q, a
+        return best
 
-    # pass 2: imports and type units at ANY scope (the reference's AST walk
-    # emits nested/local containers — golden cases "parse nested function"
-    # and "parse local const struct declaration"); const/var only outside
-    # function bodies (documented divergence, see module comment above)
+    def inside_test(i: int) -> bool:
+        return any(a <= i <= b for a, b in test_extents)
+
+    # pass 2: imports, types, AND const/var at ANY scope — the reference's
+    # AST walk emits every var decl regardless of scope (golden cases
+    # "parse nested function", "parse local const struct declaration";
+    # process_var_decl zig_parser.zig:497-498). Test bodies are the one
+    # exception: walk_children has no .test_decl arm, so nothing inside a
+    # test produces units.
     for i in range(n):
+        if inside_test(i):
+            continue
         # raw line here: the structural pass blanks string literals, which
         # would erase the @import("...") target
-        m = _Z_IMPORT.match(lines[i])
+        m = _Z_IMPORT.match(lines[i]) or (
+            _Z_CONST.match(sl[i]) and _Z_IMPORT.match(head(i, raw=True))
+        )
         if m:
             alias, target = m.group(1), m.group(2)
             end = block_end(i)
@@ -383,7 +424,9 @@ def _parse_zig(rel_path: str, source: str) -> tuple[list, list]:
             bare_target = bare_target[:-4] if bare_target.endswith(".zig") else bare_target
             edges.append((rel_path, qual, bare_target, "imports"))
             continue
-        m = _Z_TYPE.match(sl[i])
+        m = _Z_TYPE.match(sl[i]) or (
+            _Z_CONST.match(sl[i]) and _Z_TYPE.match(head(i))
+        )
         if m:
             name = m.group(1)
             end = block_end(i)
@@ -392,16 +435,22 @@ def _parse_zig(rel_path: str, source: str) -> tuple[list, list]:
             units.append((rel_path, "type", qual, container, i + 1, end + 1,
                           "\n".join(lines[i : end + 1]), None))
             continue
-        if inside_fn(i):
-            continue
         for rx, ut in ((_Z_CONST, "const"), (_Z_VAR, "var")):
             m = rx.match(sl[i])
             if m:
                 name = m.group(1)
                 end = block_end(i)
+                fn_qual = enclosing_fn(i)
                 container = enclosing_container(i)
-                qual = f"{container}.{name}" if container else name
-                units.append((rel_path, ut, qual, container, i + 1, end + 1,
+                # fn-locals carry the fn qual (store ids are per-file-name
+                # unique); the parent field still names the inner scope
+                if fn_qual:
+                    qual = f"{fn_qual}.{name}"
+                    parent = fn_qual
+                else:
+                    qual = f"{container}.{name}" if container else name
+                    parent = container
+                units.append((rel_path, ut, qual, parent, i + 1, end + 1,
                               "\n".join(lines[i : end + 1]), None))
                 break
 

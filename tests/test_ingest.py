@@ -332,3 +332,111 @@ def test_zig_golden_cases_from_reference():
     # "handle syntax errors gracefully" — no exception, something emitted
     units, _ = _parse_zig("t.zig", "pub fn broken( void {")
     assert units
+
+
+def test_zig_fn_local_const_var_units():
+    """r6: the reference's process_var_decl creates units "regardless of
+    scope" (zig_parser.zig:497-498) — fn-body const/var decls must emit,
+    qualified by the enclosing fn (store ids are per-file-name unique)."""
+    from kausaldb_spark.sources.ingest import _parse_zig
+
+    src = (
+        "pub const Engine = struct {\n"
+        "    pub fn run(self: *Engine) void {\n"
+        "        const budget = 100;\n"
+        "        var spent: usize = 0;\n"
+        "        _ = budget; _ = spent;\n"
+        "    }\n"
+        "};\n"
+        "fn helper() void {\n"
+        "    const budget = 5;\n"
+        "    _ = budget;\n"
+        "}\n"
+    )
+    units, _ = _parse_zig("t.zig", src)
+    names = {u[2]: (u[1], u[3]) for u in units}
+    # two same-named locals in different fns stay distinct
+    assert names["Engine.run.budget"] == ("const", "Engine.run")
+    assert names["Engine.run.spent"] == ("var", "Engine.run")
+    assert names["helper.budget"] == ("const", "helper")
+
+
+def test_zig_test_bodies_produce_no_units():
+    """The reference's walk_children has no .test_decl arm — test bodies
+    are never walked, so their locals (consts, types, imports) produce no
+    units; the test decl itself still does."""
+    from kausaldb_spark.sources.ingest import _parse_zig
+
+    src = (
+        'test "engine smoke" {\n'
+        "    const fixture = 1;\n"
+        "    const Local = struct { x: i32 };\n"
+        '    const extra = @import("std");\n'
+        "    _ = fixture; _ = Local; _ = extra;\n"
+        "}\n"
+        "pub const KEEP: u32 = 2;\n"
+    )
+    units, _ = _parse_zig("t.zig", src)
+    by_type = {(u[1], u[2]) for u in units}
+    assert ("test", "engine_smoke") in by_type
+    assert ("const", "KEEP") in by_type
+    assert not any("fixture" in n or "Local" in n or "extra" in n for _, n in by_type)
+
+
+def test_zig_multiline_continuation_decls():
+    """Declarations whose struct{/@import( opener sits on a continuation
+    line parse as type/import, not plain const (r6 verdict item 3)."""
+    from kausaldb_spark.sources.ingest import _parse_zig
+
+    src = (
+        "pub const Matrix =\n"
+        "    struct {\n"
+        "        data: [4]f32,\n"
+        "        pub fn det(self: *const Matrix) f32 { return self.data[0]; }\n"
+        "    };\n"
+        "const std =\n"
+        '    @import("std");\n'
+        "pub const LIMIT: usize =\n"
+        "    4096;\n"
+    )
+    units, edges = _parse_zig("t.zig", src)
+    names = {u[2]: u[1] for u in units}
+    assert names["Matrix"] == "type"
+    assert names["Matrix.det"] == "function"  # container registry saw Matrix
+    assert names["std"] == "import"
+    assert ("std", "std", "imports") in {(e[1], e[2], e[3]) for e in edges}
+    assert names["LIMIT"] == "const"
+
+
+def test_zig_selfhost_reference_src(spark):
+    """Ingest the reference's whole src/ tree (read-only input data) and
+    spot-check per-file unit extraction: every .zig file yields units, no
+    file falls back to a whole-file 'document' blob, and known files carry
+    their known decls. This is the r6 'real Zig codebase' fidelity gate."""
+    import glob as _glob
+
+    from kausaldb_spark.sources.ingest import _parse_zig
+
+    files = sorted(_glob.glob("/root/reference/src/**/*.zig", recursive=True))
+    assert len(files) > 50
+    per_file = {}
+    for p in files:
+        with open(p, encoding="utf-8", errors="replace") as f:
+            src = f.read()
+        rel = p.removeprefix("/root/reference/src/")
+        units, edges = _parse_zig(rel, src)
+        per_file[rel] = units
+        # no parse bail-outs: a non-empty .zig source never degrades to the
+        # single whole-file document fallback
+        if src.strip():
+            assert not (len(units) == 1 and units[0][1] == "document"), rel
+
+    zp = per_file["ingestion/parsers/zig_parser.zig"]
+    zp_names = {u[2]: u[1] for u in zp}
+    assert zp_names.get("Walker") == "type"
+    assert any(n.startswith("Walker.walk") for n in zp_names)
+    assert zp_names.get("std") == "import"
+    # fn-local consts from the real tree are present and fn-qualified
+    assert any("." in n and t == "const" for n, t in zp_names.items()), "no locals"
+    # unit volume sanity: the walker file is ~1000 lines of dense decls
+    assert len(zp) > 40, len(zp)
