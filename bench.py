@@ -14,7 +14,16 @@ Methodology:
 - graph_build = one-time derivation + snapshot/edge materialization,
   reported separately (it's the fixture cost, amortized across all queries
   in a session — the production path reads a materialized BlockStore with
-  parquet pushdown instead, see kausaldb_spark.storage).
+  parquet pushdown instead, see kausaldb_spark.storage);
+- STORE PATH (r6): the same point/batch/filter/traversal gates are also run
+  against a materialized *bucketed* BlockStore (blocks by id, edges by src —
+  storage.materialize_bucketed), reported as store_* keys. store_materialize
+  is the one-time layout cost; store_bucketed_join_exchange_free records
+  whether a src-keyed edge self-join plans without a shuffle Exchange (the
+  co-located-join property a 100 TB deployment maintains);
+- REGRESSION GATE (r6): per-query ratio vs the round-1 medians recorded in
+  BASELINE.md §4 — emits ratio_geomean + regressions (>1.5x) +
+  regressions_2x (>2x) in the JSON; informational, never crashes the run.
 """
 
 from __future__ import annotations
@@ -69,8 +78,150 @@ BENCH_QUERIES = [
 ]
 
 
+# BASELINE.md §4 round-1 recorded medians (local[32], sf0.1). graph_build is
+# excluded (fixture cost, noisy by design); queries added after round 1 have
+# no baseline and are skipped by the gate.
+BASELINE_MEDIANS = {
+    "point_lookup": 0.33, "batch_lookup_100": 0.59, "filter_metadata_eq": 0.65,
+    "filter_compound": 0.57, "keyword_search": 0.45, "find_by_name": 0.44,
+    "callers_1hop": 2.0, "bfs_depth3": 2.9, "bfs_depth5": 3.3,
+    "bidirectional": 3.6, "topo_sort": 5.9, "snapshot_view": 0.12,
+    "context_blocks": 4.5, "exact_dedup": 0.40, "minhash_near_dup": 6.2,
+    "near_dup_clusters": 7.0, "ngram_jaccard": 11.6, "simhash_pairs": 3.8,
+    "contamination": 3.7, "token_count": 0.16, "token_count_bpe": 0.25,
+    "split_assignment": 0.15, "lang_id": 0.91, "quality_score": 0.38,
+    "ann_topk": 0.49, "ann_lsh": 0.44, "embedding_near_dup": 0.39,
+    "events_hourly": 0.41, "sessionize": 0.44,
+}
+
+
 def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def _timed(fn, timings, errors, name, n_runs=N_RUNS):
+    """Median-of-n with per-query error isolation. Returns the median or
+    None on error."""
+    import statistics as _st
+    import time as _t
+
+    runs = []
+    try:
+        for _ in range(n_runs):
+            t0 = _t.monotonic()
+            fn()
+            runs.append(_t.monotonic() - t0)
+    except Exception as exc:  # noqa: BLE001 — isolation
+        errors[name] = _err_tail(exc)
+        timings[name] = {"err": _err_tail(exc)}
+        return None
+    med = _st.median(runs)
+    timings[name] = round(med, 3)
+    return med
+
+
+def _bench_store_path(spark, sf_dir, timings, errors):
+    """The production read path: one bucketed materialization, then the
+    point/batch/filter/traversal gates against the catalog tables. Returns
+    seconds added to the total."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry_mod
+    from kausaldb_spark import graphmodel as gm
+    from kausaldb_spark.operators import filtering as flt
+    from kausaldb_spark.operators import lookup as lk
+    from kausaldb_spark.operators import traversal as tv
+    from kausaldb_spark.storage import BlockStore
+
+    added = 0.0
+    t0 = time.monotonic()
+    try:
+        g = gm.graph(spark, sf_dir)
+        store = BlockStore(spark, tempfile.mkdtemp(prefix="kdb_bench_store_"))
+        store.append_blocks(g["visible"], resequence=False)
+        store.append_edges(g["edges_vis"])
+        store.materialize_bucketed("bench")
+        blocks_b = spark.table("bench_blocks_b")
+        edges_b = spark.table("bench_edges_b")
+    except Exception as exc:  # noqa: BLE001
+        errors["store_materialize"] = _err_tail(exc)
+        timings["store_materialize"] = {"err": _err_tail(exc)}
+        return added
+    sec = time.monotonic() - t0
+    timings["store_materialize"] = round(sec, 3)
+    added += sec
+
+    # the co-located-join property: a src-keyed edge self-join must plan
+    # WITHOUT a shuffle (Exchange hashpartitioning) over the bucketed
+    # tables. Broadcast is disabled for the audit — at bench scale the
+    # planner broadcasts the small side (also shuffle-free, but that
+    # escape hatch vanishes at 100 TB; bucketing is what remains)
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            a, b = edges_b.alias("a"), edges_b.alias("b")
+            j = a.join(b, F.col("a.src") == F.col("b.src")).select(F.col("a.dst"))
+            plan = j._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        timings["store_bucketed_join_exchange_free"] = (
+            "Exchange hashpartitioning" not in plan
+        )
+    except Exception as exc:  # noqa: BLE001
+        errors["store_plan_audit"] = _err_tail(exc)
+
+    md5 = entry_mod._md5
+    meta_expr = flt.Expr.and_(
+        flt.Expr.cond(flt.TARGET_METADATA, "eq", "const", "unit_type"),
+        flt.Expr.cond(flt.TARGET_METADATA, "eq", "catalog", "codebase"),
+    )
+    gates = {
+        "store_point_lookup": lambda: _force(lk.find_block(blocks_b, md5("C1"))),
+        "store_batch_lookup_100": lambda: _force(
+            lk.find_blocks_batched(blocks_b, entry_mod._ids_range(spark, "C", 100))
+        ),
+        "store_filter_metadata_eq": lambda: _force(
+            flt.filtered_query(blocks_b, meta_expr).select("id", "unit_id", "sequence")
+        ),
+        "store_callers_1hop": lambda: _force(
+            tv.bfs(edges_b, [entry_mod.S3], tv.INCOMING,
+                   tv.EdgeFilter.only("calls"), max_depth=1)
+            .where(F.col("depth") == 1)
+            .join(blocks_b, "id")
+            .select("id", "unit_id", "codebase", "depth")
+        ),
+        "store_bfs_depth3": lambda: _force(
+            tv.bfs(edges_b, [entry_mod.C42], tv.OUTGOING, max_depth=3)
+            .select("id", "depth")
+        ),
+    }
+    for name, fn in gates.items():
+        med = _timed(fn, timings, errors, name)
+        if med is not None:
+            added += med
+    return added
+
+
+def _regression_gate(timings: dict) -> dict:
+    """Per-query ratio vs BASELINE_MEDIANS. Informational — never raises."""
+    import math
+
+    ratios = {}
+    for name, base in BASELINE_MEDIANS.items():
+        cur = timings.get(name)
+        if isinstance(cur, (int, float)) and base > 0:
+            ratios[name] = cur / base
+    if not ratios:
+        return {}
+    geomean = math.exp(sum(math.log(r) for r in ratios.values()) / len(ratios))
+    return {
+        "ratio_geomean": round(geomean, 3),
+        "regressions": sorted(n for n, r in ratios.items() if r > 1.5),
+        "regressions_2x": sorted(n for n, r in ratios.items() if r > 2.0),
+    }
 
 
 def main() -> None:
@@ -124,6 +275,12 @@ def main() -> None:
         total += med
         n_ok += 1
 
+    # production read path: materialized bucketed store (r6)
+    try:
+        total += _bench_store_path(spark, sf_dir, timings, errors)
+    except Exception as exc:  # noqa: BLE001 — never lose the fixture numbers
+        errors["store_path"] = _err_tail(exc)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "bench_total",
@@ -132,6 +289,10 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    try:
+        out.update(_regression_gate(timings))
+    except Exception as exc:  # noqa: BLE001
+        errors["regression_gate"] = _err_tail(exc)
     if errors:
         out["n_errors"] = len(errors)
     print(json.dumps(out))

@@ -47,6 +47,13 @@ class QueryStats:
     total_queries: int = 0
     cache_hits: int = 0
     cache_misses: int = 0
+    # X4 scan/match parity (r6): the reference reports blocks_scanned +
+    # matches per filtered query (src/query/filtering.zig:199-296) and
+    # storage read counters (src/query/engine.zig:66-131). Fed by the
+    # observe()-instrumented query variants — see KausalEngine.filtered /
+    # traverse(with_stats=True).
+    rows_scanned: int = 0
+    rows_matched: int = 0
     started_at: float = field(default_factory=time.monotonic)
 
     def record(self, qtype: str, latency_ns: int) -> None:
@@ -72,6 +79,9 @@ class KausalEngine:
         self.store = BlockStore(spark, store_path)
         self.stats = QueryStats()
         self._cache: OrderedDict[tuple, tuple[float, DataFrame]] = OrderedDict()
+        # (scan_obs | None, match_obs | None) per stats-instrumented query,
+        # harvested lazily by status() once the caller has run an action
+        self._pending_obs: list[tuple] = []
 
     # -- workspace registry (src/workspace/manager.zig:38-54,113-187) -------
 
@@ -456,11 +466,38 @@ class KausalEngine:
             lambda: lk.keyword_search(self.store.visible(), query, threshold, max_results),
         )
 
-    def filtered(self, expr: flt.Expr, offset: int = 0, max_results: int = 10_000) -> DataFrame:
-        return self._timed(
-            "filtered", None,
-            lambda: flt.filtered_query(self.store.visible(), expr, offset, max_results),
-        )
+    def filtered(
+        self, expr: flt.Expr, offset: int = 0, max_results: int = 10_000,
+        with_stats: bool = False,
+    ) -> DataFrame:
+        """F1-F5. ``with_stats=True`` instruments the query with observe()
+        counters: rows_scanned = visible blocks examined (the reference's
+        blocks_scanned — its filter loop walks every visible block,
+        src/query/filtering.zig:199-296), rows_matched = rows out. The
+        scan-side CollectMetrics pins the count ABOVE the parquet scan, so
+        predicate pushdown is traded for the exact scan count — which is
+        precisely the reference's own cost model; the default path keeps
+        pushdown and skips the counters. Counters land in stats/status()
+        after the caller runs an action (observe adds no extra job)."""
+        if not with_stats:
+            return self._timed(
+                "filtered", None,
+                lambda: flt.filtered_query(self.store.visible(), expr, offset, max_results),
+            )
+        from pyspark.sql import Observation
+
+        def build():
+            o_scan, o_match = Observation(), Observation()
+            vis = self.store.visible().observe(
+                o_scan, F.count(F.lit(1)).alias("rows_scanned")
+            )
+            out = flt.filtered_query(vis, expr, offset, max_results).observe(
+                o_match, F.count(F.lit(1)).alias("rows_matched")
+            )
+            self._pending_obs.append((o_scan, o_match))
+            return out
+
+        return self._timed("filtered", None, build)
 
     def traverse(
         self,
@@ -470,9 +507,15 @@ class KausalEngine:
         max_depth: int = 10,
         max_results: int = tv.MAX_RESULTS_LIMIT,
         workspace: str | None = None,
+        with_stats: bool = False,
     ) -> DataFrame:
         """T1/T9/T10: traversal joined back to visible blocks (+ optional
-        workspace filter, reference F7)."""
+        workspace filter, reference F7). ``with_stats=True`` adds an
+        observe() counter for rows_matched (result rows after the
+        workspace filter) — the frontier expansion itself runs eager
+        per-level jobs whose visited-set size the traversal caps already
+        bound, so the result counter is the honest per-query stat; it
+        lands in stats/status() after the caller's action."""
 
         def build():
             reached = tv.bfs(
@@ -482,12 +525,21 @@ class KausalEngine:
             out = reached.join(self.store.visible(), "id")
             if workspace:
                 out = out.where(out.codebase == workspace)
-            return out.select(
+            out = out.select(
                 "id", "depth", "unit_type", "unit_id", "codebase", "source_uri", "content"
             )
+            if with_stats:
+                from pyspark.sql import Observation
 
-        key = ("traverse", tuple(sorted(start_ids)), direction, edge_filter,
-               max_depth, max_results, workspace)
+                o_match = Observation()
+                out = out.observe(o_match, F.count(F.lit(1)).alias("rows_matched"))
+                self._pending_obs.append((None, o_match))
+            return out
+
+        key = None if with_stats else (
+            "traverse", tuple(sorted(start_ids)), direction, edge_filter,
+            max_depth, max_results, workspace,
+        )
         return self._timed("traverse", key, build)
 
     def find_callers(self, workspace: str, name: str, max_depth: int = 1) -> DataFrame:
@@ -556,7 +608,31 @@ class KausalEngine:
         self.store.visible_edges().createOrReplaceTempView(f"{prefix}_edges")
         self.store.blocks_raw().createOrReplaceTempView(f"{prefix}_blocks_raw")
 
+    def _drain_observations(self) -> None:
+        """Harvest completed observe() counters into stats. An Observation
+        is ready only after the caller ran an action on the instrumented
+        DataFrame; unready ones stay pending (getOrEmpty throws pre-action
+        — treated as not-ready, never blocks)."""
+        still = []
+        for o_scan, o_match in self._pending_obs:
+            try:
+                vals = {}
+                for o in (o_scan, o_match):
+                    if o is None:
+                        continue
+                    jm = o._jo.getOrEmpty()  # throws until the action ran
+                    if jm.isEmpty():
+                        raise LookupError("not ready")
+                    vals.update(o.get)  # instant once ready
+            except Exception:  # noqa: BLE001 — not ready yet
+                still.append((o_scan, o_match))
+                continue
+            self.stats.rows_scanned += int(vals.get("rows_scanned", 0))
+            self.stats.rows_matched += int(vals.get("rows_matched", 0))
+        self._pending_obs = still
+
     def status(self) -> dict:
+        self._drain_observations()
         return {
             "blocks_visible": self.store.visible().count(),
             "edges": self.store.edges().count(),
@@ -566,6 +642,11 @@ class KausalEngine:
             "queries": dict(self.stats.queries_by_type),
             "cache_hits": self.stats.cache_hits,
             "cache_misses": self.stats.cache_misses,
+            # X4 parity: reference blocks_scanned / match counters
+            # (src/query/filtering.zig:199-296, engine.zig:66-131) — fed by
+            # with_stats=True queries, cumulative since engine start
+            "rows_scanned": self.stats.rows_scanned,
+            "rows_matched": self.stats.rows_matched,
             "avg_latency_ms": round(self.stats.average_query_latency_ns / 1e6, 2),
         }
 

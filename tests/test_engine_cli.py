@@ -260,3 +260,52 @@ def test_edge_endpoint_enforcement(spark, tmp_path_factory):
     )
     eng.store.append_edges(edges)
     assert eng.store.edges().count() == 0  # both rejected
+
+
+def test_scan_match_stats_advance(spark, tmp_path_factory):
+    """X4 scan/match parity (r6): with_stats=True queries feed observe()
+    counters that surface in status() after the caller's action; the
+    default path stays uninstrumented (pushdown preserved)."""
+    import textwrap
+
+    from kausaldb_spark.operators import filtering as flt
+    from kausaldb_spark.operators import traversal as tv
+
+    root = tmp_path_factory.mktemp("statproj")
+    (root / "lib.py").write_text(textwrap.dedent('''
+        def helper_function(x):
+            return x + 1
+
+        def main():
+            return helper_function(41)
+    '''))
+    eng = KausalEngine(spark, str(tmp_path_factory.mktemp("statstore")))
+    eng.link_codebase(str(root), "proj")
+    n_vis = eng.store.visible().count()
+
+    st0 = eng.status()
+    assert st0["rows_scanned"] == 0 and st0["rows_matched"] == 0
+
+    expr = flt.Expr.cond(flt.TARGET_CONTENT, "contains", "helper_function")
+    df = eng.filtered(expr, with_stats=True)
+    n_match = df.count()  # the caller's action completes the observation
+    assert n_match >= 1
+    st1 = eng.status()
+    assert st1["rows_scanned"] == n_vis  # reference semantics: full scan
+    assert st1["rows_matched"] == n_match
+
+    # traversal counts its result rows too (cumulative)
+    anchors = [r["id"] for r in eng.find_by_name("proj", "function", "helper_function").collect()]
+    t = eng.traverse(anchors, tv.INCOMING,
+                     tv.EdgeFilter.include("calls", "calls_method"),
+                     max_depth=1, workspace="proj", with_stats=True)
+    n_t = t.count()
+    assert n_t >= 1
+    st2 = eng.status()
+    assert st2["rows_matched"] == n_match + n_t
+    assert st2["rows_scanned"] == n_vis
+
+    # a pending (never-executed) instrumented query doesn't wedge status()
+    eng.filtered(expr, with_stats=True)
+    st3 = eng.status()
+    assert st3["rows_matched"] == n_match + n_t
