@@ -246,9 +246,7 @@ def main() -> None:
 
     try:
         t0 = time.monotonic()
-        g = gm.graph(spark, sf_dir)
-        g["visible"].count()
-        g["edges_vis"].count()
+        gm.materialize(spark, sf_dir)
         build_sec = time.monotonic() - t0
         timings["graph_build"] = round(build_sec, 3)
         total += build_sec
@@ -275,9 +273,13 @@ def main() -> None:
         total += med
         n_ok += 1
 
-    # production read path: materialized bucketed store (r6)
+    # production read path: materialized bucketed store (r6). Reported under
+    # its own total so `value` stays the fixture-path number that rounds 1-5
+    # recorded (comparable across BENCH_r*.json); store_* per-query keys
+    # still land in `queries`.
+    store_total = 0.0
     try:
-        total += _bench_store_path(spark, sf_dir, timings, errors)
+        store_total = _bench_store_path(spark, sf_dir, timings, errors)
     except Exception as exc:  # noqa: BLE001 — never lose the fixture numbers
         errors["store_path"] = _err_tail(exc)
 
@@ -286,6 +288,7 @@ def main() -> None:
         "metric": "bench_total",
         "value": round(total, 3),
         "unit": "sec",
+        "store_path_sec": round(store_total, 3),
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

@@ -54,6 +54,14 @@ _EMPTY_REF_NAMES = (
 )
 _EDGE_COLS = ("src", "dst", "edge_type", "codebase", "src_file", "ingest_seq")
 
+# Session-level MVCC snapshot cache: (session id, store path, high-water
+# mark) → persisted visible() frame. Valid because every block/tombstone
+# write RESERVES a new high-water mark before touching data files
+# (reserve-then-write, see append_blocks) — so an unchanged mark implies an
+# unchanged visible set. One entry per store (stale marks are unpersisted on
+# replacement); compact() invalidates explicitly (same mark, new files).
+_SNAPSHOT_CACHE: dict[tuple[int, str, int], DataFrame] = {}
+
 
 class BlockStore:
     def __init__(self, spark: SparkSession, path: str):
@@ -233,6 +241,9 @@ class BlockStore:
         else:
             new_hi = max(hi, base)
         self._write_hwm(new_hi)  # reserve first — see docstring
+        # explicit, not just mark-keyed: resequence=False can leave the mark
+        # unchanged (incoming max <= current), which would key a stale hit
+        self._invalidate_snapshot()
         blocks.write.mode("append").partitionBy("codebase").parquet(self._blocks_dir)
         return new_hi
 
@@ -245,7 +256,7 @@ class BlockStore:
         ):
             if name not in edges.columns:
                 edges = edges.withColumn(name, F.lit(None).cast(typ))
-        ids = self.visible().select("id")
+        ids = self.snapshot().select("id")
         checked = (
             edges.join(ids, edges.src == ids.id, "left_semi")
             .join(ids, edges.dst == ids.id, "left_semi")
@@ -259,6 +270,7 @@ class BlockStore:
         <id>` path). Bulk deletes go through :meth:`tombstone_where`."""
         seq = self.max_sequence() + 1
         self._write_hwm(seq + max(len(block_ids) - 1, 0))  # reserve-then-write
+        self._invalidate_snapshot()
         tomb = self.spark.createDataFrame(
             [(b, seq + i, (seq + i) * 1000) for i, b in enumerate(sorted(block_ids))],
             _EMPTY_TOMB,
@@ -276,6 +288,7 @@ class BlockStore:
         sequence, so resurrection semantics are unchanged."""
         seq = self.max_sequence() + 1
         self._write_hwm(seq)  # reserve-then-write (see append_blocks)
+        self._invalidate_snapshot()
         tomb = (
             self.visible()
             .where(predicate)
@@ -314,6 +327,39 @@ class BlockStore:
             raw = raw.where(F.col("codebase") == codebase)
         return visible_blocks(raw, self.tombstones())
 
+    def snapshot(self) -> DataFrame:
+        """The visible() snapshot, persisted once per (session, store,
+        high-water mark) — the memtable-view analogue for repeated reads
+        inside one session (reference ``src/storage/engine.zig`` serves
+        repeated reads from the in-memory memtable the same way).
+
+        Use this for multi-read flows (ingest endpoint checks, bucketed
+        materialization, edge visibility) where the same snapshot is scanned
+        several times; use :meth:`visible` directly when parquet pushdown /
+        partition pruning is the point (point lookups, workspace scans) —
+        a persisted frame plans as InMemoryTableScan, not a pruned parquet
+        scan. Invalidation is automatic: every block/tombstone write bumps
+        the high-water mark first, keying this cache off the old entry.
+        At cluster scale the same role is played by materialize_bucketed;
+        this cache is spill-backed (MEMORY_AND_DISK) and session-local."""
+        key = (id(self.spark), os.path.abspath(self.path), self.max_sequence())
+        hit = _SNAPSHOT_CACHE.get(key)
+        if hit is not None:
+            return hit
+        for k in [k for k in _SNAPSHOT_CACHE if k[:2] == key[:2]]:
+            _SNAPSHOT_CACHE.pop(k).unpersist()
+        snap = self.visible().persist()
+        _SNAPSHOT_CACHE[key] = snap
+        return snap
+
+    def _invalidate_snapshot(self) -> None:
+        """Drop this store's cached snapshot (compact() swaps data files
+        without changing the high-water mark, so the mark alone can't key
+        the invalidation there)."""
+        me = (id(self.spark), os.path.abspath(self.path))
+        for k in [k for k in _SNAPSHOT_CACHE if k[:2] == me]:
+            _SNAPSHOT_CACHE.pop(k).unpersist()
+
     def visible_edges(self) -> DataFrame:
         """Edges with both endpoints visible AND not epoch-shadowed.
 
@@ -332,7 +378,7 @@ class BlockStore:
         endpoint blocks still exist). file_state is file-count-sized, so
         this is a third broadcast anti-join; legacy edges without provenance
         are exempt."""
-        ids = self.visible().select("id")
+        ids = self.snapshot().select("id")
         tomb_ids = self.tombstones().select("block_id").distinct()
         invisible = tomb_ids.join(ids, tomb_ids.block_id == ids.id, "left_anti")
         e = self.edges()
@@ -370,7 +416,7 @@ class BlockStore:
             # a dropped-but-orphaned location (e.g. from a previous session)
             # blocks managed-table creation — clear it
             shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
-        self.visible().write.bucketBy(buckets, "id").sortBy("id").saveAsTable(
+        self.snapshot().write.bucketBy(buckets, "id").sortBy("id").saveAsTable(
             f"{table_prefix}_blocks_b"
         )
         self.visible_edges().write.bucketBy(buckets, "src").sortBy("src").saveAsTable(
@@ -419,3 +465,6 @@ class BlockStore:
             shutil.rmtree(old, ignore_errors=True)
         empty = self.spark.createDataFrame([], _EMPTY_TOMB)
         empty.write.mode("overwrite").parquet(self._tomb_dir)
+        # same visible set, new data files: a cached snapshot would re-read
+        # the renamed (deleted) paths on cache-partition eviction
+        self._invalidate_snapshot()

@@ -60,6 +60,32 @@ def test_mvcc_semantics(spark):
     assert vis.loc[bid(70)]["content"].endswith("restored v3")
 
 
+def test_edges_vis_match_oracle(spark, duck):
+    """The cached visible-endpoint edge index (built from the closed-form
+    invisible set — tombstoned ∧ not resurrected) must equal the oracle's
+    edges_vis (EXISTS vis on both endpoints)."""
+    sdf = gm.graph(spark, SF_DIR)["edges_vis"].toPandas()
+    ddf = duck.sql(gm.DUCK_PREFIX + "SELECT * FROM edges_vis").df()
+    assert_frames_match(sdf, ddf, "edges_vis")
+
+
+def test_invisible_closed_form_equals_general(spark):
+    """graph()'s closed-form invisible set (customer %7==0 ∧ %14≠0) must
+    equal the general formulation (tombstoned ids anti-join visible ids),
+    so a fixture-rule change that breaks the equivalence fails loudly."""
+    g = gm.graph(spark, SF_DIR)
+    ids = g["visible"].select("id")
+    tomb_ids = g["tombstones"].select("block_id").distinct()
+    general = tomb_ids.join(ids, tomb_ids.block_id == ids.id, "left_anti")
+    closed = spark.sql(
+        gm.spark_sql_prefix(SF_DIR)
+        + " SELECT md5('C' || c_custkey) AS block_id FROM customer"
+        "   WHERE c_custkey % 7 = 0 AND c_custkey % 14 <> 0"
+    )
+    assert general.exceptAll(closed).count() == 0
+    assert closed.exceptAll(general).count() == 0
+
+
 def test_edge_multigraph_duplicates(spark):
     e = gm.graph(spark, SF_DIR)["edges"]
     from pyspark.sql import functions as F

@@ -268,3 +268,32 @@ def test_stratified_sample_two_phase_exact_and_salted(spark):
 
     per_class = Counter(lang for _, lang in got)
     assert all(v <= 7 for v in per_class.values())
+
+
+def test_snapshot_cache_hit_and_invalidation(spark, tmp_path_factory):
+    """BlockStore.snapshot() memoizes the persisted visible frame per
+    high-water mark; any block/tombstone write (including the
+    resequence=False append that can leave the mark unchanged) and
+    compact() must invalidate it so readers never see a stale snapshot."""
+    store = BlockStore(spark, str(tmp_path_factory.mktemp("snapcache")))
+    store.append_blocks(_mk_blocks(spark, 3))
+    s1 = store.snapshot()
+    assert s1.count() == 3
+    assert store.snapshot() is s1  # same mark -> same cached frame
+
+    # resequence=False with max(seq) <= current mark: mark unchanged,
+    # cache must STILL invalidate (explicit writer-side invalidation)
+    store.append_blocks(_mk_blocks(spark, 1, start_seq=1), resequence=False)
+    assert store.snapshot() is not s1
+    assert store.snapshot().count() == 3  # b1 re-put shadows b1 (same id)
+
+    store.append_blocks(_mk_blocks(spark, 2, start_seq=10))
+    assert store.snapshot().count() == 5
+
+    store.delete_blocks(["b10"])
+    assert store.snapshot().count() == 4
+
+    s2 = store.snapshot()
+    store.compact()
+    assert store.snapshot() is not s2  # file swap invalidates
+    assert store.snapshot().count() == 4
