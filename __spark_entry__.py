@@ -326,6 +326,24 @@ def _q_exact_dedup(spark, sf_dir):
     return dd.exact_duplicates(dd.dedup_corpus(spark, sf_dir))
 
 
+# ranked multi-term retrieval (r6): the integer-exact companion of BM25 —
+# extends the reference's single-keyword scoring
+# (src/query/operations.zig:421-437) to multi-term ranked retrieval. The
+# float BM25 itself is pytest-pinned (tests/test_text_ops.py) like every
+# float-ranking op; this gate pins the shared candidate set + first-order
+# ranking with integers only.
+_TM_TERMS = ("table", "join", "query")
+
+
+def _q_term_match_topk(spark, sf_dir):
+    return tx.term_match_topk(_docs(spark, sf_dir), list(_TM_TERMS), k=20)
+
+
+def _q_bm25_topk(spark, sf_dir):
+    # rows-only tail entry (float scores; ranking pinned in tests)
+    return tx.bm25_topk(_docs(spark, sf_dir), list(_TM_TERMS), k=20)
+
+
 def _q_token_count(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     return docs.select(
@@ -687,10 +705,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Round-6 rotation: the five oracle-backed entries that sat past
     position 50 in r5 (corpus_report, source_mix, line_dedup,
     binary_dedup, canonical_selection) now gate inside the sample window;
-    five entries unchanged-and-green since r2 (iterate_all, edge_ordering,
-    token_count, split_assignment, filter_pagination) moved to the tail,
-    where the local DuckDB parity suite (tests/test_oracle_parity.py)
-    still hash-checks them every run."""
+    six entries unchanged-and-green since r2 (iterate_all, edge_ordering,
+    token_count, split_assignment, filter_pagination, exact_dedup) moved
+    to the tail, where the local DuckDB parity suite
+    (tests/test_oracle_parity.py) still hash-checks them every run.
+    term_match_topk (new this round) gates in the window; its float
+    companion bm25_topk is a rows-only tail entry (pytest-pinned
+    ranking, same policy as unigram LM)."""
     return {
         # -- rotated into the driver sample this round --
         "corpus_report": _q_corpus_report,
@@ -727,7 +748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bidirectional": _q_bidirectional,
         "topo_sort": _q_topo_sort,
         # -- dedup / text / similarity pipeline --
-        "exact_dedup": _q_exact_dedup,
+        "term_match_topk": _q_term_match_topk,
         "minhash_near_dup": _q_minhash_near_dup,
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash_pairs": _q_simhash_pairs,
@@ -755,6 +776,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": _q_token_count,
         "split_assignment": _q_split_assignment,
         "filter_pagination": _q_filter_pagination,
+        "exact_dedup": _q_exact_dedup,
+        "bm25_topk": _q_bm25_topk,
         "dfs_preorder": _q_dfs_preorder,
         "streaming_rollup": _q_streaming_rollup,
         "streaming_sessionize": _q_streaming_sessionize,
@@ -985,6 +1008,29 @@ lp AS (
 )
 SELECT id, CAST(max(depth) AS INT) AS layer FROM lp GROUP BY id""",
         "exact_dedup": oracles.exact_dedup_sql(),
+        "term_match_topk": r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents
+), scored AS (
+  SELECT doc_id,
+         len(list_filter(t, x -> x = 'table')) AS tf1,
+         len(list_filter(t, x -> x = 'join'))  AS tf2,
+         len(list_filter(t, x -> x = 'query')) AS tf3
+  FROM toks
+), agg AS (
+  SELECT doc_id,
+         CAST((tf1 > 0)::INT + (tf2 > 0)::INT + (tf3 > 0)::INT AS INT) AS n_terms,
+         CAST(tf1 + tf2 + tf3 AS BIGINT) AS total_tf
+  FROM scored
+  WHERE tf1 + tf2 + tf3 > 0
+)
+SELECT * FROM (
+  SELECT doc_id, n_terms, total_tf,
+         CAST(row_number() OVER (ORDER BY n_terms DESC, total_tf DESC, doc_id)
+              AS INT) AS rank
+  FROM agg
+) WHERE rank <= 20""",
         "token_count": r"""
 SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens
 FROM documents""",

@@ -388,3 +388,114 @@ def remove_boilerplate_lines(
         .cast("bigint")
         .alias("n_removed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ranked multi-term retrieval (BM25 + an integer-exact variant)
+# ---------------------------------------------------------------------------
+
+def _per_term_tf(toks: Column, terms: list[str]) -> dict[str, Column]:
+    """tf per literal query term as pure column expressions — with the query
+    a compile-time literal list there is NO posting-list shuffle at all:
+    each tf is a filtered-array size inside whole-stage codegen, so ranked
+    retrieval is one corpus scan + a distributed top-k heap. (An explode →
+    filter → groupBy formulation shuffles every matching token; this shape
+    shuffles nothing.)"""
+    def _eq(term: str):
+        # a one-arg lambda is required: F.filter treats a second lambda
+        # parameter as the element INDEX, so `lambda x, t=t:` would compare
+        # tokens against positions
+        return lambda x: x == F.lit(term)
+
+    return {t: F.size(F.filter(toks, _eq(t))) for t in terms}
+
+
+def term_match_topk(docs, query_terms: list[str], k: int = 20,
+                    text_col: str = "text", id_col: str = "doc_id"):
+    """Integer-exact ranked boolean retrieval: rank docs by (number of
+    distinct query terms present DESC, total term frequency DESC, doc id
+    ASC), keep the top ``k``. The deterministic-integer companion to
+    :func:`bm25_topk` (same candidate set and first-order ranking, no
+    floats — engine-portable for the DuckDB oracle gate).
+
+    Extends the reference's single-keyword scoring
+    (``src/query/operations.zig:421-437``) to multi-term ranked retrieval.
+    Output: (doc_id, n_terms, total_tf, rank)."""
+    toks = tokens(F.col(text_col))
+    tfs = _per_term_tf(toks, query_terms)
+    n_terms = sum(((tf > 0).cast("int") for tf in tfs.values()), F.lit(0))
+    total_tf = sum(tfs.values(), F.lit(0))
+    scored = docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_terms.cast("int").alias("n_terms"),
+        total_tf.cast("bigint").alias("total_tf"),
+    ).where(F.col("n_terms") > 0)
+    top = scored.orderBy(
+        F.col("n_terms").desc(), F.col("total_tf").desc(), F.col("doc_id")
+    ).limit(k)  # compiles to TakeOrderedAndProject: per-partition heaps
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("n_terms").desc(), F.col("total_tf").desc(), F.col("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def bm25_topk(docs, query_terms: list[str], k: int = 20, k1: float = 1.2,
+              b: float = 0.75, text_col: str = "text", id_col: str = "doc_id"):
+    """Okapi BM25 top-k retrieval (Robertson/Spärck Jones idf with the
+    standard +1 floor, as in Lucene):
+
+        idf(t)    = ln(1 + (N - df + 0.5) / (df + 0.5))
+        score(d)  = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+
+    Distributed shape (scan-dominated, shuffle-free): per-term tf is a
+    codegen'd filtered-array size (see _per_term_tf); N, avgdl and the
+    per-term df reduce to ONE single-row aggregate that broadcasts back
+    over the corpus; the final top-k is a TakeOrdered heap. At 100 TB this
+    is two corpus scans (stats + score) and no exchange of corpus rows.
+
+    Floats by nature — ranking is pytest-pinned against a brute-force
+    reference, not oracle-hash-gated (same policy as unigram_lm_scores).
+    Output: (doc_id, n_terms, score, rank)."""
+    toks = tokens(F.col(text_col))
+    tfs = _per_term_tf(toks, query_terms)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("double").alias("dl"),
+        *[tf.cast("double").alias(f"_tf{i}") for i, tf in enumerate(tfs.values())],
+    )
+    stats = base.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("double")).alias(f"_df{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    score = F.lit(0.0)
+    n_terms = F.lit(0)
+    for i in range(len(query_terms)):
+        tf = F.col(f"_tf{i}")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"_df{i}") + 0.5) / (F.col(f"_df{i}") + 0.5)
+        )
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+        )
+        score = score + F.when(
+            tf > 0, idf * tf * F.lit(k1 + 1.0) / denom
+        ).otherwise(F.lit(0.0))
+        n_terms = n_terms + (tf > 0).cast("int")
+    ranked = (
+        scored.select(
+            "doc_id", n_terms.cast("int").alias("n_terms"), score.alias("score")
+        )
+        .where(F.col("n_terms") > 0)
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(k)
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return ranked.withColumn("rank", F.row_number().over(w).cast("int"))

@@ -162,3 +162,76 @@ def test_remove_boilerplate_lines(spark):
     # min_df high enough -> nothing stripped
     untouched = tx.remove_boilerplate_lines(docs, min_df=10).collect()
     assert all(r["n_removed"] == 0 for r in untouched)
+
+
+def test_term_match_topk_ordering_and_plan(spark):
+    """Integer-exact ranked boolean retrieval: ordering is (n_terms DESC,
+    total_tf DESC, doc_id ASC) and the plan is one scan + TakeOrdered —
+    no shuffle Exchange anywhere (per-term tf is codegen over the token
+    array because the query terms are literals)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha"),          # alpha x2
+            (2, "alpha beta gamma"),          # all three, tf 3
+            (3, "gamma gamma gamma alpha"),   # two terms, tf 4
+            (4, "delta only"),                # no match
+            (5, "beta alpha gamma beta"),     # all three, tf 4
+        ],
+        "doc_id long, text string",
+    )
+    out = tx.term_match_topk(docs, ["alpha", "beta", "gamma"], k=10).collect()
+    assert [(r["doc_id"], r["n_terms"], r["total_tf"], r["rank"]) for r in out] == [
+        (5, 3, 4, 1),   # 3 terms, tf 4
+        (2, 3, 3, 2),   # 3 terms, tf 3
+        (3, 2, 4, 3),   # 2 terms, tf 4
+        (1, 2, 3, 4),   # alpha x2 + beta
+    ]
+    plan = (
+        tx.term_match_topk(docs, ["alpha"], k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+
+
+def test_bm25_topk_matches_bruteforce(spark):
+    """Full-float BM25 (Lucene-style idf with +1 floor) against an
+    independent per-row Python computation — exact to 1e-9."""
+    import math
+
+    rows = [
+        (1, "spark shuffle join join table"),
+        (2, "table of contents"),
+        (3, "join the queue"),
+        (4, "nothing relevant here at all"),
+        (5, "table table table join"),
+        (6, "a very long document padding padding padding padding join"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    qt = ["table", "join"]
+    corpus = {i: t.lower().split() for i, t in rows}
+    n = len(corpus)
+    avgdl = sum(len(t) for t in corpus.values()) / n
+    df = {t: sum(1 for tk in corpus.values() if t in tk) for t in qt}
+
+    def bf(toks):
+        s = 0.0
+        for t in qt:
+            tf = toks.count(t)
+            if tf:
+                idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+                s += idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * len(toks) / avgdl))
+        return s
+
+    exp = sorted(
+        ((bf(v), k) for k, v in corpus.items() if bf(v) > 0),
+        key=lambda x: (-x[0], x[1]),
+    )
+    got = tx.bm25_topk(docs, qt, k=10).collect()
+    assert [r["doc_id"] for r in got] == [k for _, k in exp]
+    for r, (es, _) in zip(got, exp):
+        assert abs(r["score"] - es) < 1e-9
+    assert [r["rank"] for r in got] == list(range(1, len(exp) + 1))
+    # candidate sets agree between the float and integer variants
+    tm_ids = {r["doc_id"] for r in tx.term_match_topk(docs, qt, k=10).collect()}
+    assert tm_ids == {r["doc_id"] for r in got}
