@@ -339,6 +339,12 @@ def _q_term_match_topk(spark, sf_dir):
     return tx.term_match_topk(_docs(spark, sf_dir), list(_TM_TERMS), k=20)
 
 
+def _q_duplicate_spans(spark, sf_dir):
+    # substring-level exact dedup (Lee et al. 2021 style): maximal >=8-token
+    # duplicated spans over the planted-duplicates corpus
+    return dd.duplicate_spans(dd.dedup_corpus(spark, sf_dir), k=8)
+
+
 def _q_bm25_topk(spark, sf_dir):
     # rows-only tail entry (float scores; ranking pinned in tests)
     return tx.bm25_topk(_docs(spark, sf_dir), list(_TM_TERMS), k=20)
@@ -705,12 +711,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Round-6 rotation: the five oracle-backed entries that sat past
     position 50 in r5 (corpus_report, source_mix, line_dedup,
     binary_dedup, canonical_selection) now gate inside the sample window;
-    six entries unchanged-and-green since r2 (iterate_all, edge_ordering,
-    token_count, split_assignment, filter_pagination, exact_dedup) moved
+    seven long-stable entries (iterate_all, edge_ordering, token_count,
+    split_assignment, filter_pagination, exact_dedup, simhash_pairs) moved
     to the tail, where the local DuckDB parity suite
     (tests/test_oracle_parity.py) still hash-checks them every run.
-    term_match_topk (new this round) gates in the window; its float
-    companion bm25_topk is a rows-only tail entry (pytest-pinned
+    term_match_topk and duplicate_spans (new this round) gate in the
+    window; the float bm25_topk is a rows-only tail entry (pytest-pinned
     ranking, same policy as unigram LM)."""
     return {
         # -- rotated into the driver sample this round --
@@ -751,7 +757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_match_topk": _q_term_match_topk,
         "minhash_near_dup": _q_minhash_near_dup,
         "ngram_jaccard": _q_ngram_jaccard,
-        "simhash_pairs": _q_simhash_pairs,
+        "duplicate_spans": _q_duplicate_spans,
         "simhash_band": _q_simhash_band,
         "near_dup_clusters": _q_near_dup_clusters,
         "token_count_bpe": _q_token_count_bpe,
@@ -777,6 +783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assignment": _q_split_assignment,
         "filter_pagination": _q_filter_pagination,
         "exact_dedup": _q_exact_dedup,
+        "simhash_pairs": _q_simhash_pairs,
         "bm25_topk": _q_bm25_topk,
         "dfs_preorder": _q_dfs_preorder,
         "streaming_rollup": _q_streaming_rollup,
@@ -1008,6 +1015,38 @@ lp AS (
 )
 SELECT id, CAST(max(depth) AS INT) AS layer FROM lp GROUP BY id""",
         "exact_dedup": oracles.exact_dedup_sql(),
+        "duplicate_spans": f"""
+WITH {dd.DUCK_CORPUS},
+toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM corpus
+),
+sh AS (
+  SELECT doc_id, CAST(x['pos'] AS BIGINT) AS pos, x['shingle'] AS shingle FROM (
+    SELECT doc_id,
+           unnest([{{'pos': i - 1,
+                     'shingle': array_to_string(list_slice(t, i, i + 7), ' ')}}
+                   FOR i IN range(1, len(t) - 6)]) AS x
+    FROM toks WHERE len(t) >= 8
+  )
+),
+dup AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) >= 2),
+hits AS (SELECT doc_id, pos FROM sh WHERE shingle IN (SELECT shingle FROM dup)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 8
+              THEN 1 ELSE 0 END AS brk
+  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+grp AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS g
+  FROM isl
+)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + 8 AS BIGINT) AS span_end,
+       CAST(max(pos) + 8 - min(pos) AS BIGINT) AS span_tokens
+FROM grp GROUP BY doc_id, g""",
         "term_match_topk": r"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t

@@ -56,6 +56,8 @@ BENCH_QUERIES = [
     # pipeline ops
     "exact_dedup",
     "line_dedup",
+    "duplicate_spans",
+    "term_match_topk",
     "minhash_near_dup",
     "near_dup_clusters",
     "ngram_jaccard",

@@ -597,3 +597,76 @@ def select_canonical(
             (F.col(id_col) == F.col("_best_id")).cast("int").alias("is_canonical"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# exact duplicated-substring spans (substring-level dedup)
+# ---------------------------------------------------------------------------
+
+def duplicate_spans(
+    corpus: DataFrame, k: int = 8, min_count: int = 2
+) -> DataFrame:
+    """Maximal duplicated token spans per document — substring-level exact
+    dedup in the style of "Deduplicating Training Data Makes Language
+    Models Better" (Lee et al., 2021), which removes any ≥N-token substring
+    that occurs more than once in the corpus. The reference engine has no
+    substring analytics; this extends the pipeline layer next to the
+    document-level passes.
+
+    Semantics (integer-exact, oracle-portable):
+    - a k-token shingle starting at 0-based token position ``pos`` is
+      *duplicated* when its total occurrence count across the corpus
+      (including repeats within one document) is >= ``min_count``;
+    - per document, duplicated shingle positions are merged into maximal
+      spans: shingles at p and q chain when q <= p + k (overlap or
+      adjacency), i.e. their token ranges [p, p+k) and [q, q+k) form one
+      contiguous duplicated region;
+    - output: (doc_id, span_start, span_end, span_tokens) with span_end
+      exclusive; every token in [span_start, span_end) is covered by some
+      duplicated shingle.
+
+    Scale shape: ONE shuffle keyed by shingle (groupBy count, map-side
+    combined — the same volume MinHash already moves), a shingle-keyed
+    semi-join back (AQE picks broadcast when the duplicated set is small),
+    then a per-document gaps-and-islands window (bounded by document
+    length, never corpus-sized). The suffix-array machinery of the paper is
+    what a single machine needs; shingle counting is the shuffle-native
+    equivalent at fixed k."""
+    from pyspark.sql.window import Window
+
+    sh = corpus.select(
+        "doc_id",
+        F.posexplode(shingles(tokens(F.col("text")), k)).alias("pos", "shingle"),
+    )
+    dup = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("_c"))
+        .where(F.col("_c") >= min_count)
+        .select("shingle")
+    )
+    hits = sh.join(dup, "shingle", "left_semi").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = (
+        hits.withColumn("_prev", F.lag("pos").over(w))
+        .withColumn(
+            "_brk",
+            (F.col("_prev").isNull() | (F.col("pos") > F.col("_prev") + k)).cast("int"),
+        )
+        .withColumn(
+            "_grp",
+            F.sum("_brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return (
+        islands.groupBy("doc_id", "_grp")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + k).cast("bigint").alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
+        )
+    )

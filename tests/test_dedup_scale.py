@@ -112,3 +112,42 @@ def test_select_canonical_keeps_best_quality(spark):
 
     per = Counter(r["cluster_id"] for r in out.values() if r["is_canonical"])
     assert per == {1: 1, 10: 1}
+
+
+def test_duplicate_spans_semantics(spark):
+    """Substring-level dedup: shared prefixes merge into one maximal span,
+    self-repetition is caught, unique docs produce nothing, and chaining
+    uses overlap-or-adjacency (q <= p + k)."""
+    from kausaldb_spark.functions.dedup import duplicate_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),      # shares a..h with doc 2
+            (2, "a b c d e f g h x y"),
+            (3, "q r s t u v w z1 z2"),      # unique -> no spans
+            (4, "m m m m m m m m m m m m"),  # self-repetition covers all
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_id"], r["span_start"]): (r["span_end"], r["span_tokens"])
+        for r in duplicate_spans(docs, k=4).collect()
+    }
+    assert out == {
+        (1, 0): (8, 8),
+        (2, 0): (8, 8),
+        (4, 0): (12, 12),
+    }
+    # disjoint duplicated regions stay separate spans (gap > k)
+    docs2 = spark.createDataFrame(
+        [
+            (1, "p1 p2 p3 p4 u1 u2 u3 u4 u5 s1 s2 s3 s4"),
+            (2, "p1 p2 p3 p4 v1 v2 v3 v4 v5 s1 s2 s3 s4"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicate_spans(docs2, k=4).collect()
+    )
+    assert spans == [(1, 0, 4), (1, 9, 13), (2, 0, 4), (2, 9, 13)]
