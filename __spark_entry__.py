@@ -339,6 +339,12 @@ def _q_term_match_topk(spark, sf_dir):
     return tx.term_match_topk(_docs(spark, sf_dir), list(_TM_TERMS), k=20)
 
 
+def _q_chunk_documents(spark, sf_dir):
+    # context-window preparation: 32-token chunks, 8-token overlap (the
+    # synthetic docs run to ~80 tokens, so long docs produce 2-4 chunks)
+    return tx.chunk_documents(_docs(spark, sf_dir), chunk_tokens=32, overlap=8)
+
+
 def _q_duplicate_spans(spark, sf_dir):
     # substring-level exact dedup (Lee et al. 2021 style): maximal >=8-token
     # duplicated spans over the planted-duplicates corpus
@@ -711,13 +717,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Round-6 rotation: the five oracle-backed entries that sat past
     position 50 in r5 (corpus_report, source_mix, line_dedup,
     binary_dedup, canonical_selection) now gate inside the sample window;
-    seven long-stable entries (iterate_all, edge_ordering, token_count,
-    split_assignment, filter_pagination, exact_dedup, simhash_pairs) moved
-    to the tail, where the local DuckDB parity suite
+    eight long-stable entries (iterate_all, edge_ordering, token_count,
+    token_count_bpe, split_assignment, filter_pagination, exact_dedup,
+    simhash_pairs) moved to the tail, where the local DuckDB parity suite
     (tests/test_oracle_parity.py) still hash-checks them every run.
-    term_match_topk and duplicate_spans (new this round) gate in the
-    window; the float bm25_topk is a rows-only tail entry (pytest-pinned
-    ranking, same policy as unigram LM)."""
+    term_match_topk, duplicate_spans and chunk_documents (new this round)
+    gate in the window; the float bm25_topk is a rows-only tail entry
+    (pytest-pinned ranking, same policy as unigram LM)."""
     return {
         # -- rotated into the driver sample this round --
         "corpus_report": _q_corpus_report,
@@ -760,7 +766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_spans": _q_duplicate_spans,
         "simhash_band": _q_simhash_band,
         "near_dup_clusters": _q_near_dup_clusters,
-        "token_count_bpe": _q_token_count_bpe,
+        "chunk_documents": _q_chunk_documents,
         "contamination": _q_contamination,
         "corpus_curation": _q_corpus_curation,
         "corpus_stats": _q_corpus_stats,
@@ -784,6 +790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_pagination": _q_filter_pagination,
         "exact_dedup": _q_exact_dedup,
         "simhash_pairs": _q_simhash_pairs,
+        "token_count_bpe": _q_token_count_bpe,
         "bm25_topk": _q_bm25_topk,
         "dfs_preorder": _q_dfs_preorder,
         "streaming_rollup": _q_streaming_rollup,
@@ -1047,6 +1054,25 @@ SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
        CAST(max(pos) + 8 AS BIGINT) AS span_end,
        CAST(max(pos) + 8 - min(pos) AS BIGINT) AS span_tokens
 FROM grp GROUP BY doc_id, g""",
+        "chunk_documents": r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents
+),
+base AS (
+  SELECT doc_id, t, len(t) AS n,
+         CASE WHEN len(t) <= 32 THEN 1
+              ELSE 1 + CAST(ceil((len(t) - 32) / 24.0) AS INT) END AS nc
+  FROM toks
+),
+ch AS (SELECT doc_id, unnest(range(0, nc)) AS i, t, n FROM base)
+SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+       CAST(i * 24 AS BIGINT) AS start_tok,
+       CAST(least(i * 24 + 32, n) AS BIGINT) AS end_tok,
+       CAST(least(i * 24 + 32, n) - i * 24 AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(t, i * 24 + 1, least(i * 24 + 32, n)), ' ')
+         AS chunk_text
+FROM ch""",
         "term_match_topk": r"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t

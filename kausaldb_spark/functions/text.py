@@ -499,3 +499,62 @@ def bm25_topk(docs, query_terms: list[str], k: int = 20, k1: float = 1.2,
 
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
     return ranked.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# context-length chunking (training-sequence preparation)
+# ---------------------------------------------------------------------------
+
+def chunk_documents(docs, chunk_tokens: int = 512, overlap: int = 64,
+                    text_col: str = "text", id_col: str = "doc_id"):
+    """Split documents into fixed-length token chunks with overlap — the
+    context-window preparation step of a pretraining pipeline (long docs
+    become stride-``chunk_tokens - overlap`` windows; the final chunk is
+    clipped to the document end).
+
+    Chunk layout for a doc of n tokens (stride s = chunk_tokens - overlap):
+        n_chunks = 1                       if n <= chunk_tokens
+                   1 + ceil((n - chunk_tokens) / s)   otherwise
+        chunk i  = tokens[i*s : min(i*s + chunk_tokens, n)]
+
+    Zero-shuffle: per-row sequence explode + array slice + concat — the op
+    is embarrassingly parallel and scales as a map over the corpus.
+    Output: (doc_id, chunk_idx, start_tok, end_tok, n_tokens, chunk_text)
+    with end_tok exclusive; all integers + deterministic strings
+    (oracle-portable)."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.lit(1) + F.ceil((n - chunk_tokens) / F.lit(stride)).cast("int")
+    )
+    out = (
+        docs.select(
+            F.col(id_col).alias("doc_id"), toks.alias("_t"), n.alias("_n"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            (F.col("chunk_idx") * stride).cast("bigint").alias("start_tok"),
+            F.least(
+                F.col("chunk_idx") * stride + chunk_tokens, F.col("_n")
+            ).cast("bigint").alias("end_tok"),
+            F.col("_t"),
+        )
+        .select(
+            "doc_id", "chunk_idx", "start_tok", "end_tok",
+            (F.col("end_tok") - F.col("start_tok")).alias("n_tokens"),
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("_t"),
+                    (F.col("start_tok") + 1).cast("int"),
+                    (F.col("end_tok") - F.col("start_tok")).cast("int"),
+                ),
+            ).alias("chunk_text"),
+        )
+    )
+    return out

@@ -235,3 +235,37 @@ def test_bm25_topk_matches_bruteforce(spark):
     # candidate sets agree between the float and integer variants
     tm_ids = {r["doc_id"] for r in tx.term_match_topk(docs, qt, k=10).collect()}
     assert tm_ids == {r["doc_id"] for r in got}
+
+
+def test_chunk_documents_layout(spark):
+    """Context-length chunking: stride windows, clipped final chunk,
+    single-chunk short docs, and full coverage (every token position is in
+    at least one chunk; consecutive chunks overlap by exactly `overlap`
+    except the clipped last one)."""
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "a b c"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = (
+        tx.chunk_documents(docs, chunk_tokens=4, overlap=1)
+        .orderBy("doc_id", "chunk_idx")
+        .collect()
+    )
+    got = [(r["doc_id"], r["chunk_idx"], r["start_tok"], r["end_tok"], r["chunk_text"]) for r in rows]
+    assert got == [
+        (1, 0, 0, 4, "t0 t1 t2 t3"),
+        (1, 1, 3, 7, "t3 t4 t5 t6"),
+        (1, 2, 6, 10, "t6 t7 t8 t9"),
+        (2, 0, 0, 3, "a b c"),
+        (3, 0, 0, 1, ""),
+    ]
+    # zero-shuffle plan: a pure map (generate/explode), no Exchange
+    plan = (
+        tx.chunk_documents(docs, chunk_tokens=4, overlap=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        tx.chunk_documents(docs, chunk_tokens=4, overlap=4)
