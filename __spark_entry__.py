@@ -339,6 +339,11 @@ def _q_term_match_topk(spark, sf_dir):
     return tx.term_match_topk(_docs(spark, sf_dir), list(_TM_TERMS), k=20)
 
 
+def _q_pack_offsets(spark, sf_dir):
+    # concat-and-chunk packing metadata per source shard, 512-token seqs
+    return tx.pack_offsets(_docs(spark, sf_dir), seq_len=512)
+
+
 def _q_chunk_documents(spark, sf_dir):
     # context-window preparation: 32-token chunks, 8-token overlap (the
     # synthetic docs run to ~80 tokens, so long docs produce 2-4 chunks)
@@ -717,13 +722,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Round-6 rotation: the five oracle-backed entries that sat past
     position 50 in r5 (corpus_report, source_mix, line_dedup,
     binary_dedup, canonical_selection) now gate inside the sample window;
-    eight long-stable entries (iterate_all, edge_ordering, token_count,
+    nine long-stable entries (iterate_all, edge_ordering, token_count,
     token_count_bpe, split_assignment, filter_pagination, exact_dedup,
-    simhash_pairs) moved to the tail, where the local DuckDB parity suite
-    (tests/test_oracle_parity.py) still hash-checks them every run.
-    term_match_topk, duplicate_spans and chunk_documents (new this round)
-    gate in the window; the float bm25_topk is a rows-only tail entry
-    (pytest-pinned ranking, same policy as unigram LM)."""
+    simhash_pairs, fingerprint) moved to the tail, where the local DuckDB
+    parity suite (tests/test_oracle_parity.py) still hash-checks them
+    every run. term_match_topk, duplicate_spans, chunk_documents and
+    pack_offsets (new this round) gate in the window; the float bm25_topk
+    is a rows-only tail entry (pytest-pinned ranking, same policy as
+    unigram LM)."""
     return {
         # -- rotated into the driver sample this round --
         "corpus_report": _q_corpus_report,
@@ -773,7 +779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "stratified_sample": _q_stratified_sample,
         "quality_score": _q_quality_score,
-        "fingerprint": _q_fingerprint,
+        "pack_offsets": _q_pack_offsets,
         "pii_scan": _q_pii_scan,
         "repetition_score": _q_repetition_score,
         "ann_topk": _q_ann_topk,
@@ -791,6 +797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": _q_exact_dedup,
         "simhash_pairs": _q_simhash_pairs,
         "token_count_bpe": _q_token_count_bpe,
+        "fingerprint": _q_fingerprint,
         "bm25_topk": _q_bm25_topk,
         "dfs_preorder": _q_dfs_preorder,
         "streaming_rollup": _q_streaming_rollup,
@@ -1054,6 +1061,26 @@ SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
        CAST(max(pos) + 8 AS BIGINT) AS span_end,
        CAST(max(pos) + 8 - min(pos) AS BIGINT) AS span_tokens
 FROM grp GROUP BY doc_id, g""",
+        "pack_offsets": r"""
+WITH base AS (
+  SELECT source AS partition, doc_id,
+         CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT *,
+         CAST(coalesce(sum(n_tokens) OVER (
+                 PARTITION BY partition ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS global_start
+  FROM base
+)
+SELECT partition, doc_id, n_tokens, global_start,
+       CAST(global_start // 512 AS BIGINT) AS first_seq,
+       CAST((global_start + greatest(n_tokens, 1) - 1) // 512 AS BIGINT)
+         AS last_seq
+FROM cum""",
         "chunk_documents": r"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t

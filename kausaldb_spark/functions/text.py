@@ -558,3 +558,50 @@ def chunk_documents(docs, chunk_tokens: int = 512, overlap: int = 64,
         )
     )
     return out
+
+
+def pack_offsets(docs, seq_len: int = 512, partition_col: str = "source",
+                 text_col: str = "text", id_col: str = "doc_id"):
+    """Concat-and-chunk sequence packing (GPT-style): within each
+    ``partition_col`` shard, documents are laid end-to-end in (doc_id)
+    order and cut into fixed ``seq_len`` training sequences; each document
+    reports its global token offset and the range of sequence indices it
+    lands in. The index-building metadata a packed-pretraining loader
+    needs — emitted without materializing any packed text.
+
+    Scale shape: ONE running-sum window per shard (ordered by doc_id).
+    The sort is per-shard by design — a 100 TB corpus packs per
+    source/split shard exactly like this, never globally (the same
+    reasoning as the stratified-sample salting: no single-task sort of an
+    unbounded partition; shard count grows with the corpus).
+
+    Output: (partition, doc_id, n_tokens, global_start, first_seq,
+    last_seq) — all integers; empty docs still occupy their (single
+    empty-string) token slot, keeping offsets deterministic."""
+    from pyspark.sql.window import Window
+
+    n = F.size(tokens(F.col(text_col))).cast("bigint")
+    w = Window.partitionBy(partition_col).orderBy(id_col)
+    base = docs.select(
+        F.col(partition_col).alias("partition"),
+        F.col(id_col).alias("doc_id"),
+        n.alias("n_tokens"),
+    ).withColumn(
+        "global_start",
+        F.coalesce(
+            F.sum("n_tokens").over(
+                Window.partitionBy("partition")
+                .orderBy("doc_id")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).cast("bigint"),
+    )
+    # integer DIV, not floor(double /): a 100 TB shard's token offset can
+    # exceed 2^53 where double division stops being exact
+    last_tok = "global_start + greatest(n_tokens, CAST(1 AS BIGINT)) - 1"
+    return base.select(
+        "partition", "doc_id", "n_tokens", "global_start",
+        F.expr(f"CAST(global_start DIV {seq_len} AS BIGINT)").alias("first_seq"),
+        F.expr(f"CAST(({last_tok}) DIV {seq_len} AS BIGINT)").alias("last_seq"),
+    )
