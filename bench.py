@@ -143,7 +143,10 @@ def _bench_store_path(spark, sf_dir, timings, errors):
         g = gm.graph(spark, sf_dir)
         store = BlockStore(spark, tempfile.mkdtemp(prefix="kdb_bench_store_"))
         store.append_blocks(g["visible"], resequence=False)
-        store.append_edges(g["edges_vis"])
+        # edges_vis is endpoint-restricted by construction (graphmodel
+        # anti-joins both endpoints against the invisible set) — bulk
+        # re-materialization skips the redundant endpoint re-check
+        store.append_edges(g["edges_vis"], assume_endpoints_exist=True)
         store.materialize_bucketed("bench")
         blocks_b = spark.table("bench_blocks_b")
         edges_b = spark.table("bench_edges_b")

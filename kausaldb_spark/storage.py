@@ -247,21 +247,33 @@ class BlockStore:
         blocks.write.mode("append").partitionBy("codebase").parquet(self._blocks_dir)
         return new_hi
 
-    def append_edges(self, edges: DataFrame) -> None:
+    def append_edges(
+        self, edges: DataFrame, assume_endpoints_exist: bool = False
+    ) -> None:
         """S2: endpoints must exist in the *visible* snapshot at insert time.
         Missing provenance columns (plain (src, dst, edge_type) callers) are
-        filled with NULLs — such edges are never epoch-shadowed."""
+        filled with NULLs — such edges are never epoch-shadowed.
+
+        The endpoint check is two semi-joins keyed by src/dst — the correct
+        100 TB shape (the id set outgrows any broadcast), but it shuffles
+        the incoming edge relation twice. ``assume_endpoints_exist=True``
+        skips it for relations that are endpoint-valid BY CONSTRUCTION
+        (re-materializing an existing store's ``visible_edges()``, or a
+        fixture already restricted to visible endpoints); parser output and
+        any user-supplied edges must keep the default — unresolved
+        references genuinely dangle there."""
         for name, typ in (
             ("codebase", "string"), ("src_file", "string"), ("ingest_seq", "bigint")
         ):
             if name not in edges.columns:
                 edges = edges.withColumn(name, F.lit(None).cast(typ))
-        ids = self.snapshot().select("id")
-        checked = (
-            edges.join(ids, edges.src == ids.id, "left_semi")
-            .join(ids, edges.dst == ids.id, "left_semi")
-            .where(F.col("src") != F.col("dst"))
-        )
+        checked = edges.where(F.col("src") != F.col("dst"))
+        if not assume_endpoints_exist:
+            ids = self.snapshot().select("id")
+            checked = (
+                checked.join(ids, checked.src == ids.id, "left_semi")
+                .join(ids, checked.dst == ids.id, "left_semi")
+            )
         checked.select(*_EDGE_COLS).write.mode("append").parquet(self._edges_dir)
 
     def delete_blocks(self, block_ids: list[str]) -> None:

@@ -297,3 +297,25 @@ def test_snapshot_cache_hit_and_invalidation(spark, tmp_path_factory):
     store.compact()
     assert store.snapshot() is not s2  # file swap invalidates
     assert store.snapshot().count() == 4
+
+
+def test_append_edges_validation_modes(spark, tmp_path_factory):
+    """Default append_edges drops edges with nonexistent endpoints (S2);
+    assume_endpoints_exist=True skips the re-check for relations that are
+    endpoint-valid by construction (bulk re-materialization) — and
+    therefore must only be used for such relations."""
+    store = BlockStore(spark, str(tmp_path_factory.mktemp("edgeval")))
+    store.append_blocks(_mk_blocks(spark, 3))
+    edges = spark.createDataFrame(
+        [("b1", "b2", "calls"), ("b1", "ghost", "calls"), ("b2", "b2", "calls")],
+        "src string, dst string, edge_type string",
+    )
+    store.append_edges(edges)
+    got = {(r["src"], r["dst"]) for r in store.edges().collect()}
+    assert got == {("b1", "b2")}  # ghost endpoint and self-loop dropped
+
+    store2 = BlockStore(spark, str(tmp_path_factory.mktemp("edgeval2")))
+    store2.append_blocks(_mk_blocks(spark, 3))
+    store2.append_edges(edges, assume_endpoints_exist=True)
+    got2 = {(r["src"], r["dst"]) for r in store2.edges().collect()}
+    assert got2 == {("b1", "b2"), ("b1", "ghost")}  # self-loop still dropped
