@@ -104,6 +104,12 @@ def build_parser() -> argparse.ArgumentParser:
     search = sub.add_parser("search", help="keyword search")
     search.add_argument("--query", required=True)
     search.add_argument("--threshold", type=float, default=0.7)
+    search.add_argument(
+        "--ranked", action="store_true",
+        help="multi-term ranked retrieval (query split on whitespace; "
+        "ordered by distinct terms matched, then total term frequency)",
+    )
+    search.add_argument("--limit", type=int, default=20)
 
     flt_p = sub.add_parser("filter", help="boolean-filtered scan")
     flt_p.add_argument(
@@ -224,7 +230,10 @@ def main(argv: list[str] | None = None, spark=None, engine=None, file=None) -> i
         emit(df, args.format, file)
         return 0
     if args.command == "search":
-        df = engine.keyword_search(args.query, args.threshold)
+        if args.ranked:
+            df = engine.ranked_search(args.query.split(), k=args.limit)
+        else:
+            df = engine.keyword_search(args.query, args.threshold)
         emit(df, args.format, file)
         return 0
     if args.command == "filter":

@@ -466,6 +466,30 @@ class KausalEngine:
             lambda: lk.keyword_search(self.store.visible(), query, threshold, max_results),
         )
 
+    def ranked_search(self, terms: list[str], k: int = 20) -> DataFrame:
+        """Multi-term ranked retrieval over block content
+        (functions.text.term_match_topk): integer-exact
+        (n_terms, total_tf, id) ordering, one scan + TakeOrdered — the
+        multi-term extension of the reference's single-keyword scoring
+        (src/query/operations.zig:421-437). Returns
+        (id, unit_id, codebase, n_terms, total_tf, rank)."""
+        from kausaldb_spark.functions.text import term_match_topk
+
+        def build():
+            vis = self.store.visible()
+            top = term_match_topk(
+                vis, list(terms), k=k, text_col="content", id_col="id"
+            ).withColumnRenamed("doc_id", "id")
+            return top.join(
+                vis.select("id", "unit_id", "codebase"), "id"
+            ).select(
+                "id", "unit_id", "codebase", "n_terms", "total_tf", "rank"
+            ).orderBy("rank")
+
+        return self._timed(
+            "ranked_search", ("ranked_search", tuple(terms), k), build
+        )
+
     def filtered(
         self, expr: flt.Expr, offset: int = 0, max_results: int = 10_000,
         with_stats: bool = False,

@@ -309,3 +309,29 @@ def test_scan_match_stats_advance(spark, tmp_path_factory):
     eng.filtered(expr, with_stats=True)
     st3 = eng.status()
     assert st3["rows_matched"] == n_match + n_t
+
+
+def test_ranked_search_cli(engine):
+    """`search --ranked` runs multi-term ranked retrieval over block
+    content: blocks containing more of the query terms rank first, ties by
+    total term frequency then id."""
+    # matching is exact-whitespace-token: 'def' and 'return' are clean
+    # tokens of every function body ('helper_function(41)' would NOT match
+    # the bare term 'helper_function' — substring search is `search`
+    # without --ranked)
+    out = engine.ranked_search(["def", "return"], k=10).collect()
+    assert out, "linked tree must match"
+    assert [r["rank"] for r in out] == list(range(1, len(out) + 1))
+    n_terms = [r["n_terms"] for r in out]
+    assert n_terms == sorted(n_terms, reverse=True)
+    top = out[0]
+    assert top["n_terms"] == 2
+
+    rc, text = _run(
+        engine, "--format", "json", "search", "--query", "def return",
+        "--ranked", "--limit", "5",
+    )
+    assert rc == 0
+    rows = [json.loads(line) for line in text.strip().splitlines() if line]
+    assert rows and rows[0]["rank"] == 1
+    assert {"id", "unit_id", "codebase", "n_terms", "total_tf", "rank"} <= set(rows[0])
