@@ -549,6 +549,16 @@ def _q_embedding_near_dup(spark, sf_dir):
     return sim.embedding_near_duplicates(_emb(spark, sf_dir), EMB_NEAR_DUP_MIN_DOT)
 
 
+def _q_semantic_dedup(spark, sf_dir):
+    # SemDeDup-style embedding dedup (k-means + intra-cluster cosine):
+    # k-means is not SQL-expressible, so this is a rows-only tail entry;
+    # group/keep semantics are pytest-pinned on planted corpora
+    # (tests/test_similarity.py).
+    return sim.semantic_dedup(
+        _emb(spark, sf_dir), threshold=0.97, n_clusters=8
+    )
+
+
 def _q_events_hourly(spark, sf_dir):
     return ev.hourly_rollup(ev.load_events(spark, sf_dir))
 
@@ -799,6 +809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_bpe": _q_token_count_bpe,
         "fingerprint": _q_fingerprint,
         "bm25_topk": _q_bm25_topk,
+        "semantic_dedup": _q_semantic_dedup,
         "dfs_preorder": _q_dfs_preorder,
         "streaming_rollup": _q_streaming_rollup,
         "streaming_sessionize": _q_streaming_sessionize,

@@ -353,21 +353,19 @@ def contaminated_docs(
     )
 
 
-def near_dup_clusters(
-    spark: SparkSession, sf_dir: str, num: int = 7, den: int = 10
+def components_from_pairs(
+    spark: SparkSession, pairs: DataFrame,
+    a_col: str = "doc_a", b_col: str = "doc_b",
 ) -> DataFrame:
-    """Dedup decision layer: MinHash pair graph → connected components →
-    canonical selection (keep the min doc_id per cluster, drop the rest).
-    Output (doc_id, cluster_id, is_canonical); singleton docs don't appear
-    (nothing to decide).
-
-    The verified pair set is orders of magnitude smaller than the corpus
-    (it IS the duplication rate), so up to a threshold the components come
-    from a driver-side union-find in one collect; a pathologically large
-    pair set falls back to the distributed WCC min-label analytic."""
-    pairs = minhash_near_duplicates(spark, sf_dir, num, den)
+    """Connected components of a pair relation → (doc_id, cluster_id) with
+    cluster_id = min member id. The verified pair set is orders of magnitude
+    smaller than the corpus (it IS the duplication rate), so up to a
+    threshold the components come from a driver-side union-find in one
+    collect; a pathologically large pair set falls back to the distributed
+    WCC min-label analytic. Shared by near_dup_clusters (MinHash pairs) and
+    similarity.semantic_dedup (embedding-cosine pairs)."""
     pair_cap = CLUSTER_COLLECT_PAIR_CAP
-    rows = pairs.select("doc_a", "doc_b").limit(pair_cap + 1).collect()
+    rows = pairs.select(a_col, b_col).limit(pair_cap + 1).collect()
     if len(rows) <= pair_cap:
         parent: dict = {}
 
@@ -378,7 +376,7 @@ def near_dup_clusters(
             return x
 
         for r in rows:
-            a, b = r["doc_a"], r["doc_b"]
+            a, b = r[a_col], r[b_col]
             parent.setdefault(a, a)
             parent.setdefault(b, b)
             ra, rb = find(a), find(b)
@@ -391,28 +389,35 @@ def near_dup_clusters(
             return spark.range(0).selectExpr(
                 "cast(id as bigint) as doc_id",
                 "cast(id as bigint) as cluster_id",
-                "cast(id as int) as is_canonical",
             )
         return spark.createDataFrame(
-            [(d, c, int(d == c)) for d, c in out],
-            "doc_id bigint, cluster_id bigint, is_canonical int",
+            out, "doc_id bigint, cluster_id bigint"
         )
 
     from kausaldb_spark.operators.traversal import weakly_connected_components
 
     e = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"),
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst"),
         F.lit("near_dup").alias("edge_type"),
     )
     comp = weakly_connected_components(e)
-    return (
-        comp.select(
-            F.col("id").cast("bigint").alias("doc_id"),
-            F.col("component").cast("bigint").alias("cluster_id"),
-        )
-        .withColumn(
-            "is_canonical", (F.col("doc_id") == F.col("cluster_id")).cast("int")
-        )
+    return comp.select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        F.col("component").cast("bigint").alias("cluster_id"),
+    )
+
+
+def near_dup_clusters(
+    spark: SparkSession, sf_dir: str, num: int = 7, den: int = 10
+) -> DataFrame:
+    """Dedup decision layer: MinHash pair graph → connected components →
+    canonical selection (keep the min doc_id per cluster, drop the rest).
+    Output (doc_id, cluster_id, is_canonical); singleton docs don't appear
+    (nothing to decide)."""
+    pairs = minhash_near_duplicates(spark, sf_dir, num, den)
+    comp = components_from_pairs(spark, pairs)
+    return comp.withColumn(
+        "is_canonical", (F.col("doc_id") == F.col("cluster_id")).cast("int")
     )
 
 

@@ -327,3 +327,122 @@ def embedding_near_duplicates(
         )
         return out, dropped
     return out
+
+
+def semantic_dedup(
+    embeddings: DataFrame, threshold: float = 0.95,
+    n_clusters: int = 16, seed: int = 42,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    max_cluster_size: int = 10_000,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, form near-dup
+    groups inside each cluster by cosine >= ``threshold``, and keep ONE
+    representative per group — the member FARTHEST from its centroid
+    (the paper's keep-low-centroid-similarity rule, which preserves
+    diversity near cluster edges); ties break to the smaller id.
+
+    Returns (vec_id, cluster_id, keep int). ``cluster_id`` is the min
+    vec_id of the near-dup component (same convention as
+    ``dedup.near_dup_clusters``); docs with no >= threshold neighbor in
+    their k-means cluster appear with themselves as a singleton component
+    and keep=1.
+
+    Scale shape: the k-means assignment is one pass (MLlib); candidate
+    pairs are generated per k-means cluster with the same window-count
+    degenerate-cluster guard as the LSH paths (an over-``max_cluster_size``
+    cluster is skipped, never made quadratic — raise ``n_clusters`` so
+    expected cluster size stays bounded: n_clusters ~ N / target). The
+    pair relation is duplication-rate-sized; components come from the same
+    bounded union-find / distributed-WCC fallback as near_dup_clusters.
+    Like ``ivf_topk`` this is pytest-pinned (k-means is not
+    SQL-expressible for the DuckDB oracle).
+    """
+    try:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+    except ImportError:  # pragma: no cover - mllib ships with pyspark
+        raise RuntimeError("semantic_dedup requires pyspark.ml")
+
+    feats = embeddings.select(
+        F.col(id_col), F.col(vec_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=max(2, n_clusters), seed=seed, maxIter=10).fit(feats)
+    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+    spark = embeddings.sparkSession
+    cdf = F.broadcast(spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centers)],
+        "kc int, center array<double>",
+    ))
+    assigned = (
+        model.transform(feats)
+        .select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+            F.col("prediction").alias("kc"),
+        )
+        .join(cdf, "kc")
+        .select(
+            "id", "v", "kc",
+            float_cosine(F.col("v").cast("array<double>"), F.col("center"))
+            .alias("centroid_sim"),
+        )
+    )
+    wn = Window.partitionBy("kc")
+    sized = assigned.withColumn("_n", F.count("*").over(wn))
+    capped = sized.where(F.col("_n") <= max_cluster_size)
+    grouped = capped.groupBy("kc").agg(
+        F.collect_list(F.struct("id", "v")).alias("xs")
+    )
+    pairs = (
+        grouped.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "xs",
+                        lambda x, i: F.transform(
+                            F.slice(F.col("xs"), i + F.lit(2), F.size(F.col("xs"))),
+                            lambda y: F.struct(
+                                x["id"].alias("ia"),
+                                y["id"].alias("ib"),
+                                float_cosine(
+                                    x["v"].cast("array<double>"),
+                                    y["v"].cast("array<double>"),
+                                ).alias("cos"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .where(F.col("p.cos") >= threshold)
+        .select(
+            F.least("p.ia", "p.ib").alias("doc_a"),
+            F.greatest("p.ia", "p.ib").alias("doc_b"),
+        )
+    )
+
+    from kausaldb_spark.functions.dedup import components_from_pairs
+
+    comp = components_from_pairs(spark, pairs)  # (doc_id, cluster_id)
+    # keep rule: per component, max centroid-distance == min centroid_sim;
+    # ties to min id. max_by over a (sim, id) struct — no per-component sort.
+    member = assigned.join(
+        comp, assigned["id"] == comp["doc_id"], "left"
+    ).select(
+        "id", "centroid_sim",
+        F.coalesce(comp["cluster_id"], assigned["id"]).alias("cluster_id"),
+    )
+    keeper = member.groupBy("cluster_id").agg(
+        F.min_by(
+            "id", F.struct(F.col("centroid_sim").alias("s"), F.col("id").alias("i"))
+        ).alias("keep_id")
+    )
+    return (
+        member.join(keeper, "cluster_id")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("cluster_id"),
+            (F.col("id") == F.col("keep_id")).cast("int").alias("keep"),
+        )
+    )

@@ -154,3 +154,81 @@ def test_multi_probe_at_least_single_probe(emb):
           multi.groupBy("query_id").agg(F.count("*").alias("n")).collect()}
     for q in ns:
         assert nm.get(q, 0) >= ns[q]
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup
+# ---------------------------------------------------------------------------
+
+def _planted_corpus(spark):
+    """Two well-separated k-means clusters; inside each, one planted group of
+    3 near-identical vectors plus distinct singletons."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    vid = 0
+
+    def noisy(base, eps):
+        return [b + rng.uniform(-eps, eps) for b in base]
+
+    for cluster_base in ([10.0, 0.0, 0.0, 0.0], [0.0, 10.0, 0.0, 0.0]):
+        # planted near-dup triple (cosine ~1 to each other)
+        for _ in range(3):
+            rows.append((vid, noisy(cluster_base, 0.01)))
+            vid += 1
+        # distinct members: same k-means cluster, but mutually rotated far
+        # enough (pairwise cosine <= ~0.75) to stay under the 0.95 threshold
+        for tail in ([9.0, 0.0], [-9.0, 0.0], [0.0, 9.0]):
+            v = list(cluster_base)
+            v[2], v[3] = tail
+            rows.append((vid, noisy(v, 0.01)))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+
+def test_semantic_dedup_planted_groups(spark):
+    df = _planted_corpus(spark)
+    out = sim.semantic_dedup(df, threshold=0.95, n_clusters=2, seed=1).collect()
+    by_id = {r["vec_id"]: r for r in out}
+    assert set(by_id) == set(range(12))            # every doc gets a verdict
+    # planted triples collapse to one component each, keep exactly one
+    for group in (range(0, 3), range(6, 9)):
+        cids = {by_id[i]["cluster_id"] for i in group}
+        assert cids == {min(group)}, f"group {list(group)} split: {cids}"
+        keeps = [i for i in group if by_id[i]["keep"] == 1]
+        assert len(keeps) == 1
+    # distinct members survive as singletons
+    for i in list(range(3, 6)) + list(range(9, 12)):
+        assert by_id[i]["cluster_id"] == i
+        assert by_id[i]["keep"] == 1
+    # total kept = 2 representatives + 6 singletons
+    assert sum(r["keep"] for r in out) == 8
+
+
+def test_semantic_dedup_keeps_farthest_from_centroid(spark):
+    """Within a near-dup group the survivor is the member with the LOWEST
+    centroid cosine (SemDeDup's diversity-preserving rule)."""
+    # cluster A: a tight pair where one member is pulled toward the cluster
+    # fringe (lower cosine to the centroid), plus fillers that anchor the
+    # centroid away from the pair; cluster B far away absorbs the second
+    # k-means centroid so A stays intact.
+    rows = [
+        (0, [10.0, 0.0, 0.0, 0.0]),
+        (1, [10.0, 0.4, 0.0, 0.0]),   # same direction, slightly off-axis
+        (2, [9.0, -3.0, 0.0, 0.0]),
+        (3, [9.0, 0.0, 3.0, 0.0]),
+        (4, [0.0, 0.0, 0.0, 100.0]),
+        (5, [0.0, 0.0, 0.0, 101.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = {r["vec_id"]: r for r in
+           sim.semantic_dedup(df, threshold=0.999, n_clusters=2, seed=1).collect()}
+    assert out[0]["cluster_id"] == 0 and out[1]["cluster_id"] == 0
+    kept = [i for i in (0, 1) if out[i]["keep"] == 1]
+    # centroid leans toward +y fillers? compute which of 0/1 has lower cosine:
+    # member 1 tilts toward the centroid's average direction only if the
+    # centroid has positive y; fillers give y = (0.4 - 3 + 0)/4 < 0 so
+    # member 1 (y=+0.4) is FARTHER from the centroid and must be kept.
+    assert kept == [1]
+    assert out[2]["keep"] == 1 and out[3]["keep"] == 1
