@@ -563,6 +563,37 @@ def _q_events_hourly(spark, sf_dir):
     return ev.hourly_rollup(ev.load_events(spark, sf_dir))
 
 
+DOMAIN_BLOCKLIST = ["spam-en.bad.net", "spam-fr.bad.net"]
+
+
+def _q_domain_filter(spark, sf_dir):
+    # UT1-style domain-blocklist pass. The synthetic corpus contains no
+    # URLs, so the gate deterministically injects them from doc fields —
+    # IDENTICALLY in the oracle SQL — which cross-validates the Java-vs-RE2
+    # extraction regex, host parsing, and blocklist counting end-to-end.
+    docs = _docs(spark, sf_dir)
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://"), F.col("source"), F.lit(".example.com/page"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" http://spam-"), F.col("lang"), F.lit(".bad.net/x?q=1")
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return tx.domain_flags(aug, DOMAIN_BLOCKLIST).orderBy("doc_id")
+
+
+def _q_length_quantiles(spark, sf_dir):
+    # exact integer percentile_disc quantiles of document length — the
+    # corpus length-distribution report (no float interpolation drift)
+    return tx.exact_quantiles(_docs(spark, sf_dir), "n_chars").orderBy("pct")
+
+
 def _q_corpus_report(spark, sf_dir):
     # corpus composition: per (source, lang) doc/char/token totals — the
     # "what is my training mix" report every pipeline run starts with
@@ -739,9 +770,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     every run. term_match_topk, duplicate_spans, chunk_documents and
     pack_offsets (new this round) gate in the window; the float bm25_topk
     is a rows-only tail entry (pytest-pinned ranking, same policy as
-    unigram LM)."""
+    unigram LM). Later r6 additions: domain_filter + length_quantiles gate
+    in the window (filter_targets and bfs_depth5 — each family keeps other
+    in-window gates — rotated to the locally-gated tail); semantic_dedup
+    is a rows-only tail entry (k-means, pytest-pinned)."""
     return {
         # -- rotated into the driver sample this round --
+        "domain_filter": _q_domain_filter,
+        "length_quantiles": _q_length_quantiles,
         "corpus_report": _q_corpus_report,
         "source_mix": _q_source_mix,
         "line_dedup": _q_line_dedup,
@@ -761,7 +797,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "batch_lookup_100": _q_batch_lookup_100,
         "filter_metadata_eq": _q_filter_metadata_eq,
         "filter_compound": _q_filter_compound,
-        "filter_targets": _q_filter_targets,
         "filter_numeric_lexical": _q_filter_numeric_lexical,
         "find_by_name": _q_find_by_name,
         "find_alias_and_path": _q_find_alias_and_path,
@@ -769,7 +804,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- traversals --
         "callers_1hop": _q_callers_1hop,
         "bfs_depth3": _q_bfs_depth3,
-        "bfs_depth5": _q_bfs_depth5,
         "path_enumeration": _q_path_enumeration,
         "traversal_edge_filters": _q_traversal_edge_filters,
         "traversal_incoming": _q_traversal_incoming,
@@ -800,6 +834,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    backed entries here are still hash-gated by the local parity
         #    suite, the rows-only ones are pytest-gated) --
         "iterate_all": _q_iterate_all,
+        "filter_targets": _q_filter_targets,
+        "bfs_depth5": _q_bfs_depth5,
         "edge_ordering": _q_edge_ordering,
         "token_count": _q_token_count,
         "split_assignment": _q_split_assignment,
@@ -1194,6 +1230,42 @@ FROM documents GROUP BY 2""",
         "ann_lsh": oracles.ann_lsh_sql(ANN_QUERY_IDS),
         "embedding_near_dup": oracles.embedding_near_dup_sql(EMB_NEAR_DUP_MIN_DOT),
         "events_hourly": oracles.events_hourly_sql(),
+        "domain_filter": r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' see https://' || source || '.example.com/page'
+              || CASE WHEN doc_id % 3 = 0
+                      THEN ' http://spam-' || lang || '.bad.net/x?q=1'
+                      ELSE '' END AS t
+  FROM documents),
+d AS (
+  SELECT doc_id,
+         list_transform(
+           regexp_extract_all(t, 'https?://[^\s]+'),
+           u -> lower(regexp_extract(u, 'https?://([^/:?#\s]+)', 1))
+         ) AS doms
+  FROM aug),
+f AS (
+  SELECT doc_id, doms,
+         len(list_filter(
+           doms,
+           x -> list_contains(['spam-en.bad.net', 'spam-fr.bad.net'], x)
+         )) AS nb
+  FROM d)
+SELECT doc_id, CAST(len(doms) AS INT) AS n_urls,
+       CAST(len(list_distinct(doms)) AS INT) AS n_domains,
+       CAST(nb AS INT) AS n_blocked,
+       CAST(nb > 0 AS INT) AS blocked
+FROM f ORDER BY doc_id""",
+        "length_quantiles": r"""
+WITH hist AS (SELECT n_chars AS v, count(*) AS c FROM documents GROUP BY 1),
+cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM hist),
+tot AS (SELECT count(*) AS n FROM documents),
+p(pct) AS (VALUES (25), (50), (75), (90), (99))
+SELECT CAST(pct AS INT) AS pct,
+       CAST(min(CASE WHEN cum >= (pct * n + 99) // 100 THEN v END) AS BIGINT)
+         AS value
+FROM cum, tot, p GROUP BY pct ORDER BY pct""",
         "corpus_report": r"""
 SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS total_chars,

@@ -605,3 +605,106 @@ def pack_offsets(docs, seq_len: int = 512, partition_col: str = "source",
         F.expr(f"CAST(global_start DIV {seq_len} AS BIGINT)").alias("first_seq"),
         F.expr(f"CAST(({last_tok}) DIV {seq_len} AS BIGINT)").alias("last_seq"),
     )
+
+
+# ---------------------------------------------------------------------------
+# URL / domain blocklist filtering (UT1-style curation pass)
+# ---------------------------------------------------------------------------
+
+# host = text between :// and the first /, :, ?, # or whitespace.
+# Java∩RE2 subset (no lookarounds) so DuckDB extracts identically.
+URL_HOST_PATTERN = r"https?://([^/:?#\s]+)"
+
+
+def extract_domains(text: Column) -> Column:
+    """Lower-cased host of every http(s) URL in the text, in order of
+    appearance (duplicates kept — one entry per URL occurrence)."""
+    urls = F.regexp_extract_all(text, F.lit(PII_URL), 0)
+    return F.transform(
+        urls, lambda u: F.lower(F.regexp_extract(u, URL_HOST_PATTERN, 1))
+    )
+
+
+def domain_flags(
+    docs, blocklist, text_col: str = "text", id_col: str = "doc_id",
+):
+    """Per-document URL/domain report + blocklist verdict — the UT1-style
+    domain-blocklist curation pass. Returns (id, n_urls, n_domains,
+    n_blocked, blocked) with integer/bool columns only (oracle-portable).
+
+    ``blocklist`` may be a Python list of domains (compiled into a literal
+    array — whole-stage codegen, zero shuffle; right for small curated
+    lists) or a DataFrame with a ``domain`` column (real blocklists run to
+    millions of rows: the exploded domains join the blocklist on the
+    domain key — AQE broadcasts it while it fits and shuffles both sides
+    when it doesn't; the corpus text never moves, only (id, domain))."""
+    domains = extract_domains(F.col(text_col))
+    base = docs.select(
+        F.col(id_col), domains.alias("_domains"),
+        F.size(domains).cast("int").alias("n_urls"),
+        F.size(F.array_distinct(domains)).cast("int").alias("n_domains"),
+    )
+    if isinstance(blocklist, (list, tuple)):
+        arr = F.array(*[F.lit(d.lower()) for d in blocklist])
+        n_blocked = F.size(
+            F.filter("_domains", lambda d: F.array_contains(arr, d))
+        ).cast("int")
+        return base.select(
+            id_col, "n_urls", "n_domains", n_blocked.alias("n_blocked"),
+            (n_blocked > 0).cast("int").alias("blocked"),
+        )
+    hits = (
+        base.select(id_col, F.explode("_domains").alias("domain"))
+        .join(blocklist.select(F.lower(F.col("domain")).alias("domain")), "domain")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("int").alias("n_blocked"))
+    )
+    return (
+        base.drop("_domains")
+        .join(hits, id_col, "left")
+        .select(
+            id_col, "n_urls", "n_domains",
+            F.coalesce("n_blocked", F.lit(0)).cast("int").alias("n_blocked"),
+            (F.coalesce("n_blocked", F.lit(0)) > 0).cast("int").alias("blocked"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact corpus quantiles (value-histogram method)
+# ---------------------------------------------------------------------------
+
+def exact_quantiles(docs, value_col: str = "n_chars",
+                    pcts: tuple = (25, 50, 75, 90, 99)):
+    """EXACT percentile_disc-style quantiles of an integer column:
+    (pct, value) where value = the smallest v with at least
+    ceil(pct/100 * n) rows <= v. Pure integer arithmetic — engine-portable
+    with no float interpolation drift.
+
+    Scale shape: groupBy value → counts, then ONE running-sum window over
+    the distinct-VALUE histogram. The window is unpartitioned, but it sorts
+    the value domain (distinct lengths), not the corpus — bounded by the
+    value range regardless of row count, unlike a global sort-based
+    percentile. The corpus itself is touched by exactly one map-side-
+    combined groupBy."""
+    from pyspark.sql import Window
+
+    hist = docs.groupBy(F.col(value_col).alias("v")).agg(
+        F.count("*").alias("c")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select("v", F.sum("c").over(w).alias("cum"))
+    tot = docs.agg(F.count("*").alias("n"))
+    picks = [
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr(f"({p} * n + 99) DIV 100"), F.col("v")
+            )
+        ).alias(f"p{p}")
+        for p in pcts
+    ]
+    one = cum.crossJoin(F.broadcast(tot)).agg(*picks)
+    stack = ", ".join(f"{p}, p{p}" for p in pcts)
+    return one.selectExpr(
+        f"stack({len(pcts)}, {stack}) as (pct, value)"
+    ).select(F.col("pct").cast("int"), F.col("value").cast("bigint"))

@@ -269,3 +269,59 @@ def test_chunk_documents_layout(spark):
 
     with _pytest.raises(ValueError):
         tx.chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+# ---------------------------------------------------------------------------
+# URL/domain blocklist filtering
+# ---------------------------------------------------------------------------
+
+_URL_DOCS = [
+    (1, "intro http://Ads.Example.COM/x and https://ok.org/page tail"),
+    (2, "no urls here at all"),
+    (3, "https://ads.example.com/a https://ads.example.com/b http://ok.org:8080/q?z=1"),
+    (4, "scheme-less www.ads.example.com is not a url"),
+]
+
+
+def test_domain_flags_literal_blocklist(spark):
+    docs = spark.createDataFrame(_URL_DOCS, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in
+           tx.domain_flags(docs, ["ads.example.com"]).collect()}
+    assert (out[1]["n_urls"], out[1]["n_domains"], out[1]["n_blocked"],
+            out[1]["blocked"]) == (2, 2, 1, 1)       # host match is case-folded
+    assert (out[2]["n_urls"], out[2]["blocked"]) == (0, 0)
+    # ports are stripped from the host; occurrences counted per URL
+    assert (out[3]["n_urls"], out[3]["n_domains"], out[3]["n_blocked"],
+            out[3]["blocked"]) == (3, 2, 2, 1)
+    assert (out[4]["n_urls"], out[4]["blocked"]) == (0, 0)  # needs a scheme
+
+
+def test_domain_flags_dataframe_blocklist_matches_literal(spark):
+    docs = spark.createDataFrame(_URL_DOCS, "doc_id int, text string")
+    bl_df = spark.createDataFrame(
+        [("ADS.example.com",), ("other.net",)], "domain string"
+    )
+    lit = tx.domain_flags(docs, ["ads.example.com", "other.net"]).collect()
+    viadf = tx.domain_flags(docs, bl_df).collect()
+    key = lambda rows: sorted(tuple(r) for r in rows)
+    assert key(lit) == key(viadf)
+
+
+# ---------------------------------------------------------------------------
+# exact quantiles
+# ---------------------------------------------------------------------------
+
+def test_exact_quantiles_matches_bruteforce(spark):
+    import math
+    import random
+
+    rng = random.Random(11)
+    vals = [rng.randint(0, 50) for _ in range(997)]
+    docs = spark.createDataFrame([(v,) for v in vals], "n_chars int")
+    pcts = (1, 25, 50, 75, 90, 99, 100)
+    got = {r["pct"]: r["value"] for r in
+           tx.exact_quantiles(docs, "n_chars", pcts).collect()}
+    s = sorted(vals)
+    for p in pcts:
+        need = math.ceil(p * len(s) / 100)
+        assert got[p] == s[need - 1], f"pct {p}"
