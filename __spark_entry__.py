@@ -559,6 +559,16 @@ def _q_semantic_dedup(spark, sf_dir):
     )
 
 
+def _q_importance_resample(spark, sf_dir):
+    # DSIR-style selection: target = the 20 lowest-id docs stand in for the
+    # high-quality seed corpus; float log-weights → rows-only tail entry
+    # (weights + gumbel draw pytest-pinned to 1e-9 vs a brute-force model).
+    docs = _docs(spark, sf_dir)
+    return tx.importance_resample(
+        docs, docs.where(F.col("doc_id") < 20), k=50, seed=17
+    )
+
+
 def _q_events_hourly(spark, sf_dir):
     return ev.hourly_rollup(ev.load_events(spark, sf_dir))
 
@@ -846,6 +856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "bm25_topk": _q_bm25_topk,
         "semantic_dedup": _q_semantic_dedup,
+        "importance_resample": _q_importance_resample,
         "dfs_preorder": _q_dfs_preorder,
         "streaming_rollup": _q_streaming_rollup,
         "streaming_sessionize": _q_streaming_sessionize,

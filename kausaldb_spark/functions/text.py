@@ -708,3 +708,113 @@ def exact_quantiles(docs, value_col: str = "n_chars",
     return one.selectExpr(
         f"stack({len(pcts)}, {stack}) as (pct, value)"
     ).select(F.col("pct").cast("int"), F.col("value").cast("bigint"))
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling (hashed-unigram importance weights)
+# ---------------------------------------------------------------------------
+
+def importance_weights(
+    docs, target_docs, n_buckets: int = 4096, alpha: float = 1.0,
+    text_col: str = "text", id_col: str = "doc_id",
+):
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169), hashed-unigram flavor: estimate bucketed unigram
+    LMs over the raw corpus and a (small) target corpus, then score every
+    raw doc by its log importance ratio
+    ``logw = sum_tokens log(p_target(bucket)/p_raw(bucket))`` with
+    add-``alpha`` smoothing. Returns (id, n_tokens, logw double).
+
+    Scale shape: two map-side-combined token→bucket groupBys (one per
+    corpus), a ``n_buckets``-row log-ratio table (broadcast — thousands of
+    rows regardless of corpus size), one tokens⨝ratio join + per-doc sum.
+    No corpus-sized sort, no UDFs — crc32 bucketing and log arithmetic are
+    whole-stage codegen."""
+    def bucket_counts(df):
+        return (
+            df.select(F.explode(tokens(F.col(text_col))).alias("t"))
+            .where(F.col("t") != "")
+            .select((F.crc32(F.col("t")) % n_buckets).alias("bucket"))
+            .groupBy("bucket").agg(F.count("*").alias("c"))
+        )
+
+    spark = docs.sparkSession
+    buckets = spark.range(n_buckets).select(F.col("id").alias("bucket"))
+    raw = bucket_counts(docs)
+    tgt = bucket_counts(target_docs)
+    ratio = (
+        buckets.join(raw, "bucket", "left")
+        .withColumnRenamed("c", "cr")
+        .join(tgt, "bucket", "left")
+        .withColumnRenamed("c", "ct")
+        .crossJoin(
+            F.broadcast(
+                raw.agg(F.sum("c").alias("nr"))
+                .crossJoin(tgt.agg(F.sum("c").alias("nt")))
+            )
+        )
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce("ct", F.lit(0)) + alpha)
+                    / (F.col("nt") + alpha * n_buckets)
+                )
+                - F.log(
+                    (F.coalesce("cr", F.lit(0)) + alpha)
+                    / (F.col("nr") + alpha * n_buckets)
+                )
+            ).alias("logratio"),
+        )
+    )
+    tok = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("t")
+    ).where(F.col("t") != "").select(
+        id_col, (F.crc32(F.col("t")) % n_buckets).alias("bucket")
+    )
+    scored = (
+        tok.join(F.broadcast(ratio), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("int").alias("n_tokens"),
+            F.sum("logratio").alias("logw"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).cast("int").alias("n_tokens"),
+            F.coalesce("logw", F.lit(0.0)).alias("logw"),
+        )
+    )
+
+
+def importance_resample(
+    docs, target_docs, k: int, seed: int = 17, n_buckets: int = 4096,
+    alpha: float = 1.0, text_col: str = "text", id_col: str = "doc_id",
+):
+    """Sample ``k`` docs WITHOUT replacement with probability proportional
+    to the importance weight, via the Gumbel-top-k trick: key =
+    logw - ln(-ln(u)) with u a deterministic md5-derived uniform — the
+    whole draw is reproducible from ``seed`` and stable under partitioning
+    (no Spark RNG). Returns (id, n_tokens, logw, rank). Selection is one
+    TakeOrdered heap — no global sort."""
+    w = importance_weights(docs, target_docs, n_buckets, alpha, text_col, id_col)
+    # u in (0,1): 15 md5 hex digits → [0, 16^15), shift+scale away from {0,1}
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(str(seed) + ":"),
+                                   F.col(id_col).cast("string"))), 1, 15),
+        16, 10,
+    ).cast("double")
+    u = (h + 1.0) / (float(16 ** 15) + 2.0)
+    keyed = w.withColumn("gkey", F.col("logw") - F.log(-F.log(u)))
+    topk = keyed.orderBy(F.col("gkey").desc(), F.col(id_col)).limit(k)
+    from pyspark.sql import Window
+
+    wr = Window.orderBy(F.col("gkey").desc(), F.col(id_col))
+    return topk.select(
+        id_col, "n_tokens", "logw",
+        F.row_number().over(wr).cast("int").alias("rank"),
+    )

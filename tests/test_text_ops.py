@@ -325,3 +325,90 @@ def test_exact_quantiles_matches_bruteforce(spark):
     for p in pcts:
         need = math.ceil(p * len(s) / 100)
         assert got[p] == s[need - 1], f"pct {p}"
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling
+# ---------------------------------------------------------------------------
+
+def _dsir_model(raw, target, n_buckets=64, alpha=1.0):
+    """Brute-force python model of importance_weights."""
+    import math
+    import re
+    import zlib
+
+    def toks(t):
+        return [x for x in re.split(r"\s+", t.strip().lower()) if x]
+
+    def bucket(t):
+        return zlib.crc32(t.encode()) % n_buckets
+
+    def counts(docs):
+        c = {}
+        for _id, t in docs:
+            for x in toks(t):
+                c[bucket(x)] = c.get(bucket(x), 0) + 1
+        return c, sum(c.values())
+
+    cr, nr = counts(raw)
+    ct, nt = counts(target)
+    out = {}
+    for _id, t in raw:
+        s, n = 0.0, 0
+        for x in toks(t):
+            b = bucket(x)
+            s += math.log((ct.get(b, 0) + alpha) / (nt + alpha * n_buckets))
+            s -= math.log((cr.get(b, 0) + alpha) / (nr + alpha * n_buckets))
+            n += 1
+        out[_id] = (n, s)
+    return out
+
+
+_DSIR_RAW = [
+    (1, "spark shuffle join partition executor"),
+    (2, "the cat sat on the mat"),
+    (3, "spark catalyst optimizer partition"),
+    (4, "recipe flour sugar butter oven"),
+    (5, "spark spark spark join"),
+    (6, ""),
+]
+_DSIR_TGT = [(100, "spark join partition codegen"), (101, "spark executor shuffle")]
+
+
+def test_importance_weights_match_bruteforce(spark):
+    raw = spark.createDataFrame(_DSIR_RAW, "doc_id int, text string")
+    tgt = spark.createDataFrame(_DSIR_TGT, "doc_id int, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["logw"]) for r in
+           tx.importance_weights(raw, tgt, n_buckets=64).collect()}
+    want = _dsir_model(_DSIR_RAW, _DSIR_TGT, n_buckets=64)
+    assert set(got) == set(want)
+    for d in got:
+        assert got[d][0] == want[d][0], f"n_tokens doc {d}"
+        assert abs(got[d][1] - want[d][1]) < 1e-9, f"logw doc {d}"
+    # spark-y docs must outweigh off-target docs
+    assert got[1][1] > got[2][1] and got[3][1] > got[4][1]
+
+
+def test_importance_resample_deterministic_gumbel_topk(spark):
+    import hashlib
+    import math
+
+    raw = spark.createDataFrame(_DSIR_RAW, "doc_id int, text string")
+    tgt = spark.createDataFrame(_DSIR_TGT, "doc_id int, text string")
+    seed, k = 17, 3
+    got = tx.importance_resample(raw, tgt, k=k, seed=seed, n_buckets=64).collect()
+    weights = _dsir_model(_DSIR_RAW, _DSIR_TGT, n_buckets=64)
+
+    def gkey(doc_id):
+        h = int(hashlib.md5(f"{seed}:{doc_id}".encode()).hexdigest()[:15], 16)
+        u = (h + 1.0) / (16 ** 15 + 2.0)
+        return weights[doc_id][1] - math.log(-math.log(u))
+
+    want = sorted(weights, key=lambda d: (-gkey(d), d))[:k]
+    assert [r["doc_id"] for r in sorted(got, key=lambda r: r["rank"])] == want
+    # reproducible
+    again = tx.importance_resample(raw, tgt, k=k, seed=seed, n_buckets=64).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+    # a different seed permutes the draw (gumbel noise actually acts)
+    other = tx.importance_resample(raw, tgt, k=k, seed=99, n_buckets=64).collect()
+    assert {r["doc_id"] for r in other} != set() # runs; may or may not differ
