@@ -71,9 +71,13 @@ BENCH_QUERIES = [
     "quality_score",
     "pii_scan",
     "repetition_score",
+    "domain_filter",
+    "length_quantiles",
+    "importance_resample",
     "ann_topk",
     "ann_lsh",
     "embedding_near_dup",
+    "semantic_dedup",
     "events_hourly",
     "sessionize",
     "events_asof",
