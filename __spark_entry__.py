@@ -569,6 +569,16 @@ def _q_importance_resample(spark, sf_dir):
     )
 
 
+def _q_bpe_vocab(spark, sf_dir):
+    # BPE merge-table induction (iterative distributed pair-count + argmax
+    # — not SQL-expressible; brute-force parity pytest-pinned) followed by
+    # encoding the corpus with the learned table. Returns the per-doc BPE
+    # token counts so the whole train+apply path is exercised.
+    docs = _docs(spark, sf_dir)
+    merges = tx.learn_bpe_merges(docs.where(F.col("doc_id") < 100), n_merges=6)
+    return tx.apply_bpe(docs, merges).select("doc_id", "n_bpe_tokens")
+
+
 def _q_events_hourly(spark, sf_dir):
     return ev.hourly_rollup(ev.load_events(spark, sf_dir))
 
@@ -857,6 +867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "semantic_dedup": _q_semantic_dedup,
         "importance_resample": _q_importance_resample,
+        "bpe_vocab": _q_bpe_vocab,
         "dfs_preorder": _q_dfs_preorder,
         "streaming_rollup": _q_streaming_rollup,
         "streaming_sessionize": _q_streaming_sessionize,

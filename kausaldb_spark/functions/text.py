@@ -818,3 +818,121 @@ def importance_resample(
         id_col, "n_tokens", "logw",
         F.row_number().over(wr).cast("int").alias("rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE vocabulary induction (map-reduce pair counting, Sennrich et al. 2016)
+# ---------------------------------------------------------------------------
+
+def _merge_pair_expr(syms: Column, a: str, b: str) -> Column:
+    """Greedy leftmost non-overlapping merge of adjacent (a, b) -> a+b in a
+    symbol array — one codegen fold, no UDF. The fold appends each symbol
+    unless the running output ends with ``a`` and the next symbol is ``b``,
+    in which case the tail is replaced by the merged symbol; because the
+    merged symbol differs from a bare ``a`` match-state never leaks across
+    a merge, giving exactly BPE's leftmost-first semantics."""
+    merged = F.lit(a + b)
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def word_symbol_table(docs, text_col: str = "text"):
+    """Distinct whitespace words with corpus counts, each split into its
+    character symbols + the </w> end-of-word marker — the working set BPE
+    training iterates over. Corpus-size-independent once built: the table
+    is DISTINCT-WORD-sized (one explode+groupBy pass over the corpus, the
+    only pass that ever touches the documents)."""
+    return (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "w", "cnt",
+            F.concat(
+                F.split(F.col("w"), ""), F.array(F.lit("</w>"))
+            ).alias("syms"),
+        )
+    )
+
+
+def learn_bpe_merges(
+    docs, n_merges: int = 10, text_col: str = "text", min_count: int = 2,
+):
+    """Learn a BPE merge table from the corpus (Sennrich et al. 2016,
+    arXiv:1508.07909), map-reduce flavor: per round, count adjacent symbol
+    pairs weighted by word frequency (explode + groupBy over the
+    distinct-word symbol table), pick the argmax with a DETERMINISTIC
+    tie-break (count desc, then (left, right) lexicographic), and rewrite
+    the symbol table with one codegen fold. Returns the merge list
+    [(rank, left, right, pair_count)] as plain Python (it IS the learned
+    artifact — vocabulary-sized, driver-held by design).
+
+    Scale: the corpus is touched ONCE (word counting); every round then
+    runs over distinct words only — the classic reason BPE training is
+    feasible on terabyte corpora. n_merges rounds = n_merges bounded
+    shuffles of the word table; the table is localCheckpoint'd every few
+    rounds to cut the growing fold-expression lineage."""
+    words = word_symbol_table(docs, text_col).localCheckpoint()
+    merges = []
+    for rank in range(n_merges):
+        pairs = (
+            words.select(
+                "cnt",
+                F.explode(
+                    F.zip_with(
+                        F.slice("syms", 1, F.size("syms") - 1),
+                        F.slice("syms", 2, F.size("syms") - 1),
+                        lambda x, y: F.struct(x.alias("l"), y.alias("r")),
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("cnt").alias("c"))
+            .where(F.col("c") >= min_count)
+        )
+        top = pairs.orderBy(F.col("c").desc(), "l", "r").limit(1).collect()
+        if not top:
+            break
+        l, r, c = top[0]["l"], top[0]["r"], top[0]["c"]
+        merges.append((rank, l, r, int(c)))
+        words = words.select(
+            "w", "cnt", _merge_pair_expr(F.col("syms"), l, r).alias("syms")
+        )
+        if (rank + 1) % 4 == 0:
+            words = words.localCheckpoint()
+    return merges
+
+
+def apply_bpe(docs, merges, text_col: str = "text", id_col: str = "doc_id"):
+    """Tokenize with a learned merge table: chars+</w> then the merges in
+    rank order, each one codegen fold — the whole encoder is a single
+    projection, no UDF, no shuffle. Returns (id, bpe_tokens array<string>,
+    n_bpe_tokens)."""
+    words = tokens(F.col(text_col))
+    enc = F.transform(
+        words,
+        lambda w: F.concat(F.split(w, ""), F.array(F.lit("</w>"))),
+    )
+    def _merge_pass(arr, l, r):
+        # closure factory: binding l/r via lambda default-args would change
+        # the lambda's ARITY, which PySpark reads as the higher-order
+        # function's argument count (same trap as F.filter's index param)
+        return F.transform(arr, lambda s: _merge_pair_expr(s, l, r))
+
+    for _rank, l, r, *_ in merges:
+        enc = _merge_pass(enc, l, r)
+    flat = F.flatten(enc)
+    return docs.select(
+        F.col(id_col),
+        flat.alias("bpe_tokens"),
+        F.size(flat).cast("int").alias("n_bpe_tokens"),
+    )

@@ -412,3 +412,86 @@ def test_importance_resample_deterministic_gumbel_topk(spark):
     # a different seed permutes the draw (gumbel noise actually acts)
     other = tx.importance_resample(raw, tgt, k=k, seed=99, n_buckets=64).collect()
     assert {r["doc_id"] for r in other} != set() # runs; may or may not differ
+
+
+# ---------------------------------------------------------------------------
+# BPE vocabulary induction
+# ---------------------------------------------------------------------------
+
+def _bpe_model(texts, n_merges, min_count=2):
+    """Brute-force python BPE trainer (Sennrich-style) with the same
+    deterministic tie-break: count desc, then (left, right) lex asc."""
+    import re
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for w in re.split(r"\s+", t.strip().lower()):
+            if w:
+                words[w] += 1
+    syms = {w: list(w) + ["</w>"] for w in words}
+    merges = []
+    for rank in range(n_merges):
+        pc = Counter()
+        for w, cnt in words.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += cnt
+        pc = {p: c for p, c in pc.items() if c >= min_count}
+        if not pc:
+            break
+        (l, r), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, l, r, c))
+        for w in syms:
+            s, out = syms[w], []
+            for x in s:
+                if out and out[-1] == l and x == r:
+                    out[-1] = l + r
+                else:
+                    out.append(x)
+            syms[w] = out
+    return merges, syms
+
+
+_BPE_TEXTS = [
+    "low low low low low",
+    "lower lower newest newest",
+    "newest newest newest newest",
+    "wider wider new new",
+    "the the the cat",
+]
+
+
+def test_learn_bpe_merges_matches_bruteforce(spark):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_BPE_TEXTS)], "doc_id int, text string"
+    )
+    got = tx.learn_bpe_merges(docs, n_merges=8)
+    want, _ = _bpe_model(_BPE_TEXTS, 8)
+    assert got == want
+
+
+def test_apply_bpe_matches_bruteforce_encoding(spark):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_BPE_TEXTS)], "doc_id int, text string"
+    )
+    merges = tx.learn_bpe_merges(docs, n_merges=6)
+    _, syms = _bpe_model(_BPE_TEXTS, 6)
+    enc = {r["doc_id"]: (r["bpe_tokens"], r["n_bpe_tokens"]) for r in
+           tx.apply_bpe(docs, merges).collect()}
+    import re
+    for i, t in enumerate(_BPE_TEXTS):
+        want = []
+        for w in re.split(r"\s+", t.strip().lower()):
+            if w:
+                want.extend(syms[w])
+        assert enc[i][0] == want, f"doc {i}"
+        assert enc[i][1] == len(want)
+
+
+def test_bpe_merge_overlap_semantics(spark):
+    """Greedy leftmost non-overlap: 'aaaa' under (a,a) -> [aa, aa];
+    'aaa' -> [aa, a]."""
+    docs = spark.createDataFrame([(1, "aaa aaaa")], "doc_id int, text string")
+    out = tx.apply_bpe(docs, [(0, "a", "a", 99)]).collect()[0]
+    assert out["bpe_tokens"] == ["aa", "a", "</w>", "aa", "aa", "</w>"]
