@@ -579,6 +579,24 @@ def _q_bpe_vocab(spark, sf_dir):
     return tx.apply_bpe(docs, merges).select("doc_id", "n_bpe_tokens")
 
 
+def _q_quality_classifier(spark, sf_dir):
+    # fasttext-style trained classifier (MLlib LR over hashed token
+    # features). The synthetic corpus is uniformly "good" under the quality
+    # heuristic (degenerate labels), so the gated task is the other classic
+    # fasttext job: is-English detection supervised by the corpus's own
+    # lang column. Training is not SQL-expressible → rows-only; separation
+    # behavior is pytest-pinned (tests/test_classify.py).
+    from kausaldb_spark.functions import classify as cls
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "is_en", (F.col("lang") == "en").cast("int")
+    )
+    model = cls.train_quality_classifier(
+        docs.where(F.col("doc_id") < 200), label_col="is_en"
+    )
+    return cls.score_quality(model, docs).select("doc_id", "pred")
+
+
 def _q_events_hourly(spark, sf_dir):
     return ev.hourly_rollup(ev.load_events(spark, sf_dir))
 
@@ -868,6 +886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _q_semantic_dedup,
         "importance_resample": _q_importance_resample,
         "bpe_vocab": _q_bpe_vocab,
+        "quality_classifier": _q_quality_classifier,
         "dfs_preorder": _q_dfs_preorder,
         "streaming_rollup": _q_streaming_rollup,
         "streaming_sessionize": _q_streaming_sessionize,

@@ -29,6 +29,9 @@ def test_every_query_has_an_oracle_or_is_declared():
         # SQL-expressible; merge table + encoding pytest-pinned vs a
         # brute-force Sennrich trainer (test_text_ops)
         "bpe_vocab",
+        # MLlib LR training is not SQL-expressible; planted good/bad
+        # separation pytest-pinned (test_classify)
+        "quality_classifier",
     }
     assert missing <= allowed_missing, f"queries without oracle: {missing}"
 
