@@ -495,3 +495,34 @@ def test_bpe_merge_overlap_semantics(spark):
     docs = spark.createDataFrame([(1, "aaa aaaa")], "doc_id int, text string")
     out = tx.apply_bpe(docs, [(0, "a", "a", 99)]).collect()[0]
     assert out["bpe_tokens"] == ["aa", "a", "</w>", "aa", "aa", "</w>"]
+
+
+# ---------------------------------------------------------------------------
+# plan-shape pins for the new ops (the 100 TB properties)
+# ---------------------------------------------------------------------------
+
+def test_domain_flags_literal_path_is_shuffle_free(spark):
+    """Small curated blocklists compile to a literal-array filter — pure
+    codegen over the scan, zero Exchange (the corpus text never moves)."""
+    docs = spark.createDataFrame(_URL_DOCS, "doc_id int, text string")
+    plan = (
+        tx.domain_flags(docs, ["ads.example.com"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_importance_weights_ratio_join_is_broadcast(spark):
+    """The n_buckets-row log-ratio table must join the exploded corpus
+    tokens as the BROADCAST side — the corpus-sized relation never
+    shuffles for the join (only the per-doc sum aggregates)."""
+    raw = spark.createDataFrame(_DSIR_RAW, "doc_id int, text string")
+    tgt = spark.createDataFrame(_DSIR_TGT, "doc_id int, text string")
+    plan = (
+        tx.importance_weights(raw, tgt, n_buckets=64)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the score join itself must be broadcast (build side = ratio table);
+    # bucket-keyed exchanges inside the n_buckets-row ratio-table
+    # construction are fine — they move thousands of rows, not the corpus
+    assert "BroadcastHashJoin [bucket" in plan
