@@ -632,6 +632,12 @@ def _q_length_quantiles(spark, sf_dir):
     return tx.exact_quantiles(_docs(spark, sf_dir), "n_chars").orderBy("pct")
 
 
+def _q_shard_shuffle(spark, sf_dir):
+    # deterministic training-order shuffle as shard + within-shard
+    # position: n_shards independent per-shard sorts, never a global sort
+    return tx.shard_and_shuffle(_docs(spark, sf_dir), n_shards=16, seed=7)
+
+
 def _q_corpus_report(spark, sf_dir):
     # corpus composition: per (source, lang) doc/char/token totals — the
     # "what is my training mix" report every pipeline run starts with
@@ -816,6 +822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- rotated into the driver sample this round --
         "domain_filter": _q_domain_filter,
         "length_quantiles": _q_length_quantiles,
+        "shard_shuffle": _q_shard_shuffle,
         "corpus_report": _q_corpus_report,
         "source_mix": _q_source_mix,
         "line_dedup": _q_line_dedup,
@@ -827,7 +834,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "context_blocks": _q_context_blocks,
         "context_edges": _q_context_edges,
         "sessionize": _q_sessionize,
-        "events_topk_users": _q_events_topk_users,
         "events_retention": _q_events_retention,
         "store_roundtrip": _q_store_roundtrip,
         # -- lookups / filters --
@@ -872,6 +878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    backed entries here are still hash-gated by the local parity
         #    suite, the rows-only ones are pytest-gated) --
         "iterate_all": _q_iterate_all,
+        "events_topk_users": _q_events_topk_users,
         "filter_targets": _q_filter_targets,
         "bfs_depth5": _q_bfs_depth5,
         "edge_ordering": _q_edge_ordering,
@@ -1271,6 +1278,17 @@ FROM documents GROUP BY 2""",
         "ann_lsh": oracles.ann_lsh_sql(ANN_QUERY_IDS),
         "embedding_near_dup": oracles.embedding_near_dup_sql(EMB_NEAR_DUP_MIN_DOT),
         "events_hourly": oracles.events_hourly_sql(),
+        "shard_shuffle": r"""
+WITH k AS (
+  SELECT doc_id, md5('7:' || CAST(doc_id AS VARCHAR)) AS key FROM documents),
+s AS (
+  SELECT doc_id, key,
+         CAST(('0x' || substr(key, 1, 8))::BIGINT % 16 AS INT) AS shard
+  FROM k)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY key, doc_id) - 1
+            AS BIGINT) AS pos
+FROM s""",
         "domain_filter": r"""
 WITH aug AS (
   SELECT doc_id,

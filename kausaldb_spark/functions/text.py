@@ -936,3 +936,35 @@ def apply_bpe(docs, merges, text_col: str = "text", id_col: str = "doc_id"):
         flat.alias("bpe_tokens"),
         F.size(flat).cast("int").alias("n_bpe_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# training-order shuffle + sharding
+# ---------------------------------------------------------------------------
+
+def shard_and_shuffle(
+    docs, n_shards: int = 16, seed: int = 7, id_col: str = "doc_id",
+):
+    """Deterministic global training-order shuffle, expressed as shard
+    assignment + within-shard position — the standard way a 100 TB corpus
+    is "shuffled": an md5(seed, id) sort key makes the order reproducible
+    and growth-stable per seed, sharding turns the global sort into
+    ``n_shards`` independent per-shard sorts (one hash shuffle + a
+    partitioned window — no single global sort task; shard count scales
+    with the corpus). Returns (id, shard int, pos bigint) where pos is the
+    0-based training position within the shard."""
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    with_shard = docs.select(
+        F.col(id_col),
+        key.alias("_key"),
+        (
+            F.conv(F.substring(key, 1, 8), 16, 10).cast("bigint") % n_shards
+        ).cast("int").alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("_key", id_col)
+    return with_shard.select(
+        id_col, "shard",
+        (F.row_number().over(w) - 1).cast("bigint").alias("pos"),
+    )

@@ -526,3 +526,21 @@ def test_importance_weights_ratio_join_is_broadcast(spark):
     # bucket-keyed exchanges inside the n_buckets-row ratio-table
     # construction are fine — they move thousands of rows, not the corpus
     assert "BroadcastHashJoin [bucket" in plan
+
+
+def test_shard_and_shuffle_invariants(spark):
+    docs = spark.createDataFrame([(i,) for i in range(200)], "doc_id int")
+    out = tx.shard_and_shuffle(docs, n_shards=8, seed=3).collect()
+    assert len(out) == 200
+    by_shard = {}
+    for r in out:
+        assert 0 <= r["shard"] < 8
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    # positions are a dense 0..k-1 enumeration within every shard
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(len(ps))), f"shard {s}"
+    # deterministic per seed; a different seed yields a different order
+    again = tx.shard_and_shuffle(docs, n_shards=8, seed=3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    other = tx.shard_and_shuffle(docs, n_shards=8, seed=4).collect()
+    assert sorted(map(tuple, out)) != sorted(map(tuple, other))
