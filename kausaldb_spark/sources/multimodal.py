@@ -148,6 +148,88 @@ def sample_frames(assets: DataFrame, every_n_bytes: int = 32, max_frames: int = 
     )
 
 
+PROBE_SCHEMA = StructType(
+    [
+        StructField("asset_id", StringType()),
+        StructField("format", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def probe_dimensions(data: bytes):
+    """REAL container-format header parsing — (format, width, height) for
+    PNG / JPEG / GIF / BMP from the raw bytes, straight off the public
+    format specs (PNG IHDR big-endian, JPEG SOFn marker walk, GIF logical
+    screen little-endian, BMP BITMAPINFOHEADER little-endian). No codec
+    library involved: dimensions live in the container header, so unlike
+    pixel decode (the documented NotImplementedError boundary) this stage
+    is fully real in this container. Unknown/truncated → (None, None,
+    None)."""
+    if len(data) >= 24 and data[:8] == b"\x89PNG\r\n\x1a\n" and data[12:16] == b"IHDR":
+        return (
+            "png",
+            int.from_bytes(data[16:20], "big"),
+            int.from_bytes(data[20:24], "big"),
+        )
+    if data[:3] == b"\xff\xd8\xff":
+        i = 2
+        while i + 9 <= len(data):
+            if data[i] != 0xFF:
+                i += 1
+                continue
+            marker = data[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers have no length field
+                continue
+            seg_len = int.from_bytes(data[i + 2 : i + 4], "big")
+            # SOF0..SOF15 except DHT(C4)/JPG(C8)/DAC(CC): height@+5, width@+7
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                return (
+                    "jpeg",
+                    int.from_bytes(data[i + 7 : i + 9], "big"),
+                    int.from_bytes(data[i + 5 : i + 7], "big"),
+                )
+            i += 2 + seg_len
+        return ("jpeg", None, None)  # valid SOI but no SOF found (truncated)
+    if len(data) >= 10 and data[:6] in (b"GIF87a", b"GIF89a"):
+        return (
+            "gif",
+            int.from_bytes(data[6:8], "little"),
+            int.from_bytes(data[8:10], "little"),
+        )
+    if len(data) >= 26 and data[:2] == b"BM":
+        return (
+            "bmp",
+            int.from_bytes(data[18:22], "little", signed=True),
+            # height may be negative (top-down rows)
+            abs(int.from_bytes(data[22:26], "little", signed=True)),
+        )
+    return (None, None, None)
+
+
+def probe_image_metadata(assets: DataFrame) -> DataFrame:
+    """Header-probe stage: (asset_id, format, width, height, n_bytes) for
+    every asset, real format sniffing over Arrow batches. The standard
+    pre-filter of an image pipeline (drop tiny/huge/unknown assets) runs on
+    this output WITHOUT ever invoking a pixel codec."""
+
+    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                data = bytes(payload)
+                fmt, w, h = probe_dimensions(data)
+                rows.append((aid, fmt, w, h, len(data)))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in PROBE_SCHEMA.fields]
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(batch_fn, PROBE_SCHEMA)
+
+
 def content_address(
     assets: DataFrame, id_col: str = "asset_id", payload_col: str = "payload"
 ) -> DataFrame:

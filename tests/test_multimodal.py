@@ -75,3 +75,66 @@ def test_content_address_and_binary_dedup(spark):
     g = groups[0]
     assert g["n_assets"] == 3 and g["keep_id"] == "asset_0"
     assert len(g["sha256"]) == 64
+
+
+# ---------------------------------------------------------------------------
+# real header probing (format specs, no codec library)
+# ---------------------------------------------------------------------------
+
+def _png(w, h):
+    return (b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+            + w.to_bytes(4, "big") + h.to_bytes(4, "big") + b"\x08\x02" + b"\x00" * 7)
+
+
+def _jpeg(w, h):
+    # SOI, APP0 (JFIF stub), DHT (must be skipped), SOF0, EOI
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+    dht = b"\xff\xc4" + (4).to_bytes(2, "big") + b"\x00\x00"
+    sof = (b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+           + h.to_bytes(2, "big") + w.to_bytes(2, "big") + b"\x03" + b"\x00" * 9)
+    return b"\xff\xd8" + app0 + dht + sof + b"\xff\xd9"
+
+
+def _gif(w, h):
+    return b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00" * 4
+
+
+def _bmp(w, h, top_down=False):
+    hh = (-h if top_down else h).to_bytes(4, "little", signed=True)
+    return (b"BM" + b"\x00" * 16 + w.to_bytes(4, "little", signed=True) + hh
+            + b"\x00" * 10)
+
+
+def test_probe_dimensions_pure():
+    from kausaldb_spark.sources.multimodal import probe_dimensions
+
+    assert probe_dimensions(_png(640, 480)) == ("png", 640, 480)
+    assert probe_dimensions(_jpeg(1920, 1080)) == ("jpeg", 1920, 1080)
+    assert probe_dimensions(_gif(320, 200)) == ("gif", 320, 200)
+    assert probe_dimensions(_bmp(800, 600)) == ("bmp", 800, 600)
+    assert probe_dimensions(_bmp(800, 600, top_down=True)) == ("bmp", 800, 600)
+    assert probe_dimensions(b"plainly not an image") == (None, None, None)
+    # JPEG with SOI but truncated before any SOF
+    assert probe_dimensions(b"\xff\xd8\xff\xe0\x00\x04\x00\x00") == ("jpeg", None, None)
+
+
+def test_probe_image_metadata_stage(spark):
+    from kausaldb_spark.sources.multimodal import probe_image_metadata
+
+    rows = [
+        ("a1", "image", _png(10, 20), None),
+        ("a2", "image", _jpeg(30, 40), None),
+        ("a3", "image", _gif(5, 6), None),
+        ("a4", "image", _bmp(7, 8), None),
+        ("a5", "image", b"garbage", None),
+    ]
+    assets = spark.createDataFrame(
+        rows, "asset_id string, kind string, payload binary, meta map<string,string>"
+    )
+    out = {r["asset_id"]: r for r in probe_image_metadata(assets).collect()}
+    assert (out["a1"]["format"], out["a1"]["width"], out["a1"]["height"]) == ("png", 10, 20)
+    assert (out["a2"]["format"], out["a2"]["width"], out["a2"]["height"]) == ("jpeg", 30, 40)
+    assert (out["a3"]["format"], out["a3"]["width"], out["a3"]["height"]) == ("gif", 5, 6)
+    assert (out["a4"]["format"], out["a4"]["width"], out["a4"]["height"]) == ("bmp", 7, 8)
+    assert out["a5"]["format"] is None
+    assert out["a1"]["n_bytes"] == len(_png(10, 20))
