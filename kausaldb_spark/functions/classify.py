@@ -54,7 +54,24 @@ def train_quality_classifier(
         featuresCol="_features", labelCol=label_col,
         maxIter=max_iter, regParam=reg_param, standardization=False,
     )
-    return lr.fit(feats)
+    model = lr.fit(feats)
+    # A freshly-fit model carries a training summary that references the
+    # SparkSession; if that object reaches a scoring task closure, the job
+    # dies with "Task not serializable: ObservationManager" (observed
+    # intermittently under full-suite load). Persist+reload strips the
+    # summary — and matches reality: at scale the classifier is always a
+    # saved artifact, not an in-memory fit.
+    import shutil
+    import tempfile
+
+    from pyspark.ml.classification import LogisticRegressionModel
+
+    path = tempfile.mkdtemp(prefix="kdb_quality_lr_")
+    try:
+        model.write().overwrite().save(path)
+        return LogisticRegressionModel.load(path)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
 
 
 def score_quality(
