@@ -333,7 +333,7 @@ def semantic_dedup(
     embeddings: DataFrame, threshold: float = 0.95,
     n_clusters: int = 16, seed: int = 42,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    max_cluster_size: int = 10_000,
+    max_cluster_size: int = 10_000, with_dropped: bool = False,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means-cluster the embedding space, form near-dup
@@ -357,6 +357,11 @@ def semantic_dedup(
     bounded union-find / distributed-WCC fallback as near_dup_clusters.
     Like ``ivf_topk`` this is pytest-pinned (k-means is not
     SQL-expressible for the DuckDB oracle).
+
+    ``with_dropped=True`` returns ``(verdicts, dropped)`` where dropped is
+    the (kc, _n) relation of skipped over-cap clusters — same visibility
+    contract as ``dedup.capped_buckets`` / ``embedding_near_duplicates``:
+    a silently skipped cluster must never read as "deduped".
     """
     try:
         from pyspark.ml.clustering import KMeans
@@ -438,7 +443,7 @@ def semantic_dedup(
             "id", F.struct(F.col("centroid_sim").alias("s"), F.col("id").alias("i"))
         ).alias("keep_id")
     )
-    return (
+    out = (
         member.join(keeper, "cluster_id")
         .select(
             F.col("id").alias(id_col),
@@ -446,3 +451,11 @@ def semantic_dedup(
             (F.col("id") == F.col("keep_id")).cast("int").alias("keep"),
         )
     )
+    if with_dropped:
+        dropped = (
+            sized.where(F.col("_n") > max_cluster_size)
+            .select("kc", F.col("_n").cast("bigint"))
+            .distinct()
+        )
+        return out, dropped
+    return out

@@ -232,3 +232,16 @@ def test_semantic_dedup_keeps_farthest_from_centroid(spark):
     # member 1 (y=+0.4) is FARTHER from the centroid and must be kept.
     assert kept == [1]
     assert out[2]["keep"] == 1 and out[3]["keep"] == 1
+
+
+def test_semantic_dedup_overcap_clusters_are_reported_not_silently_skipped(spark):
+    df = _planted_corpus(spark)
+    out, dropped = sim.semantic_dedup(
+        df, threshold=0.95, n_clusters=2, seed=1,
+        max_cluster_size=3, with_dropped=True,   # both clusters have 6 > 3
+    )
+    drops = {(r["kc"], r["_n"]) for r in dropped.collect()}
+    assert {n for _, n in drops} == {6} and len(drops) == 2
+    # every doc still gets a verdict — as an untouched singleton
+    rows = out.collect()
+    assert len(rows) == 12 and all(r["keep"] == 1 for r in rows)
