@@ -601,6 +601,37 @@ def _q_events_hourly(spark, sf_dir):
     return ev.hourly_rollup(ev.load_events(spark, sf_dir))
 
 
+def _q_normalize_text(spark, sf_dir):
+    # whitespace/control normalization. The synthetic corpus is already
+    # clean, so the gate deterministically injects mess (CRLF, tabs, a C0
+    # control byte, blank-line runs, edge padding) IDENTICALLY in the
+    # oracle SQL — cross-validating every regexp in the chain byte-for-byte
+    docs = _docs(spark, sf_dir)
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("  "),
+            F.col("text"),
+            F.lit("\r\n\tmid\x01dle\n\n\n\n tail \t\t"),
+        ).alias("text"),
+    )
+    return aug.select(
+        "doc_id",
+        tx.normalize_text(F.col("text")).alias("text_norm"),
+    ).withColumn("n_chars_norm", F.length("text_norm").cast("int"))
+
+
+MIXTURE_TARGETS = {"src0": 0.3, "src1": 0.25, "src2": 0.25, "src3": 0.2}
+
+
+def _q_mixture_weights(spark, sf_dir):
+    # token-budget mixture solver: per-source available tokens vs the
+    # target mix at a 2M-token budget — all-integer (ppm / DIV) arithmetic
+    return tx.mixture_solve(
+        _docs(spark, sf_dir), MIXTURE_TARGETS, 2_000_000
+    ).orderBy("source")
+
+
 DOMAIN_BLOCKLIST = ["spam-en.bad.net", "spam-fr.bad.net"]
 
 
@@ -817,9 +848,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     unigram LM). Later r6 additions: domain_filter + length_quantiles gate
     in the window (filter_targets and bfs_depth5 — each family keeps other
     in-window gates — rotated to the locally-gated tail); semantic_dedup
-    is a rows-only tail entry (k-means, pytest-pinned)."""
+    is a rows-only tail entry (k-means, pytest-pinned); normalize_text +
+    mixture_weights gate in the window (events_hourly and repetition_score
+    — events keeps sessionize/asof/retention in-window, text-quality keeps
+    quality_score/pii_scan/lang_id — rotated to the locally-gated tail)."""
     return {
         # -- rotated into the driver sample this round --
+        "normalize_text": _q_normalize_text,
+        "mixture_weights": _q_mixture_weights,
         "domain_filter": _q_domain_filter,
         "length_quantiles": _q_length_quantiles,
         "shard_shuffle": _q_shard_shuffle,
@@ -869,14 +905,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality_score,
         "pack_offsets": _q_pack_offsets,
         "pii_scan": _q_pii_scan,
-        "repetition_score": _q_repetition_score,
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,
         "embedding_near_dup": _q_embedding_near_dup,
-        "events_hourly": _q_events_hourly,
         # -- tail (position > 50: outside the driver sample; the oracle-
         #    backed entries here are still hash-gated by the local parity
         #    suite, the rows-only ones are pytest-gated) --
+        "events_hourly": _q_events_hourly,
+        "repetition_score": _q_repetition_score,
         "iterate_all": _q_iterate_all,
         "events_topk_users": _q_events_topk_users,
         "filter_targets": _q_filter_targets,
@@ -1289,6 +1325,52 @@ SELECT doc_id, shard,
        CAST(row_number() OVER (PARTITION BY shard ORDER BY key, doc_id) - 1
             AS BIGINT) AS pos
 FROM s""",
+        "normalize_text": r"""
+WITH aug AS (
+  SELECT doc_id,
+         '  ' || text || chr(13) || chr(10) || chr(9) || 'mid' || chr(1)
+             || 'dle' || repeat(chr(10), 4) || ' tail ' || chr(9) || chr(9)
+           AS t
+  FROM documents),
+norm AS (
+  SELECT doc_id,
+         trim(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(t,
+                     '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+                   '\r\n?', chr(10), 'g'),
+                 '[ \t]+', ' ', 'g'),
+               ' ?\n ?', chr(10), 'g'),
+             '\n\n\n+', chr(10) || chr(10), 'g')
+         ) AS text_norm
+  FROM aug)
+SELECT doc_id, text_norm, CAST(length(text_norm) AS INT) AS n_chars_norm
+FROM norm ORDER BY doc_id""",
+        "mixture_weights": r"""
+WITH per AS (
+  SELECT source,
+         CAST(sum(len(string_split_regex(trim(lower(text)), '\s+'))) AS BIGINT)
+           AS avail_tokens
+  FROM documents GROUP BY source),
+t AS (
+  SELECT source, avail_tokens,
+         CAST(CASE source WHEN 'src0' THEN 300000 WHEN 'src1' THEN 250000
+                          WHEN 'src2' THEN 250000 WHEN 'src3' THEN 200000
+                          ELSE 0 END AS INT) AS target_ppm
+  FROM per),
+s AS (
+  SELECT source, avail_tokens, target_ppm,
+         CAST(CAST(2000000 AS BIGINT) * target_ppm // 1000000 AS BIGINT)
+           AS target_tokens
+  FROM t)
+SELECT source, avail_tokens, target_ppm, target_tokens,
+       CAST(CASE WHEN avail_tokens > 0
+                 THEN target_tokens * 1000000 // avail_tokens
+                 ELSE 0 END AS BIGINT) AS weight_ppm
+FROM s ORDER BY source""",
         "domain_filter": r"""
 WITH aug AS (
   SELECT doc_id,

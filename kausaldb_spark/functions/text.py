@@ -69,6 +69,134 @@ def split_assignment(key: Column, val_pct: int = 5, test_pct: int = 5) -> Column
 
 
 # ---------------------------------------------------------------------------
+# text normalization (cleanup pass before any downstream op)
+# ---------------------------------------------------------------------------
+
+# Control characters stripped outright: C0 minus \t (x09), \n (x0A), \r (x0D),
+# plus DEL. \r is handled separately (normalized to \n, not dropped) so CRLF
+# input collapses to a single newline instead of vanishing entirely.
+# The class uses only \xhh escapes — Java (Spark) and RE2 (DuckDB) read them
+# identically; no \p categories, no lookarounds.
+_CTRL_CLASS = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+
+
+def normalize_text(text: Column) -> Column:
+    """Deterministic whitespace/control normalization — the cleanup pass a
+    corpus gets before tokenization or dedup (stray control bytes and
+    inconsistent whitespace otherwise split exact-dedup groups that are the
+    same document):
+
+    1. strip C0 control chars (except tab/newline/CR) and DEL;
+    2. normalize CRLF / lone CR to ``\\n``;
+    3. collapse horizontal whitespace runs (space/tab) to one space;
+    4. strip horizontal whitespace around newlines (trailing/leading
+       per-line);
+    5. squeeze 3+ consecutive newlines to a blank line (paragraph break);
+    6. trim the ends.
+
+    Pure chained ``regexp_replace`` — whole-stage codegen, one projection,
+    no shuffle; every pattern sits in the Java∩RE2 portable subset so the
+    DuckDB oracle replays it byte-for-byte."""
+    t = F.regexp_replace(text, _CTRL_CLASS, "")
+    t = F.regexp_replace(t, r"\r\n?", "\n")
+    t = F.regexp_replace(t, r"[ \t]+", " ")
+    t = F.regexp_replace(t, r" ?\n ?", "\n")
+    t = F.regexp_replace(t, r"\n\n\n+", "\n\n")
+    return F.trim(t)
+
+
+# ---------------------------------------------------------------------------
+# token-budget mixture solver (how many epochs of each source)
+# ---------------------------------------------------------------------------
+
+def mixture_solve(
+    docs,
+    targets: dict[str, float],
+    budget_tokens: int,
+    source_col: str = "source",
+    text_col: str = "text",
+    token_col: str | None = None,
+    max_weight_ppm: int | None = None,
+):
+    """Token-budget mixture solver — the planning step of data mixing:
+    given target proportions per source and a total training-token budget,
+    compute how many tokens each source must contribute and the sampling
+    weight (epochs) that achieves it given what is actually available.
+
+    Returns one row per source present in ``docs``:
+    ``(source, avail_tokens, target_ppm, target_tokens, weight_ppm)`` with
+    ``weight_ppm = round_down(1e6 * target_tokens / avail_tokens)`` —
+    weight 1_000_000 = exactly one epoch, 2_500_000 = 2.5 epochs
+    (upsampled), 310_000 = 31% subsample. Sources absent from ``targets``
+    get target 0 (dropped from the mix). ``max_weight_ppm`` optionally caps
+    upsampling (the "max epochs" rule — repeating a tiny source 40× hurts
+    more than missing the target mix, Muennighoff et al. 2023).
+
+    ALL integer arithmetic (ppm fractions, DIV division) so the plan is
+    engine-portable and the driver's value-hash gate applies. One
+    map-side-combined groupBy over the corpus (#sources result rows); the
+    solve itself is column arithmetic on that tiny relation."""
+    tok = F.size(tokens(F.col(text_col))) if token_col is None else F.col(token_col)
+    per = docs.groupBy(source_col).agg(
+        F.sum(tok).cast("bigint").alias("avail_tokens")
+    )
+    ppm = F.lit(0)
+    for name, frac in sorted(targets.items()):
+        ppm = F.when(
+            F.col(source_col) == name, F.lit(int(round(frac * 1_000_000)))
+        ).otherwise(ppm)
+    out = (
+        per.select(
+            F.col(source_col).alias("source"),
+            "avail_tokens",
+            ppm.cast("int").alias("target_ppm"),
+        )
+        .withColumn(
+            "target_tokens",
+            F.expr(
+                f"CAST(CAST({int(budget_tokens)} AS BIGINT) * target_ppm"
+                " DIV 1000000 AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "weight_ppm",
+            F.expr(
+                "CAST(CASE WHEN avail_tokens > 0"
+                " THEN target_tokens * 1000000 DIV avail_tokens"
+                " ELSE 0 END AS BIGINT)"
+            ),
+        )
+    )
+    if max_weight_ppm is not None:
+        out = out.withColumn(
+            "weight_ppm",
+            F.least(F.col("weight_ppm"), F.lit(int(max_weight_ppm)).cast("bigint")),
+        )
+    return out
+
+
+def apply_mixture(
+    docs,
+    targets: dict[str, float],
+    budget_tokens: int,
+    key_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+    max_weight_ppm: int | None = None,
+):
+    """Solve the mixture then apply it via :func:`mix_sources`. The solver
+    result is collected to the driver — bounded by the number of SOURCES
+    (tens to hundreds at any real scale, never corpus-sized), the same
+    bounded-collect pattern as the reference's ≤1000 caps."""
+    solved = mixture_solve(
+        docs, targets, budget_tokens, source_col=source_col, text_col=text_col,
+        max_weight_ppm=max_weight_ppm,
+    ).collect()
+    weights = {r["source"]: r["weight_ppm"] / 1_000_000 for r in solved}
+    return mix_sources(docs, weights, key_col=key_col, source_col=source_col)
+
+
+# ---------------------------------------------------------------------------
 # language ID (stopword-hit heuristic)
 # ---------------------------------------------------------------------------
 

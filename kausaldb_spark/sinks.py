@@ -1,0 +1,164 @@
+"""Training-corpus sinks: deterministic sharded output.
+
+The last step of a curation pipeline is writing the corpus in the layout the
+training job consumes: N shards, each internally in the (seeded, reproducible)
+training order, balanced in size, with a manifest the loader can verify.
+This module is that sink, Spark-native:
+
+- shard assignment + within-shard order come from
+  :func:`kausaldb_spark.functions.text.shard_and_shuffle` semantics (md5(seed,
+  id) sort key), computed INLINE over the payload so no extra join touches the
+  corpus;
+- the global sort is decomposed into ``n_shards`` independent per-shard sorts
+  (one hash exchange + local sort per partition — no single global sort task,
+  the property that survives 100 TB);
+- files are written with ``partitionBy(shard)`` so a training loader reads
+  ``shard=K/`` in file order; ``maxRecordsPerFile`` bounds file sizes for
+  object-store-friendly parallel reads;
+- the manifest (per-shard row counts + an order-sensitive content hash) is a
+  #shards-row aggregate — tiny, driver-collected, written as JSON next to the
+  data. Two writes with the same seed produce byte-identical manifests; the
+  loader re-hashes at read time to detect truncation/corruption.
+
+The reference engine has no sharded sink (its LLM output is a single text
+stream, ``src/cli/executor.zig`` formatting); this is north-star pipeline
+surface per SURVEY.md §2 extensions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kausaldb_spark.functions.text import shard_and_shuffle  # noqa: F401 (re-export)
+
+
+def _with_shard_order(docs: DataFrame, n_shards: int, seed: int, id_col: str) -> DataFrame:
+    """Payload + (shard, _key) columns — same key derivation as
+    shard_and_shuffle, inlined so the corpus is touched once (no join)."""
+    key = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    return docs.withColumn("_key", key).withColumn(
+        "shard",
+        (F.conv(F.substring(F.col("_key"), 1, 8), 16, 10).cast("bigint") % n_shards)
+        .cast("int"),
+    )
+
+
+def write_training_shards(
+    docs: DataFrame,
+    path: str,
+    n_shards: int = 16,
+    seed: int = 7,
+    id_col: str = "doc_id",
+    max_records_per_file: int | None = None,
+) -> dict:
+    """Write ``docs`` as ``path/shard=K/`` parquet directories, each in the
+    seeded training order, and return the manifest (also written to
+    ``path/_kdb_manifest.json``).
+
+    Plan shape: one projection (key derivation) → hash exchange on shard →
+    per-partition local sort (shard, key) → parquet write. The sort is
+    LOCAL (sortWithinPartitions) — asserted non-global in
+    tests/test_sinks.py — so task memory is bounded by corpus/n_shards
+    regardless of total size; scale n_shards with the corpus.
+
+    The manifest hash is order-SENSITIVE per shard: md5 of the concatenated
+    per-row (position-salted) row hashes via a commutative-safe aggregation
+    — implemented as xor-free bigint sum of md5(pos || row_key) chunks,
+    which is order-insensitive per se, so position is mixed INTO each term
+    to make row order part of the digest. Reordering, dropping, or
+    duplicating any row changes the digest."""
+    work = _with_shard_order(docs, n_shards, seed, id_col)
+    writer = (
+        work.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "_key", id_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+    )
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
+    writer.parquet(path)
+
+    manifest = {
+        "n_shards": n_shards,
+        "seed": seed,
+        "id_col": id_col,
+        "shards": shard_digests(docs.sparkSession, path, id_col).collect(),
+    }
+    manifest["shards"] = [
+        {"shard": r["shard"], "n_rows": r["n_rows"], "digest": r["digest"]}
+        for r in manifest["shards"]
+    ]
+    with open(os.path.join(path, "_kdb_manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    return manifest
+
+
+def shard_digests(spark: SparkSession, path: str, id_col: str = "doc_id") -> DataFrame:
+    """Per-shard (n_rows, order-sensitive digest) over the written layout —
+    the loader-side verification. The digest folds each row's
+    md5(file-order position within shard || id || row content hash) into a
+    sum of 56-bit chunks (no overflow ambiguity at any realistic shard
+    size): order-sensitive because the position salts every term, yet
+    computable with a plain groupBy (no per-shard sort at verify time
+    beyond the window that assigns positions)."""
+    from pyspark.sql import Window
+
+    df = spark.read.parquet(path)
+    payload_cols = [c for c in df.columns if c not in ("shard", "_key")]
+    pos = F.row_number().over(
+        Window.partitionBy("shard").orderBy("_key", id_col)
+    ) - 1
+    rowh = F.md5(
+        F.concat_ws(
+            "\x1f",
+            pos.cast("string"),
+            *[F.col(c).cast("string") for c in payload_cols],
+        )
+    )
+    chunk = F.conv(F.substring(rowh, 1, 14), 16, 10).cast("decimal(38,0)")
+    return (
+        df.select("shard", chunk.alias("_chunk"))
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("_chunk").cast("decimal(38,0)").cast("string").alias("digest"),
+        )
+        .orderBy("shard")
+    )
+
+
+def read_training_shards(
+    spark: SparkSession, path: str, shard: int | None = None, id_col: str = "doc_id"
+) -> DataFrame:
+    """Read the sharded layout back in training order. With ``shard=K`` only
+    that directory is scanned (partition pruning on the shard column); the
+    within-shard order is reconstructed from the persisted ``_key`` column
+    (a per-shard local sort — never global)."""
+    df = spark.read.parquet(path)
+    if shard is not None:
+        df = df.where(F.col("shard") == int(shard))
+    return df.sortWithinPartitions("shard", "_key", id_col)
+
+
+def verify_shards(spark: SparkSession, path: str, id_col: str = "doc_id") -> bool:
+    """Recompute shard digests and compare against the manifest. Returns
+    True when every shard matches (count + digest); raises ValueError with
+    the mismatching shards otherwise."""
+    with open(os.path.join(path, "_kdb_manifest.json")) as fh:
+        manifest = json.load(fh)
+    want = {s["shard"]: (s["n_rows"], s["digest"]) for s in manifest["shards"]}
+    got = {
+        r["shard"]: (r["n_rows"], r["digest"])
+        for r in shard_digests(spark, path, id_col).collect()
+    }
+    bad = sorted(
+        set(k for k in want if want[k] != got.get(k))
+        | set(k for k in got if k not in want)
+    )
+    if bad:
+        raise ValueError(f"shard digest mismatch: {bad}")
+    return True

@@ -1,0 +1,154 @@
+"""Sharded training sink: determinism, balance, order, manifest verify,
+and the no-global-sort plan property."""
+
+import json
+import os
+import shutil
+import tempfile
+
+import pytest
+from conftest import SF_DIR
+from pyspark.sql import functions as F
+
+from kausaldb_spark import sinks
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def _tmp():
+    return tempfile.mkdtemp(prefix="kdb_sink_")
+
+
+def test_write_is_deterministic_and_verifiable(spark, docs):
+    p1, p2 = _tmp(), _tmp()
+    try:
+        m1 = sinks.write_training_shards(docs, p1, n_shards=8, seed=7)
+        m2 = sinks.write_training_shards(docs, p2, n_shards=8, seed=7)
+        assert m1["shards"] == m2["shards"]  # byte-identical manifests
+        assert sinks.verify_shards(spark, p1)
+        # manifest is on disk and loadable
+        with open(os.path.join(p1, "_kdb_manifest.json")) as fh:
+            assert json.load(fh)["n_shards"] == 8
+        # a different seed produces a different order → different digests
+        p3 = _tmp()
+        try:
+            m3 = sinks.write_training_shards(docs, p3, n_shards=8, seed=8)
+            d1 = {s["shard"]: s["digest"] for s in m1["shards"]}
+            d3 = {s["shard"]: s["digest"] for s in m3["shards"]}
+            assert d1 != d3
+        finally:
+            shutil.rmtree(p3, ignore_errors=True)
+    finally:
+        shutil.rmtree(p1, ignore_errors=True)
+        shutil.rmtree(p2, ignore_errors=True)
+
+
+def test_roundtrip_preserves_rows_and_balance(spark, docs):
+    p = _tmp()
+    try:
+        m = sinks.write_training_shards(docs, p, n_shards=8, seed=7)
+        back = spark.read.parquet(p)
+        n = docs.count()
+        assert back.count() == n
+        # no row lost or duplicated
+        assert back.select("doc_id").distinct().count() == n
+        # payload columns survive byte-identical
+        a = docs.select("doc_id", "text").orderBy("doc_id").toPandas()
+        b = back.select("doc_id", "text").orderBy("doc_id").toPandas()
+        assert a.equals(b)
+        # md5 sharding is balanced: max/min shard size within 2x at 500 rows
+        sizes = [s["n_rows"] for s in m["shards"]]
+        assert len(sizes) == 8 and sum(sizes) == n
+        assert max(sizes) <= 2 * max(min(sizes), 1)
+    finally:
+        shutil.rmtree(p, ignore_errors=True)
+
+
+def test_shard_order_matches_shard_and_shuffle(spark, docs):
+    """Within-shard read order == the shard_and_shuffle (shard, pos) order:
+    the sink and the order op agree on what 'training order' means."""
+    from kausaldb_spark.functions import text as tx
+
+    p = _tmp()
+    try:
+        sinks.write_training_shards(docs, p, n_shards=4, seed=7)
+        order = (
+            tx.shard_and_shuffle(docs, n_shards=4, seed=7)
+            .orderBy("shard", "pos")
+            .select("doc_id")
+            .toPandas()["doc_id"]
+            .tolist()
+        )
+        got = (
+            sinks.read_training_shards(spark, p)
+            .orderBy("shard", "_key", "doc_id")
+            .select("doc_id")
+            .toPandas()["doc_id"]
+            .tolist()
+        )
+        assert got == order
+        # single-shard read prunes partitions and yields that shard's slice
+        s0 = (
+            sinks.read_training_shards(spark, p, shard=0)
+            .select("shard")
+            .distinct()
+            .collect()
+        )
+        assert [r["shard"] for r in s0] == [0]
+    finally:
+        shutil.rmtree(p, ignore_errors=True)
+
+
+def test_verify_detects_tamper(spark, docs):
+    p = _tmp()
+    try:
+        sinks.write_training_shards(docs, p, n_shards=4, seed=7)
+        # corrupt the manifest's digest for one shard
+        mp = os.path.join(p, "_kdb_manifest.json")
+        with open(mp) as fh:
+            m = json.load(fh)
+        m["shards"][0]["digest"] = "0"
+        with open(mp, "w") as fh:
+            json.dump(m, fh)
+        with pytest.raises(ValueError, match="digest mismatch"):
+            sinks.verify_shards(spark, p)
+    finally:
+        shutil.rmtree(p, ignore_errors=True)
+
+
+def test_write_plan_has_no_global_sort(spark, docs):
+    """The sink's sort must be sortWithinPartitions (local), never a global
+    Sort — the property that keeps task memory bounded by corpus/n_shards
+    at 100 TB. A global sort prints as 'Sort [...], true' in the plan."""
+    work = sinks._with_shard_order(docs, 8, 7, "doc_id")
+    plan = (
+        work.repartition(8, F.col("shard"))
+        .sortWithinPartitions("shard", "_key", "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Sort" in plan
+    for line in plan.splitlines():
+        if "Sort [" in line:
+            assert ", true," not in line, f"global sort in sink plan: {line}"
+
+
+def test_max_records_per_file_splits_files(spark, docs):
+    p = _tmp()
+    try:
+        sinks.write_training_shards(
+            docs, p, n_shards=2, seed=7, max_records_per_file=50
+        )
+        # every shard dir has multiple part files of <= 50 records
+        for d in sorted(os.listdir(p)):
+            if not d.startswith("shard="):
+                continue
+            parts = [f for f in os.listdir(os.path.join(p, d)) if f.endswith(".parquet")]
+            assert len(parts) >= 2
+        assert sinks.verify_shards(spark, p)
+    finally:
+        shutil.rmtree(p, ignore_errors=True)

@@ -544,3 +544,99 @@ def test_shard_and_shuffle_invariants(spark):
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
     other = tx.shard_and_shuffle(docs, n_shards=8, seed=4).collect()
     assert sorted(map(tuple, out)) != sorted(map(tuple, other))
+
+
+def test_normalize_text_cases(spark):
+    cases = [
+        (0, "plain text", "plain text"),
+        # CRLF + lone CR -> \n; control byte stripped
+        (1, "a\r\nb\rc\x01d", "a\nb\ncd"),
+        # horizontal runs collapse, edges trim
+        (2, "  a\t\t b   c\t", "a b c"),
+        # whitespace around newlines stripped, 3+ newlines squeeze to 2
+        (3, "p1  \n\n\n\n   p2", "p1\n\np2"),
+        # tab-only lines vanish into the paragraph squeeze
+        (4, "x\n\t\t\n\t\n\ny", "x\n\ny"),
+        (5, "", ""),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t, _ in cases], "doc_id int, text string"
+    )
+    got = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", tx.normalize_text(F.col("text")).alias("n")
+        ).collect()
+    }
+    for i, _, want in cases:
+        assert got[i] == want, f"case {i}: {got[i]!r} != {want!r}"
+
+
+def test_normalize_text_idempotent_and_dedup_friendly(spark):
+    """normalize(normalize(x)) == normalize(x), and two messy variants of
+    the same document collapse to one exact-dedup group."""
+    variants = [
+        (0, "Hello   world\r\nsecond line"),
+        (1, "Hello world\nsecond  line "),
+        (2, " Hello\tworld \n second line"),
+    ]
+    docs = spark.createDataFrame(variants, "doc_id int, text string")
+    one = docs.select("doc_id", tx.normalize_text(F.col("text")).alias("t"))
+    two = one.select("doc_id", tx.normalize_text(F.col("t")).alias("t"))
+    assert one.collect() == two.collect()
+    assert one.select("t").distinct().count() == 1
+
+
+def test_mixture_solve_integer_semantics(spark):
+    # src_a: 100 tokens avail; src_b: 400; src_c: 50 (untargeted -> 0)
+    rows = []
+    did = 0
+    for src, n_docs, toks_per in (("src_a", 10, 10), ("src_b", 40, 10), ("src_c", 5, 10)):
+        for _ in range(n_docs):
+            rows.append((did, src, " ".join(["w"] * toks_per)))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        r["source"]: r
+        for r in tx.mixture_solve(
+            docs, {"src_a": 0.5, "src_b": 0.5}, budget_tokens=300
+        ).collect()
+    }
+    assert out["src_a"]["avail_tokens"] == 100
+    assert out["src_a"]["target_tokens"] == 150
+    assert out["src_a"]["weight_ppm"] == 1_500_000  # 1.5 epochs upsample
+    assert out["src_b"]["avail_tokens"] == 400
+    assert out["src_b"]["target_tokens"] == 150
+    assert out["src_b"]["weight_ppm"] == 375_000  # 37.5% subsample
+    assert out["src_c"]["target_ppm"] == 0 and out["src_c"]["weight_ppm"] == 0
+    # max-epochs cap clamps only the upsampled source
+    capped = {
+        r["source"]: r["weight_ppm"]
+        for r in tx.mixture_solve(
+            docs, {"src_a": 0.5, "src_b": 0.5}, budget_tokens=300,
+            max_weight_ppm=1_200_000,
+        ).collect()
+    }
+    assert capped["src_a"] == 1_200_000 and capped["src_b"] == 375_000
+
+
+def test_apply_mixture_hits_token_budget(spark):
+    rows = []
+    did = 0
+    for src, n_docs in (("src_a", 50), ("src_b", 200)):
+        for _ in range(n_docs):
+            rows.append((did, src, " ".join(["w"] * 10)))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    mixed = tx.apply_mixture(docs, {"src_a": 0.5, "src_b": 0.5}, budget_tokens=2000)
+    got = {
+        r["source"]: r["n"]
+        for r in mixed.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    # each source should land ~100 docs (=1000 tokens): exact for the
+    # 2.0x integer upsample, within the md5-fraction tolerance for the 50%
+    assert got["src_a"] == 100
+    assert abs(got["src_b"] - 100) <= 15
+    # determinism
+    again = tx.apply_mixture(docs, {"src_a": 0.5, "src_b": 0.5}, budget_tokens=2000)
+    assert sorted(map(tuple, mixed.collect())) == sorted(map(tuple, again.collect()))
