@@ -621,6 +621,13 @@ def _q_normalize_text(spark, sf_dir):
     ).withColumn("n_chars_norm", F.length("text_norm").cast("int"))
 
 
+def _q_compression_ratio(spark, sf_dir):
+    # zlib compressibility quality signal — the one pandas-UDF quality op
+    # (Arrow-batched; deterministic integers for a fixed zlib level). Not
+    # SQL-expressible → rows-only tail entry, pinned in tests/test_text_ops
+    return tx.compression_ratio(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 MIXTURE_TARGETS = {"src0": 0.3, "src1": 0.25, "src2": 0.25, "src3": 0.2}
 
 
@@ -930,6 +937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "importance_resample": _q_importance_resample,
         "bpe_vocab": _q_bpe_vocab,
         "quality_classifier": _q_quality_classifier,
+        "compression_ratio": _q_compression_ratio,
         "dfs_preorder": _q_dfs_preorder,
         "streaming_rollup": _q_streaming_rollup,
         "streaming_sessionize": _q_streaming_sessionize,

@@ -263,6 +263,63 @@ def quality_flag(cols: dict[str, Column]) -> Column:
     ).cast("int")
 
 
+def compression_ratio(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+    min_ratio_ppm: int = 150_000,
+):
+    """zlib-compressibility quality signal — the Gopher/FineWeb-family
+    heuristic that n-gram counting misses: templated, boilerplate-heavy, or
+    machine-generated text compresses far below natural prose, while
+    high-entropy garbage (base64 blobs, minified code) barely compresses at
+    all. Emits per doc:
+
+    - ``n_bytes``        — utf-8 length of the raw text
+    - ``compressed_bytes`` — ``len(zlib.compress(text, level))``
+    - ``ratio_ppm``      — compressed/raw in parts-per-million (integer)
+    - ``too_repetitive`` — 1 when ratio_ppm < ``min_ratio_ppm`` (default:
+      compresses below 15% ⇒ near-pure repetition)
+
+    zlib is a Python-side computation, so this is the ONE quality signal
+    here that is not pure codegen — it runs as an Arrow-batched pandas UDF
+    (bytes move column-wise, never row-at-a-time Python) and its output is
+    deterministic integers for a fixed zlib version/level. Not
+    SQL-expressible → pytest-pinned, no DuckDB oracle (same policy as the
+    float-ranking ops)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _clen_fn(s):
+        import zlib
+
+        lvl = level
+        return s.fillna("").map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), lvl))
+        )
+
+    # module has `from __future__ import annotations` (hints become strings
+    # pandas_udf can't resolve) — attach REAL type objects instead
+    _clen_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _clen = pandas_udf(_clen_fn, "long")
+
+    raw = F.octet_length(F.col(text_col)).cast("bigint")
+    out = docs.select(
+        F.col(id_col),
+        raw.alias("n_bytes"),
+        _clen(F.col(text_col)).alias("compressed_bytes"),
+    )
+    ratio = F.expr(
+        "CAST(CASE WHEN n_bytes > 0"
+        " THEN compressed_bytes * 1000000 DIV n_bytes"
+        " ELSE 1000000 END AS BIGINT)"
+    )
+    return out.withColumn("ratio_ppm", ratio).withColumn(
+        "too_repetitive", (F.col("ratio_ppm") < min_ratio_ppm).cast("int")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash (16-bit bands, md5-nibble hash family; 64-bit = 4 salted bands)
 # ---------------------------------------------------------------------------

@@ -32,6 +32,10 @@ def test_every_query_has_an_oracle_or_is_declared():
         # MLlib LR training is not SQL-expressible; planted good/bad
         # separation pytest-pinned (test_classify)
         "quality_classifier",
+        # zlib compressed-size (pandas UDF) has no SQL equivalent; integer
+        # determinism + planted repetitive/entropy cases pytest-pinned
+        # (test_text_ops)
+        "compression_ratio",
     }
     assert missing <= allowed_missing, f"queries without oracle: {missing}"
 

@@ -640,3 +640,35 @@ def test_apply_mixture_hits_token_budget(spark):
     # determinism
     again = tx.apply_mixture(docs, {"src_a": 0.5, "src_b": 0.5}, budget_tokens=2000)
     assert sorted(map(tuple, mixed.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_compression_ratio_signal(spark):
+    import zlib
+
+    repetitive = "spam ham " * 200           # near-pure repetition
+    prose = " ".join(                         # varied sentences, ~18% ratio
+        f"Sentence {i} discusses topic {i * i % 97} with nuance {(i * 7) % 31}"
+        f" and detail {(i * 13) % 53}."
+        for i in range(40)
+    )
+    high_entropy = "".join(
+        f"{(i * 2654435761) % 2**32:08x}" for i in range(200)
+    )                                          # hashy garbage, incompressible
+    docs = spark.createDataFrame(
+        [(0, repetitive), (1, prose), (2, high_entropy)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in tx.compression_ratio(docs).collect()}
+    # exact pin vs local zlib at the same level (determinism of the UDF)
+    for i, t in ((0, repetitive), (1, prose), (2, high_entropy)):
+        assert got[i]["n_bytes"] == len(t.encode())
+        assert got[i]["compressed_bytes"] == len(zlib.compress(t.encode(), 6))
+    # signal ordering: repetition << prose << entropy
+    assert got[0]["ratio_ppm"] < got[1]["ratio_ppm"] < got[2]["ratio_ppm"]
+    assert got[0]["too_repetitive"] == 1
+    assert got[1]["too_repetitive"] == 0 and got[2]["too_repetitive"] == 0
+    # empty text: defined, flagged as degenerate
+    empty = tx.compression_ratio(
+        spark.createDataFrame([(9, "")], "doc_id long, text string")
+    ).collect()[0]
+    assert empty["n_bytes"] == 0 and empty["ratio_ppm"] == 1_000_000
