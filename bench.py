@@ -67,6 +67,9 @@ BENCH_QUERIES = [
     "token_count",
     "token_count_bpe",
     "split_assignment",
+    "normalize_text",
+    "mixture_weights",
+    "compression_ratio",
     "lang_id",
     "quality_score",
     "pii_scan",

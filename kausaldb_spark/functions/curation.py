@@ -75,3 +75,126 @@ def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("total_tokens"),
         )
     )
+
+
+def curate_and_write(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    targets: dict[str, float] | None = None,
+    budget_tokens: int | None = None,
+    n_shards: int = 8,
+    seed: int = 7,
+    fmt: str | None = None,
+    benchmark_max_id: int = BENCHMARK_MAX_ID,
+    min_compression_ppm: int = 50_000,
+) -> dict:
+    """The WHOLE pipeline, ingest to training shards, in one call:
+
+    read (any corpus format) → normalize → quality/lang/compressibility
+    gate → exact dedup (on normalized text) → near-dup dedup (MinHash-LSH →
+    components → canonicals) → decontaminate → optional token-budget
+    mixture → seeded shard shuffle → digest-verified sharded parquet.
+
+    Returns the sink manifest extended with per-stage survivor counts (the
+    curation funnel a data team reports). Every stage is a DataFrame
+    transformation — the corpus is scanned once into a persisted normalized
+    frame, each later stage adds at most one shuffle, and the final write
+    is the sink's local-sort shard layout. ``targets``/``budget_tokens``
+    None skips the mixture stage (dedup-only curation)."""
+    from kausaldb_spark import sinks
+    from kausaldb_spark.functions.dedup import components_from_pairs
+    from kausaldb_spark.sources import corpus as corpus_src
+
+    docs = corpus_src.read_documents(spark, in_path, fmt=fmt)
+    funnel: dict[str, int] = {"ingested": docs.count()}
+
+    norm = docs.select(
+        "doc_id",
+        tx.normalize_text(F.col("text")).alias("text"),
+        "lang", "source",
+    ).persist()
+
+    toks = tx.tokens(F.col("text"))
+    qcols = tx.quality_columns(F.col("text"))
+    flagged = norm.select(
+        "doc_id", "text", "source",
+        F.size(toks).alias("n_tokens"),
+        tx.quality_flag(qcols).alias("is_quality"),
+        tx.lang_id(toks).alias("pred_lang"),
+    )
+    comp_ok = tx.compression_ratio(norm, min_ratio_ppm=min_compression_ppm).select(
+        "doc_id", "too_repetitive"
+    )
+    gated = (
+        flagged.join(comp_ok, "doc_id")
+        .where(
+            (F.col("is_quality") == 1)
+            & (F.col("pred_lang") != "und")
+            & (F.col("too_repetitive") == 0)
+        )
+        .drop("is_quality", "pred_lang", "too_repetitive")
+    )
+    funnel["after_quality_gate"] = gated.count()
+
+    # exact dedup on NORMALIZED text: keep min doc_id per digest (one
+    # digest-keyed shuffle; payload rides it once)
+    from pyspark.sql import Window
+
+    keep_rank = F.row_number().over(
+        Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    )
+    exact = gated.withColumn("_rk", keep_rank).where(F.col("_rk") == 1).drop("_rk")
+    funnel["after_exact_dedup"] = exact.count()
+
+    # near-dup canonicals over the exact-deduped survivors
+    pairs = minhash_pairs_for(exact.select("doc_id", "text"))
+    comp = components_from_pairs(spark, pairs)
+    non_canonical = comp.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    near = exact.join(non_canonical, "doc_id", "left_anti")
+    funnel["after_near_dedup"] = near.count()
+
+    # decontamination vs the benchmark stand-in (doc_id < benchmark_max_id)
+    sh8 = near.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(tx.shingles(tx.tokens(F.col("text")), 8))
+        ).alias("shingle"),
+    )
+    bench = sh8.where(F.col("doc_id") < benchmark_max_id).selectExpr(
+        "doc_id AS benchmark_id", "shingle"
+    )
+    dirty = (
+        sh8.where(F.col("doc_id") >= benchmark_max_id)
+        .join(bench, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= 2)
+        .select("doc_id")
+    )
+    clean = (
+        near.where(F.col("doc_id") >= benchmark_max_id)
+        .join(dirty, "doc_id", "left_anti")
+    )
+    funnel["after_decontamination"] = clean.count()
+
+    # optional token-budget mixture (adds copy_idx; doc_id stays the join key
+    # so the shard id must incorporate the copy to keep training rows unique)
+    if targets is not None and budget_tokens is not None:
+        mixed = tx.apply_mixture(
+            clean, targets, budget_tokens, key_col="doc_id", source_col="source"
+        ).withColumn(
+            "doc_id",
+            (F.col("doc_id") * 1000 + F.col("copy_idx")).cast("bigint"),
+        ).drop("copy_idx")
+        funnel["after_mixture"] = mixed.count()
+    else:
+        mixed = clean
+
+    manifest = sinks.write_training_shards(
+        mixed.select("doc_id", "text", "source"),
+        out_path, n_shards=n_shards, seed=seed,
+    )
+    norm.unpersist()
+    manifest["funnel"] = funnel
+    return manifest

@@ -1,0 +1,90 @@
+"""End-to-end curation capstone: ingest → normalize → gate → dedup →
+decontaminate → mixture → sharded sink, with the funnel and the manifest
+verified. (The aggregate-report capstone `curate` is driver-gated as
+corpus_curation; this exercises the full write path.)"""
+
+import shutil
+import tempfile
+
+import pytest
+from conftest import SF_DIR
+
+from kausaldb_spark import sinks
+from kausaldb_spark.functions import curation
+
+
+@pytest.fixture(scope="module")
+def result(spark):
+    out = tempfile.mkdtemp(prefix="kdb_curate_")
+    m = curation.curate_and_write(
+        spark,
+        f"{SF_DIR}/documents.parquet",
+        out,
+        targets={"src0": 0.4, "src1": 0.3, "src2": 0.3},
+        budget_tokens=50_000,
+        n_shards=4,
+    )
+    yield out, m
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_funnel_is_monotone_and_nonempty(result):
+    _, m = result
+    f = m["funnel"]
+    assert f["ingested"] == 500
+    # each stage only removes docs (until the mixture, which may upsample)
+    assert (
+        f["ingested"]
+        >= f["after_quality_gate"]
+        >= f["after_exact_dedup"]
+        >= f["after_near_dedup"]
+        >= f["after_decontamination"]
+        > 0
+    )
+    assert f["after_mixture"] > 0
+
+
+def test_output_shards_verify_and_cover_targets(spark, result):
+    out, m = result
+    assert sinks.verify_shards(spark, out)
+    back = spark.read.parquet(out)
+    n = back.count()
+    assert n == m["funnel"]["after_mixture"]
+    assert sum(s["n_rows"] for s in m["shards"]) == n
+    # only targeted sources survive the mixture stage
+    srcs = {r["source"] for r in back.select("source").distinct().collect()}
+    assert srcs <= {"src0", "src1", "src2"}
+    # mixture ids are unique (copy-salted)
+    assert back.select("doc_id").distinct().count() == n
+
+
+def test_deterministic_end_to_end(spark, result):
+    out, m = result
+    out2 = tempfile.mkdtemp(prefix="kdb_curate2_")
+    try:
+        m2 = curation.curate_and_write(
+            spark,
+            f"{SF_DIR}/documents.parquet",
+            out2,
+            targets={"src0": 0.4, "src1": 0.3, "src2": 0.3},
+            budget_tokens=50_000,
+            n_shards=4,
+        )
+        assert m["shards"] == m2["shards"]
+        assert m["funnel"] == m2["funnel"]
+    finally:
+        shutil.rmtree(out2, ignore_errors=True)
+
+
+def test_dedup_only_mode_skips_mixture(spark):
+    out = tempfile.mkdtemp(prefix="kdb_curate3_")
+    try:
+        m = curation.curate_and_write(spark, f"{SF_DIR}/documents.parquet", out, n_shards=2)
+        assert "after_mixture" not in m["funnel"]
+        back = spark.read.parquet(out)
+        assert back.count() == m["funnel"]["after_decontamination"]
+        # all sources survive when no mixture is applied
+        n_src = back.select("source").distinct().count()
+        assert n_src == 20
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

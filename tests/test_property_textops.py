@@ -126,3 +126,49 @@ def test_pack_offsets_matches_model(spark, corp, seq_len):
         for r in rows
     }
     assert got == expect
+
+
+# -- normalize_text: random messy strings vs a brute-force Python model ------
+
+_messy_char = st.sampled_from(
+    list("ab c\t\n\r") + ["\x01", "\x0b", "\x7f", " ", "\n"]
+)
+_messy = st.lists(_messy_char, min_size=0, max_size=40).map("".join)
+
+
+def _brute_normalize(s: str) -> str:
+    import re
+
+    s = re.sub(r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "", s)
+    s = re.sub(r"\r\n?", "\n", s)
+    s = re.sub(r"[ \t]+", " ", s)
+    s = re.sub(r" ?\n ?", "\n", s)
+    s = re.sub(r"\n\n\n+", "\n\n", s)
+    return s.strip(" ")
+
+
+@given(st.lists(_messy, min_size=1, max_size=6))
+@_SETTINGS
+def test_normalize_text_properties(spark, texts):
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", tx.normalize_text(F.col("text")).alias("n")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        want = _brute_normalize(t)
+        assert got[i] == want, (t, got[i], want)
+        out = got[i]
+        # invariants: no control bytes, no CR, no tabs, no runs
+        assert not any(ord(c) < 32 and c != "\n" for c in out)
+        assert "  " not in out and " \n" not in out and "\n " not in out
+        assert "\n\n\n" not in out
+        assert out == out.strip(" ")
+        # idempotent
+        assert _brute_normalize(out) == out
