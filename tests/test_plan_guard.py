@@ -1,0 +1,52 @@
+"""Repo-wide physical-plan anti-pattern guard.
+
+Sweeps every batch entry in ``__spark_entry__.queries()`` and asserts the
+100 TB hygiene rules on the FINAL plan of each query:
+
+- no row-at-a-time Python UDF (``BatchEvalPython``) anywhere — Python is
+  allowed only through Arrow (``ArrowEvalPython`` / ``MapInPandas`` /
+  ``FlatMapGroupsInPandas``), and only for the ops documented as
+  Python-boundary (zlib, multimodal decode, stateful sessions);
+- no Cartesian product except the documented broadcast-queries×corpus
+  exact-kNN baselines (which plan as BroadcastNestedLoopJoin, not
+  CartesianProduct).
+
+Individual per-op plan pins (pushdown, exchange-free, no-global-sort) live
+next to their ops; this is the backstop that keeps a future op from
+quietly introducing the slow path.
+"""
+
+import pytest
+from conftest import SF_DIR
+
+import __spark_entry__ as entry_mod
+
+_QUERIES = entry_mod.queries()
+
+# streaming entries execute a full stream on call; dfs_preorder and the
+# store/traversal ops run bounded driver loops whose intermediate jobs are
+# not captured by the final plan anyway — the sweep still covers their
+# final frame, but the stream entries are excluded outright.
+_SKIP = {"streaming_rollup", "streaming_sessionize"}
+
+# ops with a documented Arrow-batched Python boundary
+_ARROW_OK = {"compression_ratio", "semantic_dedup"}
+
+
+def _plan_of(name, spark):
+    df = _QUERIES[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", sorted(set(_QUERIES) - _SKIP))
+def test_no_row_python_udf_and_no_cartesian(name, spark):
+    plan = _plan_of(name, spark)
+    assert "BatchEvalPython" not in plan, (
+        f"{name}: row-at-a-time Python UDF in the plan"
+    )
+    if name not in _ARROW_OK:
+        for marker in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+            assert marker not in plan, (
+                f"{name}: undocumented Python boundary ({marker})"
+            )
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
