@@ -1,0 +1,114 @@
+"""Streaming corpus ingestion: curate crawler output as it lands.
+
+A production pipeline does not re-curate the whole corpus when the crawler
+drops a new batch of JSONL files — it streams them through the stateless
+half of the curation funnel (normalize → quality/lang/compressibility gate →
+within-horizon exact dedup) and appends survivors to the curated store.
+Structured Streaming gives the machinery: file-source discovery of new
+files, checkpointed exactly-once micro-batches, watermark-bounded dedup
+state.
+
+What CAN stream (this module): every per-document stage — normalization,
+quality metrics, language id, compression ratio, content-hash dedup within
+the watermark horizon. What CANNOT: corpus-global stages (MinHash
+clustering, decontamination against a growing index, mixture solving) —
+those run as periodic batch compaction over the streamed-in store, exactly
+the reference's incremental-sync-then-rebuild split
+(``src/workspace/manager.zig`` sync loop; batch analogue:
+``functions.curation.curate_and_write``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kausaldb_spark.functions import text as tx
+
+#: canonical input schema for streamed JSONL corpora (file streams require
+#: an explicit schema — inference would race the arriving files)
+DOC_STREAM_SCHEMA = "doc_id long, text string, lang string, source string"
+
+
+def stream_documents(
+    spark: SparkSession,
+    docs_dir: str,
+    schema: str = DOC_STREAM_SCHEMA,
+    files_per_trigger: int = 1,
+) -> DataFrame:
+    """File-source JSONL document stream. ``maxFilesPerTrigger`` keeps
+    micro-batches bounded regardless of how many files the crawler dumped
+    between triggers."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .json(docs_dir)
+    )
+
+
+def curate_stream(stream: DataFrame, min_ratio_ppm: int = 50_000) -> DataFrame:
+    """The stateless curation gate as a streaming projection: normalize,
+    recompute quality metrics on the normalized text, keep docs that pass
+    quality ∧ language ∧ not-too-repetitive. Identical column logic to the
+    batch ``curation.curate_and_write`` gate except the zlib signal — a
+    pandas UDF works on streams, but the gate stays codegen-only here so
+    the stream never blocks on Python workers; the repetition screen uses
+    the distinct-token ratio already inside ``quality_flag``.
+
+    Adds (n_tokens, pred_lang) to the survivors — the columns the curated
+    store indexes on."""
+    norm = stream.select(
+        "doc_id",
+        tx.normalize_text(F.col("text")).alias("text"),
+        "lang", "source",
+    )
+    toks = tx.tokens(F.col("text"))
+    qcols = tx.quality_columns(F.col("text"))
+    flagged = norm.select(
+        "doc_id", "text", "lang", "source",
+        F.size(toks).alias("n_tokens"),
+        tx.quality_flag(qcols).alias("_q"),
+        tx.lang_id(toks).alias("pred_lang"),
+    )
+    return flagged.where(
+        (F.col("_q") == 1) & (F.col("pred_lang") != "und")
+    ).drop("_q")
+
+
+def dedup_documents_stream(
+    stream: DataFrame, watermark: str = "24 hours", ts_col: str = "_ingest_ts"
+) -> DataFrame:
+    """Content-hash exactly-once dedup within the watermark horizon: a
+    re-crawled page arriving twice in a day is dropped on the second
+    arrival; state is evicted past the horizon (bounded, unlike a plain
+    dropDuplicates on a stream). Cross-horizon duplicates are the batch
+    compaction's job (exact dedup is growth-stable on content hash, so the
+    periodic pass converges). The event-time column is the processing-time
+    stamp of arrival — document streams carry no event time of their own."""
+    stamped = stream.withColumn(ts_col, F.current_timestamp()).withColumn(
+        "_content_hash", F.md5("text")
+    )
+    return (
+        stamped.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_content_hash"])
+        .drop(ts_col)
+    )
+
+
+def curated_append(
+    stream: DataFrame, out_dir: str, checkpoint_dir: str
+):
+    """foreachBatch appender for the curated store — exactly-once from the
+    checkpointed batch id, each micro-batch one atomic parquet append
+    (same contract as ``events.incremental_ingest``)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("_batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
