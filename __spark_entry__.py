@@ -776,6 +776,39 @@ def _q_context_edges(spark, sf_dir):
 _stream_counter = [0]
 
 
+def _q_streaming_curate(spark, sf_dir):
+    """Streaming corpus curation driven to completion: the documents table
+    replayed as JSONL arrival chunks through the stateless curation gate
+    (normalize → quality/lang) with checkpointed exactly-once appends.
+    Rows-only check (the parquet append order is nondeterministic);
+    streamed-gate == batch-gate parity is pinned in
+    tests/test_streaming_corpus.py."""
+    import json as _json
+    import os
+    import tempfile
+
+    from kausaldb_spark.streaming import corpus as scorp
+
+    d = tempfile.mkdtemp(prefix="kdb_scur_src_")
+    out = tempfile.mkdtemp(prefix="kdb_scur_out_") + "/docs"
+    ck = tempfile.mkdtemp(prefix="kdb_scur_ck_")
+    rows = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text", "lang", "source")
+        .orderBy("doc_id")
+        .collect()
+    )
+    for i in range(3):
+        with open(os.path.join(d, f"chunk{i}.jsonl"), "w") as fh:
+            for r in rows[i::3]:
+                fh.write(_json.dumps(r.asDict()) + "\n")
+    q = scorp.curated_append(
+        scorp.curate_stream(scorp.stream_documents(spark, d)), out, ck
+    ).start()
+    q.awaitTermination(300)
+    return spark.read.parquet(out).drop("_batch_id")
+
+
 def _q_streaming_rollup(spark, sf_dir):
     """Structured Streaming windowed rollup, driven to completion with an
     availableNow trigger over a file-source replay of the events table.
@@ -941,6 +974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dfs_preorder": _q_dfs_preorder,
         "streaming_rollup": _q_streaming_rollup,
         "streaming_sessionize": _q_streaming_sessionize,
+        "streaming_curate": _q_streaming_curate,
     }
 
 

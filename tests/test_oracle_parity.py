@@ -15,7 +15,8 @@ def test_every_query_has_an_oracle_or_is_declared():
     missing = set(_QUERIES) - set(_ORACLES)
     # non-SQL-expressible ops may be omitted — keep the list explicit
     allowed_missing = {
-        "streaming_rollup", "streaming_sessionize", "dfs_preorder",
+        "streaming_rollup", "streaming_sessionize", "streaming_curate",
+        "dfs_preorder",
         # float BM25 scores: ranking pytest-pinned (test_text_ops) like
         # unigram LM; its integer companion term_match_topk carries the gate
         "bm25_topk",

@@ -27,7 +27,7 @@ _QUERIES = entry_mod.queries()
 # store/traversal ops run bounded driver loops whose intermediate jobs are
 # not captured by the final plan anyway — the sweep still covers their
 # final frame, but the stream entries are excluded outright.
-_SKIP = {"streaming_rollup", "streaming_sessionize"}
+_SKIP = {"streaming_rollup", "streaming_sessionize", "streaming_curate"}
 
 # ops with a documented Arrow-batched Python boundary
 _ARROW_OK = {"compression_ratio", "semantic_dedup"}
