@@ -379,6 +379,16 @@ def _q_minhash_near_dup(spark, sf_dir):
     return dd.minhash_near_duplicates(spark, sf_dir)
 
 
+def _q_incremental_dedup(spark, sf_dir):
+    # steady-state dedup: the planted copies (offset ids) arrive as a new
+    # batch and are near-dup-checked against the base documents corpus via
+    # the (cappable, precomputable) MinHash band index — cross pairs only
+    full = dd.dedup_corpus(spark, sf_dir)
+    base = full.where(F.col("doc_id") < dd.EXACT_COPY_OFFSET)
+    new = full.where(F.col("doc_id") >= dd.EXACT_COPY_OFFSET)
+    return dd.near_dup_vs_corpus(new, base)
+
+
 def _q_ngram_jaccard(spark, sf_dir):
     return dd.ngram_jaccard_pairs(spark, sf_dir)
 
@@ -891,7 +901,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     is a rows-only tail entry (k-means, pytest-pinned); normalize_text +
     mixture_weights gate in the window (events_hourly and repetition_score
     — events keeps sessionize/asof/retention in-window, text-quality keeps
-    quality_score/pii_scan/lang_id — rotated to the locally-gated tail)."""
+    quality_score/pii_scan/lang_id — rotated to the locally-gated tail);
+    incremental_dedup (new-batch-vs-corpus-index) gates in the window with
+    ngram_jaccard rotated to the tail (dedup keeps minhash/simhash/spans/
+    clusters/line/binary/canonical in-window)."""
     return {
         # -- rotated into the driver sample this round --
         "normalize_text": _q_normalize_text,
@@ -932,7 +945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- dedup / text / similarity pipeline --
         "term_match_topk": _q_term_match_topk,
         "minhash_near_dup": _q_minhash_near_dup,
-        "ngram_jaccard": _q_ngram_jaccard,
+        "incremental_dedup": _q_incremental_dedup,
         "duplicate_spans": _q_duplicate_spans,
         "simhash_band": _q_simhash_band,
         "near_dup_clusters": _q_near_dup_clusters,
@@ -953,6 +966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    suite, the rows-only ones are pytest-gated) --
         "events_hourly": _q_events_hourly,
         "repetition_score": _q_repetition_score,
+        "ngram_jaccard": _q_ngram_jaccard,
         "iterate_all": _q_iterate_all,
         "events_topk_users": _q_events_topk_users,
         "filter_targets": _q_filter_targets,
@@ -1300,6 +1314,7 @@ SELECT * FROM (
 SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens
 FROM documents""",
         "minhash_near_dup": oracles.minhash_sql(),
+        "incremental_dedup": oracles.incremental_dedup_sql(),
         "ngram_jaccard": oracles.ngram_jaccard_sql(),
         "simhash_pairs": oracles.simhash_pairs_sql(),
         "simhash_band": oracles.simhash_band_sql(),

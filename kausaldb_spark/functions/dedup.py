@@ -675,3 +675,89 @@ def duplicate_spans(
             (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: new batch vs an existing corpus index
+# ---------------------------------------------------------------------------
+
+def minhash_index(corpus: DataFrame) -> DataFrame:
+    """The persistable dedup index of a corpus: its MinHash band buckets
+    ``(doc_id, band, bucket)`` — ``n_bands`` small rows per document, no
+    text. A steady-state pipeline materializes this once (parquet,
+    partitioned by ``band`` for bucket-join pruning), appends each accepted
+    batch's buckets, and dedups every incoming batch against it WITHOUT
+    re-hashing the corpus — the incremental analogue of
+    ``minhash_pairs_for``'s self-join."""
+    return _wide_signature_buckets(doc_shingles(corpus))
+
+
+def near_dup_vs_corpus(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    index: DataFrame | None = None,
+    num: int = 7,
+    den: int = 10,
+    max_bucket_size: int = MAX_LSH_BUCKET,
+) -> DataFrame:
+    """Near-duplicate pairs of NEW documents against an EXISTING corpus:
+    ``(doc_a=new id, doc_b=corpus id, n_inter, n_union)`` with Jaccard >=
+    num/den. Doc ids must not collide across the two relations (the
+    steady-state contract: new batches carry fresh ids).
+
+    Scale shape: the new batch is hashed once (batch-sized, not
+    corpus-sized); candidates come from an equi-join of the batch's band
+    buckets against the (optionally precomputed) corpus ``index`` —
+    corpus-side degenerate buckets are capped exactly like the self-join
+    path; verification re-shingles ONLY the candidate corpus docs (a
+    semi-join-pruned sliver of the corpus), so corpus text is touched
+    proportionally to the duplication rate, not the corpus size.
+    New-vs-new duplicates inside the batch are deliberately NOT flagged —
+    run ``minhash_pairs_for`` on the batch for that."""
+    if index is None:
+        index = minhash_index(corpus_docs)
+    idx_ok, _dropped = capped_buckets(index, max_bucket_size)
+    new_buckets = _wide_signature_buckets(doc_shingles(new_docs))
+    cand = (
+        new_buckets.alias("n")
+        .join(
+            idx_ok.alias("c"),
+            (F.col("n.band") == F.col("c.band"))
+            & (F.col("n.bucket") == F.col("c.bucket")),
+        )
+        .select(
+            F.col("n.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    # verify on new-batch shingles + the candidate corpus sliver only
+    cand_corpus = corpus_docs.join(
+        cand.select(F.col("doc_b").alias("doc_id")).distinct(), "doc_id", "semi"
+    )
+    sh = doc_shingles(new_docs.select("doc_id", "text")).unionByName(
+        doc_shingles(cand_corpus.select("doc_id", "text"))
+    )
+    return jaccard_verify(cand, sh, num, den)
+
+
+def filter_new_against_corpus(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    index: DataFrame | None = None,
+    num: int = 7,
+    den: int = 10,
+    max_bucket_size: int = MAX_LSH_BUCKET,
+) -> DataFrame:
+    """The accept/reject decision: new docs that near-duplicate nothing in
+    the corpus (anti-join on the verified pair relation). The surviving
+    rows are what the pipeline appends — together with their
+    ``minhash_index`` buckets — to keep the index current."""
+    pairs = near_dup_vs_corpus(
+        new_docs, corpus_docs, index=index, num=num, den=den,
+        max_bucket_size=max_bucket_size,
+    )
+    return new_docs.join(
+        pairs.select(F.col("doc_a").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_anti",
+    )

@@ -93,6 +93,40 @@ def minhash_sql(num: int = 7, den: int = 10, n_hashes: int = 8, band: int = 2) -
     return "WITH " + _minhash_ctes(num, den, n_hashes, band) + "\nSELECT * FROM verified"
 
 
+def incremental_dedup_sql(num: int = 7, den: int = 10, n_hashes: int = 8,
+                          band: int = 2) -> str:
+    """near_dup_vs_corpus oracle: base documents = the corpus, the planted
+    copies (offset ids) = the incoming batch. Candidate generation is
+    cross-only with the bucket cap on the CORPUS side (counts over corpus
+    bands, not the union) — exactly the incremental path's semantics.
+    Output columns follow the op: doc_a = new id, doc_b = corpus id."""
+    return (
+        "WITH "
+        + _TOK_SH
+        + f""",
+sigs AS (
+  SELECT doc_id, k, min(md5(k || '|' || shingle)) AS minh
+  FROM sh CROSS JOIN generate_series(0, {n_hashes - 1}) g(k)
+  GROUP BY doc_id, k
+),
+bands AS (
+  SELECT doc_id, k // {band} AS band,
+         md5(array_to_string(list_sort(list(minh)), '|')) AS bucket
+  FROM sigs GROUP BY doc_id, k // {band}
+),
+cbands AS (SELECT * FROM bands WHERE doc_id < {EXACT_COPY_OFFSET}),
+nbands AS (SELECT * FROM bands WHERE doc_id >= {EXACT_COPY_OFFSET}),
+elig AS (SELECT band, bucket FROM cbands GROUP BY band, bucket
+         HAVING count(*) <= {MAX_LSH_BUCKET}),
+cands AS (SELECT DISTINCT n.doc_id AS doc_a, c.doc_id AS doc_b
+          FROM nbands n JOIN elig e ON n.band = e.band AND n.bucket = e.bucket
+          JOIN cbands c ON c.band = n.band AND c.bucket = n.bucket),
+"""
+        + _VERIFY_CTES.format(num=num, den=den)
+        + "\nSELECT * FROM verified"
+    )
+
+
 def near_dup_clusters_sql(num: int = 7, den: int = 10) -> str:
     """MinHash pairs → undirected closure → per-doc min-id component label →
     canonical flag. The recursive closure is bounded by component size

@@ -151,3 +151,82 @@ def test_duplicate_spans_semantics(spark):
         for r in duplicate_spans(docs2, k=4).collect()
     )
     assert spans == [(1, 0, 4), (1, 9, 13), (2, 0, 4), (2, 9, 13)]
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: new batch vs corpus index
+# ---------------------------------------------------------------------------
+
+def _inc_fixture(spark):
+    base = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "toward the green hills beyond the quiet river")
+    corpus = spark.createDataFrame(
+        [
+            (1, base),
+            (2, "completely different corpus text about spark shuffles and "
+                "partition pruning over columnar storage layouts"),
+            (3, "a third unrelated document mentioning streaming watermarks "
+                "and stateful session windows in structured streaming"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (101, base),                                    # exact copy of 1
+            (102, base.replace("lazy", "sleepy")),          # near copy of 1
+            (103, "entirely fresh content on gumbel top k sampling with "
+                  "deterministic md5 derived uniforms for reproducibility"),
+            (104, "completely different corpus text about spark shuffles and "
+                  "partition pruning over columnar storage layouts"),  # copy of 2
+        ],
+        "doc_id long, text string",
+    )
+    return corpus, new
+
+
+def test_near_dup_vs_corpus_flags_only_cross_pairs(spark):
+    from kausaldb_spark.functions import dedup as dd
+
+    corpus, new = _inc_fixture(spark)
+    pairs = dd.near_dup_vs_corpus(new, corpus).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert (101, 1) in got and (104, 2) in got
+    assert (102, 1) in got  # near copy passes the 0.7 jaccard bar
+    assert all(a > 100 and b < 100 for a, b in got)  # cross pairs only
+    assert not any(a == 103 for a, _ in got)
+
+
+def test_filter_new_against_corpus_and_precomputed_index(spark):
+    from kausaldb_spark.functions import dedup as dd
+
+    corpus, new = _inc_fixture(spark)
+    kept = dd.filter_new_against_corpus(new, corpus)
+    assert {r["doc_id"] for r in kept.collect()} == {103}
+    # precomputed index path produces the identical decision (the
+    # steady-state shape: corpus hashed once, reused per batch)
+    idx = dd.minhash_index(corpus).persist()
+    try:
+        kept2 = dd.filter_new_against_corpus(new, corpus, index=idx)
+        assert {r["doc_id"] for r in kept2.collect()} == {103}
+        pairs = dd.near_dup_vs_corpus(new, corpus, index=idx)
+        assert pairs.count() == dd.near_dup_vs_corpus(new, corpus).count()
+    finally:
+        idx.unpersist()
+
+
+def test_near_dup_vs_corpus_caps_degenerate_buckets(spark):
+    from kausaldb_spark.functions import dedup as dd
+
+    # 30 identical corpus docs = one degenerate bucket set; with a cap of 5
+    # the bucket is dropped and an identical new doc sails through —
+    # the quadratic guard applies to the corpus side exactly like the
+    # self-join path (visibility via capped_buckets is the caller's job)
+    text = "identical boilerplate row repeated across the whole corpus batch"
+    corpus = spark.createDataFrame(
+        [(i, text) for i in range(30)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame([(101, text)], "doc_id long, text string")
+    pairs = dd.near_dup_vs_corpus(new, corpus, max_bucket_size=5)
+    assert pairs.count() == 0
+    pairs_uncapped = dd.near_dup_vs_corpus(new, corpus, max_bucket_size=500)
+    assert pairs_uncapped.count() == 30
