@@ -128,6 +128,24 @@ def build_parser() -> argparse.ArgumentParser:
     sub.add_parser("list", help="linked codebases (name, path, counts)")
     sub.add_parser("compact", help="rewrite store to visible snapshot")
 
+    cur = sub.add_parser(
+        "curate", help="run the corpus curation pipeline to training shards"
+    )
+    cur.add_argument("--in", dest="in_path", required=True,
+                     help="corpus path (parquet/jsonl/csv/text dir)")
+    cur.add_argument("--out", dest="out_path", required=True,
+                     help="output directory for the sharded corpus")
+    cur.add_argument("--format", dest="corpus_format", default=None,
+                     help="corpus format override (default: infer from suffix)")
+    cur.add_argument("--shards", type=int, default=16)
+    cur.add_argument("--seed", type=int, default=7)
+    cur.add_argument("--budget-tokens", type=int, default=None)
+    cur.add_argument(
+        "--target", action="append", default=[],
+        metavar="SOURCE=FRACTION",
+        help="mixture target, repeatable (requires --budget-tokens)",
+    )
+
     srv = sub.add_parser(
         "serve", help="run the resident TCP daemon (client/daemon split)"
     )
@@ -258,6 +276,35 @@ def main(argv: list[str] | None = None, spark=None, engine=None, file=None) -> i
     if args.command == "compact":
         engine.store.compact()
         print(json.dumps({"compacted": True}), file=file)
+        return 0
+    if args.command == "curate":
+        from kausaldb_spark.functions.curation import curate_and_write
+
+        targets = None
+        if args.target:
+            targets = {}
+            for spec in args.target:
+                if "=" not in spec:
+                    print(json.dumps({"error": f"bad --target {spec!r}; "
+                                      "expected SOURCE=FRACTION"}), file=file)
+                    return 2
+                name, frac = spec.split("=", 1)
+                try:
+                    targets[name] = float(frac)
+                except ValueError:
+                    print(json.dumps({"error": f"bad fraction in --target "
+                                      f"{spec!r}"}), file=file)
+                    return 2
+            if args.budget_tokens is None:
+                print(json.dumps({"error": "--target requires "
+                                  "--budget-tokens"}), file=file)
+                return 2
+        manifest = curate_and_write(
+            engine.spark, args.in_path, args.out_path,
+            targets=targets, budget_tokens=args.budget_tokens,
+            n_shards=args.shards, seed=args.seed, fmt=args.corpus_format,
+        )
+        print(json.dumps(manifest, default=str), file=file)
         return 0
     if args.command == "serve":
         from kausaldb_spark.server import KausalServer

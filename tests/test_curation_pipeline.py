@@ -88,3 +88,59 @@ def test_dedup_only_mode_skips_mixture(spark):
         assert n_src == 20
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_cli_curate_subcommand(spark, tmp_path):
+    import io
+    import json as _json
+
+    from kausaldb_spark.cli import main as cli_main
+    from kausaldb_spark.engine import KausalEngine
+
+    eng = KausalEngine(spark, str(tmp_path / "store"))
+    out = str(tmp_path / "shards")
+    buf = io.StringIO()
+    rc = cli_main(
+        ["--store", eng.store.path, "curate",
+         "--in", f"{SF_DIR}/documents.parquet", "--out", out,
+         "--shards", "2", "--target", "src0=0.6", "--target", "src1=0.4",
+         "--budget-tokens", "20000"],
+        engine=eng, file=buf,
+    )
+    assert rc == 0
+    m = _json.loads(buf.getvalue())
+    assert m["funnel"]["ingested"] == 500 and m["funnel"]["after_mixture"] > 0
+    assert sinks.verify_shards(spark, out)
+    # bad target spec -> clean error, rc 2
+    buf2 = io.StringIO()
+    rc2 = cli_main(
+        ["--store", eng.store.path, "curate", "--in", "x", "--out", "y",
+         "--target", "nofraction"],
+        engine=eng, file=buf2,
+    )
+    assert rc2 == 2 and "bad --target" in buf2.getvalue()
+    # --target without budget -> clean error
+    buf3 = io.StringIO()
+    rc3 = cli_main(
+        ["--store", eng.store.path, "curate", "--in", "x", "--out", "y",
+         "--target", "src0=1.0"],
+        engine=eng, file=buf3,
+    )
+    assert rc3 == 2 and "budget-tokens" in buf3.getvalue()
+
+
+def test_sink_write_retry_after_partial_state(spark, tmp_path):
+    """Crash-window behavior of the sink: a missing/corrupt manifest fails
+    verification loudly; a retried write (mode=overwrite) converges to the
+    same verified state."""
+    import os
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = str(tmp_path / "s")
+    m1 = sinks.write_training_shards(docs, out, n_shards=2, seed=7)
+    os.remove(os.path.join(out, "_kdb_manifest.json"))  # simulated crash window
+    with pytest.raises(FileNotFoundError):
+        sinks.verify_shards(spark, out)
+    m2 = sinks.write_training_shards(docs, out, n_shards=2, seed=7)
+    assert m1["shards"] == m2["shards"]
+    assert sinks.verify_shards(spark, out)
