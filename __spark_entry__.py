@@ -631,6 +631,12 @@ def _q_normalize_text(spark, sf_dir):
     ).withColumn("n_chars_norm", F.length("text_norm").cast("int"))
 
 
+def _q_pack_sequences(spark, sf_dir):
+    # materialized concat-and-chunk training sequences (the table
+    # pack_offsets indexes): per-source token streams cut at 64 tokens
+    return tx.pack_sequences(_docs(spark, sf_dir), seq_len=64)
+
+
 def _q_compression_ratio(spark, sf_dir):
     # zlib compressibility quality signal — the one pandas-UDF quality op
     # (Arrow-batched; deterministic integers for a fixed zlib level). Not
@@ -967,6 +973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _q_events_hourly,
         "repetition_score": _q_repetition_score,
         "ngram_jaccard": _q_ngram_jaccard,
+        "pack_sequences": _q_pack_sequences,
         "iterate_all": _q_iterate_all,
         "events_topk_users": _q_events_topk_users,
         "filter_targets": _q_filter_targets,
@@ -1268,6 +1275,34 @@ SELECT partition, doc_id, n_tokens, global_start,
        CAST((global_start + greatest(n_tokens, 1) - 1) // 512 AS BIGINT)
          AS last_seq
 FROM cum""",
+        "pack_sequences": r"""
+WITH tok AS (
+  SELECT source AS partition, doc_id,
+         string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents),
+base AS (
+  SELECT partition, doc_id, t, CAST(len(t) AS BIGINT) AS n_tokens,
+         CAST(coalesce(sum(len(t)) OVER (
+                 PARTITION BY partition ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS gs
+  FROM tok),
+frag AS (
+  SELECT partition, gs, t, n_tokens,
+         unnest(range(gs // 64,
+                      (gs + greatest(n_tokens, 1) - 1) // 64 + 1)) AS seq_idx
+  FROM base),
+sliced AS (
+  SELECT partition, seq_idx, gs,
+         t[CAST(greatest(gs, seq_idx * 64) - gs + 1 AS INT)
+           : CAST(least(gs + n_tokens, (seq_idx + 1) * 64) - gs AS INT)]
+           AS frag
+  FROM frag)
+SELECT partition, CAST(seq_idx AS BIGINT) AS seq_idx,
+       CAST(sum(len(frag)) AS INT) AS n_tokens,
+       CAST(count(*) AS INT) AS n_docs,
+       string_agg(array_to_string(frag, ' '), ' ' ORDER BY gs) AS text_packed
+FROM sliced GROUP BY partition, seq_idx""",
         "chunk_documents": r"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t

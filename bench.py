@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "duplicate_spans",
     "term_match_topk",
     "minhash_near_dup",
+    "incremental_dedup",
     "near_dup_clusters",
     "ngram_jaccard",
     "simhash_pairs",
@@ -76,6 +77,7 @@ BENCH_QUERIES = [
     "repetition_score",
     "domain_filter",
     "length_quantiles",
+    "pack_sequences",
     "importance_resample",
     "ann_topk",
     "ann_lsh",

@@ -792,6 +792,84 @@ def pack_offsets(docs, seq_len: int = 512, partition_col: str = "source",
     )
 
 
+def pack_sequences(docs, seq_len: int = 512, partition_col: str = "source",
+                   text_col: str = "text", id_col: str = "doc_id"):
+    """Materialize the packed training sequences that :func:`pack_offsets`
+    indexes: within each shard, documents laid end-to-end in doc_id order
+    and cut into fixed ``seq_len`` sequences, each output row one training
+    sequence with its token payload.
+
+    Output: (partition, seq_idx, n_tokens int, n_docs int, text_packed) —
+    ``n_docs`` = documents contributing to the sequence, ``n_tokens`` <
+    seq_len only for each shard's final (clipped) sequence.
+
+    Scale shape: the same per-shard running-sum window as pack_offsets
+    (never a global sort), then each doc EXPLODES into its [first_seq,
+    last_seq] fragments — a doc emits ceil(n_tokens/seq_len)+1 rows, so
+    the explode is output-sized — and ONE groupBy(seq_idx) reassembles
+    fragments in global-offset order (array_sort of (offset, frag)
+    structs: sequence payloads are seq_len-bounded, so per-group state is
+    tiny and map-side combined)."""
+    from pyspark.sql.window import Window
+
+    L = int(seq_len)
+    toks = tokens(F.col(text_col))
+    w_prev = (
+        Window.partitionBy("partition")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = docs.select(
+        F.col(partition_col).alias("partition"),
+        F.col(id_col).alias("doc_id"),
+        toks.alias("_t"),
+    ).select(
+        "partition", "doc_id", "_t",
+        F.size("_t").cast("bigint").alias("n_tokens"),
+    ).withColumn(
+        "gs",
+        F.coalesce(F.sum("n_tokens").over(w_prev), F.lit(0)).cast("bigint"),
+    )
+    frag = base.select(
+        "partition", "gs", "_t", "n_tokens",
+        F.explode(
+            F.sequence(
+                F.expr(f"CAST(gs DIV {L} AS BIGINT)"),
+                F.expr(
+                    f"CAST((gs + greatest(n_tokens, CAST(1 AS BIGINT)) - 1)"
+                    f" DIV {L} AS BIGINT)"
+                ),
+            )
+        ).alias("seq_idx"),
+    ).select(
+        "partition", "seq_idx", "gs",
+        F.expr(
+            f"slice(_t, CAST(greatest(gs, seq_idx * {L}) - gs + 1 AS INT),"
+            f" CAST(least(gs + n_tokens, (seq_idx + 1) * {L})"
+            f" - greatest(gs, seq_idx * {L}) AS INT))"
+        ).alias("frag"),
+    )
+    packed = (
+        frag.groupBy("partition", "seq_idx")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("gs", "frag"))),
+                    lambda x: x["frag"],
+                )
+            ).alias("_toks"),
+            F.count("*").cast("int").alias("n_docs"),
+        )
+    )
+    return packed.select(
+        "partition",
+        "seq_idx",
+        F.size("_toks").alias("n_tokens"),
+        "n_docs",
+        F.concat_ws(" ", F.col("_toks")).alias("text_packed"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # URL / domain blocklist filtering (UT1-style curation pass)
 # ---------------------------------------------------------------------------

@@ -672,3 +672,53 @@ def test_compression_ratio_signal(spark):
         spark.createDataFrame([(9, "")], "doc_id long, text string")
     ).collect()[0]
     assert empty["n_bytes"] == 0 and empty["ratio_ppm"] == 1_000_000
+
+
+def test_pack_sequences_matches_bruteforce(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    did = 0
+    for src in ("sa", "sb"):
+        for _ in range(rng.randint(4, 7)):
+            n = rng.randint(0, 23)
+            rows.append((did, src, " ".join(f"w{did}_{j}" for j in range(n))))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    L = 8
+    got = {
+        (r["partition"], r["seq_idx"]): r
+        for r in tx.pack_sequences(docs, seq_len=L).collect()
+    }
+
+    # brute force: concat tokens per source in doc_id order, chunk by L
+    def toks(t):
+        return t.strip().lower().split() if t.strip() else [""]
+
+    for src in ("sa", "sb"):
+        stream, owners = [], []
+        for did_, s, t in sorted(rows):
+            if s != src:
+                continue
+            for tok in toks(t):
+                stream.append(tok)
+                owners.append(did_)
+        n_seqs = (len(stream) + L - 1) // L
+        for s_idx in range(n_seqs):
+            chunk = stream[s_idx * L:(s_idx + 1) * L]
+            key = (src, s_idx)
+            assert key in got, key
+            r = got[key]
+            assert r["text_packed"] == " ".join(chunk), key
+            assert r["n_tokens"] == len(chunk)
+            assert r["n_docs"] == len(set(owners[s_idx * L:(s_idx + 1) * L]))
+        assert not any(k[0] == src and k[1] >= n_seqs for k in got)
+    # consistency with pack_offsets: every doc's first/last seq holds its
+    # first/last token
+    offs = {r["doc_id"]: r for r in tx.pack_offsets(docs, seq_len=L).collect()}
+    for did_, src, t in rows:
+        ts = toks(t)
+        o = offs[did_]
+        first = got[(src, o["first_seq"])]["text_packed"].split(" ")
+        assert ts[0] in first
