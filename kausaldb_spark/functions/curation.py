@@ -138,13 +138,19 @@ def curate_and_write(
     funnel["after_quality_gate"] = gated.count()
 
     # exact dedup on NORMALIZED text: keep min doc_id per digest (one
-    # digest-keyed shuffle; payload rides it once)
+    # digest-keyed shuffle; payload rides it once). Persisted: three
+    # downstream consumers (near-dup hashing, decontamination shingles,
+    # the final select) must not re-run the gate chain — the zlib UDF in
+    # particular — once per consumer.
     from pyspark.sql import Window
 
     keep_rank = F.row_number().over(
         Window.partitionBy(F.md5("text")).orderBy("doc_id")
     )
-    exact = gated.withColumn("_rk", keep_rank).where(F.col("_rk") == 1).drop("_rk")
+    exact = (
+        gated.withColumn("_rk", keep_rank).where(F.col("_rk") == 1).drop("_rk")
+        .persist()
+    )
     funnel["after_exact_dedup"] = exact.count()
 
     # near-dup canonicals over the exact-deduped survivors
@@ -196,5 +202,6 @@ def curate_and_write(
         out_path, n_shards=n_shards, seed=seed,
     )
     norm.unpersist()
+    exact.unpersist()
     manifest["funnel"] = funnel
     return manifest
