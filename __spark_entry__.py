@@ -611,6 +611,12 @@ def _q_events_hourly(spark, sf_dir):
     return ev.hourly_rollup(ev.load_events(spark, sf_dir))
 
 
+def _q_events_quantiles(spark, sf_dir):
+    # per-type exact p25/p50/p95 value report (percentile_disc element
+    # selection — engine-portable; integer cents like the hourly rollup)
+    return ev.value_quantiles(ev.load_events(spark, sf_dir))
+
+
 def _q_normalize_text(spark, sf_dir):
     # whitespace/control normalization. The synthetic corpus is already
     # clean, so the gate deterministically injects mess (CRLF, tabs, a C0
@@ -971,6 +977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    backed entries here are still hash-gated by the local parity
         #    suite, the rows-only ones are pytest-gated) --
         "events_hourly": _q_events_hourly,
+        "events_quantiles": _q_events_quantiles,
         "repetition_score": _q_repetition_score,
         "ngram_jaccard": _q_ngram_jaccard,
         "pack_sequences": _q_pack_sequences,
@@ -1406,6 +1413,15 @@ FROM documents GROUP BY 2""",
         "ann_lsh": oracles.ann_lsh_sql(ANN_QUERY_IDS),
         "embedding_near_dup": oracles.embedding_near_dup_sql(EMB_NEAR_DUP_MIN_DOT),
         "events_hourly": oracles.events_hourly_sql(),
+        "events_quantiles": r"""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(floor(percentile_disc(0.25) WITHIN GROUP (ORDER BY value)
+                  * 100 + 0.5) AS BIGINT) AS p25_cents,
+       CAST(floor(percentile_disc(0.5) WITHIN GROUP (ORDER BY value)
+                  * 100 + 0.5) AS BIGINT) AS p50_cents,
+       CAST(floor(percentile_disc(0.95) WITHIN GROUP (ORDER BY value)
+                  * 100 + 0.5) AS BIGINT) AS p95_cents
+FROM events GROUP BY event_type""",
         "shard_shuffle": r"""
 WITH k AS (
   SELECT doc_id, md5('7:' || CAST(doc_id AS VARCHAR)) AS key FROM documents),

@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "embedding_near_dup",
     "semantic_dedup",
     "events_hourly",
+    "events_quantiles",
     "sessionize",
     "events_asof",
 ]

@@ -121,6 +121,23 @@ def hourly_rollup(events: DataFrame) -> DataFrame:
     )
 
 
+def value_quantiles(events: DataFrame, pcts: tuple[int, ...] = (25, 50, 95)) -> DataFrame:
+    """Per-event-type exact value quantiles — the p50/p95 latency/value
+    report of an observability rollup. ``percentile_disc`` (SQL standard,
+    Spark 3.4+/DuckDB) returns an ACTUAL element of the group, so the
+    result is an exact stored double, engine-portable; reported in integer
+    cents like :func:`hourly_rollup` (house rule: no float aggregation in
+    a hash-gated output). One shuffle on event_type; the per-group sort is
+    the aggregate's own (bounded by group size — event-type cardinality is
+    tiny, values spill-sort within the agg)."""
+    cents = "CAST(floor({q} * 100 + 0.5) AS BIGINT)"
+    aggs = [F.count("*").cast("bigint").alias("n_events")]
+    for p in pcts:
+        q = f"percentile_disc({p / 100}) WITHIN GROUP (ORDER BY value)"
+        aggs.append(F.expr(cents.format(q=q)).alias(f"p{p}_cents"))
+    return events.groupBy("event_type").agg(*aggs)
+
+
 def topk_users(events: DataFrame, k: int = 5) -> DataFrame:
     """Top-k users per event_type by event count (window ranking; ties break
     by user_id). Demonstrates the window/agg surface the reference lacks

@@ -106,3 +106,21 @@ def test_uniform_multipart_sniffs_fine(tmp_path):
         })
         pq.write_table(table, os.path.join(d, f"part-{i}.parquet"))
     assert str(ev._sniff_parquet_field(d, "ts")) == "timestamp[us]"
+
+
+def test_value_quantiles_disc_semantics(spark):
+    """percentile_disc picks the smallest stored element whose cumulative
+    fraction >= p (SQL standard) — pinned on a crafted group so an engine
+    swap to interpolating percentile_cont would fail loudly."""
+    from kausaldb_spark.sources.events import value_quantiles
+
+    rows = [(i, 1000 + i, "u", "t", float(v)) for i, v in
+            enumerate([10.0, 20.0, 30.0, 40.0])]
+    ev = spark.createDataFrame(
+        rows, "event_id long, us long, user_id string, event_type string, value double"
+    )
+    out = value_quantiles(ev, pcts=(25, 50, 95)).collect()[0]
+    # 4 elements: p25 -> 1st (10), p50 -> 2nd (20), p95 -> 4th (40);
+    # an interpolating percentile would yield 17.5 / 25 / 38.5
+    assert out["n_events"] == 4
+    assert (out["p25_cents"], out["p50_cents"], out["p95_cents"]) == (1000, 2000, 4000)
