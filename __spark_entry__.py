@@ -611,6 +611,14 @@ def _q_events_hourly(spark, sf_dir):
     return ev.hourly_rollup(ev.load_events(spark, sf_dir))
 
 
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def _q_events_funnel(spark, sf_dir):
+    # ordered greedy-earliest funnel conversion per user, 24h step window
+    return ev.funnel(ev.load_events(spark, sf_dir), FUNNEL_STEPS)
+
+
 def _q_events_quantiles(spark, sf_dir):
     # per-type exact p25/p50/p95 value report (percentile_disc element
     # selection — engine-portable; integer cents like the hourly rollup)
@@ -978,6 +986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    suite, the rows-only ones are pytest-gated) --
         "events_hourly": _q_events_hourly,
         "events_quantiles": _q_events_quantiles,
+        "events_funnel": _q_events_funnel,
         "repetition_score": _q_repetition_score,
         "ngram_jaccard": _q_ngram_jaccard,
         "pack_sequences": _q_pack_sequences,
@@ -1422,6 +1431,26 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
        CAST(floor(percentile_disc(0.95) WITHIN GROUP (ORDER BY value)
                   * 100 + 0.5) AS BIGINT) AS p95_cents
 FROM events GROUP BY event_type""",
+        "events_funnel": r"""
+WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+s1 AS (SELECT user_id, min(us) AS t FROM ev
+       WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.us) AS t FROM ev e
+       JOIN s1 ON e.user_id = s1.user_id
+       WHERE e.event_type = 'click'
+         AND e.us > s1.t AND e.us <= s1.t + 86400000000
+       GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.us) AS t FROM ev e
+       JOIN s2 ON e.user_id = s2.user_id
+       WHERE e.event_type = 'purchase'
+         AND e.us > s2.t AND e.us <= s2.t + 86400000000
+       GROUP BY e.user_id)
+SELECT CAST(1 AS INT) AS step_idx, 'view' AS step,
+       CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+UNION ALL
+SELECT CAST(2 AS INT), 'click', CAST((SELECT count(*) FROM s2) AS BIGINT)
+UNION ALL
+SELECT CAST(3 AS INT), 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT)""",
         "shard_shuffle": r"""
 WITH k AS (
   SELECT doc_id, md5('7:' || CAST(doc_id AS VARCHAR)) AS key FROM documents),

@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "semantic_dedup",
     "events_hourly",
     "events_quantiles",
+    "events_funnel",
     "sessionize",
     "events_asof",
 ]

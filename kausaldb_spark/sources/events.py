@@ -138,6 +138,54 @@ def value_quantiles(events: DataFrame, pcts: tuple[int, ...] = (25, 50, 95)) -> 
     return events.groupBy("event_type").agg(*aggs)
 
 
+def funnel(
+    events: DataFrame, steps: list[str], within_us: int = 24 * 3600 * 1_000_000
+) -> DataFrame:
+    """Ordered funnel conversion: for each prefix of ``steps``, how many
+    users completed it in order — each step's FIRST occurrence strictly
+    after the previous step's match and within ``within_us`` of it (the
+    standard greedy earliest-match funnel semantics of product analytics).
+
+    Output: (step_idx int, step, n_users bigint) — one row per step.
+
+    Scale shape: step 1 is a filtered groupBy(user); each later step is
+    one equi-join on user_id against the (ever-shrinking) survivor frame
+    plus a groupBy — n_steps-1 user-keyed shuffles total, co-partitioned
+    under AQE, no window over the full event stream. Funnels are 3-5 steps
+    in practice, so the chain is short and each stage prunes."""
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    cur = (
+        events.where(F.col("event_type") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min("us").alias("_t"))
+    )
+    counts = [("1", steps[0], cur)]
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = (
+            events.where(F.col("event_type") == step)
+            .join(cur.select("user_id", F.col("_t").alias("_prev")), "user_id")
+            .where(
+                (F.col("us") > F.col("_prev"))
+                & (F.col("us") <= F.col("_prev") + F.lit(int(within_us)))
+            )
+            .groupBy("user_id")
+            .agg(F.min("us").alias("_t"))
+        )
+        counts.append((str(i), step, nxt))
+        cur = nxt
+    spark = events.sparkSession
+    out = None
+    for idx, name, frame in counts:
+        row = frame.agg(F.count("*").cast("bigint").alias("n_users")).select(
+            F.lit(int(idx)).cast("int").alias("step_idx"),
+            F.lit(name).alias("step"),
+            "n_users",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 def topk_users(events: DataFrame, k: int = 5) -> DataFrame:
     """Top-k users per event_type by event count (window ranking; ties break
     by user_id). Demonstrates the window/agg surface the reference lacks

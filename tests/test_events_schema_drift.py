@@ -124,3 +124,39 @@ def test_value_quantiles_disc_semantics(spark):
     # an interpolating percentile would yield 17.5 / 25 / 38.5
     assert out["n_events"] == 4
     assert (out["p25_cents"], out["p50_cents"], out["p95_cents"]) == (1000, 2000, 4000)
+
+
+def test_funnel_greedy_earliest_semantics(spark):
+    """Step k matches its FIRST occurrence strictly after step k-1's match
+    and within the window; completing users shrink monotonically."""
+    from kausaldb_spark.sources.events import funnel
+
+    H = 3_600_000_000
+    rows = [
+        # u1: clean view(1h) -> click(2h) -> purchase(3h)
+        (1, 1 * H, "u1", "view", 0.0), (2, 2 * H, "u1", "click", 0.0),
+        (3, 3 * H, "u1", "purchase", 0.0),
+        # u2: click BEFORE view only -> stops after view
+        (4, 5 * H, "u2", "view", 0.0), (5, 4 * H, "u2", "click", 0.0),
+        # u3: click 30h after view -> outside the 24h window
+        (6, 1 * H, "u3", "view", 0.0), (7, 31 * H, "u3", "click", 0.0),
+        # u4: greedy trap — first view at 1h, click at 2h, purchase at 2.5h;
+        # the earlier click (0.5h, before view) must be ignored
+        (8, 1 * H, "u4", "view", 0.0), (9, H // 2, "u4", "click", 0.0),
+        (10, 2 * H, "u4", "click", 0.0), (11, 5 * H // 2, "u4", "purchase", 0.0),
+        # u5: no view at all
+        (12, 1 * H, "u5", "click", 0.0), (13, 2 * H, "u5", "purchase", 0.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, us long, user_id string, event_type string, value double"
+    )
+    out = {r["step_idx"]: r for r in funnel(ev, ["view", "click", "purchase"]).collect()}
+    assert [out[i]["step"] for i in (1, 2, 3)] == ["view", "click", "purchase"]
+    assert out[1]["n_users"] == 4   # u1..u4 viewed
+    assert out[2]["n_users"] == 2   # u1, u4 clicked after view within 24h
+    assert out[3]["n_users"] == 2   # u1, u4 purchased
+    # empty step list is an error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        funnel(ev, [])
