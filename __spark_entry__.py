@@ -611,6 +611,11 @@ def _q_events_hourly(spark, sf_dir):
     return ev.hourly_rollup(ev.load_events(spark, sf_dir))
 
 
+def _q_cohort_retention(spark, sf_dir):
+    # first-seen-day cohorts × day offsets — the retention triangle
+    return ev.cohort_retention(ev.load_events(spark, sf_dir))
+
+
 FUNNEL_STEPS = ["view", "click", "purchase"]
 
 
@@ -987,6 +992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _q_events_hourly,
         "events_quantiles": _q_events_quantiles,
         "events_funnel": _q_events_funnel,
+        "cohort_retention": _q_cohort_retention,
         "repetition_score": _q_repetition_score,
         "ngram_jaccard": _q_ngram_jaccard,
         "pack_sequences": _q_pack_sequences,
@@ -1451,6 +1457,17 @@ UNION ALL
 SELECT CAST(2 AS INT), 'click', CAST((SELECT count(*) FROM s2) AS BIGINT)
 UNION ALL
 SELECT CAST(3 AS INT), 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT)""",
+        "cohort_retention": r"""
+WITH days AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+  FROM events),
+first AS (SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id)
+SELECT f.cohort_day, CAST(d.day - f.cohort_day AS INT) AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_active
+FROM days d JOIN first f ON d.user_id = f.user_id
+WHERE d.day - f.cohort_day <= 30
+GROUP BY f.cohort_day, day_offset""",
         "shard_shuffle": r"""
 WITH k AS (
   SELECT doc_id, md5('7:' || CAST(doc_id AS VARCHAR)) AS key FROM documents),

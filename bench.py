@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "events_hourly",
     "events_quantiles",
     "events_funnel",
+    "cohort_retention",
     "sessionize",
     "events_asof",
 ]

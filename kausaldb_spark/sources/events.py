@@ -138,6 +138,34 @@ def value_quantiles(events: DataFrame, pcts: tuple[int, ...] = (25, 50, 95)) -> 
     return events.groupBy("event_type").agg(*aggs)
 
 
+DAY_US = 24 * 3600 * 1_000_000
+
+
+def cohort_retention(events: DataFrame, max_offset: int = 30) -> DataFrame:
+    """The classic retention triangle: users bucketed by first-seen day
+    (their cohort), then for each (cohort_day, day_offset) the number of
+    cohort members active that day. Day 0 row = cohort size.
+
+    Output: (cohort_day bigint, day_offset int, n_active bigint).
+
+    Scale shape: one groupBy(user) for first-seen, one user-keyed join
+    back (co-partitioned — both sides hash on user_id), one groupBy on the
+    (cohort, offset) pair; distinct-per-cell via the pre-aggregated
+    (user, day) relation so a user's many events that day collapse before
+    the final shuffle. ``max_offset`` bounds the triangle width."""
+    days = events.select(
+        "user_id", F.expr(f"CAST(us DIV {DAY_US} AS BIGINT)").alias("day")
+    ).distinct()
+    first = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        days.join(first, "user_id")
+        .withColumn("day_offset", (F.col("day") - F.col("cohort_day")).cast("int"))
+        .where(F.col("day_offset") <= int(max_offset))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").cast("bigint").alias("n_active"))
+    )
+
+
 def funnel(
     events: DataFrame, steps: list[str], within_us: int = 24 * 3600 * 1_000_000
 ) -> DataFrame:

@@ -160,3 +160,26 @@ def test_funnel_greedy_earliest_semantics(spark):
 
     with _pytest.raises(ValueError):
         funnel(ev, [])
+
+
+def test_cohort_retention_triangle(spark):
+    from kausaldb_spark.sources.events import DAY_US, cohort_retention
+
+    rows, eid = [], 0
+    # u1,u2 first seen day 0; u1 returns day 1 and 2, u2 only day 2
+    # u3 first seen day 1, returns day 1 (same day, twice) and day 40 (cut)
+    for user, day in [("u1", 0), ("u1", 1), ("u1", 2), ("u2", 0), ("u2", 2),
+                      ("u3", 1), ("u3", 1), ("u3", 40)]:
+        rows.append((eid, day * DAY_US + eid, user, "view", 0.0))
+        eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, us long, user_id string, event_type string, value double"
+    )
+    out = {(r["cohort_day"], r["day_offset"]): r["n_active"]
+           for r in cohort_retention(ev, max_offset=30).collect()}
+    assert out[(0, 0)] == 2      # cohort size day 0
+    assert out[(0, 1)] == 1      # u1 back on day 1
+    assert out[(0, 2)] == 2      # both back on day 2
+    assert out[(1, 0)] == 1      # u3 cohort; same-day dups collapse
+    assert (1, 39) not in out    # beyond max_offset
+    assert all(off >= 0 for _, off in out)
