@@ -99,12 +99,13 @@ def write_training_shards(
 
 def shard_digests(spark: SparkSession, path: str, id_col: str = "doc_id") -> DataFrame:
     """Per-shard (n_rows, order-sensitive digest) over the written layout —
-    the loader-side verification. The digest folds each row's
-    md5(file-order position within shard || id || row content hash) into a
-    sum of 56-bit chunks (no overflow ambiguity at any realistic shard
-    size): order-sensitive because the position salts every term, yet
-    computable with a plain groupBy (no per-shard sort at verify time
-    beyond the window that assigns positions)."""
+    the loader-side verification. Each row hashes (its position in the
+    shard's training order || its payload) and the digest sums those
+    hashes' leading 56 bits (no overflow ambiguity at any realistic shard
+    size). The SUM is commutative, but the position salt makes the result
+    order-sensitive anyway: reordering, dropping, or duplicating any row
+    changes it. Verify-time cost = one window to re-derive positions (a
+    per-shard local sort, bounded by corpus/n_shards) + one groupBy."""
     from pyspark.sql import Window
 
     df = spark.read.parquet(path)
