@@ -86,6 +86,10 @@ def test_dedup_documents_stream_drops_recrawls(spark, tmp_path):
                              "source": "recrawl"}) + "\n")
         fh.write(json.dumps({"doc_id": 4, "text": "gamma page", "lang": "en",
                              "source": "crawl"}) + "\n")
+    # the file source orders arrivals by modification time — pin it, or
+    # same-mtime files make "which duplicate came first" nondeterministic
+    os.utime(src / "a.jsonl", (1_700_000_000, 1_700_000_000))
+    os.utime(src / "b.jsonl", (1_700_000_100, 1_700_000_100))
     out = str(tmp_path / "deduped")
     ck = str(tmp_path / "ck")
     stream = sc.dedup_documents_stream(sc.stream_documents(spark, str(src)))
