@@ -81,3 +81,64 @@ def test_union_find_matches_wcc(spark, pairs):
             parent[hi] = lo
     uf = {x: find(x) for x in parent}
     assert uf == wcc
+
+
+# -- funnel + cohort retention vs brute-force models (random event sets) -----
+
+def test_funnel_and_cohort_match_bruteforce_random(spark):
+    import random
+
+    from kausaldb_spark.sources.events import DAY_US, cohort_retention, funnel
+
+    rng = random.Random(23)
+    types = ["view", "click", "purchase"]
+    H = 3_600_000_000
+    for trial in range(4):
+        rows = []
+        for eid in range(rng.randint(20, 60)):
+            rows.append((
+                eid,
+                rng.randint(0, 80) * H + rng.randint(0, 3599) * 1_000_000,
+                f"u{rng.randint(0, 7)}",
+                rng.choice(types),
+                0.0,
+            ))
+        ev = spark.createDataFrame(
+            rows,
+            "event_id long, us long, user_id string, event_type string, value double",
+        )
+        within = 24 * H
+
+        # funnel model: greedy earliest match per user
+        by_user = {}
+        for _, us, u, t, _v in rows:
+            by_user.setdefault(u, []).append((us, t))
+        want = [0, 0, 0]
+        for u, evs in by_user.items():
+            evs.sort()
+            prev = None
+            for i, step in enumerate(types):
+                nxt = [us for us, t in evs if t == step and (
+                    prev is None or (prev < us <= prev + within))]
+                if not nxt:
+                    break
+                prev = min(nxt)
+                want[i] += 1
+        got = {r["step_idx"]: r["n_users"] for r in funnel(ev, types).collect()}
+        assert [got[1], got[2], got[3]] == want, f"trial {trial}"
+
+        # cohort model
+        days = {(u, us // DAY_US) for _, us, u, _t, _v in rows}
+        first = {}
+        for u, d in sorted(days):
+            first.setdefault(u, d)
+        cells = {}
+        for u, d in days:
+            off = d - first[u]
+            if off <= 30:
+                cells[(first[u], off)] = cells.get((first[u], off), 0) + 1
+        got_c = {
+            (r["cohort_day"], r["day_offset"]): r["n_active"]
+            for r in cohort_retention(ev, max_offset=30).collect()
+        }
+        assert got_c == cells, f"trial {trial}"
