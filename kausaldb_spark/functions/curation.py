@@ -185,10 +185,14 @@ def curate_and_write(
     funnel["after_decontamination"] = clean.count()
 
     # optional token-budget mixture (adds copy_idx; doc_id stays the join key
-    # so the shard id must incorporate the copy to keep training rows unique)
+    # so the shard id must incorporate the copy to keep training rows unique).
+    # The *1000 salt requires copy_idx < 1000, so upsampling is capped at
+    # 999 epochs — far beyond any sane mixture (quality degrades past ~10
+    # epochs); the cap makes the id arithmetic safe by construction.
     if targets is not None and budget_tokens is not None:
         mixed = tx.apply_mixture(
-            clean, targets, budget_tokens, key_col="doc_id", source_col="source"
+            clean, targets, budget_tokens, key_col="doc_id", source_col="source",
+            max_weight_ppm=999_000_000,
         ).withColumn(
             "doc_id",
             (F.col("doc_id") * 1000 + F.col("copy_idx")).cast("bigint"),

@@ -82,6 +82,9 @@ def write_training_shards(
         writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
     writer.parquet(path)
 
+    # manifest written with plain open(): this sink targets posix paths
+    # (local/NFS); an object-store deployment swaps this one write for its
+    # filesystem client — the Spark-side layout above is store-agnostic
     manifest = {
         "n_shards": n_shards,
         "seed": seed,
