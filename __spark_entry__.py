@@ -611,6 +611,11 @@ def _q_events_hourly(spark, sf_dir):
     return ev.hourly_rollup(ev.load_events(spark, sf_dir))
 
 
+def _q_sliding_rollup(spark, sf_dir):
+    # overlapping 1h windows sliding by 15min — bounded 4-way explode
+    return ev.sliding_rollup(ev.load_events(spark, sf_dir))
+
+
 def _q_cohort_retention(spark, sf_dir):
     # first-seen-day cohorts × day offsets — the retention triangle
     return ev.cohort_retention(ev.load_events(spark, sf_dir))
@@ -993,6 +998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_quantiles": _q_events_quantiles,
         "events_funnel": _q_events_funnel,
         "cohort_retention": _q_cohort_retention,
+        "sliding_rollup": _q_sliding_rollup,
         "repetition_score": _q_repetition_score,
         "ngram_jaccard": _q_ngram_jaccard,
         "pack_sequences": _q_pack_sequences,
@@ -1468,6 +1474,20 @@ SELECT f.cohort_day, CAST(d.day - f.cohort_day AS INT) AS day_offset,
 FROM days d JOIN first f ON d.user_id = f.user_id
 WHERE d.day - f.cohort_day <= 30
 GROUP BY f.cohort_day, day_offset""",
+        "sliding_rollup": r"""
+WITH ev AS (
+  SELECT user_id, event_type,
+         CAST(epoch_us(ts) // 900000000 AS BIGINT) AS hi
+  FROM events),
+w AS (
+  SELECT user_id, event_type, hi - j AS win
+  FROM ev CROSS JOIN generate_series(0, 3) g(j)
+  WHERE hi - j >= 0)
+SELECT win, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(win * 900000000 AS BIGINT) AS win_start_us
+FROM w GROUP BY win, event_type""",
         "shard_shuffle": r"""
 WITH k AS (
   SELECT doc_id, md5('7:' || CAST(doc_id AS VARCHAR)) AS key FROM documents),

@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "events_quantiles",
     "events_funnel",
     "cohort_retention",
+    "sliding_rollup",
     "sessionize",
     "events_asof",
 ]

@@ -138,6 +138,43 @@ def value_quantiles(events: DataFrame, pcts: tuple[int, ...] = (25, 50, 95)) -> 
     return events.groupBy("event_type").agg(*aggs)
 
 
+def sliding_rollup(
+    events: DataFrame,
+    width_us: int = HOUR_US,
+    slide_us: int = HOUR_US // 4,
+) -> DataFrame:
+    """Sliding-window rollup: counts + distinct users per event_type over
+    overlapping windows of ``width_us`` sliding by ``slide_us`` (window w
+    covers ``[w*slide, w*slide + width)``). Every event lands in exactly
+    width/slide consecutive windows, so the explode is a bounded small
+    constant per event (4 here), never data-dependent — then one groupBy,
+    the same shuffle as the tumbling rollup. All-integer bucket
+    arithmetic: the highest window is ``us DIV slide`` and the rest are
+    ``j`` steps below it (non-negative clamped), which avoids the
+    floor-vs-truncate divergence negative numerators would hit across
+    engines."""
+    width_us, slide_us = int(width_us), int(slide_us)
+    if width_us % slide_us != 0:
+        raise ValueError("width_us must be a multiple of slide_us")
+    k = width_us // slide_us
+    hi = F.expr(f"CAST(us DIV {slide_us} AS BIGINT)")
+    wins = F.filter(
+        F.transform(F.sequence(F.lit(0), F.lit(k - 1)), lambda j: hi - j),
+        lambda w: w >= 0,
+    )
+    return (
+        events.withColumn("win", F.explode(wins))
+        .groupBy("win", "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .withColumn(
+            "win_start_us", F.expr(f"CAST(win * {slide_us} AS BIGINT)")
+        )
+    )
+
+
 DAY_US = 24 * 3600 * 1_000_000
 
 

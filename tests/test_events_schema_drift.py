@@ -183,3 +183,32 @@ def test_cohort_retention_triangle(spark):
     assert out[(1, 0)] == 1      # u3 cohort; same-day dups collapse
     assert (1, 39) not in out    # beyond max_offset
     assert all(off >= 0 for _, off in out)
+
+
+def test_sliding_rollup_window_membership(spark):
+    from kausaldb_spark.sources.events import HOUR_US, sliding_rollup
+
+    Q = HOUR_US // 4  # 15 min slide
+    rows = [
+        # event at exactly 1h: windows starting at 15,30,45,60 min contain it
+        (1, HOUR_US, "u1", "view", 0.0),
+        # event at 5 min: early windows clamp at 0 -> wins 0 only... 0*Q<=5m<0+60m
+        (2, 5 * 60 * 1_000_000, "u2", "view", 0.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, us long, user_id string, event_type string, value double"
+    )
+    out = {(r["win"], r["event_type"]): r for r in sliding_rollup(ev).collect()}
+    wins_e1 = sorted(w for (w, _t) in out if out[(w, "view")]["n_events"] >= 1)
+    # e1 at us=4Q -> wins 1..4; e2 at us<Q -> win 0 only
+    assert set(wins_e1) == {0, 1, 2, 3, 4}
+    assert out[(0, "view")]["n_events"] == 1          # only the early event
+    for w in (1, 2, 3):
+        assert out[(w, "view")]["n_events"] == 1      # only e1
+    assert out[(4, "view")]["n_events"] == 1
+    assert out[(4, "view")]["win_start_us"] == 4 * Q
+    # width must divide evenly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sliding_rollup(ev, width_us=HOUR_US, slide_us=7)
