@@ -146,6 +146,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="mixture target, repeatable (requires --budget-tokens)",
     )
 
+    vs = sub.add_parser(
+        "verify-shards", help="re-hash a sharded training corpus against its manifest"
+    )
+    vs.add_argument("--path", required=True, help="sharded corpus directory")
+    vs.add_argument("--id-col", default="doc_id")
+
     srv = sub.add_parser(
         "serve", help="run the resident TCP daemon (client/daemon split)"
     )
@@ -305,6 +311,16 @@ def main(argv: list[str] | None = None, spark=None, engine=None, file=None) -> i
             n_shards=args.shards, seed=args.seed, fmt=args.corpus_format,
         )
         print(json.dumps(manifest, default=str), file=file)
+        return 0
+    if args.command == "verify-shards":
+        from kausaldb_spark.sinks import verify_shards
+
+        try:
+            verify_shards(engine.spark, args.path, id_col=args.id_col)
+        except (ValueError, FileNotFoundError) as exc:
+            print(json.dumps({"verified": False, "error": str(exc)}), file=file)
+            return 1
+        print(json.dumps({"verified": True, "path": args.path}), file=file)
         return 0
     if args.command == "serve":
         from kausaldb_spark.server import KausalServer

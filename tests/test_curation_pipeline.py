@@ -144,3 +144,31 @@ def test_sink_write_retry_after_partial_state(spark, tmp_path):
     m2 = sinks.write_training_shards(docs, out, n_shards=2, seed=7)
     assert m1["shards"] == m2["shards"]
     assert sinks.verify_shards(spark, out)
+
+
+def test_cli_verify_shards(spark, tmp_path):
+    import io
+    import json as _json
+    import os
+
+    from kausaldb_spark.cli import main as cli_main
+    from kausaldb_spark.engine import KausalEngine
+
+    eng = KausalEngine(spark, str(tmp_path / "store"))
+    out = str(tmp_path / "shards")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sinks.write_training_shards(docs, out, n_shards=2, seed=7)
+    buf = io.StringIO()
+    assert cli_main(["--store", eng.store.path, "verify-shards", "--path", out],
+                    engine=eng, file=buf) == 0
+    assert _json.loads(buf.getvalue())["verified"] is True
+    # corrupted manifest -> rc 1 with the error surfaced
+    mp = os.path.join(out, "_kdb_manifest.json")
+    m = _json.load(open(mp))
+    m["shards"][0]["digest"] = "0"
+    _json.dump(m, open(mp, "w"))
+    buf2 = io.StringIO()
+    assert cli_main(["--store", eng.store.path, "verify-shards", "--path", out],
+                    engine=eng, file=buf2) == 1
+    r = _json.loads(buf2.getvalue())
+    assert r["verified"] is False and "mismatch" in r["error"]
