@@ -217,13 +217,17 @@ def funnel(
     one equi-join on user_id against the (ever-shrinking) survivor frame
     plus a groupBy — n_steps-1 user-keyed shuffles total, co-partitioned
     under AQE, no window over the full event stream. Funnels are 3-5 steps
-    in practice, so the chain is short and each stage prunes."""
+    in practice, so the chain is short and each stage prunes. Each
+    survivor frame is localCheckpoint'ed (user-cardinality-sized, shrinks
+    per step): without it, step k's lineage re-runs steps 1..k-1, making
+    the chain quadratic in step count."""
     if not steps:
         raise ValueError("funnel needs at least one step")
     cur = (
         events.where(F.col("event_type") == steps[0])
         .groupBy("user_id")
         .agg(F.min("us").alias("_t"))
+        .localCheckpoint(eager=True)
     )
     counts = [("1", steps[0], cur)]
     for i, step in enumerate(steps[1:], start=2):
@@ -236,6 +240,7 @@ def funnel(
             )
             .groupBy("user_id")
             .agg(F.min("us").alias("_t"))
+            .localCheckpoint(eager=True)
         )
         counts.append((str(i), step, nxt))
         cur = nxt
