@@ -190,9 +190,15 @@ def cohort_retention(events: DataFrame, max_offset: int = 30) -> DataFrame:
     (cohort, offset) pair; distinct-per-cell via the pre-aggregated
     (user, day) relation so a user's many events that day collapse before
     the final shuffle. ``max_offset`` bounds the triangle width."""
-    days = events.select(
-        "user_id", F.expr(f"CAST(us DIV {DAY_US} AS BIGINT)").alias("day")
-    ).distinct()
+    # (user, day) feeds both the cohort derivation and the cell join —
+    # checkpoint so the distinct (the expensive scan+shuffle) runs once
+    days = (
+        events.select(
+            "user_id", F.expr(f"CAST(us DIV {DAY_US} AS BIGINT)").alias("day")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     first = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     return (
         days.join(first, "user_id")
