@@ -184,18 +184,36 @@ def curate_and_write(
     )
     funnel["after_decontamination"] = clean.count()
 
-    # optional token-budget mixture (adds copy_idx; doc_id stays the join key
-    # so the shard id must incorporate the copy to keep training rows unique).
-    # The *1000 salt requires copy_idx < 1000, so upsampling is capped at
-    # 999 epochs — far beyond any sane mixture (quality degrades past ~10
-    # epochs); the cap makes the id arithmetic safe by construction.
+    # optional token-budget mixture (adds copy_idx; the shard id must
+    # incorporate the copy to keep training rows unique). copy_idx == 0 keeps
+    # the original doc_id (identity is preserved for the un-upsampled corpus);
+    # extra epochs get a fresh content-address-style 56-bit id derived from
+    # md5(doc_id, copy_idx) — the same derivation as sources.corpus._synth_id,
+    # so it is safe for ANY doc_id magnitude (a `doc_id * K + copy_idx` salt
+    # overflows bigint for the 56-bit synthesized ids) and collision odds
+    # match the onboarding ids'.
     if targets is not None and budget_tokens is not None:
+        salted = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "\x1f",
+                        F.col("doc_id").cast("string"),
+                        F.col("copy_idx").cast("string"),
+                    )
+                ),
+                1,
+                14,
+            ),
+            16,
+            10,
+        ).cast("bigint")
         mixed = tx.apply_mixture(
             clean, targets, budget_tokens, key_col="doc_id", source_col="source",
             max_weight_ppm=999_000_000,
         ).withColumn(
             "doc_id",
-            (F.col("doc_id") * 1000 + F.col("copy_idx")).cast("bigint"),
+            F.when(F.col("copy_idx") == 0, F.col("doc_id")).otherwise(salted),
         ).drop("copy_idx")
         funnel["after_mixture"] = mixed.count()
     else:

@@ -116,11 +116,23 @@ def shard_digests(spark: SparkSession, path: str, id_col: str = "doc_id") -> Dat
     pos = F.row_number().over(
         Window.partitionBy("shard").orderBy("_key", id_col)
     ) - 1
+    # NULLs are hashed explicitly: concat_ws SKIPS null inputs, so without
+    # a null bitmap two rows that differ only in WHICH column is null
+    # (text=NULL,source='x' vs text='x',source=NULL) would alias to one
+    # hash and weaken verify_shards. The bitmap disambiguates the layout;
+    # coalesce-to-empty keeps the value stream total.
+    null_bitmap = F.concat(
+        *[
+            F.when(F.col(c).isNull(), F.lit("1")).otherwise(F.lit("0"))
+            for c in payload_cols
+        ]
+    )
     rowh = F.md5(
         F.concat_ws(
             "\x1f",
             pos.cast("string"),
-            *[F.col(c).cast("string") for c in payload_cols],
+            null_bitmap,
+            *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in payload_cols],
         )
     )
     chunk = F.conv(F.substring(rowh, 1, 14), 16, 10).cast("decimal(38,0)")
@@ -141,11 +153,21 @@ def read_training_shards(
     """Read the sharded layout back in training order. With ``shard=K`` only
     that directory is scanned (partition pruning on the shard column); the
     within-shard order is reconstructed from the persisted ``_key`` column
-    (a per-shard local sort — never global)."""
+    (a per-shard local sort — never global).
+
+    The hash repartition on ``shard`` is load-bearing: the file scan
+    bin-packs files from DIFFERENT shard directories into size-ordered
+    splits (and ``maxRecordsPerFile`` splits one shard across files), so a
+    bare ``sortWithinPartitions`` would only order each arbitrary scan
+    split, not each shard. Re-keying by shard puts every shard's rows in
+    exactly one partition (mirroring the writer's layout), after which the
+    local sort yields true (shard, _key) iteration order."""
     df = spark.read.parquet(path)
     if shard is not None:
         df = df.where(F.col("shard") == int(shard))
-    return df.sortWithinPartitions("shard", "_key", id_col)
+    return df.repartition(F.col("shard")).sortWithinPartitions(
+        "shard", "_key", id_col
+    )
 
 
 def verify_shards(spark: SparkSession, path: str, id_col: str = "doc_id") -> bool:

@@ -73,11 +73,24 @@ def conform(
         if lang_col and lang_col in cols
         else F.lit("und")
     )
-    did = (
-        F.col(id_col).cast("bigint")
-        if id_col and id_col in cols
-        else _synth_id(text, src)
-    )
+    if id_col and id_col in cols:
+        # a non-numeric id column (common in JSONL crawls: "doc-123") would
+        # cast to all-null doc_ids, pass the type-only schema guard, and then
+        # silently match nothing in every downstream join — fail loudly at
+        # the load site instead, like the rest of the drift guards
+        cast_id = F.col(id_col).try_cast("bigint")
+        did = F.when(
+            F.col(id_col).isNotNull() & cast_id.isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit(f"conform: non-numeric {id_col!r} value "),
+                    F.col(id_col).cast("string"),
+                    F.lit(" — drop id_col to synthesize content-address ids"),
+                )
+            ).cast("bigint"),
+        ).otherwise(cast_id)
+    else:
+        did = _synth_id(text, src)
     out = df.select(
         did.alias("doc_id"),
         text.alias("text"),

@@ -98,14 +98,20 @@ def dedup_documents_stream(
 def curated_append(
     stream: DataFrame, out_dir: str, checkpoint_dir: str
 ):
-    """foreachBatch appender for the curated store — exactly-once from the
-    checkpointed batch id, each micro-batch one atomic parquet append
-    (same contract as ``events.incremental_ingest``)."""
+    """foreachBatch appender for the curated store — exactly-once (same
+    contract as ``events.incremental_ingest``): the checkpoint replays a
+    batch whose offsets never committed, and the ``_batch_id``-partitioned
+    dynamic overwrite makes the replay idempotent — the batch's partition is
+    replaced, never appended twice. A blind append would be at-least-once."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.withColumn("_batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(out_dir)
+        (
+            batch_df.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out_dir)
+        )
 
     return (
         stream.writeStream.foreachBatch(write_batch)

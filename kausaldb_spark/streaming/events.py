@@ -234,11 +234,20 @@ def incremental_ingest(
     stream: DataFrame, out_dir: str, checkpoint_dir: str
 ):
     """foreachBatch micro-batch appender — the reference's incremental sync
-    loop. Each batch lands as an atomic parquet append; exactly-once comes
-    from the checkpointed batch id."""
+    loop. Exactly-once: the checkpoint gives at-least-once batch delivery,
+    and the write is made IDEMPOTENT by keying the output on ``_batch_id``
+    with dynamic partition overwrite — a replayed batch (crash between the
+    parquet commit and the offset commit) replaces its own partition instead
+    of appending a second copy. A blind append here would be at-least-once."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.withColumn("_batch_id", F.lit(batch_id)).write.mode("append").parquet(out_dir)
+        (
+            batch_df.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out_dir)
+        )
 
     return (
         stream.writeStream.foreachBatch(write_batch)

@@ -122,3 +122,26 @@ def test_conformed_output_feeds_pipeline_ops(spark, docs):
     )
     solved = tx.mixture_solve(out, {"src0": 1.0}, budget_tokens=1000)
     assert solved.where(F.col("source") == "src0").count() == 1
+
+
+def test_conform_rejects_non_numeric_ids(spark):
+    """A string id column ("doc-123") must fail LOUDLY at the load site —
+    a silent cast-to-null would pass the type guard and then every
+    downstream join on doc_id would match nothing."""
+    import pytest
+    from pyspark.sql import functions as F  # noqa: F401
+
+    bad = spark.createDataFrame(
+        [("doc-1", "hello world"), ("doc-2", "more text")], "doc_id string, text string"
+    )
+    with pytest.raises(Exception, match="non-numeric"):
+        corpus.conform(bad).collect()
+    # numeric strings still cast fine
+    ok = spark.createDataFrame(
+        [("41", "hello"), ("42", "world")], "doc_id string, text string"
+    )
+    got = {r["doc_id"] for r in corpus.conform(ok).select("doc_id").collect()}
+    assert got == {41, 42}
+    # and dropping the id column falls back to synthesized content ids
+    synth = corpus.conform(bad.drop("doc_id"))
+    assert synth.where(synth.doc_id.isNull()).count() == 0

@@ -172,3 +172,40 @@ def test_cli_verify_shards(spark, tmp_path):
                     engine=eng, file=buf2) == 1
     r = _json.loads(buf2.getvalue())
     assert r["verified"] is False and "mismatch" in r["error"]
+
+
+def test_mixture_salt_safe_for_56bit_content_ids(spark, tmp_path):
+    """Upsampled copies of docs with content-address-sized ids (~2^56) must
+    keep unique, positive doc_ids — the old `id*1000+copy` salt overflowed
+    bigint for exactly these ids. copy_idx==0 preserves the original id."""
+    from pyspark.sql import functions as F
+
+    from kausaldb_spark.functions import text as tx
+
+    base = 7_2000_0000_0000_0000  # ≈ max _synth_id (56-bit)
+    docs = spark.createDataFrame(
+        [(base + i, "word " * 50, "en", "rare", 250) for i in range(6)]
+        + [(1000 + i, "word " * 50, "en", "common", 250) for i in range(60)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    mixed = tx.apply_mixture(
+        docs, {"rare": 0.5, "common": 0.5}, budget_tokens=6000,
+        max_weight_ppm=999_000_000,
+    )
+    # replicate curate_and_write's salting
+    salted = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("\x1f", F.col("doc_id").cast("string"),
+                              F.col("copy_idx").cast("string"))), 1, 14),
+        16, 10,
+    ).cast("bigint")
+    out = mixed.withColumn(
+        "doc_id", F.when(F.col("copy_idx") == 0, F.col("doc_id")).otherwise(salted)
+    )
+    rows = out.select("doc_id").collect()
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == len(set(ids)), "salted ids collide"
+    assert all(i > 0 for i in ids), "salted ids overflowed to negative"
+    # originals survive with identity intact
+    kept = {r["doc_id"] for r in out.where(F.col("doc_id") >= base).collect()}
+    assert kept  # at least the copy_idx==0 epoch of the huge-id docs

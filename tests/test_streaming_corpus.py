@@ -100,3 +100,27 @@ def test_dedup_documents_stream_drops_recrawls(spark, tmp_path):
     assert texts == {"alpha page", "beta page", "gamma page"}
     kept_alpha = got.where(F.col("text") == "alpha page").collect()
     assert len(kept_alpha) == 1 and kept_alpha[0]["doc_id"] == 1
+
+
+def test_curated_append_replay_is_idempotent(spark, doc_chunks, tmp_path):
+    """Simulate the crash window between the parquet commit and the
+    checkpoint offset commit: re-running a batch with the SAME batch_id
+    must replace its partition, not append a second copy."""
+    src, _rows = doc_chunks
+    out = str(tmp_path / "curated_replay")
+    ck = str(tmp_path / "ck_replay")
+    stream = sc.curate_stream(sc.stream_documents(spark, src))
+    _run(sc.curated_append(stream, out, ck))
+    n1 = spark.read.parquet(out).count()
+    assert n1 > 0
+    # replay batch 0 by hand (what a checkpoint recovery does after the
+    # crash window): same rows, same batch id
+    batch0 = spark.read.parquet(out).where(F.col("_batch_id") == 0).drop("_batch_id")
+    (
+        batch0.withColumn("_batch_id", F.lit(0))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id")
+        .parquet(out)
+    )
+    assert spark.read.parquet(out).count() == n1
