@@ -361,6 +361,12 @@ def _q_bm25_topk(spark, sf_dir):
     return tx.bm25_topk(_docs(spark, sf_dir), list(_TM_TERMS), k=20)
 
 
+def _q_bm25_topk_ppm(spark, sf_dir):
+    # the fixed-point BM25 twin: integer ppm scores, so ranked retrieval
+    # gets a full value-hash oracle row (r6 verdict item 8)
+    return tx.bm25_topk_ppm(_docs(spark, sf_dir), list(_TM_TERMS), k=20)
+
+
 def _q_token_count(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     return docs.select(
@@ -915,59 +921,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (dfs_preorder + the two streaming ops — not SQL-expressible; their
     behavior is pytest-asserted in tests/).
 
-    Round-6 rotation: the five oracle-backed entries that sat past
-    position 50 in r5 (corpus_report, source_mix, line_dedup,
-    binary_dedup, canonical_selection) now gate inside the sample window;
-    nine long-stable entries (iterate_all, edge_ordering, token_count,
-    token_count_bpe, split_assignment, filter_pagination, exact_dedup,
-    simhash_pairs, fingerprint) moved to the tail, where the local DuckDB
-    parity suite (tests/test_oracle_parity.py) still hash-checks them
-    every run. term_match_topk, duplicate_spans, chunk_documents and
-    pack_offsets (new this round) gate in the window; the float bm25_topk
-    is a rows-only tail entry (pytest-pinned ranking, same policy as
-    unigram LM). Later r6 additions: domain_filter + length_quantiles gate
-    in the window (filter_targets and bfs_depth5 — each family keeps other
-    in-window gates — rotated to the locally-gated tail); semantic_dedup
-    is a rows-only tail entry (k-means, pytest-pinned); normalize_text +
-    mixture_weights gate in the window (events_hourly and repetition_score
-    — events keeps sessionize/asof/retention in-window, text-quality keeps
-    quality_score/pii_scan/lang_id — rotated to the locally-gated tail);
-    incremental_dedup (new-batch-vs-corpus-index) gates in the window with
-    ngram_jaccard rotated to the tail (dedup keeps minhash/simhash/spans/
-    clusters/line/binary/canonical in-window)."""
+    Round-7 rotation (the r6 verdict's item 3 — every oracle-backed entry
+    gets a driver row within a round or two): ALL sixteen oracle-backed
+    entries that had never gated in a driver window (events_funnel,
+    cohort_retention, sliding_rollup, events_quantiles, events_topk_users,
+    pack_sequences, exact_dedup, ngram_jaccard, simhash_pairs, fingerprint,
+    edge_ordering, token_count_bpe, bfs_depth5, filter_targets,
+    filter_pagination, iterate_all) move into the sample window, plus the
+    new bm25_topk_ppm (fixed-point ranked retrieval — verdict item 8).
+    Seventeen entries with ≥1 green driver row across r1-r6 rotate to the
+    locally-gated tail (shard_shuffle, snapshot_view, events_asof,
+    sessionize, events_retention, store_roundtrip, point_lookup,
+    batch_lookup_100, filter_metadata_eq, filter_compound, find_by_name,
+    find_alias_and_path, keyword_search, callers_1hop, bfs_depth3,
+    path_enumeration, context_blocks), where tests/test_oracle_parity.py
+    still hash-checks them every run with the identical DuckDB harness.
+    """
     return {
-        # -- rotated into the driver sample this round --
+        # -- rotated INTO the driver sample this round (never gated before) --
+        "events_funnel": _q_events_funnel,
+        "cohort_retention": _q_cohort_retention,
+        "sliding_rollup": _q_sliding_rollup,
+        "events_quantiles": _q_events_quantiles,
+        "events_topk_users": _q_events_topk_users,
+        "pack_sequences": _q_pack_sequences,
+        "exact_dedup": _q_exact_dedup,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "simhash_pairs": _q_simhash_pairs,
+        "fingerprint": _q_fingerprint,
+        "edge_ordering": _q_edge_ordering,
+        "token_count_bpe": _q_token_count_bpe,
+        "bfs_depth5": _q_bfs_depth5,
+        "filter_targets": _q_filter_targets,
+        "filter_pagination": _q_filter_pagination,
+        "iterate_all": _q_iterate_all,
+        "bm25_topk_ppm": _q_bm25_topk_ppm,
+        # -- r6-gated curation ops (one green row so far; keep one more) --
         "normalize_text": _q_normalize_text,
         "mixture_weights": _q_mixture_weights,
         "domain_filter": _q_domain_filter,
         "length_quantiles": _q_length_quantiles,
-        "shard_shuffle": _q_shard_shuffle,
         "corpus_report": _q_corpus_report,
         "source_mix": _q_source_mix,
         "line_dedup": _q_line_dedup,
         "binary_dedup": _q_binary_dedup,
         "canonical_selection": _q_canonical_selection,
-        # -- gated first since r5 --
-        "snapshot_view": _q_snapshot_view,
-        "events_asof": _q_events_asof,
-        "context_blocks": _q_context_blocks,
+        # -- per-family in-window representatives --
         "context_edges": _q_context_edges,
-        "sessionize": _q_sessionize,
-        "events_retention": _q_events_retention,
-        "store_roundtrip": _q_store_roundtrip,
-        # -- lookups / filters --
-        "point_lookup": _q_point_lookup,
-        "batch_lookup_100": _q_batch_lookup_100,
-        "filter_metadata_eq": _q_filter_metadata_eq,
-        "filter_compound": _q_filter_compound,
         "filter_numeric_lexical": _q_filter_numeric_lexical,
-        "find_by_name": _q_find_by_name,
-        "find_alias_and_path": _q_find_alias_and_path,
-        "keyword_search": _q_keyword_search,
-        # -- traversals --
-        "callers_1hop": _q_callers_1hop,
-        "bfs_depth3": _q_bfs_depth3,
-        "path_enumeration": _q_path_enumeration,
         "traversal_edge_filters": _q_traversal_edge_filters,
         "traversal_incoming": _q_traversal_incoming,
         "bidirectional": _q_bidirectional,
@@ -994,26 +995,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tail (position > 50: outside the driver sample; the oracle-
         #    backed entries here are still hash-gated by the local parity
         #    suite, the rows-only ones are pytest-gated) --
+        "shard_shuffle": _q_shard_shuffle,
+        "snapshot_view": _q_snapshot_view,
+        "events_asof": _q_events_asof,
+        "sessionize": _q_sessionize,
+        "events_retention": _q_events_retention,
+        "store_roundtrip": _q_store_roundtrip,
+        "point_lookup": _q_point_lookup,
+        "batch_lookup_100": _q_batch_lookup_100,
+        "filter_metadata_eq": _q_filter_metadata_eq,
+        "filter_compound": _q_filter_compound,
+        "find_by_name": _q_find_by_name,
+        "find_alias_and_path": _q_find_alias_and_path,
+        "keyword_search": _q_keyword_search,
+        "callers_1hop": _q_callers_1hop,
+        "bfs_depth3": _q_bfs_depth3,
+        "path_enumeration": _q_path_enumeration,
+        "context_blocks": _q_context_blocks,
         "events_hourly": _q_events_hourly,
-        "events_quantiles": _q_events_quantiles,
-        "events_funnel": _q_events_funnel,
-        "cohort_retention": _q_cohort_retention,
-        "sliding_rollup": _q_sliding_rollup,
         "repetition_score": _q_repetition_score,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "pack_sequences": _q_pack_sequences,
-        "iterate_all": _q_iterate_all,
-        "events_topk_users": _q_events_topk_users,
-        "filter_targets": _q_filter_targets,
-        "bfs_depth5": _q_bfs_depth5,
-        "edge_ordering": _q_edge_ordering,
         "token_count": _q_token_count,
         "split_assignment": _q_split_assignment,
-        "filter_pagination": _q_filter_pagination,
-        "exact_dedup": _q_exact_dedup,
-        "simhash_pairs": _q_simhash_pairs,
-        "token_count_bpe": _q_token_count_bpe,
-        "fingerprint": _q_fingerprint,
         "bm25_topk": _q_bm25_topk,
         "semantic_dedup": _q_semantic_dedup,
         "importance_resample": _q_importance_resample,
@@ -1350,6 +1352,35 @@ SELECT doc_id, CAST(i AS INT) AS chunk_idx,
        array_to_string(list_slice(t, i * 24 + 1, least(i * 24 + 32, n)), ' ')
          AS chunk_text
 FROM ch""",
+        "bm25_topk_ppm": r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+), base AS (
+  SELECT doc_id, len(t)::BIGINT AS dl,
+         len(list_filter(t, x -> x = 'table'))::BIGINT AS tf1,
+         len(list_filter(t, x -> x = 'join'))::BIGINT AS tf2,
+         len(list_filter(t, x -> x = 'query'))::BIGINT AS tf3
+  FROM toks
+), stats AS (
+  SELECT count(*)::HUGEINT AS n_docs, sum(dl)::HUGEINT AS total_dl,
+         sum((tf1 > 0)::INT)::HUGEINT AS df1,
+         sum((tf2 > 0)::INT)::HUGEINT AS df2,
+         sum((tf3 > 0)::INT)::HUGEINT AS df3
+  FROM base
+), scored AS (
+  SELECT doc_id,
+         (tf1 > 0)::INT + (tf2 > 0)::INT + (tf3 > 0)::INT AS n_terms,
+         CASE WHEN tf1 > 0 THEN (((1000000::HUGEINT*(2*n_docs - 2*df1 + 1)) // (2*df1 + 1)) * ((1000000::HUGEINT * (22*total_dl*tf1::HUGEINT)) // (10*total_dl*tf1::HUGEINT + 3*total_dl + 9*dl::HUGEINT*n_docs))) // 1000000 ELSE 0 END
+         + CASE WHEN tf2 > 0 THEN (((1000000::HUGEINT*(2*n_docs - 2*df2 + 1)) // (2*df2 + 1)) * ((1000000::HUGEINT * (22*total_dl*tf2::HUGEINT)) // (10*total_dl*tf2::HUGEINT + 3*total_dl + 9*dl::HUGEINT*n_docs))) // 1000000 ELSE 0 END
+         + CASE WHEN tf3 > 0 THEN (((1000000::HUGEINT*(2*n_docs - 2*df3 + 1)) // (2*df3 + 1)) * ((1000000::HUGEINT * (22*total_dl*tf3::HUGEINT)) // (10*total_dl*tf3::HUGEINT + 3*total_dl + 9*dl::HUGEINT*n_docs))) // 1000000 ELSE 0 END AS score_ppm
+  FROM base CROSS JOIN stats
+)
+SELECT * FROM (
+  SELECT doc_id, CAST(n_terms AS INT) AS n_terms,
+         CAST(score_ppm AS BIGINT) AS score_ppm,
+         CAST(row_number() OVER (ORDER BY score_ppm DESC, doc_id) AS INT) AS rank
+  FROM scored WHERE n_terms > 0
+) WHERE rank <= 20""",
         "term_match_topk": r"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t

@@ -178,10 +178,29 @@ def lsh_bucketed_topk(
     )
 
 
+def _fit_kmeans(feats, n_clusters: int, seed: int,
+                fit_sample_fraction: float | None):
+    """Fit MLlib k-means on ``feats`` or, with ``fit_sample_fraction`` set,
+    on a seeded Bernoulli sample of it — the 100 TB shape: centroids from a
+    bounded sample, ``transform`` over the full corpus (centroid quality
+    converges long before the full pass; the paper-standard IVF/SemDeDup
+    training recipe). Falls back to the full fit when the sample is too
+    small to carry ``n_clusters`` distinct centers."""
+    from pyspark.ml.clustering import KMeans
+
+    km = KMeans(k=n_clusters, seed=seed, maxIter=10)
+    if fit_sample_fraction is not None and 0 < fit_sample_fraction < 1:
+        sample = feats.sample(fraction=fit_sample_fraction, seed=seed)
+        if sample.count() >= n_clusters * 2:
+            return km.fit(sample)
+    return km.fit(feats)
+
+
 def ivf_topk(
     embeddings: DataFrame, query_ids: list[int], k: int = 5,
     n_clusters: int = 16, n_probe: int = 4, seed: int = 42,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    fit_sample_fraction: float | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: k-means-partition the corpus, probe only
     the ``n_probe`` centroids nearest each query. The second scale path next
@@ -203,7 +222,7 @@ def ivf_topk(
         F.col(id_col), F.col(vec_col),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
     )
-    model = KMeans(k=n_clusters, seed=seed, maxIter=10).fit(feats)
+    model = _fit_kmeans(feats, n_clusters, seed, fit_sample_fraction)
     assigned = model.transform(feats).select(
         F.col(id_col), F.col(vec_col), F.col("prediction").alias("centroid")
     )
@@ -334,6 +353,7 @@ def semantic_dedup(
     n_clusters: int = 16, seed: int = 42,
     id_col: str = "vec_id", vec_col: str = "embedding",
     max_cluster_size: int = 10_000, with_dropped: bool = False,
+    fit_sample_fraction: float | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means-cluster the embedding space, form near-dup
@@ -373,7 +393,7 @@ def semantic_dedup(
         F.col(id_col), F.col(vec_col),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
     )
-    model = KMeans(k=max(2, n_clusters), seed=seed, maxIter=10).fit(feats)
+    model = _fit_kmeans(feats, max(2, n_clusters), seed, fit_sample_fraction)
     centers = [[float(x) for x in c] for c in model.clusterCenters()]
     spark = embeddings.sparkSession
     cdf = F.broadcast(spark.createDataFrame(

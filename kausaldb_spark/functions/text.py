@@ -698,6 +698,91 @@ def bm25_topk(docs, query_terms: list[str], k: int = 20, k1: float = 1.2,
     return ranked.withColumn("rank", F.row_number().over(w).cast("int"))
 
 
+def bm25_topk_ppm(docs, query_terms: list[str], k: int = 20,
+                  text_col: str = "text", id_col: str = "doc_id"):
+    """Fixed-point BM25 top-k: the engine-portable integer twin of
+    :func:`bm25_topk`, exact enough for a value-hash oracle gate. Two
+    deliberate, documented deviations from Okapi make every quantity a
+    ratio of integers (the house no-float-aggregate rule):
+
+    - k1 = 1.2 and b = 0.75 are fixed as the rationals 6/5 and 3/4, so the
+      tf saturation term is exactly ``22·total_dl·tf / (10·total_dl·tf +
+      3·total_dl + 9·dl·N)`` (multiply numerator and denominator of the
+      Okapi term by ``10·total_dl``) — integer arithmetic only;
+    - the idf drops the log and keeps the rational odds
+      ``(2N − 2df + 1) / (2df + 1)`` (Robertson's argument to ln(1+·),
+      scaled by 2 to clear the halves). Per-term contributions stay
+      monotone in tf and df exactly as BM25's are; only the inter-term
+      weighting is steeper. The float :func:`bm25_topk` remains the
+      faithful ranking (pytest-pinned).
+
+    Everything is ppm-scaled floor division. Intermediates ride
+    decimal(38,0) (``10·total_dl·tf`` overflows bigint at web scale);
+    floors are computed as ``(a − a % b) / b`` so the quotient is an exact
+    integer before Spark's scale-6 decimal rounding can touch it —
+    byte-identical to DuckDB's hugeint ``//``.
+
+    Same distributed shape as bm25_topk: one single-row stats broadcast,
+    one scoring scan, a TakeOrdered heap — no corpus-row exchange.
+    Output: (doc_id, n_terms, score_ppm, rank)."""
+    from pyspark.sql.window import Window
+
+    M = F.lit(1_000_000).cast("decimal(38,0)")
+
+    def _floordiv(a, b):
+        # exact floor for non-negative decimals: subtract the remainder
+        # first so the division result is integral (no scale-6 rounding)
+        return ((a - a % b) / b).cast("decimal(38,0)")
+
+    toks = tokens(F.col(text_col))
+    tfs = _per_term_tf(toks, query_terms)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("bigint").alias("dl"),
+        *[tf.cast("bigint").alias(f"_tf{i}") for i, tf in enumerate(tfs.values())],
+    )
+    stats = base.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_dl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("bigint")).alias(f"_df{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    score = F.lit(0).cast("decimal(38,0)")
+    n_terms = F.lit(0)
+    for i in range(len(query_terms)):
+        tf, df = F.col(f"_tf{i}"), F.col(f"_df{i}")
+        idf_ppm = _floordiv(
+            dec(F.lit(1_000_000) * (F.lit(2) * F.col("n_docs") - F.lit(2) * df + F.lit(1))),
+            dec(F.lit(2) * df + F.lit(1)),
+        )
+        nm = dec(F.lit(22)) * dec(F.col("total_dl")) * dec(tf)
+        dn = (
+            dec(F.lit(10)) * dec(F.col("total_dl")) * dec(tf)
+            + dec(F.lit(3)) * dec(F.col("total_dl"))
+            + dec(F.lit(9)) * dec(F.col("dl")) * dec(F.col("n_docs"))
+        )
+        tfq_ppm = _floordiv(M * nm, dn)
+        contrib = _floordiv(idf_ppm * tfq_ppm, M)
+        score = score + F.when(tf > 0, contrib).otherwise(F.lit(0).cast("decimal(38,0)"))
+        n_terms = n_terms + (tf > 0).cast("int")
+    ranked = (
+        scored.select(
+            "doc_id",
+            n_terms.cast("int").alias("n_terms"),
+            score.cast("bigint").alias("score_ppm"),
+        )
+        .where(F.col("n_terms") > 0)
+        .orderBy(F.col("score_ppm").desc(), F.col("doc_id"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("score_ppm").desc(), F.col("doc_id"))
+    return ranked.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
 # ---------------------------------------------------------------------------
 # context-length chunking (training-sequence preparation)
 # ---------------------------------------------------------------------------

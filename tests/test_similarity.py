@@ -245,3 +245,62 @@ def test_semantic_dedup_overcap_clusters_are_reported_not_silently_skipped(spark
     # every doc still gets a verdict — as an untouched singleton
     rows = out.collect()
     assert len(rows) == 12 and all(r["keep"] == 1 for r in rows)
+
+
+def _blob_corpus(spark, per_blob=20):
+    """Two far-apart blobs, each opening with a planted near-dup triple."""
+    import random
+
+    rng = random.Random(11)
+    rows, vid = [], 0
+    for base in ([10.0, 0.0, 0.0, 0.0], [0.0, 10.0, 0.0, 0.0]):
+        for _ in range(3):  # near-dup triple (cosine ~1)
+            rows.append((vid, [b + rng.uniform(-0.01, 0.01) for b in base]))
+            vid += 1
+        for j in range(per_blob - 3):  # distinct members of the same blob
+            v = list(base)
+            v[2] = 5.0 + j * 3.0  # spread far enough to stay under threshold
+            v[3] = -5.0 if j % 2 else 5.0
+            rows.append((vid, [b + rng.uniform(-0.01, 0.01) for b in v]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+
+def test_semantic_dedup_sample_fit_matches_full_fit(spark):
+    """fit_sample_fraction trains the centroids on a bounded sample and
+    transforms the full corpus — on a planted two-blob corpus the verdicts
+    (components, keeps) must be identical to the full fit, because any
+    reasonable 2-means centers separate the blobs."""
+    df = _blob_corpus(spark)
+    full = {
+        r["vec_id"]: (r["cluster_id"], r["keep"])
+        for r in sim.semantic_dedup(df, threshold=0.95, n_clusters=2, seed=1).collect()
+    }
+    sampled = {
+        r["vec_id"]: (r["cluster_id"], r["keep"])
+        for r in sim.semantic_dedup(
+            df, threshold=0.95, n_clusters=2, seed=1, fit_sample_fraction=0.5
+        ).collect()
+    }
+    assert sampled == full
+    # degenerate fraction (sample too small for k clusters) falls back to
+    # the full fit rather than failing
+    tiny = {
+        r["vec_id"]: (r["cluster_id"], r["keep"])
+        for r in sim.semantic_dedup(
+            df, threshold=0.95, n_clusters=2, seed=1, fit_sample_fraction=0.01
+        ).collect()
+    }
+    assert tiny == full
+
+
+def test_ivf_sample_fit_full_probe_still_exact(emb):
+    """With n_probe == n_clusters every partition is probed, so the result
+    equals the exact baseline NO MATTER what centroids the (sampled) fit
+    produced — the invariant that makes sample-fit safe to deploy."""
+    exact = sim.dot_topk(emb, [0, 1], k=5).collect()
+    ivf = sim.ivf_topk(
+        emb, [0, 1], k=5, n_clusters=4, n_probe=4, fit_sample_fraction=0.3
+    ).collect()
+    key = lambda rs: {(r["query_id"], r["neighbor_id"], r["rank"]) for r in rs}  # noqa: E731
+    assert key(ivf) == key(exact)
