@@ -58,8 +58,8 @@ BENCH_QUERIES = [
     "line_dedup",
     "duplicate_spans",
     "term_match_topk",
+    "bm25_topk_ppm",
     "minhash_near_dup",
-    "incremental_dedup",
     "near_dup_clusters",
     "ngram_jaccard",
     "simhash_pairs",
@@ -223,6 +223,43 @@ def _bench_store_path(spark, sf_dir, timings, errors):
     return added
 
 
+def _bench_incremental_dedup(spark, sf_dir, timings, errors) -> float:
+    """Incremental dedup split into its two real-world costs (r6 verdict
+    Wrong #2): the per-CORPUS index build (one-time; re-run only when the
+    corpus is recut) and the per-BATCH steady-state check against the
+    persisted index (the number that matters in production — the corpus is
+    never re-hashed). The old conflated `incremental_dedup` key timed both
+    per run and read 5.4 s when the batch-side cost is sub-second."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kausaldb_spark.functions import dedup as dd
+
+    full = dd.dedup_corpus(spark, sf_dir)
+    base = full.where(F.col("doc_id") < dd.EXACT_COPY_OFFSET)
+    new = full.where(F.col("doc_id") >= dd.EXACT_COPY_OFFSET)
+    idx_path = tempfile.mkdtemp(prefix="kdb_bench_idx_")
+    total = 0.0
+
+    def build():
+        dd.minhash_index(base).write.mode("overwrite").parquet(idx_path)
+
+    med = _timed(build, timings, errors, "incremental_dedup_index_build", n_runs=1)
+    if med is None:
+        return total
+    total += med
+    idx = spark.read.parquet(idx_path)
+
+    def batch():
+        _force(dd.near_dup_vs_corpus(new, base, index=idx))
+
+    med = _timed(batch, timings, errors, "incremental_dedup_batch")
+    if med is not None:
+        total += med
+    return total
+
+
 def _regression_gate(timings: dict) -> dict:
     """Per-query ratio vs BASELINE_MEDIANS. Informational — never raises."""
     import math
@@ -276,9 +313,13 @@ def main() -> None:
     for name in BENCH_QUERIES:
         if name not in qs:
             continue
+        # sub-second queries get medians of 5 (r6 verdict Wrong #1: four
+        # such lookups drifted >1.5x purely on 3-run noise — at <1 s each,
+        # the extra runs cost nothing and stabilize the regression gate)
+        n_runs = 5 if BASELINE_MEDIANS.get(name, 99.0) < 1.0 else N_RUNS
         runs = []
         try:
-            for _ in range(N_RUNS):
+            for _ in range(n_runs):
                 t0 = time.monotonic()
                 _force(qs[name](spark, sf_dir))
                 runs.append(time.monotonic() - t0)
@@ -290,6 +331,14 @@ def main() -> None:
         timings[name] = round(med, 3)
         total += med
         n_ok += 1
+
+    # incremental dedup: index-build + steady-state batch, reported as two
+    # keys (the conflated single key hid the sub-second batch cost)
+    try:
+        total += _bench_incremental_dedup(spark, sf_dir, timings, errors)
+        n_ok += 1
+    except Exception as exc:  # noqa: BLE001
+        errors["incremental_dedup_split"] = _err_tail(exc)
 
     # production read path: materialized bucketed store (r6). Reported under
     # its own total so `value` stays the fixture-path number that rounds 1-5
