@@ -226,238 +226,381 @@ def _parse_python(rel_path: str, source: str) -> tuple[list, list]:
 
 
 # -- Zig parser tier ---------------------------------------------------------
-# Line-heuristic extractor matching the unit taxonomy of the reference's AST
-# walker (src/ingestion/parsers/zig_parser.zig:80-134,317-440): units
-# function/type/const/var/import/test with Container.name qualification,
-# edges calls / calls_method / method_of / imports. tree-sitter is not in
-# the container, so structure comes from brace-depth scanning with strings
-# and comments stripped. Scope rules match the reference's golden cases
-# (zig_parser.zig:673-975): TYPE and IMPORT decls are emitted at ANY scope,
-# including inside function bodies ("parse nested function", "parse local
-# const struct declaration" require Inner/LocalStruct units). Plain
-# const/var decls are likewise emitted at ANY scope (r6 — the reference's
-# process_var_decl: "create unit regardless of scope",
-# zig_parser.zig:497-498), EXCEPT inside test bodies: the reference's
-# walk_children has no .test_decl arm (zig_parser.zig:138-316), so test
-# bodies are never walked and their locals produce no units. Because this
-# store keys blocks by md5(codebase/file:name), fn-local const/var names
-# (the same `const allocator = ...` in twenty fns of one file) are
-# qualified by their enclosing function — the reference keeps bare names
-# with a parent_container field and defers disambiguation to a higher
-# level; the qualified spelling carries the same information in the id.
-# Multiline declarations whose `struct {` / `@import(` opener sits on a
-# continuation line (`pub const Foo =\n    struct {`) are matched against
-# a joined lookahead head of the declaration (up to 8 lines).
+# Tokenizer + declaration-level recursive descent matching the unit taxonomy
+# of the reference's AST walker (src/ingestion/parsers/zig_parser.zig:
+# 80-134,317-440): units function/type/const/var/import/test with
+# Container.name qualification, edges calls / calls_method / method_of /
+# imports. tree-sitter is not in the container, so this is a pure-Python
+# lexical scan (real string/char/multiline-string/comment handling — braces
+# inside literals can never confuse structure) followed by a decl-grammar
+# walk (the reference's walker only consumes decl-level structure,
+# zig_parser.zig:71-671).
+#
+# Scope rules match the reference's golden cases (zig_parser.zig:683-975):
+# TYPE and IMPORT decls are emitted at ANY scope, including inside function
+# bodies ("parse nested function", "parse local const struct declaration"
+# require Inner/LocalStruct units). Plain const/var decls are likewise
+# emitted at ANY scope (the reference's process_var_decl: "create unit
+# regardless of scope", zig_parser.zig:497-498), EXCEPT:
+# - test bodies: walk_children has no .test_decl arm
+#   (zig_parser.zig:138-316), so nothing inside a test yields units;
+# - comptime BLOCKS (`comptime { ... }`): the .@"comptime" node likewise
+#   has no walk_children arm, so their contents are never walked (r7 —
+#   the line heuristic used to leak these).
+# Anonymous containers in expression position (`List(struct { ... })`)
+# have their members walked with a NULL container context — the
+# reference's process_container_decl only recovers a name from a
+# literal `Name =` token pair immediately before the container keyword
+# (zig_parser.zig:599-615); otherwise current_container is set to null.
+# Because this store keys blocks by md5(codebase/file:name), fn-local
+# const/var names (the same `const allocator = ...` in twenty fns of one
+# file) are qualified by their enclosing function — the reference keeps
+# bare names with a parent_container field and defers disambiguation to a
+# higher level; the qualified spelling carries the same information in the
+# id. One deliberate widening vs the reference: `extern fn` prototypes
+# (fn_proto without a body) still emit function units — the reference's
+# process_node only dispatches .fn_decl, but a proto is exactly the
+# surface a caller greps for.
 
-_Z_STR = re.compile(r'"(?:[^"\\]|\\.)*"')
-_Z_CHAR = re.compile(r"'(?:[^'\\]|\\.)*'")
-_Z_FN = re.compile(
-    r'^\s*(?:pub\s+)?(?:export\s+)?(?:extern\s+(?:"[^"]*"\s+)?)?(?:inline\s+|noinline\s+)?'
-    r"fn\s+([A-Za-z_]\w*)\s*\("
-)
-_Z_TYPE = re.compile(
-    r"^\s*(?:pub\s+)?const\s+([A-Za-z_]\w*)(?::[^=]+)?\s*=\s*"
-    r"(?:packed\s+|extern\s+)?(?:struct|enum(?:\s*\([^)]*\))?|union(?:\s*\([^)]*\))?|opaque)\s*\{"
-)
-_Z_IMPORT = re.compile(
-    r'^\s*(?:pub\s+)?const\s+([A-Za-z_]\w*)\s*=\s*@import\s*\(\s*"([^"]+)"'
-)
-_Z_CONST = re.compile(r"^\s*(?:pub\s+)?const\s+([A-Za-z_]\w*)")
-_Z_VAR = re.compile(r"^\s*(?:pub\s+)?var\s+([A-Za-z_]\w*)")
-_Z_TEST = re.compile(r'^\s*test\s+(?:"([^"]*)"|([A-Za-z_]\w*))?\s*\{')
-_Z_CALL = re.compile(r"(?<![\w@.])([A-Za-z_]\w*)\s*\(")
-_Z_METHOD = re.compile(r"\.([A-Za-z_]\w*)\s*\(")
 _Z_KEYWORDS = frozenset(
     "if while for switch return break continue defer errdefer catch orelse try "
     "and or fn struct enum union opaque unreachable test comptime inline "
-    "suspend resume await async asm align callconv linksection".split()
+    "suspend resume await async asm align callconv linksection addrspace "
+    "pub export extern var const threadlocal noinline usingnamespace "
+    "anyframe noalias packed volatile allowzero error".split()
+)
+_Z_MODIFIERS = frozenset(
+    "pub export inline noinline threadlocal extern".split()
+)
+# tokens that can legally precede a declaration start (container member /
+# statement position) — `*const u8` / `[]const u8` pointer modifiers must
+# NOT parse as decls, and their `const` is preceded by '*' / ']'
+_Z_DECL_PREV = frozenset({None, "{", "}", ";", ",", "(", ")"}) | _Z_MODIFIERS | {
+    "comptime", "string"
+}
+
+_Z_TOKEN_RX = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<comment>//[^\n]*)
+  | (?P<mls>\\\\[^\n]*)                       # multiline string line
+  | (?P<string>"(?:[^"\\\n]|\\.)*")
+  | (?P<char>'(?:[^'\\\n]|\\.)*')
+  | (?P<qident>@"(?:[^"\\\n]|\\.)*")          # @"quoted identifier"
+  | (?P<builtin>@[A-Za-z_]\w*)
+  | (?P<ident>[A-Za-z_]\w*)
+  | (?P<num>[0-9](?:[0-9a-zA-Z_]|\.(?=[0-9a-fA-F]))*)
+  | (?P<op>==|!=|<=|>=|\+=|-=|\*=|/=|%=|\|=|&=|\^=|<<=|>>=|\+\+|\*\*
+          |\.\.\.|\.\.|\.\*|\.\?|=>|->|<<|>>|.)
+    """,
+    re.VERBOSE,
 )
 
 
-def _zig_structural(line: str) -> str:
-    """Line with string/char literals and comments removed — safe for brace
-    counting and call scanning."""
-    if line.lstrip().startswith("\\\\"):  # multiline string literal line
-        return ""
-    line = _Z_STR.sub('""', line)
-    line = _Z_CHAR.sub("''", line)
-    i = line.find("//")
-    return line[:i] if i >= 0 else line
+def _zig_tokens(source: str) -> list[tuple[str, str, int]]:
+    """(kind, text, 1-based line) tokens; whitespace/comments/multiline-
+    string lines dropped (their braces are data, not structure)."""
+    toks = []
+    line = 1
+    for m in _Z_TOKEN_RX.finditer(source):
+        kind = m.lastgroup
+        text = m.group()
+        if kind not in ("ws", "comment", "mls"):
+            if kind == "qident":
+                toks.append(("ident", text[2:].strip('"'), line))
+            elif kind == "ident" and text in _Z_KEYWORDS:
+                toks.append(("kw", text, line))
+            else:
+                toks.append((kind, text, line))
+        line += text.count("\n")
+    return toks
+
+
+class _ZigParse:
+    """Decl-level recursive descent over the token stream. Emits the same
+    (rel_path, unit_type, qual, parent, line_start, line_end, content, err)
+    unit tuples and (rel_path, src, dst, edge_type) edges as _parse_python.
+    Never raises on malformed input — unmatched brackets clamp to EOF (the
+    reference returns ParsingFailed and the file degrades; emitting what
+    parsed is strictly more useful and the goldens pin graceful recovery)."""
+
+    def __init__(self, rel_path: str, source: str):
+        self.rel = rel_path
+        self.lines = source.splitlines()
+        self.toks = _zig_tokens(source)
+        self.units: list = []
+        self.edges: list = []
+        # matching close index for every bracket-opening token (joint
+        # stack over {, (, [ — exact because literals are single tokens)
+        self.match: dict[int, int] = {}
+        stack = []
+        pairs = {"{": "}", "(": ")", "[": "]"}
+        for i, (k, t, _) in enumerate(self.toks):
+            if t in pairs and k == "op":
+                stack.append((i, pairs[t]))
+            elif k == "op" and stack and t == stack[-1][1]:
+                self.match[stack.pop()[0]] = i
+
+    # -- helpers ------------------------------------------------------------
+
+    def _content(self, a_line: int, b_line: int) -> str:
+        return "\n".join(self.lines[a_line - 1 : b_line])
+
+    def _close(self, i: int) -> int:
+        """Index of the bracket matching toks[i], or last token on error."""
+        return self.match.get(i, len(self.toks) - 1)
+
+    def _skip_to_semi(self, i: int, end: int) -> int:
+        """First index > i of ';' at bracket depth 0 (brackets jumped via
+        the match table); `end` (exclusive) on miss."""
+        while i < end:
+            k, t, _ = self.toks[i]
+            if k == "op" and t in "{([":
+                i = self._close(i) + 1
+                continue
+            if k == "op" and t == ";":
+                return i
+            i += 1
+        return end
+
+    # -- decl parsing --------------------------------------------------------
+
+    def walk(self, i: int, end: int, container: str, fn_qual: str) -> None:
+        """Scan [i, end): emit decls at this scope, recurse into container
+        bodies / fn bodies / initializers, extract call edges inside fns."""
+        toks = self.toks
+        while i < end:
+            k, t, ln = toks[i]
+            if k == "kw":
+                if t in ("const", "var") and self._is_decl_start(i):
+                    i = self._var_decl(i, end, container, fn_qual)
+                    continue
+                if t == "fn" and i + 1 < end and toks[i + 1][0] == "ident":
+                    i = self._fn_decl(i, end, container)
+                    continue
+                if t == "test" and fn_qual == "" and self._is_decl_start(i):
+                    i = self._test_decl(i, end)
+                    continue
+                if t == "comptime" and i + 1 < end and toks[i + 1][1] == "{":
+                    # comptime BLOCK: never walked by the reference
+                    i = self._close(i + 1) + 1
+                    continue
+                if t in ("struct", "enum", "union", "opaque"):
+                    # anonymous container in expression position: members
+                    # walked with null container (zig_parser.zig:599-615)
+                    j = i + 1
+                    if j < end and toks[j][1] == "(":  # union(enum), enum(u8)
+                        j = self._close(j) + 1
+                    if j < end and toks[j][1] == "{":
+                        self.walk(j + 1, self._close(j), "", "")
+                        i = self._close(j) + 1
+                        continue
+            if (
+                k == "ident"
+                and fn_qual
+                and i + 1 < end
+                and toks[i + 1][1] == "("
+                and toks[i + 1][0] == "op"
+            ):
+                prev = toks[i - 1] if i > 0 else (None, None, 0)
+                if prev[1] == "." and prev[0] == "op":
+                    if t not in _Z_KEYWORDS:
+                        self.edges.append((self.rel, fn_qual, t, "calls_method"))
+                elif t not in _Z_KEYWORDS and t != fn_qual.rsplit(".", 1)[-1]:
+                    self.edges.append((self.rel, fn_qual, t, "calls"))
+            i += 1
+
+    def _is_decl_start(self, i: int) -> bool:
+        if i == 0:
+            return True
+        pk, pt, _ = self.toks[i - 1]
+        if pk == "string":  # extern "c" const/var/fn
+            return i >= 2 and self.toks[i - 2][1] == "extern"
+        return pt in _Z_DECL_PREV or (pk == "kw" and pt in _Z_MODIFIERS) or pt == "comptime"
+
+    def _qual(self, name: str, container: str, fn_qual: str) -> tuple[str, str]:
+        """(qual, parent) for a const/var decl."""
+        if fn_qual:
+            return f"{fn_qual}.{name}", fn_qual
+        if container:
+            return f"{container}.{name}", container
+        return name, ""
+
+    def _var_decl(self, i: int, end: int, container: str, fn_qual: str) -> int:
+        toks = self.toks
+        ut = toks[i][1]  # 'const' | 'var'
+        ln = toks[i][2]
+        if i + 1 >= end or toks[i + 1][0] != "ident":
+            return i + 1
+        name = toks[i + 1][1]
+        # scan past the (possibly brace-carrying) type annotation to the
+        # '=' or ';' that ends the decl head, at bracket depth 0
+        j = i + 2
+        eq = -1
+        while j < end:
+            k, t, _ = toks[j]
+            if k == "op" and t in "{([":
+                j = self._close(j) + 1
+                continue
+            if k == "op" and t == "=":
+                eq = j
+                break
+            if k == "op" and t in (";", ","):
+                break
+            j += 1
+        if eq < 0:
+            # blockless decl (extern const/var, or a non-decl false hit)
+            semi = self._skip_to_semi(i, end)
+            end_ln = toks[min(semi, end - 1)][2]
+            qual, parent = self._qual(name, container, fn_qual)
+            self.units.append((self.rel, ut, qual, parent, ln, end_ln,
+                               self._content(ln, end_ln), None))
+            return semi + 1
+
+        # classify the initializer
+        j = eq + 1
+        # @import?
+        if j < end and toks[j][0] == "builtin" and toks[j][1] == "@import":
+            target = ""
+            if j + 1 < end and toks[j + 1][1] == "(":
+                cl = self._close(j + 1)
+                for x in range(j + 2, cl):
+                    if toks[x][0] == "string":
+                        target = toks[x][1].strip('"')
+                        break
+            semi = self._skip_to_semi(j, end)
+            end_ln = toks[min(semi, end - 1)][2]
+            qual = f"{container}.{name}" if container else name
+            self.units.append((self.rel, "import", qual, container, ln, end_ln,
+                               self._content(ln, end_ln), None))
+            bare = os.path.basename(target)
+            bare = bare[:-4] if bare.endswith(".zig") else bare
+            self.edges.append((self.rel, qual, bare or name, "imports"))
+            return semi + 1
+        # container type? optional packed/extern prefix, then the keyword
+        p = j
+        while p < end and toks[p][1] in ("packed", "extern"):
+            p += 1
+        if p < end and toks[p][0] == "kw" and toks[p][1] in (
+            "struct", "enum", "union", "opaque"
+        ):
+            q = p + 1
+            if q < end and toks[q][1] == "(":  # enum(u8) / union(enum)
+                q = self._close(q) + 1
+            if q < end and toks[q][1] == "{":
+                body_close = self._close(q)
+                end_ln = toks[body_close][2]
+                qual = (
+                    f"{container}.{name}"
+                    if container and container != name
+                    else name
+                )
+                self.units.append((self.rel, "type", qual, container, ln,
+                                   end_ln, self._content(ln, end_ln), None))
+                # members walked with THIS container context; the function
+                # context does not leak into the container body
+                self.walk(q + 1, body_close, name, "")
+                return self._skip_to_semi(body_close, end) + 1
+            if q < end and toks[q][1] == ";" and toks[p][1] == "opaque":
+                # `const H = opaque;`-style (rare): still a type decl
+                end_ln = toks[q][2]
+                qual = f"{container}.{name}" if container and container != name else name
+                self.units.append((self.rel, "type", qual, container, ln,
+                                   end_ln, self._content(ln, end_ln), None))
+                return q + 1
+
+        # plain const/var: emit, then walk the initializer (the reference's
+        # var_decl arm walks init_node, so nested decls/calls inside blocks,
+        # labeled blocks, or anonymous containers in the init still count)
+        semi = self._skip_to_semi(eq, end)
+        end_ln = toks[min(semi, end - 1)][2]
+        qual, parent = self._qual(name, container, fn_qual)
+        self.units.append((self.rel, ut, qual, parent, ln, end_ln,
+                           self._content(ln, end_ln), None))
+        self.walk(eq + 1, semi, container, fn_qual)
+        return semi + 1
+
+    def _fn_decl(self, i: int, end: int, container: str) -> int:
+        toks = self.toks
+        ln = toks[i][2]
+        name = toks[i + 1][1]
+        qual = f"{container}.{name}" if container else name
+        # params
+        j = i + 2
+        if j < end and toks[j][1] == "(":
+            j = self._close(j) + 1
+        # return type up to body '{' or proto ';'
+        body_open = -1
+        while j < end:
+            k, t, _ = toks[j]
+            if k == "op" and t in "([":
+                j = self._close(j) + 1
+                continue
+            if k == "op" and t == "{":
+                body_open = j
+                break
+            if k == "op" and t == ";":
+                break
+            if k == "kw" and t in ("struct", "enum", "union", "opaque"):
+                # container-typed return value: `fn f() struct { .. } {`
+                q = j + 1
+                if q < end and toks[q][1] == "(":
+                    q = self._close(q) + 1
+                if q < end and toks[q][1] == "{":
+                    j = self._close(q) + 1
+                    continue
+            j += 1
+        if body_open < 0:
+            # prototype (extern fn ...;): emit the unit, nothing to walk
+            end_ln = toks[min(j, end - 1)][2]
+            self.units.append((self.rel, "function", qual, container, ln,
+                               end_ln, self._content(ln, end_ln), None))
+            if container:
+                self.edges.append((self.rel, qual, container, "method_of"))
+            return j + 1
+        body_close = self._close(body_open)
+        end_ln = toks[body_close][2]
+        self.units.append((self.rel, "function", qual, container, ln, end_ln,
+                           self._content(ln, end_ln), None))
+        if container:
+            self.edges.append((self.rel, qual, container, "method_of"))
+        self.walk(body_open + 1, body_close, container, qual)
+        return body_close + 1
+
+    def _test_decl(self, i: int, end: int) -> int:
+        toks = self.toks
+        ln = toks[i][2]
+        j = i + 1
+        tname = ""
+        if j < end and toks[j][0] == "string":
+            tname = toks[j][1].strip('"')
+            j += 1
+        elif j < end and toks[j][0] == "ident":
+            tname = toks[j][1]
+            j += 1
+        if j >= end or toks[j][1] != "{":
+            return i + 1
+        body_close = self._close(j)
+        end_ln = toks[body_close][2]
+        safe = re.sub(r"\W+", "_", tname).strip("_") or f"test_L{ln}"
+        self.units.append((self.rel, "test", safe, "", ln, end_ln,
+                           self._content(ln, end_ln), None))
+        # test bodies are never walked (no .test_decl arm in walk_children)
+        return body_close + 1
 
 
 def _parse_zig(rel_path: str, source: str) -> tuple[list, list]:
     """One Zig file → (units, syntactic edges), same tuple shapes as
     ``_parse_python``."""
-    units, edges = [], []
-    lines = source.splitlines()
-    if not lines:
+    if not source.splitlines():
         return [(rel_path, "document", os.path.basename(rel_path), "", 1, 1,
                  source, None)], []
-    sl = [_zig_structural(ln) for ln in lines]
-    n = len(lines)
-    depth_before = []
-    d = 0
-    for s in sl:
-        depth_before.append(d)
-        d += s.count("{") - s.count("}")
-
-    def depth_after(i: int) -> int:
-        return depth_before[i] + sl[i].count("{") - sl[i].count("}")
-
-    def block_end(i: int) -> int:
-        """Last line of the decl starting at line i: the line where depth
-        returns to the decl's depth after a block opened, or the ';' line
-        for blockless decls."""
-        opened = False
-        for j in range(i, n):
-            opened = opened or "{" in sl[j]
-            if opened and depth_after(j) <= depth_before[i]:
-                return j
-            if not opened and ";" in sl[j]:
-                return j
-        return n - 1
-
-    def head(i: int, raw: bool = False) -> str:
-        """Joined declaration head: lines i.. until one contains '{' or ';'
-        (bounded at 8) — lets the single-line decl regexes see multiline
-        continuations like ``pub const Foo =\\n    struct {``. ``raw``
-        keeps string literals (the @import target)."""
-        src_lines = lines if raw else sl
-        parts = []
-        for j in range(i, min(i + 8, n)):
-            parts.append(src_lines[j].strip())
-            if "{" in sl[j] or ";" in sl[j]:
-                break
-        return " ".join(parts)
-
-    # pass 1: containers, functions, tests (their extents gate pass 2)
-    containers: list[tuple[str, int, int]] = []  # (name, start, end)
-    fn_extents: list[tuple[int, int, str]] = []  # (start, end, qual)
-    test_extents: list[tuple[int, int]] = []
-
-    def enclosing_container(i: int) -> str:
-        best = ""
-        for name, a, b in containers:
-            if a < i <= b:
-                best = name  # innermost wins (containers listed outer-first)
-        return best
-
-    for i in range(n):
-        m = _Z_TYPE.match(sl[i]) or (
-            _Z_CONST.match(sl[i]) and _Z_TYPE.match(head(i))
-        )
-        if m:
-            containers.append((m.group(1), i, block_end(i)))
-
-    for i in range(n):
-        m = _Z_FN.match(sl[i])
-        if m:
-            name = m.group(1)
-            end = block_end(i)
-            container = enclosing_container(i)
-            qual = f"{container}.{name}" if container else name
-            fn_extents.append((i, end, qual))
-            content = "\n".join(lines[i : end + 1])
-            units.append((rel_path, "function", qual, container, i + 1, end + 1,
-                          content, None))
-            if container:
-                edges.append((rel_path, qual, container, "method_of"))
-            # calls inside the body (skip the decl line's own `fn name(`)
-            for j in range(i, end + 1):
-                body = sl[j]
-                for mm in _Z_METHOD.finditer(body):
-                    tgt = mm.group(1)
-                    if tgt not in _Z_KEYWORDS:
-                        edges.append((rel_path, qual, tgt, "calls_method"))
-                for mm in _Z_CALL.finditer(body):
-                    tgt = mm.group(1)
-                    before = body[: mm.start()]
-                    if re.search(r"\bfn\s*$", before):
-                        continue  # the decl itself (this or a nested fn)
-                    if tgt not in _Z_KEYWORDS and tgt != name:
-                        edges.append((rel_path, qual, tgt, "calls"))
-            continue
-        # raw line: the quoted test name would be blanked by the structural pass
-        m = _Z_TEST.match(lines[i]) if _Z_TEST.match(sl[i]) else None
-        if m:
-            tname = m.group(1) or m.group(2) or f"test_L{i + 1}"
-            end = block_end(i)
-            test_extents.append((i, end))
-            safe = re.sub(r"\W+", "_", tname).strip("_") or f"test_L{i + 1}"
-            units.append((rel_path, "test", safe, "", i + 1, end + 1,
-                          "\n".join(lines[i : end + 1]), None))
-
-    def enclosing_fn(i: int) -> str:
-        """Qual of the innermost function whose body contains line i
-        ('' when at file/container scope)."""
-        best, best_start = "", -1
-        for a, b, q in fn_extents:
-            if a < i <= b and a > best_start:
-                best, best_start = q, a
-        return best
-
-    def inside_test(i: int) -> bool:
-        return any(a <= i <= b for a, b in test_extents)
-
-    # pass 2: imports, types, AND const/var at ANY scope — the reference's
-    # AST walk emits every var decl regardless of scope (golden cases
-    # "parse nested function", "parse local const struct declaration";
-    # process_var_decl zig_parser.zig:497-498). Test bodies are the one
-    # exception: walk_children has no .test_decl arm, so nothing inside a
-    # test produces units.
-    for i in range(n):
-        if inside_test(i):
-            continue
-        # raw line here: the structural pass blanks string literals, which
-        # would erase the @import("...") target
-        m = _Z_IMPORT.match(lines[i]) or (
-            _Z_CONST.match(sl[i]) and _Z_IMPORT.match(head(i, raw=True))
-        )
-        if m:
-            alias, target = m.group(1), m.group(2)
-            end = block_end(i)
-            container = enclosing_container(i)
-            qual = f"{container}.{alias}" if container else alias
-            units.append((rel_path, "import", qual, container, i + 1, end + 1,
-                          "\n".join(lines[i : end + 1]), None))
-            bare_target = os.path.basename(target)
-            bare_target = bare_target[:-4] if bare_target.endswith(".zig") else bare_target
-            edges.append((rel_path, qual, bare_target, "imports"))
-            continue
-        m = _Z_TYPE.match(sl[i]) or (
-            _Z_CONST.match(sl[i]) and _Z_TYPE.match(head(i))
-        )
-        if m:
-            name = m.group(1)
-            end = block_end(i)
-            container = enclosing_container(i)
-            qual = f"{container}.{name}" if container and container != name else name
-            units.append((rel_path, "type", qual, container, i + 1, end + 1,
-                          "\n".join(lines[i : end + 1]), None))
-            continue
-        for rx, ut in ((_Z_CONST, "const"), (_Z_VAR, "var")):
-            m = rx.match(sl[i])
-            if m:
-                name = m.group(1)
-                end = block_end(i)
-                fn_qual = enclosing_fn(i)
-                container = enclosing_container(i)
-                # fn-locals carry the fn qual (store ids are per-file-name
-                # unique); the parent field still names the inner scope
-                if fn_qual:
-                    qual = f"{fn_qual}.{name}"
-                    parent = fn_qual
-                else:
-                    qual = f"{container}.{name}" if container else name
-                    parent = container
-                units.append((rel_path, ut, qual, parent, i + 1, end + 1,
-                              "\n".join(lines[i : end + 1]), None))
-                break
-
-    if not units:
-        units.append((rel_path, "document", os.path.basename(rel_path), "", 1,
-                      max(1, len(lines)), source, None))
-    return units, edges
+    p = _ZigParse(rel_path, source)
+    p.walk(0, len(p.toks), "", "")
+    if not p.units:
+        p.units.append((rel_path, "document", os.path.basename(rel_path), "",
+                        1, max(1, len(p.lines)), source, None))
+    return p.units, p.edges
 
 
 def _parse_source(rel_path: str, source: str) -> tuple[list, list]:

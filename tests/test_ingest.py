@@ -440,3 +440,124 @@ def test_zig_selfhost_reference_src(spark):
     assert any("." in n and t == "const" for n, t in zp_names.items()), "no locals"
     # unit volume sanity: the walker file is ~1000 lines of dense decls
     assert len(zp) > 40, len(zp)
+
+
+def test_zig_comptime_blocks_are_not_walked():
+    """The reference's walk_children has no .@"comptime" arm
+    (zig_parser.zig:138-316), so `comptime { ... }` block contents are
+    never walked — at file scope, container scope, or inside fns, nested
+    or not. A `comptime var x` DECL (no block) is still a var_decl and
+    emits. The r6 line heuristic leaked comptime-block locals."""
+    from kausaldb_spark.sources.ingest import _parse_zig
+
+    src = (
+        "comptime {\n"
+        "    const hidden_file = 1;\n"
+        "    comptime {\n"
+        "        const hidden_nested = 2;\n"
+        "        _ = hidden_nested;\n"
+        "    }\n"
+        "    _ = hidden_file;\n"
+        "}\n"
+        "pub const KEEP: u32 = 3;\n"
+        "fn f() void {\n"
+        "    comptime {\n"
+        "        const hidden_fn = 4;\n"
+        "        _ = hidden_fn;\n"
+        "    }\n"
+        "    comptime var counter: usize = 0;\n"
+        "    const seen = 5;\n"
+        "    _ = seen; _ = counter;\n"
+        "}\n"
+    )
+    units, _ = _parse_zig("t.zig", src)
+    names = {u[2]: u[1] for u in units}
+    assert "KEEP" in names and names["f"] == "function"
+    assert names["f.seen"] == "const"
+    assert names["f.counter"] == "var"  # comptime DECL, not block
+    assert not any("hidden" in n for n in names), names
+
+
+def test_zig_anonymous_container_in_expression():
+    """An anonymous container in expression position (`List(struct {...})`)
+    has its members walked with a NULL container: the reference's
+    process_container_decl only recovers a name from a literal `Name =`
+    immediately before the container keyword (zig_parser.zig:599-615) —
+    a call-argument container has `(` there, so current_container is null
+    and member fns get unqualified ids with no method_of edge."""
+    from kausaldb_spark.sources.ingest import _parse_zig
+
+    src = (
+        "const T = List(struct {\n"
+        "    pub fn inner_method(self: @This()) void { self.go(); }\n"
+        "});\n"
+    )
+    units, edges = _parse_zig("t.zig", src)
+    names = {u[2]: (u[1], u[3]) for u in units}
+    assert names["T"] == ("const", "")          # init is a call, not a container
+    assert names["inner_method"] == ("function", "")  # null container
+    assert not any(e[3] == "method_of" for e in edges)
+    assert ("inner_method", "go", "calls_method") in {(e[1], e[2], e[3]) for e in edges}
+    # type-factory return position: the decl-walk reaches it and the
+    # members are likewise null-container (a deliberate widening vs the
+    # reference, whose walk_children has no .return arm — emitting the
+    # factory's surface is strictly more useful for callers/search)
+    src2 = (
+        "pub fn Factory(comptime n: usize) type {\n"
+        "    return struct {\n"
+        "        pub fn get() usize { return n; }\n"
+        "    };\n"
+        "}\n"
+    )
+    units2, _ = _parse_zig("t.zig", src2)
+    names2 = {u[2]: u[1] for u in units2}
+    assert names2["Factory"] == "function"
+    assert names2["get"] == "function"
+
+
+def test_zig_braces_inside_literals_never_confuse_structure():
+    """Multiline strings (\\\\ lines), quoted strings with escapes, char
+    literals, and comments can all contain braces/semicolons/'//' — the
+    tokenizer must treat them as data. The r6 stripper handled the common
+    cases; the token pass makes exotic ones exact."""
+    from kausaldb_spark.sources.ingest import _parse_zig
+
+    src = (
+        "const sql =\n"
+        "    \\\\SELECT '{' FROM t { } } {\n"
+        "    \\\\WHERE x = \"}\"; // not a comment\n"
+        ";\n"
+        'const tricky = "brace { quote \\" semi ; slash //";\n'
+        "const ch = '{';\n"
+        "// comment with } } } unbalanced\n"
+        "fn after() void {\n"
+        "    helper();\n"
+        "}\n"
+    )
+    units, edges = _parse_zig("t.zig", src)
+    names = {u[2]: u[1] for u in units}
+    assert names["sql"] == "const"
+    assert names["tricky"] == "const"
+    assert names["ch"] == "const"
+    assert names["after"] == "function"
+    assert ("after", "helper", "calls") in {(e[1], e[2], e[3]) for e in edges}
+    # line extents stay sane: `after` starts after the literals
+    after = [u for u in units if u[2] == "after"][0]
+    assert after[4] > 6
+
+
+def test_zig_labeled_block_initializer_decls_emit():
+    """The reference's var_decl arm walks the initializer, and block
+    statements are walked — so a labeled-block init's locals emit."""
+    from kausaldb_spark.sources.ingest import _parse_zig
+
+    src = (
+        "const v = blk: {\n"
+        "    const inner = compute();\n"
+        "    break :blk inner;\n"
+        "};\n"
+    )
+    units, _ = _parse_zig("t.zig", src)
+    names = {u[2]: u[1] for u in units}
+    assert names["v"] == "const"
+    assert names["inner"] == "const"
