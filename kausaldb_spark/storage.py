@@ -15,10 +15,13 @@ append-only parquet + the MVCC snapshot view:
 - reads (S4/S5): ``visible()`` = snapshot view over all appended versions.
 
 Sequence assignment: each append claims a contiguous batch
-``[hi+1, hi+n]`` read from the store's current max — single-writer semantics,
-like the reference's global counter. (A multi-writer deployment would
-replace this with Delta Lake's transaction log; plain parquet keeps the
-container dependency-free.)
+``[hi+1, hi+n]`` read from the store's current max — the reference's global
+counter. Multi-writer safety (r7): every mutating op runs under a TTL
+writer lease (see ``_writer_lease``), so two engines sharing a store path
+serialize their reserve-then-write sections and can never double-assign a
+sequence range; a crashed holder's lease is stolen after its TTL. (A
+Delta-backed deployment would get the same from the transaction log; plain
+parquet + lease keeps the container dependency-free.)
 
 Compaction analogue: ``compact()`` rewrites the store to just the visible
 snapshot (dropping shadowed versions + consumed tombstones) — same effect as
@@ -30,12 +33,21 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import socket
+import time
+import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.errors import AnalysisException
 
 from kausaldb_spark.snapshot import visible_blocks
+
+
+class LeaseHeldError(RuntimeError):
+    """Another writer holds the store's writer lease and did not release it
+    within the acquisition timeout."""
 
 _EMPTY_TOMB = "block_id string, sequence bigint, deletion_timestamp bigint"
 # per-file ingest state: content hash + the sequence base of the batch that
@@ -64,7 +76,13 @@ _SNAPSHOT_CACHE: dict[tuple[int, str, int], DataFrame] = {}
 
 
 class BlockStore:
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        lease_ttl: float = 60.0,
+        lease_timeout: float = 30.0,
+    ):
         self.spark = spark
         self.path = path
         self._blocks_dir = os.path.join(path, "blocks")
@@ -73,6 +91,89 @@ class BlockStore:
         self._file_state_dir = os.path.join(path, "file_state")
         self._ref_names_dir = os.path.join(path, "ref_names")
         self._hwm_path = os.path.join(path, "_max_seq.json")
+        self._lease_path = os.path.join(path, "_writer.lease")
+        self._lease_ttl = float(lease_ttl)
+        self._lease_timeout = float(lease_timeout)
+        self._lease_depth = 0
+        self._lease_owner = f"{socket.gethostname()}:{os.getpid()}:{uuid.uuid4().hex[:8]}"
+
+    # -- writer lease --------------------------------------------------------
+    # The reference gets write safety from its single-threaded core + WAL
+    # (docs/DESIGN.md "Single-Threaded Core"); this store's analogue is a
+    # TTL lease over the sequence counter: every mutating op runs inside
+    # acquire → reserve-then-write → release, so two engines pointed at one
+    # store can never read the same high-water mark and double-assign a
+    # sequence range. The lease is an O_CREAT|O_EXCL file (atomic on POSIX
+    # and NFSv4); a crashed holder's lease is STOLEN after its TTL via an
+    # atomic rename (exactly one stealer wins the rename; losers loop and
+    # re-contend on the recreate). On an object store this maps to a
+    # conditional put (S3 If-None-Match / GCS generation preconditions),
+    # or disappears entirely under a Delta transaction log.
+    #
+    # Known advisory-protocol caveat, sized away by ttl >> op time: a holder
+    # that stalls PAST its TTL mid-write can race the stealer. The release
+    # path re-reads the lease and only unlinks its own, so the steal is
+    # never undone; the 12-point crash matrix covers the torn-write side.
+
+    @contextmanager
+    def _writer_lease(self, ttl: float | None = None):
+        if self._lease_depth > 0:  # reentrant within one engine call chain
+            self._lease_depth += 1
+            try:
+                yield
+            finally:
+                self._lease_depth -= 1
+            return
+        ttl = ttl if ttl is not None else self._lease_ttl
+        os.makedirs(self.path, exist_ok=True)
+        deadline = time.monotonic() + self._lease_timeout
+        while True:
+            try:
+                fd = os.open(
+                    self._lease_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                )
+                with os.fdopen(fd, "w", encoding="utf-8") as f:
+                    json.dump(
+                        {"owner": self._lease_owner, "expires": time.time() + ttl},
+                        f,
+                    )
+                break
+            except FileExistsError:
+                try:
+                    with open(self._lease_path, encoding="utf-8") as f:
+                        cur = json.load(f)
+                    expired = time.time() > float(cur.get("expires", 0.0))
+                except (OSError, ValueError):
+                    # torn lease file (holder crashed mid-create) — treat
+                    # as expired; the rename below serializes the stealers
+                    expired = True
+                if expired:
+                    stale = f"{self._lease_path}.stale.{uuid.uuid4().hex[:8]}"
+                    try:
+                        os.rename(self._lease_path, stale)
+                        os.unlink(stale)
+                    except OSError:
+                        pass  # someone else stole it first — re-contend
+                    continue
+                if time.monotonic() > deadline:
+                    raise LeaseHeldError(
+                        f"writer lease on {self.path} held by "
+                        f"{cur.get('owner', '?')} (expires in "
+                        f"{float(cur.get('expires', 0)) - time.time():.0f}s)"
+                    )
+                time.sleep(0.05)
+        self._lease_depth = 1
+        try:
+            yield
+        finally:
+            self._lease_depth = 0
+            try:
+                with open(self._lease_path, encoding="utf-8") as f:
+                    cur = json.load(f)
+                if cur.get("owner") == self._lease_owner:
+                    os.unlink(self._lease_path)
+            except (OSError, ValueError):
+                pass  # expired + stolen mid-op: never remove the new owner's
 
     # -- raw table accessors ------------------------------------------------
 
@@ -148,19 +249,21 @@ class BlockStore:
 
     def record_file_state(self, rows: DataFrame) -> None:
         """Append (codebase, file_path, content_hash, ingest_seq) rows."""
-        rows.select(
-            "codebase", "file_path", "content_hash",
-            F.col("ingest_seq").cast("bigint"),
-        ).write.mode("append").parquet(self._file_state_dir)
+        with self._writer_lease():
+            rows.select(
+                "codebase", "file_path", "content_hash",
+                F.col("ingest_seq").cast("bigint"),
+            ).write.mode("append").parquet(self._file_state_dir)
 
     def ref_names(self) -> DataFrame:
         """Append-only inverted reference index (see _EMPTY_REF_NAMES)."""
         return self._read_or_empty(self._ref_names_dir, _EMPTY_REF_NAMES)
 
     def record_ref_names(self, rows: DataFrame) -> None:
-        rows.select(
-            "codebase", "file_path", "name", F.col("ingest_seq").cast("bigint")
-        ).write.mode("append").parquet(self._ref_names_dir)
+        with self._writer_lease():
+            rows.select(
+                "codebase", "file_path", "name", F.col("ingest_seq").cast("bigint")
+            ).write.mode("append").parquet(self._ref_names_dir)
 
     def current_ref_names(self) -> DataFrame:
         """Rows at each file's CURRENT ingest epoch (the file_state view is
@@ -230,22 +333,25 @@ class BlockStore:
         reusing a sequence range and misordering MVCC. Same discipline as the
         reference's counter-before-commit (``src/storage/engine.zig:663-674``).
         """
-        base = self.max_sequence()
-        lo, hi = blocks.agg(F.min("sequence"), F.max("sequence")).collect()[0]
-        lo, hi = lo or 0, hi or 0
-        if resequence:
-            blocks = blocks.withColumn(
-                "sequence", (F.col("sequence") - lo + base + 1).cast("bigint")
+        with self._writer_lease():
+            base = self.max_sequence()
+            lo, hi = blocks.agg(F.min("sequence"), F.max("sequence")).collect()[0]
+            lo, hi = lo or 0, hi or 0
+            if resequence:
+                blocks = blocks.withColumn(
+                    "sequence", (F.col("sequence") - lo + base + 1).cast("bigint")
+                )
+                new_hi = hi - lo + base + 1
+            else:
+                new_hi = max(hi, base)
+            self._write_hwm(new_hi)  # reserve first — see docstring
+            # explicit, not just mark-keyed: resequence=False can leave the mark
+            # unchanged (incoming max <= current), which would key a stale hit
+            self._invalidate_snapshot()
+            blocks.write.mode("append").partitionBy("codebase").parquet(
+                self._blocks_dir
             )
-            new_hi = hi - lo + base + 1
-        else:
-            new_hi = max(hi, base)
-        self._write_hwm(new_hi)  # reserve first — see docstring
-        # explicit, not just mark-keyed: resequence=False can leave the mark
-        # unchanged (incoming max <= current), which would key a stale hit
-        self._invalidate_snapshot()
-        blocks.write.mode("append").partitionBy("codebase").parquet(self._blocks_dir)
-        return new_hi
+            return new_hi
 
     def append_edges(
         self, edges: DataFrame, assume_endpoints_exist: bool = False
@@ -274,20 +380,27 @@ class BlockStore:
                 checked.join(ids, checked.src == ids.id, "left_semi")
                 .join(ids, checked.dst == ids.id, "left_semi")
             )
-        checked.select(*_EDGE_COLS).write.mode("append").parquet(self._edges_dir)
+        with self._writer_lease():
+            checked.select(*_EDGE_COLS).write.mode("append").parquet(
+                self._edges_dir
+            )
 
     def delete_blocks(self, block_ids: list[str]) -> None:
         """S3: tombstones with a fresh sequence above everything current.
         Driver-side list API — for small explicit batches (the CLI `delete
         <id>` path). Bulk deletes go through :meth:`tombstone_where`."""
-        seq = self.max_sequence() + 1
-        self._write_hwm(seq + max(len(block_ids) - 1, 0))  # reserve-then-write
-        self._invalidate_snapshot()
-        tomb = self.spark.createDataFrame(
-            [(b, seq + i, (seq + i) * 1000) for i, b in enumerate(sorted(block_ids))],
-            _EMPTY_TOMB,
-        )
-        tomb.write.mode("append").parquet(self._tomb_dir)
+        with self._writer_lease():
+            seq = self.max_sequence() + 1
+            self._write_hwm(seq + max(len(block_ids) - 1, 0))  # reserve-then-write
+            self._invalidate_snapshot()
+            tomb = self.spark.createDataFrame(
+                [
+                    (b, seq + i, (seq + i) * 1000)
+                    for i, b in enumerate(sorted(block_ids))
+                ],
+                _EMPTY_TOMB,
+            )
+            tomb.write.mode("append").parquet(self._tomb_dir)
 
     def tombstone_where(self, predicate: Column | str) -> None:
         """S3 at scale: tombstone every *visible* block matching a predicate
@@ -298,19 +411,20 @@ class BlockStore:
         current high-water mark; shadowing only needs tombstone.sequence >=
         the shadowed version's sequence, and a later re-put claims a higher
         sequence, so resurrection semantics are unchanged."""
-        seq = self.max_sequence() + 1
-        self._write_hwm(seq)  # reserve-then-write (see append_blocks)
-        self._invalidate_snapshot()
-        tomb = (
-            self.visible()
-            .where(predicate)
-            .select(
-                F.col("id").alias("block_id"),
-                F.lit(seq).cast("bigint").alias("sequence"),
-                F.lit(seq * 1000).cast("bigint").alias("deletion_timestamp"),
+        with self._writer_lease():
+            seq = self.max_sequence() + 1
+            self._write_hwm(seq)  # reserve-then-write (see append_blocks)
+            self._invalidate_snapshot()
+            tomb = (
+                self.visible()
+                .where(predicate)
+                .select(
+                    F.col("id").alias("block_id"),
+                    F.lit(seq).cast("bigint").alias("sequence"),
+                    F.lit(seq * 1000).cast("bigint").alias("deletion_timestamp"),
+                )
             )
-        )
-        tomb.write.mode("append").parquet(self._tomb_dir)
+            tomb.write.mode("append").parquet(self._tomb_dir)
 
     def tombstone_codebase(self, codebase: str) -> None:
         """Unlink a workspace: partition-pruned scan + distributed tombstone
@@ -448,7 +562,15 @@ class BlockStore:
         is recovered by the ``.compact-old`` copy still being on disk. On an
         object store this maps to write-new-prefix + pointer flip (or a Delta
         REPLACE transaction). Leftover tombstones after a partial swap are
-        harmless: every version they shadow was already dropped."""
+        harmless: every version they shadow was already dropped.
+
+        Runs under the writer lease with a compaction-sized TTL — a
+        concurrent append during the directory swap would write into a
+        directory about to be renamed away."""
+        with self._writer_lease(ttl=600.0):
+            self._compact_locked()
+
+    def _compact_locked(self) -> None:
         tmp_blocks = self._blocks_dir + ".compact-tmp"
         tmp_edges = self._edges_dir + ".compact-tmp"
         tmp_state = self._file_state_dir + ".compact-tmp"

@@ -256,3 +256,114 @@ def test_link_crash_before_refs_then_sync_falls_back(spark, tmp_path_factory, co
     # explicitly (the CLI `sync --path` form)
     eng2.sync_codebase("cb", root=root)
     assert _visible_state(eng2, "cb") == control[1]
+
+
+# ---------------------------------------------------------------------------
+# concurrent writers (r6 verdict §Next-round #5): two engines, one store
+# ---------------------------------------------------------------------------
+
+
+def _mk_blocks(spark, tag: str, n: int, codebase: str):
+    rows = [
+        (
+            hashlib.md5(f"{tag}-{i}".encode()).hexdigest(),
+            i + 1,
+            f"file://{tag}/{i}",
+            "const",
+            f"{tag}.unit{i}",
+            codebase,
+            f"{tag}/f{i}.py",
+            "{}",
+            f"content {tag} {i}",
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "id string, sequence bigint, source_uri string, unit_type string,"
+        " unit_id string, codebase string, file_path string,"
+        " metadata_json string, content string",
+    )
+
+
+def test_concurrent_writers_no_sequence_reuse_no_lost_append(spark, tmp_path):
+    """Two BlockStore handles (separate engines in one JVM — the same
+    interleaving a second driver process produces on a shared store path)
+    append batches concurrently. The writer lease serializes
+    reserve-then-write, so: all rows from both writers land, no
+    (id, sequence) duplication, the claimed sequence RANGES are disjoint,
+    and the HWM side-file ends at the true max."""
+    import threading
+
+    from kausaldb_spark.storage import BlockStore
+
+    path = str(tmp_path / "shared_store")
+    a = BlockStore(spark, path)
+    b = BlockStore(spark, path)
+    n_batches, batch = 4, 25
+    errs = []
+
+    def writer(store, tag):
+        try:
+            for i in range(n_batches):
+                store.append_blocks(_mk_blocks(spark, f"{tag}{i}", batch, tag))
+        except Exception as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    t1 = threading.Thread(target=writer, args=(a, "wa"))
+    t2 = threading.Thread(target=writer, args=(b, "wb"))
+    t1.start(); t2.start(); t1.join(300); t2.join(300)
+    assert not errs, errs
+
+    raw = a.blocks_raw().collect()
+    total = 2 * n_batches * batch
+    assert len(raw) == total, f"lost append: {len(raw)} != {total}"
+    # no (id, sequence) duplication, and in fact no sequence duplication at
+    # all: every batch claimed a disjoint contiguous range
+    seqs = sorted(r["sequence"] for r in raw)
+    assert len(set(seqs)) == total, "sequence reuse across writers"
+    assert seqs == list(range(1, total + 1)), "ranges not contiguous/disjoint"
+    assert len({(r["id"], r["sequence"]) for r in raw}) == total
+    # HWM never stale-low
+    assert a.max_sequence() >= max(seqs)
+    # lease released: a third writer proceeds immediately
+    c = BlockStore(spark, path, lease_timeout=2.0)
+    c.append_blocks(_mk_blocks(spark, "wc", 1, "wc"))
+    assert c.max_sequence() == total + 1
+
+
+def test_lease_steal_after_crashed_holder(spark, tmp_path):
+    """A holder that 'crashes' (acquires and never releases) blocks writers
+    only until its TTL; then the lease is stolen and the write proceeds.
+    A live holder with remaining TTL makes a short-timeout writer raise
+    LeaseHeldError instead of corrupting the sequence ledger."""
+    import json as _json
+
+    from kausaldb_spark.storage import BlockStore, LeaseHeldError
+
+    path = str(tmp_path / "crashed_store")
+    victim = BlockStore(spark, path)
+    victim.append_blocks(_mk_blocks(spark, "v", 3, "v"))
+
+    # simulate the crash: a lease file from a dead writer, 1s of TTL left
+    os.makedirs(path, exist_ok=True)
+    lease = os.path.join(path, "_writer.lease")
+    with open(lease, "w") as fh:
+        _json.dump({"owner": "dead-host:999:deadbeef", "expires": __import__("time").time() + 1.0}, fh)
+
+    # impatient writer: timeout shorter than the remaining TTL -> refused
+    hasty = BlockStore(spark, path, lease_timeout=0.2)
+    with pytest.raises(LeaseHeldError):
+        with hasty._writer_lease():
+            pass
+
+    # patient writer: waits past the TTL, steals, appends
+    patient = BlockStore(spark, path, lease_timeout=10.0)
+    patient.append_blocks(_mk_blocks(spark, "p", 2, "p"))
+    assert patient.max_sequence() == 5
+    assert not os.path.exists(lease), "lease not released after steal+write"
+    # torn lease file (crash mid-create) is treated as expired immediately
+    with open(lease, "w") as fh:
+        fh.write("{not json")
+    patient.append_blocks(_mk_blocks(spark, "q", 1, "q"))
+    assert patient.max_sequence() == 6
