@@ -24,7 +24,11 @@ def spark():
 def duck():
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+        # driver testdata ships single-file parquet; synthesized scale dirs
+        # (tools/make_sf1.py) are Spark-written DIRECTORIES — glob those
+        p = f"{SF_DIR}/{t}.parquet"
+        src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM {src}")
     yield con
     con.close()
 
