@@ -395,6 +395,11 @@ def _q_incremental_dedup(spark, sf_dir):
     return dd.near_dup_vs_corpus(new, base)
 
 
+def _q_source_overlap(spark, sf_dir):
+    # cross-source n-gram leakage matrix (mixing diagnostic)
+    return dd.source_ngram_overlap(_docs(spark, sf_dir))
+
+
 def _q_ngram_jaccard(spark, sf_dir):
     return dd.ngram_jaccard_pairs(spark, sf_dir)
 
@@ -1016,6 +1021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_score": _q_repetition_score,
         "token_count": _q_token_count,
         "split_assignment": _q_split_assignment,
+        "source_overlap": _q_source_overlap,
         "bm25_topk": _q_bm25_topk,
         "semantic_dedup": _q_semantic_dedup,
         "importance_resample": _q_importance_resample,
@@ -1352,6 +1358,29 @@ SELECT doc_id, CAST(i AS INT) AS chunk_idx,
        array_to_string(list_slice(t, i * 24 + 1, least(i * 24 + 32, n)), ' ')
          AS chunk_text
 FROM ch""",
+        "source_overlap": r"""
+WITH toks AS (
+  SELECT source, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT source, unnest(CASE WHEN len(t) < 8 THEN [] ELSE
+    list_transform(generate_series(1, len(t) - 7),
+                   i -> array_to_string(t[i:i+7], ' ')) END) AS shingle
+  FROM toks
+), totals AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_total FROM sh GROUP BY source
+), pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_shared,
+       ta.n_total AS n_a, tb.n_total AS n_b,
+       CAST((n_shared * 1000000) // least(ta.n_total, tb.n_total) AS BIGINT)
+         AS ppm_of_smaller
+FROM pairs
+JOIN totals ta ON ta.source = pairs.source_a
+JOIN totals tb ON tb.source = pairs.source_b""",
         "bm25_topk_ppm": r"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents

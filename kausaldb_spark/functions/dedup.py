@@ -353,6 +353,74 @@ def contaminated_docs(
     )
 
 
+def source_ngram_overlap(docs, n: int = 8, text_col: str = "text",
+                         source_col: str = "source"):
+    """Cross-SOURCE n-gram overlap matrix — the "how much does crawl A leak
+    into crawl B" curation diagnostic that decides whether two sources can
+    be mixed without double-counting. For every unordered source pair,
+    counts distinct word n-grams present in BOTH, plus each side's distinct
+    n-gram total and the overlap as ppm of the smaller side.
+
+    Scale shape: one shuffle keyed by shingle to collect each shingle's
+    distinct source SET (bounded by #sources — tens to hundreds, never
+    corpus-sized), pairs exploded from that set in codegen (array slice
+    trick, no self-join of the shingle relation), then a #source²-bounded
+    aggregate. Integer-exact output (ppm floor division) so the DuckDB
+    oracle can hash-gate it.
+
+    Output: (source_a, source_b, n_shared, n_a, n_b, ppm_of_smaller),
+    source_a < source_b lexically."""
+    sh = docs.select(
+        F.col(source_col).alias("source"),
+        F.explode(
+            F.array_distinct(shingles(tokens(F.col(text_col)), n))
+        ).alias("shingle"),
+    ).distinct()
+    totals = sh.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_total")
+    )
+    per_sh = (
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+        .where(F.size("ss") > 1)
+    )
+    pairs = per_sh.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ss",
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ss"), i + F.lit(2), F.size(F.col("ss"))),
+                        lambda y: F.struct(
+                            x.alias("source_a"), y.alias("source_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.source_a", "p.source_b")
+    shared = pairs.groupBy("source_a", "source_b").agg(
+        F.count("*").cast("bigint").alias("n_shared")
+    )
+    ta = totals.select(
+        F.col("source").alias("source_a"), F.col("n_total").alias("n_a")
+    )
+    tb = totals.select(
+        F.col("source").alias("source_b"), F.col("n_total").alias("n_b")
+    )
+    out = shared.join(F.broadcast(ta), "source_a").join(F.broadcast(tb), "source_b")
+    return out.select(
+        "source_a",
+        "source_b",
+        "n_shared",
+        "n_a",
+        "n_b",
+        F.expr("CAST(n_shared * 1000000 DIV least(n_a, n_b) AS BIGINT)").alias(
+            "ppm_of_smaller"
+        ),
+    )
+
+
 def components_from_pairs(
     spark: SparkSession, pairs: DataFrame,
     a_col: str = "doc_a", b_col: str = "doc_b",

@@ -230,3 +230,29 @@ def test_near_dup_vs_corpus_caps_degenerate_buckets(spark):
     assert pairs.count() == 0
     pairs_uncapped = dd.near_dup_vs_corpus(new, corpus, max_bucket_size=500)
     assert pairs_uncapped.count() == 30
+
+
+def test_source_overlap_matrix_crafted(spark):
+    """Two sources sharing exactly one 8-gram, a third sharing nothing:
+    the matrix row carries the exact shared count, per-side totals, and
+    ppm of the smaller side."""
+    from kausaldb_spark.functions import dedup as dd
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " iota kappa", "src_a"),
+            (2, "prefix " + shared, "src_b"),
+            (3, "totally different words here nothing matches at all", "src_c"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {
+        (r["source_a"], r["source_b"]): r
+        for r in dd.source_ngram_overlap(docs).collect()
+    }
+    assert set(rows) == {("src_a", "src_b")}
+    r = rows[("src_a", "src_b")]
+    # src_a: 10 tokens -> 3 distinct 8-grams; src_b: 9 tokens -> 2; 1 shared
+    assert (r["n_shared"], r["n_a"], r["n_b"]) == (1, 3, 2)
+    assert r["ppm_of_smaller"] == 1_000_000 // 2
