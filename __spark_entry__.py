@@ -575,9 +575,11 @@ def _q_semantic_dedup(spark, sf_dir):
     # k-means is not SQL-expressible, so this is a rows-only tail entry;
     # group/keep semantics are pytest-pinned on planted corpora
     # (tests/test_similarity.py).
-    return sim.semantic_dedup(
-        _emb(spark, sf_dir), threshold=0.97, n_clusters=8
-    )
+    # n_clusters is intentionally NOT pinned: the auto default scales k
+    # with the corpus (expected cluster size = target_cluster_size) so
+    # intra-cluster pair volume stays LINEAR in n — the r7 sf1 rehearsal
+    # caught the pinned k=8 going quadratic (250 s at 10x data)
+    return sim.semantic_dedup(_emb(spark, sf_dir), threshold=0.97)
 
 
 def _q_importance_resample(spark, sf_dir):

@@ -198,7 +198,7 @@ def _fit_kmeans(feats, n_clusters: int, seed: int,
 
 def ivf_topk(
     embeddings: DataFrame, query_ids: list[int], k: int = 5,
-    n_clusters: int = 16, n_probe: int = 4, seed: int = 42,
+    n_clusters: int | None = None, n_probe: int = 4, seed: int = 42,
     id_col: str = "vec_id", vec_col: str = "embedding",
     fit_sample_fraction: float | None = None,
 ) -> DataFrame:
@@ -218,6 +218,14 @@ def ivf_topk(
     except ImportError:  # pragma: no cover - mllib always ships with pyspark
         return dot_topk(embeddings, query_ids, k, id_col, vec_col)
 
+    if n_clusters is None:
+        # IVF convention k ~ sqrt(n): probed fraction n_probe/k shrinks as
+        # the corpus grows instead of staying fixed (auto-scaled like
+        # sign-LSH bits; the r7 sf1 rehearsal motivated the same for
+        # semantic_dedup)
+        import math
+
+        n_clusters = max(4, math.isqrt(max(1, embeddings.count())))
     feats = embeddings.select(
         F.col(id_col), F.col(vec_col),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
@@ -350,10 +358,11 @@ def embedding_near_duplicates(
 
 def semantic_dedup(
     embeddings: DataFrame, threshold: float = 0.95,
-    n_clusters: int = 16, seed: int = 42,
+    n_clusters: int | None = None, seed: int = 42,
     id_col: str = "vec_id", vec_col: str = "embedding",
     max_cluster_size: int = 10_000, with_dropped: bool = False,
     fit_sample_fraction: float | None = None,
+    target_cluster_size: int = 256,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means-cluster the embedding space, form near-dup
@@ -384,10 +393,19 @@ def semantic_dedup(
     a silently skipped cluster must never read as "deduped".
     """
     try:
-        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.clustering import KMeans  # noqa: F401 — availability probe
         from pyspark.ml.functions import array_to_vector
     except ImportError:  # pragma: no cover - mllib ships with pyspark
         raise RuntimeError("semantic_dedup requires pyspark.ml")
+
+    if n_clusters is None:
+        # auto-scale k with the corpus so expected cluster size stays at
+        # target_cluster_size: intra-cluster candidate pairs are then
+        # ~n·target/2 — LINEAR in n. The r7 sf1 rehearsal caught the fixed
+        # k=16 default going quadratic (250 s at 10x data) — the same
+        # fixed-parameterization bug class as r5's fixed sign-LSH bits.
+        n = embeddings.count()
+        n_clusters = max(2, -(-n // max(1, target_cluster_size)))
 
     feats = embeddings.select(
         F.col(id_col), F.col(vec_col),
