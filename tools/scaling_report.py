@@ -23,10 +23,17 @@ import sys
 
 def load(p: str) -> dict:
     with open(p) as f:
-        for line in reversed(f.read().strip().splitlines()):
-            line = line.strip()
-            if line.startswith("{"):
-                return json.loads(line)
+        txt = f.read().strip()
+    try:
+        d = json.loads(txt)
+        # driver-recorded BENCH_r*.json wraps the bench line under 'parsed'
+        return d.get("parsed", d)
+    except json.JSONDecodeError:
+        pass
+    for line in reversed(txt.splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
     raise SystemExit(f"no JSON line in {p}")
 
 
