@@ -304,3 +304,37 @@ def test_ivf_sample_fit_full_probe_still_exact(emb):
     ).collect()
     key = lambda rs: {(r["query_id"], r["neighbor_id"], r["rank"]) for r in rs}  # noqa: E731
     assert key(ivf) == key(exact)
+
+
+def test_ivf_index_probe_prunes_partitions_and_full_probe_exact(spark, emb, tmp_path):
+    """Persisted IVF index: (a) probing reads ONLY the probed centroid
+    partitions — PartitionFilters appears in the scan plan with the IN
+    list; (b) with n_probe == n_clusters the result equals the exact
+    brute-force baseline (same invariant as the ad-hoc ivf_topk)."""
+    p = str(tmp_path / "ivf")
+    meta = sim.ivf_index(emb, p, n_clusters=4, seed=1)
+    assert meta["n_clusters"] == 4 and len(meta["centers"]) == 4
+
+    qs = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.where(emb.vec_id.isin([0, 1])).collect()
+    ]
+    # full probe == exact
+    exact = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in sim.dot_topk(emb, [0, 1], k=5).collect()
+    }
+    full = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in sim.ivf_topk_vs_index(spark, p, qs, k=5, n_probe=4).collect()
+    }
+    assert full == exact
+
+    # partial probe: the scan plan prunes on the centroid partition column
+    df = sim.ivf_topk_vs_index(spark, p, qs, k=5, n_probe=1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid" in plan
+    # and it still returns k ranked neighbors per query
+    got = df.collect()
+    assert {r["query_id"] for r in got} == {0, 1}
+    assert all(1 <= r["rank"] <= 5 for r in got)
