@@ -8,12 +8,13 @@ Schema contract: an asset row is
 - ``meta`` carries typed sidecar fields (width, sample_rate, …) as strings
 
 The heavy stages run as ``mapInPandas`` over Arrow batches — payload bytes
-never pass through Python row-at-a-time. The actual codec work (PIL/ffmpeg)
-is NOT available in this container, so the codec boundary is explicit:
-``_decode_image_real`` raises NotImplementedError, and the default path is a
-deterministic fake decoder (header-derived dimensions + md5 content hash)
-that keeps every piece of Spark plumbing — schema, batching, partitioning,
-UDF signatures — real and testable.
+never pass through Python row-at-a-time. The codec boundary (r7): PNG and
+BMP pixel decode is REAL — pure zlib + numpy straight off the public specs
+(PNG chunk walk → IDAT inflate → per-scanline unfilter incl. Paeth; BMP
+BITMAPINFOHEADER, bottom-up padded rows, BGR(A)→RGB(A)); JPEG/GIF entropy
+decoding genuinely requires libjpeg/giflib and stays behind an explicit
+NotImplementedError. The deterministic fake decoder remains the default for
+the synthetic-asset plumbing tests.
 
 Scale notes: decode is the classic CPU-bound embarrassing-parallel stage —
 ``repartition`` by asset_id to spread codec cost, and keep batch size bounded
@@ -91,12 +92,125 @@ def synthetic_assets(spark: SparkSession, n: int = 64) -> DataFrame:
     )
 
 
-def _decode_image_real(payload: bytes):
-    """The real codec boundary. PIL/libjpeg are not in this container."""
+def _png_unfilter(raw: bytes, w: int, h: int, ch: int):
+    """Undo PNG scanline filters 0-4 (spec §9: None/Sub/Up/Average/Paeth).
+    Sequential by nature — each byte depends on already-reconstructed
+    left/up neighbors — so this is a plain loop over the scanlines."""
+    import numpy as np
+
+    stride = w * ch
+    out = bytearray()
+    prev = bytearray(stride)
+    pos = 0
+    for _y in range(h):
+        f = raw[pos]
+        pos += 1
+        cur = bytearray(raw[pos:pos + stride])
+        pos += stride
+        if f == 1:  # Sub
+            for i in range(ch, stride):
+                cur[i] = (cur[i] + cur[i - ch]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                cur[i] = (cur[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = cur[i - ch] if i >= ch else 0
+                cur[i] = (cur[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = cur[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (cur[i] + pred) & 0xFF
+        elif f != 0:
+            raise ValueError(f"bad PNG filter type {f}")
+        out += cur
+        prev = cur
+    return np.frombuffer(bytes(out), np.uint8).reshape(h, w, ch)
+
+
+def _decode_png(data: bytes):
+    import struct
+    import zlib
+
+    pos, ihdr, idat = 8, None, b""
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack(">I", data[pos:pos + 4])
+        typ = data[pos + 4:pos + 8]
+        chunk = data[pos + 8:pos + 8 + ln]
+        pos += 12 + ln  # length + type + data + crc
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", chunk)
+        elif typ == b"IDAT":
+            idat += chunk
+        elif typ == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG without IHDR")
+    w, h, depth, ctype, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace != 0:
+        raise NotImplementedError(
+            f"PNG bit depth {depth}/interlace {interlace}: only 8-bit "
+            "non-interlaced is decoded here"
+        )
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+    if channels is None:  # 3 = palette — needs PLTE indirection
+        raise NotImplementedError(f"PNG color type {ctype} not decoded here")
+    return _png_unfilter(zlib.decompress(idat), w, h, channels)
+
+
+def _decode_bmp(data: bytes):
+    import struct
+
+    import numpy as np
+
+    (data_off,) = struct.unpack("<I", data[10:14])
+    w, h = struct.unpack("<ii", data[18:26])
+    (bpp,) = struct.unpack("<H", data[28:30])
+    (compression,) = struct.unpack("<I", data[30:34])
+    if compression != 0 or bpp not in (24, 32):
+        raise NotImplementedError(
+            f"BMP compression {compression}/bpp {bpp}: only uncompressed "
+            "24/32-bit is decoded here"
+        )
+    ch = bpp // 8
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * ch + 3) & ~3  # rows pad to 4 bytes
+    rows = []
+    for y in range(h):
+        off = data_off + y * stride
+        rows.append(np.frombuffer(data[off:off + w * ch], np.uint8).reshape(w, ch))
+    img = np.stack(rows[::-1] if bottom_up else rows)
+    # BGR(A) -> RGB(A)
+    img = img[:, :, [2, 1, 0] + ([3] if ch == 4 else [])]
+    return np.ascontiguousarray(img)
+
+
+def decode_pixels(data: bytes):
+    """Real pixel decode for the formats that need no external codec:
+    PNG (zlib inflate + unfilter) and BMP (uncompressed). Returns an
+    (h, w, channels) uint8 ndarray. JPEG/GIF remain the documented
+    NotImplementedError boundary — their entropy coding requires
+    libjpeg/giflib, which are not in this container."""
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(data)
+    if data[:2] == b"BM":
+        return _decode_bmp(data)
     raise NotImplementedError(
-        "real image decode requires PIL/libvips — not available here; "
-        "the fake decoder below exercises the identical Spark plumbing"
+        "JPEG/GIF pixel decode requires libjpeg/giflib — not available here"
     )
+
+
+def _decode_image_real(payload: bytes):
+    """Real-codec path for extract_image_features: decode pixels (PNG/BMP)
+    and report (width, height)."""
+    img = decode_pixels(payload)
+    return img.shape[1], img.shape[0]
 
 
 def _decode_image_fake(payload: bytes) -> tuple[int, int]:
@@ -124,6 +238,105 @@ def extract_image_features(assets: DataFrame, use_real_codec: bool = False) -> D
         assets.where(F.col("kind") == "image")
         .select("asset_id", "payload")
         .mapInPandas(batch_fn, IMAGE_FEATURES_SCHEMA)
+    )
+
+
+IMAGE_STATS_SCHEMA = StructType(
+    [
+        StructField("asset_id", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("mean_luma_ppm", LongType()),
+        StructField("err", StringType()),
+    ]
+)
+
+
+def decode_image_stats(assets: DataFrame) -> DataFrame:
+    """REAL pixel-decode stage (PNG/BMP): dimensions, channel count, and
+    mean luma (Rec.601 integer weights, ppm-scaled — no float aggregates)
+    per image. Undecodable payloads (JPEG/GIF/corrupt) land with an ``err``
+    string instead of poisoning the batch — per-row isolation, the same
+    contract as ingest's parse_error markers. mapInPandas keeps payloads in
+    Arrow buffers; decode cost is embarrassingly parallel."""
+    import numpy as np
+
+    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    img = decode_pixels(bytes(payload))
+                    h, w, ch = img.shape
+                    px = img.astype(np.int64)
+                    if ch >= 3:
+                        luma = (
+                            299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]
+                        ) // 1000
+                    else:
+                        luma = px[:, :, 0]
+                    ppm = int(luma.sum() * 1_000_000 // (255 * h * w))
+                    rows.append((aid, w, h, ch, ppm, None))
+                except (NotImplementedError, ValueError, IndexError) as exc:
+                    rows.append((aid, None, None, None, None, str(exc)[:120]))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in IMAGE_STATS_SCHEMA.fields]
+            )
+
+    return (
+        assets.where(F.col("kind") == "image")
+        .select("asset_id", "payload")
+        .mapInPandas(batch_fn, IMAGE_STATS_SCHEMA)
+    )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("asset_id", StringType()),
+        StructField("height", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("pixels", BinaryType()),
+        StructField("err", StringType()),
+    ]
+)
+
+
+def resize_images(assets: DataFrame, out_h: int = 32, out_w: int = 32) -> DataFrame:
+    """Decode (PNG/BMP) + nearest-neighbor resize to a fixed grid — the
+    normalize-before-embed step of a multimodal training pipeline. Output
+    pixels are a raw RGB byte buffer (gray replicated, alpha dropped) of
+    exactly out_h*out_w*3 bytes; undecodable rows carry ``err``."""
+    import numpy as np
+
+    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ys = None
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    img = decode_pixels(bytes(payload))
+                    h, w, ch = img.shape
+                    yi = (np.arange(out_h) * h) // out_h
+                    xi = (np.arange(out_w) * w) // out_w
+                    small = img[yi][:, xi]
+                    if ch == 1:
+                        small = np.repeat(small, 3, axis=2)
+                    elif ch == 2:  # gray+alpha: replicate gray, drop alpha
+                        small = np.repeat(small[:, :, :1], 3, axis=2)
+                    elif ch == 4:
+                        small = small[:, :, :3]
+                    rows.append(
+                        (aid, out_h, out_w, small.astype(np.uint8).tobytes(), None)
+                    )
+                except (NotImplementedError, ValueError, IndexError) as exc:
+                    rows.append((aid, None, None, None, str(exc)[:120]))
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
+
+    return (
+        assets.where(F.col("kind") == "image")
+        .select("asset_id", "payload")
+        .mapInPandas(batch_fn, RESIZED_SCHEMA)
     )
 
 

@@ -138,3 +138,167 @@ def test_probe_image_metadata_stage(spark):
     assert (out["a4"]["format"], out["a4"]["width"], out["a4"]["height"]) == ("bmp", 7, 8)
     assert out["a5"]["format"] is None
     assert out["a1"]["n_bytes"] == len(_png(10, 20))
+
+
+# ---------------------------------------------------------------------------
+# real pixel decode (r7): PNG/BMP from the public specs
+# ---------------------------------------------------------------------------
+
+
+def _png_encode(img, ctype, filters):
+    """Independent spec-following PNG writer for test fixtures: applies
+    the FORWARD filters (None/Sub/Up/Average/Paeth) per scanline, then
+    zlib-deflates. Exercises the decoder against the spec, not itself."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, ch = img.shape
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    raw = bytearray()
+    prev = np.zeros(w * ch, np.int32)
+    for y in range(h):
+        cur = img[y].reshape(-1).astype(np.int32)
+        f = filters[y % len(filters)]
+        raw.append(f)
+        line = bytearray()
+        for i in range(w * ch):
+            a = int(cur[i - ch]) if i >= ch else 0
+            b = int(prev[i])
+            c = int(prev[i - ch]) if i >= ch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            line.append((int(cur[i]) - pred) & 0xFF)
+        raw += line
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _bmp_encode(img, bpp=24, bottom_up=True):
+    """Independent BMP writer: BITMAPINFOHEADER, BGR(A), padded rows."""
+    import struct
+
+    import numpy as np
+
+    h, w, ch = img.shape
+    out_ch = bpp // 8
+    stride = (w * out_ch + 3) & ~3
+    px = bytearray()
+    ys = range(h - 1, -1, -1) if bottom_up else range(h)
+    for y in ys:
+        row = bytearray()
+        for x in range(w):
+            r, g, b = int(img[y, x, 0]), int(img[y, x, 1]), int(img[y, x, 2])
+            row += bytes([b, g, r])
+            if out_ch == 4:
+                row.append(int(img[y, x, 3]) if ch == 4 else 255)
+        row += b"\x00" * (stride - len(row))
+        px += row
+    data_off = 14 + 40
+    header = (
+        b"BM" + struct.pack("<IHHI", data_off + len(px), 0, 0, data_off)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, w, h if bottom_up else -h, 1, bpp, 0,
+            len(px), 2835, 2835, 0, 0,
+        )
+    )
+    return bytes(header + px)
+
+
+def _rand_img(h, w, ch, seed):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(h, w, ch)).astype("uint8")
+
+
+def test_png_decode_all_filters_and_color_types():
+    import numpy as np
+
+    from kausaldb_spark.sources.multimodal import decode_pixels
+
+    for ctype, ch in ((2, 3), (6, 4), (0, 1), (4, 2)):
+        img = _rand_img(7, 5, ch, seed=ctype)
+        for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+            data = _png_encode(img, ctype, filters)
+            got = decode_pixels(data)
+            assert got.shape == (7, 5, ch), (ctype, filters)
+            assert np.array_equal(got, img), (ctype, filters)
+
+
+def test_bmp_decode_24_and_32_bit_with_padding():
+    import numpy as np
+
+    from kausaldb_spark.sources.multimodal import decode_pixels
+
+    img = _rand_img(4, 3, 3, seed=7)  # w=3 -> 24-bit stride padding exercised
+    got = decode_pixels(_bmp_encode(img, bpp=24, bottom_up=True))
+    assert np.array_equal(got, img)
+    got_td = decode_pixels(_bmp_encode(img, bpp=24, bottom_up=False))
+    assert np.array_equal(got_td, img)
+    img4 = _rand_img(2, 2, 4, seed=8)
+    got4 = decode_pixels(_bmp_encode(img4, bpp=32))
+    assert np.array_equal(got4, img4)
+
+
+def test_decode_boundary_still_explicit_for_jpeg():
+    import pytest as _pytest
+
+    from kausaldb_spark.sources.multimodal import decode_pixels
+
+    with _pytest.raises(NotImplementedError):
+        decode_pixels(b"\xff\xd8\xff\xe0" + b"\x00" * 32)  # JPEG SOI
+
+
+def test_decode_image_stats_and_resize_ops(spark):
+    import numpy as np
+
+    from kausaldb_spark.sources import multimodal as mm
+
+    flat = np.full((6, 4, 3), 128, "uint8")  # mean luma ~ 128/255
+    quad = np.zeros((2, 2, 3), "uint8")
+    quad[0, 1] = quad[1, 0] = 255  # checkerboard for resize blocks
+    assets = spark.createDataFrame(
+        [
+            ("png_flat", "image", bytearray(_png_encode(flat, 2, [0, 1, 2])), {}),
+            ("bmp_quad", "image", bytearray(_bmp_encode(quad)), {}),
+            ("bad_jpeg", "image", bytearray(b"\xff\xd8\xff\xe0" + b"\x00" * 16), {}),
+        ],
+        "asset_id string, kind string, payload binary, meta map<string,string>",
+    )
+    stats = {r["asset_id"]: r for r in mm.decode_image_stats(assets).collect()}
+    assert stats["png_flat"]["width"] == 4 and stats["png_flat"]["height"] == 6
+    assert abs(stats["png_flat"]["mean_luma_ppm"] - 128 * 1_000_000 // 255) <= 2000
+    assert stats["bmp_quad"]["channels"] == 3
+    assert stats["bad_jpeg"]["err"] and stats["bad_jpeg"]["width"] is None
+
+    rs = {r["asset_id"]: r for r in mm.resize_images(assets, 4, 4).collect()}
+    px = np.frombuffer(bytes(rs["bmp_quad"]["pixels"]), np.uint8).reshape(4, 4, 3)
+    # nearest-neighbor: each source pixel becomes a 2x2 block
+    assert np.array_equal(px[:2, :2], np.zeros((2, 2, 3), "uint8"))
+    assert np.array_equal(px[:2, 2:], np.full((2, 2, 3), 255, "uint8"))
+    assert len(bytes(rs["png_flat"]["pixels"])) == 4 * 4 * 3
+    assert rs["bad_jpeg"]["err"] and rs["bad_jpeg"]["pixels"] is None
