@@ -548,35 +548,27 @@ def semantic_dedup(
     wn = Window.partitionBy("kc")
     sized = assigned.withColumn("_n", F.count("*").over(wn))
     capped = sized.where(F.col("_n") <= max_cluster_size)
-    grouped = capped.groupBy("kc").agg(
-        F.collect_list(F.struct("id", "v")).alias("xs")
+    # intra-cluster candidate pairs as a kc-keyed SELF-JOIN: Tungsten's
+    # hash join + codegen cosine beat the collect_list → nested-transform
+    # explode it replaced ~2x at sf1 (the array formulation re-slices the
+    # whole group per pair), and the join never materializes a cluster as
+    # one row — group size stops being bounded by single-row limits
+    left = capped.select(
+        "kc", F.col("id").alias("ia"), F.col("v").alias("va")
+    )
+    right = capped.select(
+        "kc", F.col("id").alias("ib"), F.col("v").alias("vb")
     )
     pairs = (
-        grouped.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        "xs",
-                        lambda x, i: F.transform(
-                            F.slice(F.col("xs"), i + F.lit(2), F.size(F.col("xs"))),
-                            lambda y: F.struct(
-                                x["id"].alias("ia"),
-                                y["id"].alias("ib"),
-                                float_cosine(
-                                    x["v"].cast("array<double>"),
-                                    y["v"].cast("array<double>"),
-                                ).alias("cos"),
-                            ),
-                        ),
-                    )
-                )
-            ).alias("p")
+        left.join(right, "kc")
+        .where(F.col("ia") < F.col("ib"))
+        .where(
+            float_cosine(
+                F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")
+            )
+            >= threshold
         )
-        .where(F.col("p.cos") >= threshold)
-        .select(
-            F.least("p.ia", "p.ib").alias("doc_a"),
-            F.greatest("p.ia", "p.ib").alias("doc_b"),
-        )
+        .select(F.col("ia").alias("doc_a"), F.col("ib").alias("doc_b"))
     )
 
     from kausaldb_spark.functions.dedup import components_from_pairs
