@@ -943,6 +943,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     find_alias_and_path, keyword_search, callers_1hop, bfs_depth3,
     path_enumeration, context_blocks), where tests/test_oracle_parity.py
     still hash-checks them every run with the identical DuckDB harness.
+    Late-r7 addition: source_overlap (new cross-source n-gram leakage
+    matrix) gates in-window; corpus_report (green r6 driver row)
+    rotates to the tail.
     """
     return {
         # -- rotated INTO the driver sample this round (never gated before) --
@@ -968,7 +971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_weights": _q_mixture_weights,
         "domain_filter": _q_domain_filter,
         "length_quantiles": _q_length_quantiles,
-        "corpus_report": _q_corpus_report,
+        "source_overlap": _q_source_overlap,
         "source_mix": _q_source_mix,
         "line_dedup": _q_line_dedup,
         "binary_dedup": _q_binary_dedup,
@@ -1023,7 +1026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_score": _q_repetition_score,
         "token_count": _q_token_count,
         "split_assignment": _q_split_assignment,
-        "source_overlap": _q_source_overlap,
+        "corpus_report": _q_corpus_report,
         "bm25_topk": _q_bm25_topk,
         "semantic_dedup": _q_semantic_dedup,
         "importance_resample": _q_importance_resample,

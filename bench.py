@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "duplicate_spans",
     "term_match_topk",
     "bm25_topk_ppm",
+    "source_overlap",
     "minhash_near_dup",
     "near_dup_clusters",
     "ngram_jaccard",
