@@ -29,6 +29,20 @@ from kausaldb_spark.operators.traversal import weakly_connected_components
 BENCHMARK_MAX_ID = 10
 
 
+def _assert_unique_ids(df: DataFrame, id_col: str = "doc_id") -> int:
+    """ADVICE r7: md5-derived copy ids can in principle collide with
+    existing ids or each other (birthday bound ~2^28 rows for 56-bit ids),
+    and a collision would silently merge training rows. One aggregate over
+    the frame the funnel already counts — fail loudly, return the count."""
+    n_rows, n_ids = df.agg(F.count("*"), F.countDistinct(id_col)).collect()[0]
+    if n_ids != n_rows:
+        raise ValueError(
+            f"{id_col} collision after mixture upsampling: {n_rows} rows "
+            f"but {n_ids} distinct ids — re-seed or widen the id space"
+        )
+    return int(n_rows)
+
+
 def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(split, n_docs, total_tokens) for the curated corpus."""
     docs = guard.documents_text(
@@ -215,7 +229,7 @@ def curate_and_write(
             "doc_id",
             F.when(F.col("copy_idx") == 0, F.col("doc_id")).otherwise(salted),
         ).drop("copy_idx")
-        funnel["after_mixture"] = mixed.count()
+        funnel["after_mixture"] = _assert_unique_ids(mixed)
     else:
         mixed = clean
 

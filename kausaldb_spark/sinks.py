@@ -89,6 +89,7 @@ def write_training_shards(
         "n_shards": n_shards,
         "seed": seed,
         "id_col": id_col,
+        "digest_version": DIGEST_VERSION,
         "shards": shard_digests(docs.sparkSession, path, id_col).collect(),
     }
     manifest["shards"] = [
@@ -100,7 +101,22 @@ def write_training_shards(
     return manifest
 
 
-def shard_digests(spark: SparkSession, path: str, id_col: str = "doc_id") -> DataFrame:
+# Digest formula versions (ADVICE r7: a formula change must not make old
+# manifests fail verification indistinguishably from real corruption):
+#   1 — r6 formula: md5(pos || values), concat_ws silently skipping NULLs
+#   2 — r7+ formula: md5(pos || null-bitmap || coalesced values)
+# write_training_shards stamps the version into the manifest; verify_shards
+# recomputes with the STAMPED version, so pre-r7 stores (no field -> 1)
+# still verify against the formula they were written with.
+DIGEST_VERSION = 2
+
+
+def shard_digests(
+    spark: SparkSession,
+    path: str,
+    id_col: str = "doc_id",
+    digest_version: int = DIGEST_VERSION,
+) -> DataFrame:
     """Per-shard (n_rows, order-sensitive digest) over the written layout —
     the loader-side verification. Each row hashes (its position in the
     shard's training order || its payload) and the digest sums those
@@ -127,14 +143,23 @@ def shard_digests(spark: SparkSession, path: str, id_col: str = "doc_id") -> Dat
             for c in payload_cols
         ]
     )
-    rowh = F.md5(
-        F.concat_ws(
-            "\x1f",
-            pos.cast("string"),
-            null_bitmap,
-            *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in payload_cols],
+    if digest_version >= 2:
+        rowh = F.md5(
+            F.concat_ws(
+                "\x1f",
+                pos.cast("string"),
+                null_bitmap,
+                *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in payload_cols],
+            )
         )
-    )
+    else:  # v1 (pre-r7): no null bitmap, concat_ws skips NULL inputs
+        rowh = F.md5(
+            F.concat_ws(
+                "\x1f",
+                pos.cast("string"),
+                *[F.col(c).cast("string") for c in payload_cols],
+            )
+        )
     chunk = F.conv(F.substring(rowh, 1, 14), 16, 10).cast("decimal(38,0)")
     return (
         df.select("shard", chunk.alias("_chunk"))
@@ -176,10 +201,12 @@ def verify_shards(spark: SparkSession, path: str, id_col: str = "doc_id") -> boo
     the mismatching shards otherwise."""
     with open(os.path.join(path, "_kdb_manifest.json")) as fh:
         manifest = json.load(fh)
+    # pre-r7 manifests have no digest_version field -> formula v1
+    version = int(manifest.get("digest_version", 1))
     want = {s["shard"]: (s["n_rows"], s["digest"]) for s in manifest["shards"]}
     got = {
         r["shard"]: (r["n_rows"], r["digest"])
-        for r in shard_digests(spark, path, id_col).collect()
+        for r in shard_digests(spark, path, id_col, digest_version=version).collect()
     }
     bad = sorted(
         set(k for k in want if want[k] != got.get(k))

@@ -196,14 +196,32 @@ def decode_pixels(data: bytes):
     PNG (zlib inflate + unfilter) and BMP (uncompressed). Returns an
     (h, w, channels) uint8 ndarray. JPEG/GIF remain the documented
     NotImplementedError boundary — their entropy coding requires
-    libjpeg/giflib, which are not in this container."""
-    if data[:8] == b"\x89PNG\r\n\x1a\n":
-        return _decode_png(data)
-    if data[:2] == b"BM":
-        return _decode_bmp(data)
-    raise NotImplementedError(
-        "JPEG/GIF pixel decode requires libjpeg/giflib — not available here"
-    )
+    libjpeg/giflib, which are not in this container.
+
+    Error contract: raises ONLY ValueError (malformed/corrupt/truncated
+    payload) or NotImplementedError (format outside the codec boundary).
+    Corrupt zlib streams, truncated headers (struct.error), and scanline
+    buffers shorter than the IHDR-declared geometry are all normalized to
+    ValueError here so per-row isolation in the Arrow stages never lets a
+    single bad image fail the whole Spark task."""
+    import struct
+    import zlib
+
+    try:
+        if data[:8] == b"\x89PNG\r\n\x1a\n":
+            img = _decode_png(data)
+        elif data[:2] == b"BM":
+            img = _decode_bmp(data)
+        else:
+            raise NotImplementedError(
+                "JPEG/GIF pixel decode requires libjpeg/giflib — not available here"
+            )
+    except (struct.error, zlib.error, IndexError) as exc:
+        raise ValueError(f"corrupt image payload: {exc}") from exc
+    h, w = img.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError(f"image has zero dimension ({h}x{w})")
+    return img
 
 
 def _decode_image_real(payload: bytes):
@@ -310,7 +328,6 @@ def resize_images(assets: DataFrame, out_h: int = 32, out_w: int = 32) -> DataFr
     import numpy as np
 
     def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ys = None
         for pdf in batches:
             rows = []
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):

@@ -80,7 +80,7 @@ class BlockStore:
         self,
         spark: SparkSession,
         path: str,
-        lease_ttl: float = 60.0,
+        lease_ttl: float = 600.0,
         lease_timeout: float = 30.0,
     ):
         self.spark = spark
@@ -93,6 +93,7 @@ class BlockStore:
         self._hwm_path = os.path.join(path, "_max_seq.json")
         self._lease_path = os.path.join(path, "_writer.lease")
         self._lease_ttl = float(lease_ttl)
+        self._lease_ttl_active = float(lease_ttl)
         self._lease_timeout = float(lease_timeout)
         self._lease_depth = 0
         self._lease_owner = f"{socket.gethostname()}:{os.getpid()}:{uuid.uuid4().hex[:8]}"
@@ -110,10 +111,13 @@ class BlockStore:
     # conditional put (S3 If-None-Match / GCS generation preconditions),
     # or disappears entirely under a Delta transaction log.
     #
-    # Known advisory-protocol caveat, sized away by ttl >> op time: a holder
-    # that stalls PAST its TTL mid-write can race the stealer. The release
-    # path re-reads the lease and only unlinks its own, so the steal is
-    # never undone; the 12-point crash matrix covers the torn-write side.
+    # Known advisory-protocol caveat, defended in depth (ADVICE r7): the
+    # default TTL is sized to the worst-case Spark job (600 s, same as
+    # compact()'s), the holder RENEWS the lease after the reserve step and
+    # before long writes (_lease_renew), and the release path is an atomic
+    # rename-claim — it can never unlink a stealer's fresh lease. A holder
+    # would have to stall past 600 s *without crossing any renewal point*
+    # to race a stealer.
 
     @contextmanager
     def _writer_lease(self, ttl: float | None = None):
@@ -125,6 +129,7 @@ class BlockStore:
                 self._lease_depth -= 1
             return
         ttl = ttl if ttl is not None else self._lease_ttl
+        self._lease_ttl_active = ttl
         os.makedirs(self.path, exist_ok=True)
         deadline = time.monotonic() + self._lease_timeout
         while True:
@@ -167,13 +172,62 @@ class BlockStore:
             yield
         finally:
             self._lease_depth = 0
-            try:
-                with open(self._lease_path, encoding="utf-8") as f:
-                    cur = json.load(f)
-                if cur.get("owner") == self._lease_owner:
-                    os.unlink(self._lease_path)
-            except (OSError, ValueError):
-                pass  # expired + stolen mid-op: never remove the new owner's
+            self._lease_release()
+
+    def _lease_release(self) -> None:
+        """Atomic compare-and-delete (ADVICE r7): CLAIM the lease file with a
+        rename to an owner-unique name (atomic — exactly one of {us, a
+        stealer} gets any given inode), inspect the claimed copy, and only
+        then unlink. If the claim turns out to be a stealer's FRESH lease
+        (we overran our TTL), restore it with os.link — which, unlike
+        rename, refuses to clobber a lease a third writer created meanwhile.
+        The old read-then-unlink had a window where the stealer's new lease
+        was deleted between our owner check and the unlink."""
+        claim = f"{self._lease_path}.rel.{self._lease_owner.rsplit(':', 1)[-1]}"
+        try:
+            os.rename(self._lease_path, claim)
+        except OSError:
+            return  # already stolen AND released/renamed: nothing of ours left
+        try:
+            with open(claim, encoding="utf-8") as f:
+                cur = json.load(f)
+        except (OSError, ValueError):
+            cur = {}
+        if cur.get("owner") == self._lease_owner:
+            os.unlink(claim)
+            return
+        # We claimed someone else's fresh lease — put it back without
+        # clobbering anything newer, then drop our claim link.
+        try:
+            os.link(claim, self._lease_path)
+        except OSError:
+            pass  # an even newer lease exists; the displaced holder re-contends
+        os.unlink(claim)
+
+    def _lease_renew(self) -> None:
+        """Push the held lease's expiry out by the active TTL — called after
+        the reserve step and before long Spark writes so a slow job can't
+        outlive its lease mid-operation (ADVICE r7). Owner-checked rewrite:
+        if the lease was already stolen (we truly overran), leave the
+        stealer's lease untouched and let release's claim logic sort it out."""
+        if self._lease_depth <= 0:
+            return
+        try:
+            with open(self._lease_path, encoding="utf-8") as f:
+                if json.load(f).get("owner") != self._lease_owner:
+                    return
+            tmp = f"{self._lease_path}.renew.{self._lease_owner.rsplit(':', 1)[-1]}"
+            with open(tmp, "w", encoding="utf-8") as f:
+                json.dump(
+                    {
+                        "owner": self._lease_owner,
+                        "expires": time.time() + self._lease_ttl_active,
+                    },
+                    f,
+                )
+            os.replace(tmp, self._lease_path)
+        except (OSError, ValueError):
+            pass  # renewal is best-effort; the TTL headroom is the backstop
 
     # -- raw table accessors ------------------------------------------------
 
@@ -348,6 +402,7 @@ class BlockStore:
             # explicit, not just mark-keyed: resequence=False can leave the mark
             # unchanged (incoming max <= current), which would key a stale hit
             self._invalidate_snapshot()
+            self._lease_renew()  # the agg above may have eaten lease time
             blocks.write.mode("append").partitionBy("codebase").parquet(
                 self._blocks_dir
             )
@@ -381,6 +436,7 @@ class BlockStore:
                 .join(ids, checked.dst == ids.id, "left_semi")
             )
         with self._writer_lease():
+            self._lease_renew()
             checked.select(*_EDGE_COLS).write.mode("append").parquet(
                 self._edges_dir
             )
@@ -415,6 +471,7 @@ class BlockStore:
             seq = self.max_sequence() + 1
             self._write_hwm(seq)  # reserve-then-write (see append_blocks)
             self._invalidate_snapshot()
+            self._lease_renew()  # the visible() scan below can be long
             tomb = (
                 self.visible()
                 .where(predicate)
@@ -580,7 +637,9 @@ class BlockStore:
         # reads source dirs, writes ONLY to the side dirs — recomputation
         # after an executor loss re-reads the still-intact live store
         self.visible().write.partitionBy("codebase").parquet(tmp_blocks)
+        self._lease_renew()  # the block rewrite is the long pole; re-arm
         self.visible_edges().write.parquet(tmp_edges)
+        self._lease_renew()  # re-arm before the swap window
         # file_state folds to its latest row per file (epoch history consumed
         # along with the stale edges it shadowed); ref_names to current epochs
         self.current_file_state().write.parquet(tmp_state)

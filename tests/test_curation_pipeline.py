@@ -209,3 +209,17 @@ def test_mixture_salt_safe_for_56bit_content_ids(spark, tmp_path):
     # originals survive with identity intact
     kept = {r["doc_id"] for r in out.where(F.col("doc_id") >= base).collect()}
     assert kept  # at least the copy_idx==0 epoch of the huge-id docs
+
+
+def test_mixture_id_collision_guard(spark):
+    """ADVICE r7: a doc_id collision (possible in principle for md5-derived
+    56-bit copy ids) must fail loudly, never silently merge training rows."""
+    import pytest as _pytest
+
+    from kausaldb_spark.functions.curation import _assert_unique_ids
+
+    ok = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id bigint, text string")
+    assert _assert_unique_ids(ok) == 2
+    dup = spark.createDataFrame([(1, "a"), (1, "b")], "doc_id bigint, text string")
+    with _pytest.raises(ValueError, match="collision"):
+        _assert_unique_ids(dup)

@@ -367,3 +367,67 @@ def test_lease_steal_after_crashed_holder(spark, tmp_path):
         fh.write("{not json")
     patient.append_blocks(_mk_blocks(spark, "q", 1, "q"))
     assert patient.max_sequence() == 6
+
+
+def test_lease_renewal_extends_expiry_mid_operation(spark, tmp_path):
+    """ADVICE r7: a long Spark job inside the leased section must not let
+    the lease lapse. _lease_renew (called after the reserve step and before
+    long writes) pushes the expiry out by the active TTL; a renewal while
+    NOT the owner (already stolen) leaves the stealer's lease untouched."""
+    import json as _json
+    import time as _time
+
+    from kausaldb_spark.storage import BlockStore
+
+    path = str(tmp_path / "renew_store")
+    store = BlockStore(spark, path, lease_ttl=5.0)
+    lease = os.path.join(path, "_writer.lease")
+    with store._writer_lease():
+        with open(lease) as fh:
+            before = _json.load(fh)["expires"]
+        _time.sleep(0.05)
+        store._lease_renew()
+        with open(lease) as fh:
+            after = _json.load(fh)
+        assert after["owner"] == store._lease_owner
+        assert after["expires"] > before, "renewal did not extend expiry"
+
+        # simulate a steal mid-op: renewal must NOT clobber the new owner
+        stolen = {"owner": "thief:1:cafecafe", "expires": _time.time() + 99}
+        with open(lease, "w") as fh:
+            _json.dump(stolen, fh)
+        store._lease_renew()
+        with open(lease) as fh:
+            assert _json.load(fh)["owner"] == "thief:1:cafecafe"
+    # release must also have left the thief's lease in place (atomic claim
+    # path: rename, inspect, restore-not-ours via link)
+    with open(lease) as fh:
+        assert _json.load(fh)["owner"] == "thief:1:cafecafe"
+    # default TTL is sized to worst-case Spark job length (compact-sized)
+    assert BlockStore(spark, str(tmp_path / "d"))._lease_ttl == 600.0
+
+
+def test_lease_release_is_atomic_claim_never_deletes_stealer(spark, tmp_path):
+    """The r7 release was read-then-unlink: a stealer that recreated the
+    lease between the overrun holder's owner check and its os.unlink lost
+    its fresh lease. The release path now atomically CLAIMS the file by
+    rename before inspecting, so a stealer's lease is either left alone or
+    restored — never silently deleted."""
+    import json as _json
+    import time as _time
+
+    from kausaldb_spark.storage import BlockStore
+
+    path = str(tmp_path / "claim_store")
+    store = BlockStore(spark, path, lease_ttl=5.0)
+    lease = os.path.join(path, "_writer.lease")
+    with store._writer_lease():
+        # steal happens mid-op (holder overran): replace with thief's lease
+        with open(lease, "w") as fh:
+            _json.dump({"owner": "thief:2:beefbeef", "expires": _time.time() + 99}, fh)
+    assert os.path.exists(lease), "stealer's lease was deleted by release"
+    with open(lease) as fh:
+        assert _json.load(fh)["owner"] == "thief:2:beefbeef"
+    # and no stray claim files left behind
+    strays = [f for f in os.listdir(path) if f.startswith("_writer.lease.")]
+    assert strays == [], strays

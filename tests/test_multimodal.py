@@ -302,3 +302,50 @@ def test_decode_image_stats_and_resize_ops(spark):
     assert np.array_equal(px[:2, 2:], np.full((2, 2, 3), 255, "uint8"))
     assert len(bytes(rs["png_flat"]["pixels"])) == 4 * 4 * 3
     assert rs["bad_jpeg"]["err"] and rs["bad_jpeg"]["pixels"] is None
+
+
+def test_corrupt_payloads_are_per_row_isolated(spark):
+    """ADVICE r7 (medium): corrupt/truncated payloads used to raise
+    zlib.error / struct.error straight through the Arrow stage and fail the
+    whole Spark task. decode_pixels now normalizes every codec-layer error
+    to ValueError, so one bad image lands as an err row, never a job kill."""
+    import numpy as np
+    import pytest as _pytest
+
+    from kausaldb_spark.sources import multimodal as mm
+
+    img = _rand_img(4, 4, 3, seed=3)
+    good_png = _png_encode(img, 2, [0])
+    # Corrupt the IDAT payload bytes (keeps chunk framing; zlib stream broken)
+    corrupt = bytearray(good_png)
+    idat_at = good_png.index(b"IDAT")
+    for off in range(idat_at + 4, idat_at + 12):
+        corrupt[off] ^= 0xA5
+    corrupt_png = bytes(corrupt)
+    trunc_bmp = _bmp_encode(img)[:20]          # header cut mid-BITMAPINFOHEADER
+    short_idat = good_png[: idat_at + 4]        # PNG truncated inside IDAT
+    zero_dim = _bmp_encode(img)[:18] + (0).to_bytes(4, "little", signed=True) + _bmp_encode(img)[22:]
+
+    for payload in (corrupt_png, trunc_bmp, short_idat, zero_dim):
+        with _pytest.raises((ValueError, NotImplementedError)):
+            mm.decode_pixels(payload)
+
+    assets = spark.createDataFrame(
+        [
+            ("ok", "image", bytearray(good_png), {}),
+            ("corrupt_png", "image", bytearray(corrupt_png), {}),
+            ("trunc_bmp", "image", bytearray(trunc_bmp), {}),
+            ("zero_dim_bmp", "image", bytearray(zero_dim), {}),
+        ],
+        "asset_id string, kind string, payload binary, meta map<string,string>",
+    )
+    stats = {r["asset_id"]: r for r in mm.decode_image_stats(assets).collect()}
+    assert stats["ok"]["err"] is None and stats["ok"]["width"] == 4
+    for bad in ("corrupt_png", "trunc_bmp", "zero_dim_bmp"):
+        assert stats[bad]["err"] and stats[bad]["width"] is None
+
+    rs = {r["asset_id"]: r for r in mm.resize_images(assets, 2, 2).collect()}
+    assert rs["ok"]["err"] is None and len(bytes(rs["ok"]["pixels"])) == 2 * 2 * 3
+    assert np.frombuffer(bytes(rs["ok"]["pixels"]), np.uint8).shape == (12,)
+    for bad in ("corrupt_png", "trunc_bmp", "zero_dim_bmp"):
+        assert rs[bad]["err"] and rs[bad]["pixels"] is None

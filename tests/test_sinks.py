@@ -187,3 +187,46 @@ def test_max_records_per_file_splits_files(spark, docs):
         assert sinks.verify_shards(spark, p)
     finally:
         shutil.rmtree(p, ignore_errors=True)
+
+
+def test_digest_version_back_compat_for_pre_r7_manifests(spark):
+    """ADVICE r7: the null-bitmap digest change must not make stores written
+    under the old formula fail verify_shards as if corrupt. The manifest now
+    carries digest_version; verify recomputes with the STAMPED version, and
+    a manifest with no field at all (pre-r7) verifies under formula v1."""
+    rows = [(1, "a", None), (2, None, "b"), (3, "c", "d")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    p = _tmp()
+    try:
+        m = sinks.write_training_shards(df, p, n_shards=2, seed=7)
+        assert m["digest_version"] == sinks.DIGEST_VERSION == 2
+        assert sinks.verify_shards(spark, p)
+
+        # Simulate a pre-r7 store: same layout, manifest written by the v1
+        # formula with NO digest_version field.
+        v1 = {
+            r["shard"]: (r["n_rows"], r["digest"])
+            for r in sinks.shard_digests(spark, p, digest_version=1).collect()
+        }
+        legacy = {
+            "n_shards": 2,
+            "seed": 7,
+            "id_col": "doc_id",
+            "shards": [
+                {"shard": k, "n_rows": n, "digest": d}
+                for k, (n, d) in sorted(v1.items())
+            ],
+        }
+        with open(os.path.join(p, "_kdb_manifest.json"), "w") as fh:
+            json.dump(legacy, fh)
+        assert sinks.verify_shards(spark, p), "pre-r7 manifest failed verify"
+
+        # the two formulas genuinely differ on null-bearing data, so the
+        # version gate is load-bearing, not vacuous
+        v2 = {
+            r["shard"]: r["digest"]
+            for r in sinks.shard_digests(spark, p, digest_version=2).collect()
+        }
+        assert any(v1[k][1] != v2[k] for k in v2)
+    finally:
+        shutil.rmtree(p, ignore_errors=True)
