@@ -836,8 +836,6 @@ def _q_streaming_curate(spark, sf_dir):
     Rows-only check (the parquet append order is nondeterministic);
     streamed-gate == batch-gate parity is pinned in
     tests/test_streaming_corpus.py."""
-    import json as _json
-    import os
     import tempfile
 
     from kausaldb_spark.streaming import corpus as scorp
@@ -845,16 +843,16 @@ def _q_streaming_curate(spark, sf_dir):
     d = tempfile.mkdtemp(prefix="kdb_scur_src_")
     out = tempfile.mkdtemp(prefix="kdb_scur_out_") + "/docs"
     ck = tempfile.mkdtemp(prefix="kdb_scur_ck_")
-    rows = (
+    # replay chunks written distributed (r9: the old collect()-and-loop put
+    # the whole table through the driver — at sf10+ the gate itself bloats);
+    # 3 JSONL part files = 3 arrival chunks for the file source.
+    (
         _docs(spark, sf_dir)
         .select("doc_id", "text", "lang", "source")
-        .orderBy("doc_id")
-        .collect()
+        .repartition(3)
+        .write.mode("overwrite")
+        .json(d)
     )
-    for i in range(3):
-        with open(os.path.join(d, f"chunk{i}.jsonl"), "w") as fh:
-            for r in rows[i::3]:
-                fh.write(_json.dumps(r.asDict()) + "\n")
     q = scorp.curated_append(
         scorp.curate_stream(scorp.stream_documents(spark, d)), out, ck
     ).start()
@@ -928,51 +926,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (dfs_preorder + the two streaming ops — not SQL-expressible; their
     behavior is pytest-asserted in tests/).
 
-    Round-7 rotation (the r6 verdict's item 3 — every oracle-backed entry
-    gets a driver row within a round or two): ALL sixteen oracle-backed
-    entries that had never gated in a driver window (events_funnel,
-    cohort_retention, sliding_rollup, events_quantiles, events_topk_users,
-    pack_sequences, exact_dedup, ngram_jaccard, simhash_pairs, fingerprint,
-    edge_ordering, token_count_bpe, bfs_depth5, filter_targets,
-    filter_pagination, iterate_all) move into the sample window, plus the
-    new bm25_topk_ppm (fixed-point ranked retrieval — verdict item 8).
-    Seventeen entries with ≥1 green driver row across r1-r6 rotate to the
-    locally-gated tail (shard_shuffle, snapshot_view, events_asof,
-    sessionize, events_retention, store_roundtrip, point_lookup,
-    batch_lookup_100, filter_metadata_eq, filter_compound, find_by_name,
-    find_alias_and_path, keyword_search, callers_1hop, bfs_depth3,
-    path_enumeration, context_blocks), where tests/test_oracle_parity.py
-    still hash-checks them every run with the identical DuckDB harness.
-    Late-r7 addition: source_overlap (new cross-source n-gram leakage
-    matrix) gates in-window; corpus_report (green r6 driver row)
-    rotates to the tail.
+    Round-9 rotation (the r8 verdict's item 3): the 19 tail entries whose
+    last driver row was r6 rotate BACK into the sample window —
+    store_roundtrip, point_lookup, batch_lookup_100, snapshot_view,
+    shard_shuffle, events_asof, sessionize, events_retention,
+    filter_metadata_eq, filter_compound, find_by_name, find_alias_and_path,
+    keyword_search, callers_1hop, bfs_depth3, path_enumeration,
+    context_blocks, events_hourly, corpus_report. This matters doubly in
+    r9: the store moved to a versioned-root pointer-flip layout this round,
+    so every storage-path query re-gates against the driver's oracle on the
+    new layout. Displaced to the tail: 19 entries with green r7+r8 driver
+    rows on unchanged code paths (events_funnel, cohort_retention,
+    sliding_rollup, events_quantiles, events_topk_users, pack_sequences,
+    exact_dedup, ngram_jaccard, simhash_pairs, fingerprint, edge_ordering,
+    token_count_bpe, filter_targets, filter_pagination, normalize_text,
+    mixture_weights, domain_filter, length_quantiles, source_mix) —
+    tests/test_oracle_parity.py still hash-checks every oracle-backed entry
+    each run with the identical DuckDB harness, window position only
+    affects which get a per-round driver row.
     """
     return {
-        # -- rotated INTO the driver sample this round (never gated before) --
-        "events_funnel": _q_events_funnel,
-        "cohort_retention": _q_cohort_retention,
-        "sliding_rollup": _q_sliding_rollup,
-        "events_quantiles": _q_events_quantiles,
-        "events_topk_users": _q_events_topk_users,
-        "pack_sequences": _q_pack_sequences,
-        "exact_dedup": _q_exact_dedup,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "simhash_pairs": _q_simhash_pairs,
-        "fingerprint": _q_fingerprint,
-        "edge_ordering": _q_edge_ordering,
-        "token_count_bpe": _q_token_count_bpe,
-        "bfs_depth5": _q_bfs_depth5,
-        "filter_targets": _q_filter_targets,
-        "filter_pagination": _q_filter_pagination,
+        # -- rotated INTO the driver sample this round (last gated r6; the
+        #    storage-path ones re-gate on the r9 versioned-root layout) --
+        "store_roundtrip": _q_store_roundtrip,
+        "point_lookup": _q_point_lookup,
+        "batch_lookup_100": _q_batch_lookup_100,
+        "snapshot_view": _q_snapshot_view,
+        "shard_shuffle": _q_shard_shuffle,
+        "events_asof": _q_events_asof,
+        "sessionize": _q_sessionize,
+        "events_retention": _q_events_retention,
+        "filter_metadata_eq": _q_filter_metadata_eq,
+        "filter_compound": _q_filter_compound,
+        "find_by_name": _q_find_by_name,
+        "find_alias_and_path": _q_find_alias_and_path,
+        "keyword_search": _q_keyword_search,
+        "callers_1hop": _q_callers_1hop,
+        "bfs_depth3": _q_bfs_depth3,
+        "path_enumeration": _q_path_enumeration,
+        "context_blocks": _q_context_blocks,
+        "events_hourly": _q_events_hourly,
+        "corpus_report": _q_corpus_report,
+        # -- kept in-window: code paths touched recently or ≤2 green rows --
         "iterate_all": _q_iterate_all,
+        "bfs_depth5": _q_bfs_depth5,
         "bm25_topk_ppm": _q_bm25_topk_ppm,
-        # -- r6-gated curation ops (one green row so far; keep one more) --
-        "normalize_text": _q_normalize_text,
-        "mixture_weights": _q_mixture_weights,
-        "domain_filter": _q_domain_filter,
-        "length_quantiles": _q_length_quantiles,
         "source_overlap": _q_source_overlap,
-        "source_mix": _q_source_mix,
         "line_dedup": _q_line_dedup,
         "binary_dedup": _q_binary_dedup,
         "canonical_selection": _q_canonical_selection,
@@ -1005,24 +1004,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tail (position > 50: outside the driver sample; the oracle-
         #    backed entries here are still hash-gated by the local parity
         #    suite, the rows-only ones are pytest-gated) --
-        "shard_shuffle": _q_shard_shuffle,
-        "snapshot_view": _q_snapshot_view,
-        "events_asof": _q_events_asof,
-        "sessionize": _q_sessionize,
-        "events_retention": _q_events_retention,
-        "store_roundtrip": _q_store_roundtrip,
-        "point_lookup": _q_point_lookup,
-        "batch_lookup_100": _q_batch_lookup_100,
-        "filter_metadata_eq": _q_filter_metadata_eq,
-        "filter_compound": _q_filter_compound,
-        "find_by_name": _q_find_by_name,
-        "find_alias_and_path": _q_find_alias_and_path,
-        "keyword_search": _q_keyword_search,
-        "callers_1hop": _q_callers_1hop,
-        "bfs_depth3": _q_bfs_depth3,
-        "path_enumeration": _q_path_enumeration,
-        "context_blocks": _q_context_blocks,
-        "events_hourly": _q_events_hourly,
+        "events_funnel": _q_events_funnel,
+        "cohort_retention": _q_cohort_retention,
+        "sliding_rollup": _q_sliding_rollup,
+        "events_quantiles": _q_events_quantiles,
+        "events_topk_users": _q_events_topk_users,
+        "pack_sequences": _q_pack_sequences,
+        "exact_dedup": _q_exact_dedup,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "simhash_pairs": _q_simhash_pairs,
+        "fingerprint": _q_fingerprint,
+        "edge_ordering": _q_edge_ordering,
+        "token_count_bpe": _q_token_count_bpe,
+        "filter_targets": _q_filter_targets,
+        "filter_pagination": _q_filter_pagination,
+        "normalize_text": _q_normalize_text,
+        "mixture_weights": _q_mixture_weights,
+        "domain_filter": _q_domain_filter,
+        "length_quantiles": _q_length_quantiles,
+        "source_mix": _q_source_mix,
         "repetition_score": _q_repetition_score,
         "token_count": _q_token_count,
         "split_assignment": _q_split_assignment,

@@ -34,7 +34,16 @@ def _assert_unique_ids(df: DataFrame, id_col: str = "doc_id") -> int:
     existing ids or each other (birthday bound ~2^28 rows for 56-bit ids),
     and a collision would silently merge training rows. One aggregate over
     the frame the funnel already counts — fail loudly, return the count."""
-    n_rows, n_ids = df.agg(F.count("*"), F.countDistinct(id_col)).collect()[0]
+    n_rows, n_nonnull, n_ids = df.agg(
+        F.count("*"), F.count(id_col), F.countDistinct(id_col)
+    ).collect()[0]
+    # countDistinct ignores NULLs, so a NULL id would otherwise masquerade
+    # as a "collision" with a misleading re-seed remediation (ADVICE r8).
+    if n_nonnull != n_rows:
+        raise ValueError(
+            f"NULL {id_col} after mixture upsampling: {n_rows - n_nonnull} "
+            f"of {n_rows} rows have no id — fix the id derivation upstream"
+        )
     if n_ids != n_rows:
         raise ValueError(
             f"{id_col} collision after mixture upsampling: {n_rows} rows "

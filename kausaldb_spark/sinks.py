@@ -201,17 +201,32 @@ def verify_shards(spark: SparkSession, path: str, id_col: str = "doc_id") -> boo
     the mismatching shards otherwise."""
     with open(os.path.join(path, "_kdb_manifest.json")) as fh:
         manifest = json.load(fh)
-    # pre-r7 manifests have no digest_version field -> formula v1
-    version = int(manifest.get("digest_version", 1))
     want = {s["shard"]: (s["n_rows"], s["digest"]) for s in manifest["shards"]}
-    got = {
-        r["shard"]: (r["n_rows"], r["digest"])
-        for r in shard_digests(spark, path, id_col, digest_version=version).collect()
-    }
-    bad = sorted(
-        set(k for k in want if want[k] != got.get(k))
-        | set(k for k in got if k not in want)
-    )
+
+    def _mismatches(version: int) -> list:
+        got = {
+            r["shard"]: (r["n_rows"], r["digest"])
+            for r in shard_digests(
+                spark, path, id_col, digest_version=version
+            ).collect()
+        }
+        return sorted(
+            set(k for k in want if want[k] != got.get(k))
+            | set(k for k in got if k not in want)
+        )
+
+    if "digest_version" in manifest:
+        bad = _mismatches(int(manifest["digest_version"]))
+    else:
+        # Unstamped manifest: written either pre-r7 (formula v1) or at the
+        # r7 revision that already used the v2 null-bitmap formula but did
+        # not yet stamp the field (ADVICE r8). The bitmap participates in
+        # EVERY row hash, so v1/v2 digests differ on all data — a healthy
+        # r7 store would spuriously fail a v1-only check. Accept if EITHER
+        # formula reproduces the manifest.
+        bad = _mismatches(2)
+        if bad:
+            bad = _mismatches(1)
     if bad:
         raise ValueError(f"shard digest mismatch: {bad}")
     return True

@@ -85,11 +85,7 @@ class BlockStore:
     ):
         self.spark = spark
         self.path = path
-        self._blocks_dir = os.path.join(path, "blocks")
-        self._edges_dir = os.path.join(path, "edges")
-        self._tomb_dir = os.path.join(path, "tombstones")
-        self._file_state_dir = os.path.join(path, "file_state")
-        self._ref_names_dir = os.path.join(path, "ref_names")
+        self._current_path = os.path.join(path, "_current.json")
         self._hwm_path = os.path.join(path, "_max_seq.json")
         self._lease_path = os.path.join(path, "_writer.lease")
         self._lease_ttl = float(lease_ttl)
@@ -97,6 +93,47 @@ class BlockStore:
         self._lease_timeout = float(lease_timeout)
         self._lease_depth = 0
         self._lease_owner = f"{socket.gethostname()}:{os.getpid()}:{uuid.uuid4().hex[:8]}"
+
+    # -- versioned-root layout (reader-vs-compact isolation) -----------------
+    # Every table directory resolves through a `_current.json` pointer file:
+    # after the first compact, tables live under an immutable version root
+    # (`path/v-<hex>/blocks` ...) and compact() publishes a NEW root with a
+    # single atomic os.replace of the pointer — the object-store
+    # write-new-prefix + pointer-flip pattern (same shape as Delta/Iceberg
+    # snapshot commits). A reader whose plan listed files under the previous
+    # root keeps reading them untouched: the previous root is retained for
+    # one full compact cycle (GC'd only by the NEXT compact), so a reader
+    # polling visible() across a compact never sees vanished files. Stores
+    # that have never compacted (and pre-r9 stores) use the flat legacy
+    # layout directly under `path` — `_root` falls back when no pointer
+    # exists, so both layouts read transparently.
+
+    def _root(self) -> str:
+        try:
+            with open(self._current_path, encoding="utf-8") as f:
+                return os.path.join(self.path, json.load(f)["version"])
+        except (OSError, ValueError, KeyError):
+            return self.path  # legacy flat layout / store not yet compacted
+
+    @property
+    def _blocks_dir(self) -> str:
+        return os.path.join(self._root(), "blocks")
+
+    @property
+    def _edges_dir(self) -> str:
+        return os.path.join(self._root(), "edges")
+
+    @property
+    def _tomb_dir(self) -> str:
+        return os.path.join(self._root(), "tombstones")
+
+    @property
+    def _file_state_dir(self) -> str:
+        return os.path.join(self._root(), "file_state")
+
+    @property
+    def _ref_names_dir(self) -> str:
+        return os.path.join(self._root(), "ref_names")
 
     # -- writer lease --------------------------------------------------------
     # The reference gets write safety from its single-threaded core + WAL
@@ -198,6 +235,16 @@ class BlockStore:
             return
         # We claimed someone else's fresh lease — put it back without
         # clobbering anything newer, then drop our claim link.
+        #
+        # Residual window (ADVICE r8, acknowledged): between our rename-claim
+        # and this os.link the lease file is ABSENT, so a third writer can
+        # acquire via O_CREAT|O_EXCL; the link then fails EEXIST and the
+        # displaced stealer's lease is dropped while it still believes it
+        # holds the lease. The stealer gets its signal at its next
+        # _lease_renew: the claim-by-rename there finds a lease owned by the
+        # third writer (or absent) and refuses to renew, so the displaced
+        # holder's writes stop extending a lease it no longer holds. Fully
+        # closing the window needs a CAS primitive the filesystem lacks.
         try:
             os.link(claim, self._lease_path)
         except OSError:
@@ -207,27 +254,56 @@ class BlockStore:
     def _lease_renew(self) -> None:
         """Push the held lease's expiry out by the active TTL — called after
         the reserve step and before long Spark writes so a slow job can't
-        outlive its lease mid-operation (ADVICE r7). Owner-checked rewrite:
-        if the lease was already stolen (we truly overran), leave the
-        stealer's lease untouched and let release's claim logic sort it out."""
+        outlive its lease mid-operation (ADVICE r7).
+
+        Claim-by-rename, same pattern as _lease_release (ADVICE r8: the old
+        read-owner-then-os.replace had a TOCTOU window where a steal landing
+        between the read and the replace was clobbered by the renewal,
+        reintroducing dual writers). Rename gives exactly one of {us, a
+        stealer} any given inode; we inspect the inode we actually claimed,
+        renew it in place, and re-attach with os.link, which — unlike
+        rename — refuses to clobber a lease a contender created while the
+        file was absent."""
         if self._lease_depth <= 0:
             return
+        claim = f"{self._lease_path}.renew.{self._lease_owner.rsplit(':', 1)[-1]}"
         try:
-            with open(self._lease_path, encoding="utf-8") as f:
-                if json.load(f).get("owner") != self._lease_owner:
-                    return
-            tmp = f"{self._lease_path}.renew.{self._lease_owner.rsplit(':', 1)[-1]}"
-            with open(tmp, "w", encoding="utf-8") as f:
-                json.dump(
-                    {
-                        "owner": self._lease_owner,
-                        "expires": time.time() + self._lease_ttl_active,
-                    },
-                    f,
-                )
-            os.replace(tmp, self._lease_path)
+            os.rename(self._lease_path, claim)
+        except OSError:
+            return  # lease already stolen-and-claimed elsewhere: do not renew
+        try:
+            with open(claim, encoding="utf-8") as f:
+                cur = json.load(f)
         except (OSError, ValueError):
-            pass  # renewal is best-effort; the TTL headroom is the backstop
+            cur = {}
+        if cur.get("owner") == self._lease_owner:
+            try:
+                with open(claim, "w", encoding="utf-8") as f:
+                    json.dump(
+                        {
+                            "owner": self._lease_owner,
+                            "expires": time.time() + self._lease_ttl_active,
+                        },
+                        f,
+                    )
+                os.link(claim, self._lease_path)  # refuses to clobber
+            except OSError:
+                pass  # a contender acquired during the claim window — they win
+            try:
+                os.unlink(claim)
+            except OSError:
+                pass
+            return
+        # We claimed a STEALER's fresh lease (we truly overran our TTL) —
+        # restore it without clobbering anything newer, exactly as release.
+        try:
+            os.link(claim, self._lease_path)
+        except OSError:
+            pass
+        try:
+            os.unlink(claim)
+        except OSError:
+            pass
 
     # -- raw table accessors ------------------------------------------------
 
@@ -612,52 +688,68 @@ class BlockStore:
         """Rewrite to the visible snapshot only (drops shadowed versions and
         consumed tombstones) — the compaction analogue, run as a batch job.
 
-        Crash-safe like the reference's compaction: the new snapshot is fully
-        written to side directories *while the live store is untouched*, then
-        swapped in with directory renames. A failure before the swap leaves
-        the live store intact; a failure between the two renames of one table
-        is recovered by the ``.compact-old`` copy still being on disk. On an
-        object store this maps to write-new-prefix + pointer flip (or a Delta
-        REPLACE transaction). Leftover tombstones after a partial swap are
-        harmless: every version they shadow was already dropped.
+        Publication is a versioned-root pointer flip (r9): all five tables
+        are fully written under a brand-new version root *while the live
+        store is untouched*, then `_current.json` is atomically os.replace'd
+        to point at it. A crash anywhere before the flip leaves the live
+        store byte-identical (the orphan root is GC'd by the next successful
+        compact); there is no partial-swap state at all. The PREVIOUS root
+        is retained for one full compact cycle before GC, so concurrent
+        readers whose plans listed the old files finish cleanly — reader
+        isolation is the point of the layout (fault-tested in
+        tests/test_fault_injection.py). On an object store this is exactly
+        write-new-prefix + pointer flip (or a Delta REPLACE transaction).
 
-        Runs under the writer lease with a compaction-sized TTL — a
-        concurrent append during the directory swap would write into a
-        directory about to be renamed away."""
+        Runs under the writer lease with a compaction-sized TTL, renewed at
+        every phase boundary — a concurrent append during the rewrite would
+        base its sequence range on a root about to be superseded."""
         with self._writer_lease(ttl=600.0):
             self._compact_locked()
 
     def _compact_locked(self) -> None:
-        tmp_blocks = self._blocks_dir + ".compact-tmp"
-        tmp_edges = self._edges_dir + ".compact-tmp"
-        tmp_state = self._file_state_dir + ".compact-tmp"
-        tmp_refs = self._ref_names_dir + ".compact-tmp"
-        for t in (tmp_blocks, tmp_edges, tmp_state, tmp_refs):
-            shutil.rmtree(t, ignore_errors=True)
-        # reads source dirs, writes ONLY to the side dirs — recomputation
-        # after an executor loss re-reads the still-intact live store
-        self.visible().write.partitionBy("codebase").parquet(tmp_blocks)
+        old_root = self._root()
+        new_version = f"v-{uuid.uuid4().hex[:12]}"
+        new_root = os.path.join(self.path, new_version)
+        # reads resolve the CURRENT root; writes go ONLY under the new one —
+        # recomputation after an executor loss re-reads the intact live store
+        self.visible().write.partitionBy("codebase").parquet(
+            os.path.join(new_root, "blocks")
+        )
         self._lease_renew()  # the block rewrite is the long pole; re-arm
-        self.visible_edges().write.parquet(tmp_edges)
-        self._lease_renew()  # re-arm before the swap window
+        self.visible_edges().write.parquet(os.path.join(new_root, "edges"))
+        self._lease_renew()  # re-arm between rewrites (ADVICE r8: a compact
+        # stalling past the TTL must not reopen the steal window)
         # file_state folds to its latest row per file (epoch history consumed
         # along with the stale edges it shadowed); ref_names to current epochs
-        self.current_file_state().write.parquet(tmp_state)
-        self.current_ref_names().write.parquet(tmp_refs)
-        for live, tmp in (
-            (self._blocks_dir, tmp_blocks),
-            (self._edges_dir, tmp_edges),
-            (self._file_state_dir, tmp_state),
-            (self._ref_names_dir, tmp_refs),
-        ):
-            old = live + ".compact-old"
-            shutil.rmtree(old, ignore_errors=True)
-            if os.path.exists(live):
-                os.rename(live, old)
-            os.rename(tmp, live)
-            shutil.rmtree(old, ignore_errors=True)
-        empty = self.spark.createDataFrame([], _EMPTY_TOMB)
-        empty.write.mode("overwrite").parquet(self._tomb_dir)
+        self.current_file_state().write.parquet(os.path.join(new_root, "file_state"))
+        self.current_ref_names().write.parquet(os.path.join(new_root, "ref_names"))
+        # consumed tombstones: the new root starts with an empty table
+        self.spark.createDataFrame([], _EMPTY_TOMB).write.parquet(
+            os.path.join(new_root, "tombstones")
+        )
+        self._lease_renew()  # re-arm before the flip + GC phase
+        # atomic publish: one os.replace of the pointer file
+        tmp = f"{self._current_path}.tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump({"version": new_version}, f)
+        os.replace(tmp, self._current_path)
+        # GC: keep the new root and the immediately-previous one (the grace
+        # copy for in-flight readers); anything older — including orphans of
+        # crashed compacts — goes. Compacts serialize under the writer
+        # lease, so no GC'd root can be another compact's in-progress write.
+        for d in os.listdir(self.path):
+            full = os.path.join(self.path, d)
+            if (
+                d.startswith("v-")
+                and os.path.isdir(full)
+                and full not in (new_root, old_root)
+            ):
+                shutil.rmtree(full, ignore_errors=True)
+        if old_root != self.path:
+            # flat legacy tables (pre-first-compact layout) are ≥2 compacts
+            # old once a versioned root is itself being superseded
+            for d in ("blocks", "edges", "tombstones", "file_state", "ref_names"):
+                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
         # same visible set, new data files: a cached snapshot would re-read
-        # the renamed (deleted) paths on cache-partition eviction
+        # the superseded paths on cache-partition eviction
         self._invalidate_snapshot()
