@@ -24,6 +24,12 @@ Methodology:
 - REGRESSION GATE (r6): per-query ratio vs the round-1 medians recorded in
   BASELINE.md §4 — emits ratio_geomean + regressions (>1.5x) +
   regressions_2x (>2x) in the JSON; informational, never crashes the run.
+- INGESTION (r9): ingest_parse / ingest_batch / ingest_incremental over the
+  pinned reference src/ corpus, mirroring the reference's ingestion benches
+  (src/bench/ingestion.zig) — files/s and MB/s derived figures under
+  ingest_scale. Pinned corpus => sf-independent, gated like every key.
+- DAEMON E2E (r9): e2e_find / e2e_show — client->daemon->engine round-trip
+  medians on one warm connection, mirroring src/bench/e2e.zig:217-427.
 """
 
 from __future__ import annotations
@@ -108,6 +114,10 @@ BASELINE_MEDIANS = {
     "split_assignment": 0.15, "lang_id": 0.91, "quality_score": 0.38,
     "ann_topk": 0.49, "ann_lsh": 0.44, "embedding_near_dup": 0.39,
     "events_hourly": 0.41, "sessionize": 0.44,
+    # r9-recorded baselines (first round these keys exist): ingestion over
+    # the pinned reference src/ corpus + daemon round-trip latency
+    "ingest_parse": 1.87, "ingest_batch": 18.1, "ingest_incremental": 16.6,
+    "e2e_find": 0.69, "e2e_show": 2.56,
 }
 
 
@@ -261,6 +271,152 @@ def _bench_incremental_dedup(spark, sf_dir, timings, errors) -> float:
     return total
 
 
+def _bench_ingestion(spark, timings, errors) -> float:
+    """r8 verdict item 1 — the S7-S9 ingestion pipeline was the one surface
+    with correctness pins but no recorded throughput. Mirrors the
+    reference's ingestion benches (/root/reference/src/bench/ingestion.zig
+    via harness src/bench/harness.zig:31-56: parser throughput, batch
+    ingest, incremental):
+
+      ingest_parse        distributed parse of the pinned corpus (units +
+                          raw edges forced through the noop sink), no store
+      ingest_batch        full link_codebase into a fresh store (1 run —
+                          a write pipeline, like graph_build)
+      ingest_incremental  steady-state sync after exactly ONE file changed
+                          (hash-diff scan + re-parse + scoped re-resolve)
+
+    Pinned corpus = the reference's own src/ tree: frozen across rounds,
+    so these keys gate against BASELINE_MEDIANS like every other key.
+    Derived files/s / MB/s figures land under ingest_scale."""
+    import shutil as _sh
+    import tempfile
+
+    from kausaldb_spark.engine import KausalEngine
+    from kausaldb_spark.sources import ingest as ing
+
+    added = 0.0
+    src_root = "/root/reference/src"
+    files = ing.list_files(src_root)
+    if not files:
+        errors["ingest_parse"] = "pinned corpus missing: " + src_root
+        return added
+    n_files = len(files)
+    n_bytes = sum(os.path.getsize(ap) for ap, _ in files)
+
+    def parse():
+        units, raw_edges = ing.parse_files(spark, files)
+        _force(units)
+        _force(raw_edges)
+
+    med = _timed(parse, timings, errors, "ingest_parse")
+    if med is not None:
+        added += med
+        timings["ingest_scale"] = {
+            "n_files": n_files,
+            "mb": round(n_bytes / 1e6, 2),
+            "parse_files_per_sec": round(n_files / med, 1),
+            "parse_mb_per_sec": round(n_bytes / 1e6 / med, 2),
+        }
+
+    # batch: the full pipeline into a store. The tree is copied so the
+    # incremental leg below can mutate one file (the reference tree is
+    # read-only), and so re-runs never collide.
+    work = tempfile.mkdtemp(prefix="kdb_bench_ingest_tree_")
+    _sh.copytree(src_root, work, dirs_exist_ok=True)
+    eng = KausalEngine(spark, tempfile.mkdtemp(prefix="kdb_bench_ingest_store_"))
+
+    med = _timed(
+        lambda: eng.link_codebase(work, "refsrc"),
+        timings, errors, "ingest_batch", n_runs=1,
+    )
+    if med is None:
+        return added
+    added += med
+    if isinstance(timings.get("ingest_scale"), dict):
+        timings["ingest_scale"]["batch_files_per_sec"] = round(n_files / med, 1)
+
+    victim = os.path.join(work, files[n_files // 2][1])
+    with open(victim, "a", encoding="utf-8") as fh:
+        fh.write("\n// bench touch\n")
+
+    sync_stats: dict = {}
+    med = _timed(
+        lambda: sync_stats.update(eng.sync_codebase("refsrc", root=work)),
+        timings, errors, "ingest_incremental", n_runs=1,
+    )
+    if med is not None:
+        added += med
+        if isinstance(timings.get("ingest_scale"), dict):
+            # the convergence cascade (re-resolving unchanged files that
+            # reference the changed file's definition names) is part of the
+            # measured cost — record how many files it actually touched so
+            # the seconds are interpretable round-over-round
+            timings["ingest_scale"]["incremental_stats"] = {
+                k: sync_stats.get(k)
+                for k in ("files_changed", "files_reresolved", "files_unchanged")
+            }
+    return added
+
+
+def _bench_e2e(spark, timings, errors) -> float:
+    """r8 verdict item 9 — client->daemon->engine round-trip latency,
+    mirroring the reference's e2e server bench (src/bench/e2e.zig:217-427):
+    a resident engine behind the TCP daemon, ONE warm client connection,
+    median wall time per request for find (e2e_find) and callers
+    (e2e_show). Each run queries a DIFFERENT function so the engine's
+    result cache (X1) can't turn the median into a cache-hit
+    micro-benchmark; what's measured is socket + JSON framing + a real
+    engine execution — the daemon's steady-state latency."""
+    import tempfile
+
+    from kausaldb_spark.engine import KausalEngine
+    from kausaldb_spark.server import KausalClient, KausalServer
+
+    added = 0.0
+    root = tempfile.mkdtemp(prefix="kdb_bench_e2e_proj_")
+    n_fns = 12
+    body = "".join(
+        f"def fn_{i}(x):\n    return x + {i}\n\n" for i in range(n_fns)
+    )
+    body += "def caller():\n    return " + " + ".join(
+        f"fn_{i}(1)" for i in range(n_fns)
+    ) + "\n"
+    with open(os.path.join(root, "lib.py"), "w", encoding="utf-8") as fh:
+        fh.write(body)
+    eng = KausalEngine(spark, tempfile.mkdtemp(prefix="kdb_bench_e2e_store_"))
+    eng.link_codebase(root, "bench")
+    srv = KausalServer(eng, eng.store.path, port=0)
+    srv.serve_background()
+    host, port = srv.server_address[:2]
+    try:
+        with KausalClient(host, port) as c:
+            c.request(["ping"])  # connection + handler warmup
+            i = [0]
+
+            def run_find():
+                argv = ["--format", "json", "find", "--workspace", "bench",
+                        "--type", "function", "--name", f"fn_{i[0] % n_fns}"]
+                i[0] += 1
+                r = c.request(argv)
+                assert r["ok"], r
+
+            def run_show():
+                argv = ["--format", "json", "show", "--workspace", "bench",
+                        "--relation", "callers", "--target", f"fn_{i[0] % n_fns}"]
+                i[0] += 1
+                r = c.request(argv)
+                assert r["ok"], r
+
+            for name, fn in (("e2e_find", run_find), ("e2e_show", run_show)):
+                med = _timed(fn, timings, errors, name, n_runs=5)
+                if med is not None:
+                    added += med
+    finally:
+        srv.shutdown()
+        srv.server_close()
+    return added
+
+
 def _regression_gate(timings: dict) -> dict:
     """Per-query ratio vs BASELINE_MEDIANS. Informational — never raises."""
     import math
@@ -351,12 +507,28 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001 — never lose the fixture numbers
         errors["store_path"] = _err_tail(exc)
 
+    # ingestion throughput + daemon round-trip (r9): sf-independent
+    # (pinned corpus / synthetic project), reported under their own totals
+    # so `value` stays comparable across BENCH_r*.json.
+    ingest_total = 0.0
+    try:
+        ingest_total = _bench_ingestion(spark, timings, errors)
+    except Exception as exc:  # noqa: BLE001
+        errors["ingestion_path"] = _err_tail(exc)
+    e2e_total = 0.0
+    try:
+        e2e_total = _bench_e2e(spark, timings, errors)
+    except Exception as exc:  # noqa: BLE001
+        errors["e2e_path"] = _err_tail(exc)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "bench_total",
         "value": round(total, 3),
         "unit": "sec",
         "store_path_sec": round(store_total, 3),
+        "ingest_path_sec": round(ingest_total, 3),
+        "e2e_path_sec": round(e2e_total, 3),
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

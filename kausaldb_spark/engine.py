@@ -307,16 +307,15 @@ class KausalEngine:
             )
             n_covered = refs.where(F.col("name").isNull()).count()
             if n_covered >= n_files_cur:
-                cand = (
+                hits = (
                     refs.where(~F.col("file_path").isin(affected))
                     .join(
                         F.broadcast(names_df), refs.name == names_df.tok, "left_semi"
                     )
-                    .select("file_path")
-                    .distinct()
+                    .select("file_path", F.col("name").alias("tok"))
                 )
             else:
-                cand = (
+                hits = (
                     vis_cb.where(~F.col("file_path").isin(affected))
                     .select(
                         "file_path",
@@ -325,9 +324,28 @@ class KausalEngine:
                         ).alias("tok"),
                     )
                     .join(F.broadcast(names_df), "tok", "left_semi")
-                    .select("file_path")
-                    .distinct()
                 )
+            # Local-shadow exclusion (r9): resolution is file-local-FIRST
+            # (resolve_and_build coalesces uid_file before uid_global), so a
+            # file that itself defines bare name n can never change how it
+            # resolves n when OTHER files' defs of n change — re-resolving
+            # it is pure waste. Without this cut, touching any file that
+            # imports `std` cascaded into re-resolving every file in the
+            # codebase (each file references its own std import): the r9
+            # ingest_incremental bench measured 109/110 files re-resolved
+            # for a one-file touch. The anti-join is per (file, name):
+            # a file stays a candidate if ANY affected name it references
+            # is not locally shadowed.
+            local_defs = (
+                vis_cb.where(~F.col("file_path").isin(affected))
+                .select("file_path", bare_of_unit.alias("tok"))
+                .distinct()
+            )
+            cand = (
+                hits.join(local_defs, ["file_path", "tok"], "left_anti")
+                .select("file_path")
+                .distinct()
+            )
             reresolve = sorted(
                 r["file_path"]
                 for r in cand.collect()

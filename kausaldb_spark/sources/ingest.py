@@ -498,8 +498,13 @@ class _ZigParse:
                 self.units.append((self.rel, "type", qual, container, ln,
                                    end_ln, self._content(ln, end_ln), None))
                 # members walked with THIS container context; the function
-                # context does not leak into the container body
-                self.walk(q + 1, body_close, name, "")
+                # context does not leak into the container body. The context
+                # is the emitted QUAL, not the bare name (r9, found by the
+                # differential fuzzer): walking with the short name made a
+                # depth-2 container's members (`T.Loc.m`) qualify as `Loc.m`
+                # while the container unit itself was `T.Loc` — a dangling
+                # method_of target no lookup could resolve.
+                self.walk(q + 1, body_close, qual, "")
                 return self._skip_to_semi(body_close, end) + 1
             if q < end and toks[q][1] == ";" and toks[p][1] == "opaque":
                 # `const H = opaque;`-style (rare): still a type decl

@@ -223,3 +223,26 @@ def test_mixture_id_collision_guard(spark):
     dup = spark.createDataFrame([(1, "a"), (1, "b")], "doc_id bigint, text string")
     with _pytest.raises(ValueError, match="collision"):
         _assert_unique_ids(dup)
+
+
+def test_unique_id_guard_distinguishes_null_from_collision(spark):
+    """ADVICE r8: countDistinct ignores NULLs, so a NULL doc_id used to be
+    reported as an id 'collision' with a misleading re-seed remediation.
+    NULL ids now get their own error; the collision message is reserved
+    for genuine duplicates; a clean frame passes and returns the count."""
+    clean = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], "doc_id string, x int"
+    )
+    assert curation._assert_unique_ids(clean) == 3
+
+    with_null = spark.createDataFrame(
+        [("a", 1), (None, 2), ("c", 3)], "doc_id string, x int"
+    )
+    with pytest.raises(ValueError, match="NULL doc_id"):
+        curation._assert_unique_ids(with_null)
+
+    with_dup = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("c", 3)], "doc_id string, x int"
+    )
+    with pytest.raises(ValueError, match="collision"):
+        curation._assert_unique_ids(with_dup)

@@ -431,3 +431,168 @@ def test_lease_release_is_atomic_claim_never_deletes_stealer(spark, tmp_path):
     # and no stray claim files left behind
     strays = [f for f in os.listdir(path) if f.startswith("_writer.lease.")]
     assert strays == [], strays
+
+
+def test_lease_renew_with_absent_lease_does_not_resurrect(spark, tmp_path):
+    """The r9 claim-by-rename renewal: when the lease file is ABSENT at
+    renewal time (we were stolen and the stealer already finished), the
+    renewal must NOT recreate a lease — a displaced holder silently
+    re-asserting ownership would reintroduce the dual-writer state the
+    claim protocol exists to prevent. And a renewal racing a mid-op steal
+    must leave the thief's lease exactly in place (the old
+    read-owner-then-replace clobbered it)."""
+    import json as _json
+    import time as _time
+
+    from kausaldb_spark.storage import BlockStore
+
+    path = str(tmp_path / "renew_absent")
+    store = BlockStore(spark, path, lease_ttl=5.0)
+    lease = os.path.join(path, "_writer.lease")
+    with store._writer_lease():
+        os.unlink(lease)  # stolen-and-released while we were working
+        store._lease_renew()
+        assert not os.path.exists(lease), "renewal resurrected a lost lease"
+        # steal lands: renewal claims, sees the thief's inode, restores it
+        with open(lease, "w") as fh:
+            _json.dump({"owner": "thief:3:feedface", "expires": _time.time() + 99}, fh)
+        store._lease_renew()
+        with open(lease) as fh:
+            assert _json.load(fh)["owner"] == "thief:3:feedface"
+    # no stray claim files from any path
+    strays = [f for f in os.listdir(path) if f.startswith("_writer.lease.")]
+    assert strays == [], strays
+
+
+def test_compact_renews_lease_and_never_loses_concurrent_appends(spark, tmp_path):
+    """r8 verdict item 5: compact runs several table rewrites under one
+    lease; without renewal at phase boundaries a compact whose TOTAL
+    duration exceeds the TTL reopens the steal window. Here every read
+    phase is slowed so the compact takes well past its (shrunk) TTL while
+    a second writer hammers append with a short acquisition timeout. If
+    renewal lapsed, the attacker would steal mid-compact and its append
+    would be erased by the pointer flip (it wrote into the superseded
+    root) — detected below as a lost row or a reused sequence."""
+    import threading
+    import time as _time
+
+    from kausaldb_spark.storage import BlockStore, LeaseHeldError
+
+    path = str(tmp_path / "compact_renew")
+    store = BlockStore(spark, path, lease_ttl=8.0)
+    store.append_blocks(_mk_blocks(spark, "base", 40, "cb"))
+    doomed = [r["id"] for r in store.visible().limit(5).collect()]
+    store.delete_blocks(doomed)  # give compact real shadowing work
+
+    for name in ("visible", "visible_edges", "current_file_state"):
+        orig = getattr(store, name)
+
+        def slow(orig=orig, **kw):
+            _time.sleep(2.0)
+            return orig(**kw)
+
+        setattr(store, name, slow)
+    renews = [0]
+    orig_renew = store._lease_renew
+
+    def counting_renew():
+        renews[0] += 1
+        orig_renew()
+
+    store._lease_renew = counting_renew
+
+    attacker = BlockStore(spark, path, lease_timeout=0.1, lease_ttl=8.0)
+    landed, refused, errs = [], [0], []
+    stop = threading.Event()
+
+    def attack():
+        i = 0
+        while not stop.is_set():
+            try:
+                attacker.append_blocks(_mk_blocks(spark, f"att{i}", 1, "cb"))
+                landed.append(i)
+                i += 1
+            except LeaseHeldError:
+                refused[0] += 1
+            except Exception as exc:  # noqa: BLE001
+                errs.append(exc)
+                return
+            _time.sleep(0.2)
+
+    t = threading.Thread(target=attack)
+    t.start()
+    _time.sleep(0.3)
+    store.compact()
+    _time.sleep(2.0)  # let at least one post-compact append land
+    stop.set()
+    t.join(180)
+    assert not errs, errs
+    assert renews[0] >= 3, f"compact renewed only {renews[0]}x"
+    assert refused[0] > 0, "lease was never contested mid-compact"
+
+    check = BlockStore(spark, path)  # fresh handle, un-monkeypatched
+    vis = check.visible().collect()
+    assert len(vis) == 35 + len(landed), (
+        f"lost append: {len(vis)} visible != 35 base + {len(landed)} landed"
+    )
+    seqs = [r["sequence"] for r in check.blocks_raw().collect()]
+    assert len(seqs) == len(set(seqs)), "sequence reuse across compact"
+    assert check.tombstones().count() == 0 or len(landed) == 0
+
+
+def test_reader_polling_visible_across_compacts_sees_no_errors(spark, tmp_path):
+    """r8 verdict item 7: the versioned-root pointer flip must give readers
+    snapshot isolation across compaction. A reader thread polls
+    visible().count() continuously while the writer runs TWO back-to-back
+    compacts (flat->v1, then v1->v2, which GCs the flat legacy tables) —
+    zero reader errors, every observed count equals the visible set. Also
+    pins the layout lifecycle: the flat tables survive the first compact
+    as the grace copy and are GC'd by the second; exactly the last two
+    version roots remain."""
+    import threading
+
+    from kausaldb_spark.storage import BlockStore
+
+    path = str(tmp_path / "reader_iso")
+    writer = BlockStore(spark, path)
+    writer.append_blocks(_mk_blocks(spark, "live", 60, "cb"))
+    doomed = [r["id"] for r in writer.visible().limit(10).collect()]
+    writer.delete_blocks(doomed)
+
+    reader = BlockStore(spark, path)
+    counts, errs = [], []
+    stop = threading.Event()
+
+    def poll():
+        while not stop.is_set():
+            try:
+                counts.append(reader.visible().count())
+            except Exception as exc:  # noqa: BLE001
+                errs.append(exc)
+                return
+
+    t = threading.Thread(target=poll)
+    t.start()
+    try:
+        writer.compact()
+        assert os.path.isdir(os.path.join(path, "blocks")), (
+            "flat legacy tables GC'd too early — in-flight readers need them"
+        )
+        writer.compact()
+    finally:
+        stop.set()
+        t.join(180)
+    assert not errs, f"reader hit errors across compact: {errs[:3]}"
+    assert counts and all(c == 50 for c in counts), (
+        f"reader saw wrong visible set: {sorted(set(counts))}"
+    )
+    # layout lifecycle: flat tables gone, exactly two version roots kept
+    assert not os.path.isdir(os.path.join(path, "blocks"))
+    roots = sorted(d for d in os.listdir(path) if d.startswith("v-"))
+    assert len(roots) == 2, roots
+    # the pointer names one of them and the store reads through it
+    import json as _json
+
+    with open(os.path.join(path, "_current.json")) as fh:
+        assert _json.load(fh)["version"] in roots
+    assert BlockStore(spark, path).visible().count() == 50

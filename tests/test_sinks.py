@@ -230,3 +230,35 @@ def test_digest_version_back_compat_for_pre_r7_manifests(spark):
         assert any(v1[k][1] != v2[k] for k in v2)
     finally:
         shutil.rmtree(p, ignore_errors=True)
+
+
+def test_unstamped_v2_manifest_verifies_without_spurious_corruption(spark):
+    """ADVICE r8: the r7 revision already wrote digests with the v2
+    null-bitmap formula but did not yet stamp digest_version into the
+    manifest. Mapping a missing field to v1 made every healthy r7 store
+    fail verification as corrupt (the bitmap is in EVERY row hash, so
+    v1/v2 differ on all data). verify_shards now accepts an unstamped
+    manifest if EITHER formula reproduces it — and still raises when
+    neither does."""
+    rows = [(1, "a", None), (2, None, "b"), (3, "c", "d"), (4, "e", "f")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    p = _tmp()
+    try:
+        sinks.write_training_shards(df, p, n_shards=2, seed=7)
+        mpath = os.path.join(p, "_kdb_manifest.json")
+        with open(mpath) as fh:
+            m = json.load(fh)
+        assert m.pop("digest_version") == 2  # simulate the r7 unstamped write
+        with open(mpath, "w") as fh:
+            json.dump(m, fh)
+        assert sinks.verify_shards(spark, p), "healthy r7-era store flagged corrupt"
+
+        # genuine corruption in an unstamped store must still be caught:
+        # neither formula reproduces a tampered digest
+        m["shards"][0]["digest"] = str(int(m["shards"][0]["digest"]) + 1)
+        with open(mpath, "w") as fh:
+            json.dump(m, fh)
+        with pytest.raises(ValueError, match="digest mismatch"):
+            sinks.verify_shards(spark, p)
+    finally:
+        shutil.rmtree(p, ignore_errors=True)

@@ -287,3 +287,62 @@ def test_dedup_stream_drops_replays(spark, tmp_path):
     )
     assert got == want, f"stream {got} != batch {want}"
     assert len(got) == 4
+
+
+def test_rollup_true_kill_restart_matches_uninterrupted(spark, tmp_path_factory):
+    """r8 verdict item 4 (rollup sink): hard-stop the windowed rollup mid
+    replay and restart from the same checkpoint — the watermark/window
+    state must recover from the state store so the final durable output
+    equals an uninterrupted run of the same replay exactly."""
+    import glob
+    import shutil
+    import time as _time
+
+    # 8 time-ordered chunks = 8 micro-batches: enough room to kill between
+    d = str(tmp_path_factory.mktemp("chunks8"))
+    stage = str(tmp_path_factory.mktemp("stage8"))
+    batch = ev.load_events(spark, SF_DIR).select(
+        "event_id", "us", "user_id", "event_type", "value"
+    )
+    lo, hi = batch.agg(F.min("us"), F.max("us")).collect()[0]
+    span = (hi - lo) // 8 + 1
+    for p in range(8):
+        part_dir = os.path.join(stage, f"p{p}")
+        batch.where(
+            (F.col("us") >= lo + p * span) & (F.col("us") < lo + (p + 1) * span)
+        ).coalesce(1).write.mode("overwrite").parquet(part_dir)
+        src = glob.glob(os.path.join(part_dir, "part-*.parquet"))[0]
+        shutil.copy(src, os.path.join(d, f"chunk_{p}.parquet"))
+
+    base = str(tmp_path_factory.mktemp("rollup_kill"))
+    out_a, ck_a = os.path.join(base, "out_a"), os.path.join(base, "ck_a")
+    out_b, ck_b = os.path.join(base, "out_b"), os.path.join(base, "ck_b")
+
+    # uninterrupted reference run
+    q = sev.incremental_ingest(
+        sev.windowed_rollup(sev.stream_events(spark, d)), out_a, ck_a
+    ).start()
+    q.awaitTermination(300)
+
+    # killed run: stop as soon as the first sealed windows land
+    q = sev.incremental_ingest(
+        sev.windowed_rollup(sev.stream_events(spark, d)), out_b, ck_b
+    ).start()
+    deadline = _time.monotonic() + 120
+    while _time.monotonic() < deadline and not (
+        os.path.isdir(out_b)
+        and any(x.startswith("_batch_id=") for x in os.listdir(out_b))
+    ):
+        _time.sleep(0.05)
+    q.stop()
+    q.awaitTermination(120)
+    q2 = sev.incremental_ingest(
+        sev.windowed_rollup(sev.stream_events(spark, d)), out_b, ck_b
+    ).start()
+    q2.awaitTermination(300)
+
+    cols = ["hour_bucket", "event_type", "n_events", "value_cents"]
+    a = sorted(map(tuple, spark.read.parquet(out_a).select(*cols).collect()))
+    b = sorted(map(tuple, spark.read.parquet(out_b).select(*cols).collect()))
+    assert a == b, "kill+restart rollup diverged from uninterrupted run"
+    assert len(a) > 0

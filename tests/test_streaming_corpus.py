@@ -124,3 +124,64 @@ def test_curated_append_replay_is_idempotent(spark, doc_chunks, tmp_path):
         .parquet(out)
     )
     assert spark.read.parquet(out).count() == n1
+
+
+def test_true_kill_midstream_then_restart_is_exactly_once(spark, tmp_path):
+    """r8 verdict item 4: a REAL kill, not a simulated replay. Start the
+    curate stream over 8 arrival chunks, hard-stop the query as soon as the
+    first batch partition lands (query.stop() with batches still pending),
+    restart from the SAME checkpoint, and require the final parquet to
+    equal the batch-mode gate over all rows exactly — the restarted query
+    must resume from the committed offset, replay any torn batch
+    idempotently, and process exactly the remaining chunks."""
+    import time as _time
+
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text", "lang", "source")
+        .orderBy("doc_id")
+        .collect()
+    )
+    src = tmp_path / "incoming8"
+    src.mkdir()
+    n_chunks = 8
+    for i in range(n_chunks):
+        p = src / f"chunk{i}.jsonl"
+        with open(p, "w") as fh:
+            for r in rows[i::n_chunks]:
+                fh.write(json.dumps(r.asDict()) + "\n")
+        # pin arrival order (same-mtime files make batch order arbitrary)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+    out = str(tmp_path / "curated")
+    ck = str(tmp_path / "ck")
+
+    q = sc.curated_append(
+        sc.curate_stream(sc.stream_documents(spark, str(src))), out, ck
+    ).start()
+    deadline = _time.monotonic() + 120
+    while _time.monotonic() < deadline and not (
+        os.path.isdir(out) and any(d.startswith("_batch_id=") for d in os.listdir(out))
+    ):
+        _time.sleep(0.05)
+    q.stop()  # the kill: offsets for in-flight batches never commit
+    q.awaitTermination(120)
+    done = [d for d in os.listdir(out) if d.startswith("_batch_id=")]
+    assert 1 <= len(done) < n_chunks, (
+        f"kill was not mid-stream: {len(done)}/{n_chunks} batches committed"
+    )
+
+    q2 = sc.curated_append(
+        sc.curate_stream(sc.stream_documents(spark, str(src))), out, ck
+    ).start()
+    q2.awaitTermination(300)
+
+    got = spark.read.parquet(out)
+    batch = sc.curate_stream(
+        spark.createDataFrame(
+            [(r["doc_id"], r["text"], r["lang"], r["source"]) for r in rows],
+            sc.DOC_STREAM_SCHEMA,
+        )
+    )
+    a = got.select("doc_id", "text", "n_tokens", "pred_lang").orderBy("doc_id").toPandas()
+    b = batch.select("doc_id", "text", "n_tokens", "pred_lang").orderBy("doc_id").toPandas()
+    assert a.equals(b), "kill+restart output diverged from batch gate"

@@ -374,3 +374,65 @@ def test_legacy_store_falls_back_to_content_scan(spark, tmp_path_factory):
     src = vis.where(F.col("unit_id") == "caller.py:run").select("id")
     ev = eng.store.visible_edges()
     assert ev.join(src, ev.src == src.id, "left_semi").count() == 1
+
+
+def test_locally_shadowed_references_skip_the_reresolve_cascade(spark, tmp_path_factory):
+    """r9: resolution is file-local-first (resolve_and_build coalesces the
+    same-file symbol before the global-unique one), so a file that DEFINES
+    a bare name itself can never change how it resolves that name when
+    another file's same-named def changes — it must not be dragged into the
+    cascade. Without the cut, touching any file sharing a ubiquitous local
+    name (every Zig file's `std` import) re-resolved the whole codebase:
+    the r9 ingest bench measured 109/110 files re-resolved per one-file
+    touch. A file referencing the name WITHOUT a local def still rebinds."""
+    root = tmp_path_factory.mktemp("shadow")
+    # every file defines its own `helper` (the std-import pattern) ...
+    (root / "a.py").write_text(
+        "def helper():\n    return 1\n\ndef run_a():\n    return helper()\n"
+    )
+    (root / "b.py").write_text(
+        "def helper():\n    return 2\n\ndef run_b():\n    return helper()\n"
+    )
+    # ... except the one genuinely cross-file referencer
+    (root / "c.py").write_text("def run_c():\n    return lonely()\n")
+    (root / "d.py").write_text("def lonely():\n    return 3\n")
+
+    store = str(tmp_path_factory.mktemp("shadow_store"))
+    eng = KausalEngine(spark, store)
+    eng.link_codebase(str(root), "cb")
+
+    # touch d.py: its def `lonely` is an affected name; c.py references it
+    # unshadowed -> re-resolves. a.py/b.py reference only their OWN helper
+    # -> must stay out of the cascade even though `helper` appears in the
+    # affected set when b.py is later touched.
+    (root / "d.py").write_text("def lonely():\n    return 33\n")
+    stats = eng.sync_codebase("cb")
+    assert stats["files_changed"] == 1
+    assert stats["files_reresolved"] == 1, stats  # exactly c.py
+
+    # touch b.py (defines `helper`): a.py's helper reference is locally
+    # shadowed -> zero files re-resolved
+    (root / "b.py").write_text(
+        "def helper():\n    return 22\n\ndef run_b():\n    return helper()\n"
+    )
+    stats = eng.sync_codebase("cb")
+    assert stats["files_changed"] == 1
+    assert stats["files_reresolved"] == 0, stats
+
+    # convergence check: sync result == fresh link of the same tree
+    store2 = str(tmp_path_factory.mktemp("shadow_fresh"))
+    eng2 = KausalEngine(spark, store2)
+    eng2.link_codebase(str(root), "cb")
+
+    def edge_set(e):
+        vis = e.store.visible().where(F.col("codebase") == "cb")
+        ev = e.store.visible_edges().alias("ed")
+        left = vis.select(F.col("id").alias("src"), F.col("unit_id").alias("su"))
+        right = vis.select(F.col("id").alias("dst"), F.col("unit_id").alias("du"))
+        return sorted(
+            (r["su"], r["du"], r["edge_type"])
+            for r in ev.join(left, "src").join(right, "dst")
+            .select("su", "du", "edge_type").collect()
+        )
+
+    assert edge_set(eng) == edge_set(eng2)
