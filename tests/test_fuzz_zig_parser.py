@@ -143,7 +143,7 @@ class _Gen:
                 self.emit(f"        fn {mname}() void {{}}")
             self.emit("    };")
             self.emit(f"    _ = {tname};")
-        else:
+        elif roll < 0.95:
             # multiline string with hostile braces — pure data
             self.emit(
                 "    const s = ",
@@ -153,6 +153,49 @@ class _Gen:
             )
             name = "s"
             self.units[f"{fq}.{name}"] = "const"
+        else:
+            self.control_flow_stmt(fq)
+
+    def control_flow_stmt(self, fq: str) -> None:
+        """Calls nested inside statement blocks still belong to the
+        enclosing fn — the walker scans fn bodies linearly, so if/while/
+        switch/for/defer/catch nesting must not hide or duplicate edges."""
+        kind = self.rng.randrange(5)
+        if kind == 0:
+            cond, a, b = self.fresh("cond"), self.fresh("then"), self.fresh("els")
+            self.emit(
+                f"    if ({cond}()) {{",
+                f"        {a}();",
+                "    } else {",
+                f"        {b}();",
+                "    }",
+            )
+            self.edges |= {(fq, cond, "calls"), (fq, a, "calls"), (fq, b, "calls")}
+        elif kind == 1:
+            tick = self.fresh("tick")
+            self.emit(
+                "    while (running) {",
+                f"        {tick}();",
+                "    }",
+            )
+            self.edges.add((fq, tick, "calls"))
+        elif kind == 2:
+            do_a = self.fresh("doA")
+            self.emit(
+                "    switch (val) {",
+                f"        .alpha => {do_a}(),",
+                "        else => {},",
+                "    }",
+            )
+            self.edges.add((fq, do_a, "calls"))
+        elif kind == 3:
+            clean = self.fresh("clean")
+            self.emit(f"    defer {clean}();")
+            self.edges.add((fq, clean, "calls"))
+        else:
+            risky = self.fresh("risky")
+            self.emit(f"    {risky}() catch |err| {{ _ = err; }};")
+            self.edges.add((fq, risky, "calls"))
 
     def container_decl(self, cq: str, depth: int) -> None:
         name = self.fresh("T")
@@ -224,22 +267,30 @@ class _Gen:
             "}",
         )
 
+    def extern_proto(self) -> None:
+        # `extern fn ...;` prototype: a function unit with no body to walk
+        name = self.fresh("ext")
+        self.emit(f'extern "c" fn {name}(x: i32) i32;')
+        self.units[name] = "function"
+
     def toplevel(self) -> None:
         roll = self.rng.random()
         if roll < 0.18:
             self.const_scalar("", "")
         elif roll < 0.30:
             self.import_decl()
-        elif roll < 0.55:
+        elif roll < 0.52:
             self.fn_decl("", 0)
-        elif roll < 0.80:
+        elif roll < 0.77:
             self.container_decl("", 0)
-        elif roll < 0.88:
+        elif roll < 0.85:
             self.test_decl()
-        elif roll < 0.94:
+        elif roll < 0.91:
             self.anon_container_expr()
-        else:
+        elif roll < 0.96:
             self.file_comptime()
+        else:
+            self.extern_proto()
 
     def build(self) -> str:
         for _ in range(self.rng.randint(2, 8)):
@@ -253,6 +304,15 @@ def _check_one(seed: int) -> list[str]:
     src = g.build()
     units, edges = _parse_zig("t.zig", src)
     problems = []
+
+    if not g.units and not g.edges:
+        # a file with no detectable decls (e.g. only comptime blocks)
+        # intentionally degrades to the whole-file document fallback
+        return (
+            []
+            if {u[2]: u[1] for u in units} == {"t.zig": "document"}
+            else [f"seed={seed}: expected document fallback, got {units}"]
+        )
 
     got_units = {u[2]: u[1] for u in units}
     if got_units != g.units:
