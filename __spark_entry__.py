@@ -367,6 +367,20 @@ def _q_bm25_topk_ppm(spark, sf_dir):
     return tx.bm25_topk_ppm(_docs(spark, sf_dir), list(_TM_TERMS), k=20)
 
 
+# hashed-bigram LM perplexity gate: LM trained on the five lowest-index
+# sources as the "clean reference" (CCNet trains on Wikipedia); every doc
+# scored in integer bits/token. 9.3 bits/tok splits ref-like from the rest
+# at sf0.01 (ref sources avg 9.18-9.21M ppm, others 9.31-9.38M).
+_LM_REF_SOURCES = ("src0", "src1", "src2", "src3", "src4")
+_LM_MAX_BITS_PPM = 9_300_000
+
+
+def _q_lm_perplexity(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    ref = docs.where(F.col("source").isin(*_LM_REF_SOURCES))
+    return tx.perplexity_filter(docs, ref, _LM_MAX_BITS_PPM)
+
+
 def _q_token_count(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     return docs.select(
@@ -996,14 +1010,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "stratified_sample": _q_stratified_sample,
         "quality_score": _q_quality_score,
+        "lm_perplexity": _q_lm_perplexity,  # new r9: needs its driver row
         "pack_offsets": _q_pack_offsets,
         "pii_scan": _q_pii_scan,
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,
-        "embedding_near_dup": _q_embedding_near_dup,
         # -- tail (position > 50: outside the driver sample; the oracle-
         #    backed entries here are still hash-gated by the local parity
         #    suite, the rows-only ones are pytest-gated) --
+        "embedding_near_dup": _q_embedding_near_dup,  # displaced by
+        #    lm_perplexity (green r8 driver row; still parity-gated)
         "events_funnel": _q_events_funnel,
         "cohort_retention": _q_cohort_retention,
         "sliding_rollup": _q_sliding_rollup,
@@ -1415,6 +1431,45 @@ SELECT * FROM (
          CAST(row_number() OVER (ORDER BY score_ppm DESC, doc_id) AS INT) AS rank
   FROM scored WHERE n_terms > 0
 ) WHERE rank <= 20""",
+        "lm_perplexity": rf"""
+WITH tok AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS t
+  FROM documents
+), bk AS (
+  SELECT doc_id, source,
+         list_transform(t, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT % 4096) AS b
+  FROM tok
+), pairs AS (
+  SELECT doc_id, source, g.pb AS pb, g.cb AS cb FROM (
+    SELECT doc_id, source, unnest(CASE WHEN len(b) < 2 THEN [] ELSE
+      list_transform(generate_series(1, len(b) - 1),
+                     i -> {{'pb': b[i], 'cb': b[i+1]}}) END) AS g
+    FROM bk)
+), cbi AS (
+  SELECT pb, cb, count(*)::BIGINT AS c_bi FROM pairs
+  WHERE source IN {tuple(_LM_REF_SOURCES)} GROUP BY 1, 2
+), cctx AS (
+  SELECT pb, sum(c_bi)::BIGINT AS c_ctx FROM cbi GROUP BY 1
+), scored AS (
+  SELECT p.doc_id,
+         (length(bin(coalesce(x.c_ctx, 0) + 4096)) - 1)
+         - (length(bin(coalesce(c.c_bi, 0) + 1)) - 1) AS bits
+  FROM pairs p
+  LEFT JOIN cbi c ON c.pb = p.pb AND c.cb = p.cb
+  LEFT JOIN cctx x ON x.pb = p.pb
+), agg AS (
+  SELECT doc_id, count(*)::INT AS n_bigrams, sum(bits)::BIGINT AS total_bits
+  FROM scored GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(a.n_bigrams, 0) AS INT) AS n_bigrams,
+       CAST(coalesce((1000000 * a.total_bits) // a.n_bigrams, 0) AS BIGINT)
+         AS bits_ppm,
+       (coalesce(a.n_bigrams, 0) > 0 AND
+        coalesce((1000000 * a.total_bits) // a.n_bigrams, 0)
+          <= {_LM_MAX_BITS_PPM}) AS kept
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""",
         "term_match_topk": r"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t

@@ -1181,6 +1181,118 @@ def importance_resample(
 
 
 # ---------------------------------------------------------------------------
+# hashed-bigram LM perplexity filter (CCNet-style quality gate)
+# ---------------------------------------------------------------------------
+
+def _hash_bucket(col: Column, n_buckets: int) -> Column:
+    """First 8 md5 hex digits as a bigint, mod ``n_buckets`` — the
+    engine-portable token hash (DuckDB: ``('0x' || substr(md5(x),1,8))
+    ::BIGINT % B``). 8 hex digits < 2^32 so signedness never bites."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint") % n_buckets
+
+
+def _doc_bigram_buckets(docs, n_buckets: int, text_col: str, id_col: str):
+    """(id, pb, cb): one row per adjacent token transition, both sides
+    hashed into ``n_buckets``. Built array-side (bucket the token array
+    once, zip two shifted slices) so the explode is the only row
+    amplification — no per-token join."""
+    toks = F.filter(tokens(F.col(text_col)), lambda x: x != "")
+    bk = F.transform(toks, lambda x: _hash_bucket(x, n_buckets))
+    n1 = F.greatest(F.size(bk) - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(bk, 1, n1),
+        F.slice(bk, F.lit(2), n1),
+        lambda a, b: F.struct(a.alias("pb"), b.alias("cb")),
+    )
+    return (
+        docs.select(F.col(id_col), F.explode(pairs).alias("bg"))
+        .select(id_col, F.col("bg.pb").alias("pb"), F.col("bg.cb").alias("cb"))
+    )
+
+
+def lm_bits_per_token(docs, ref_docs, n_buckets: int = 4096,
+                      text_col: str = "text", id_col: str = "doc_id"):
+    """Integer perplexity proxy: mean Shannon code length (bits/token)
+    of each document under an add-one-smoothed hashed-bigram LM trained
+    on ``ref_docs`` — the CCNet/Gopher "perplexity under a clean-corpus
+    LM" quality signal (Wenzek et al. 2020), made engine-portable by
+    quantizing each −log2 p to integer bits:
+
+        p(cur | prev) = (c(pb,cb) + 1) / (c(pb) + B)
+        bits          = fl2(c(pb) + B) − fl2(c(pb,cb) + 1)
+
+    with fl2(x) = floor(log2 x) = length(bin(x)) − 1 — exact integer in
+    both engines, within 1 bit/token of the true code length. log2
+    perplexity IS bits per token, so the ppm-scaled mean ranks documents
+    the way a perplexity filter does (fluent text reuses frequent
+    reference transitions → short codes; gibberish hits unseen buckets →
+    pays ~fl2(c(pb)+B) bits).
+
+    Distributed shape: the model is two count relations keyed by hash
+    bucket — ≤ B rows (contexts) and ≤ B² rows (bigrams) REGARDLESS of
+    reference-corpus size, so at 100 TB the train pass is one groupBy of
+    the reference's transitions and scoring is two bounded-size equi-joins
+    (AQE broadcasts them when small) + one per-doc partial agg. No
+    all-corpus shuffle, no UDFs, pure codegen.
+
+    Output: (id, n_bigrams int, bits_ppm bigint); docs with < 2 tokens
+    score n_bigrams = 0, bits_ppm = 0 (no evidence — callers decide)."""
+    bi = (
+        _doc_bigram_buckets(ref_docs, n_buckets, text_col, id_col)
+        .groupBy("pb", "cb")
+        .agg(F.count("*").cast("bigint").alias("c_bi"))
+    )
+    ctx = bi.groupBy("pb").agg(F.sum("c_bi").cast("bigint").alias("c_ctx"))
+
+    def fl2(c):
+        return F.length(F.bin(c)) - 1
+
+    scored = (
+        _doc_bigram_buckets(docs, n_buckets, text_col, id_col)
+        .join(bi, ["pb", "cb"], "left")
+        .join(ctx, ["pb"], "left")
+        .select(
+            id_col,
+            (
+                fl2(F.coalesce("c_ctx", F.lit(0)) + F.lit(n_buckets))
+                - fl2(F.coalesce("c_bi", F.lit(0)) + F.lit(1))
+            ).cast("bigint").alias("bits"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("int").alias("n_bigrams"),
+            F.sum("bits").cast("bigint").alias("total_bits"),
+        )
+    )
+    num = F.lit(1_000_000) * F.col("total_bits")
+    # exact bigint floor (house rule): subtract the remainder before the
+    # divide so the quotient is integral — no double-rounding drift vs
+    # DuckDB's integer `//` (values < 2^53, exactly representable)
+    ppm = ((num - num % F.col("n_bigrams")) / F.col("n_bigrams")).cast("bigint")
+    return docs.select(id_col).join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce("n_bigrams", F.lit(0)).cast("int").alias("n_bigrams"),
+        F.coalesce(ppm, F.lit(0)).cast("bigint").alias("bits_ppm"),
+    )
+
+
+def perplexity_filter(docs, ref_docs, max_bits_ppm: int,
+                      n_buckets: int = 4096, text_col: str = "text",
+                      id_col: str = "doc_id"):
+    """Corpus quality gate on :func:`lm_bits_per_token`: ``kept`` = the
+    document has ≥ 1 transition and its bits/token (ppm) under the
+    reference LM is ≤ ``max_bits_ppm``. Returns every input id with its
+    score and verdict (callers semi-join to materialize the kept set, so
+    the funnel can report both sides)."""
+    s = lm_bits_per_token(docs, ref_docs, n_buckets, text_col, id_col)
+    return s.select(
+        id_col, "n_bigrams", "bits_ppm",
+        ((F.col("n_bigrams") > 0) & (F.col("bits_ppm") <= max_bits_ppm))
+        .alias("kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # BPE vocabulary induction (map-reduce pair counting, Sennrich et al. 2016)
 # ---------------------------------------------------------------------------
 

@@ -722,3 +722,80 @@ def test_pack_sequences_matches_bruteforce(spark):
         o = offs[did_]
         first = got[(src, o["first_seq"])]["text_packed"].split(" ")
         assert ts[0] in first
+
+
+def test_lm_bits_per_token_matches_bruteforce(spark):
+    """Pin the hashed-bigram LM against a Python model of the exact
+    integer formula (md5-bucket tokens, add-one smoothing, floor-log2
+    code lengths) on a corpus small enough to enumerate by hand."""
+    import hashlib
+
+    B = 64
+    ref_rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat ran on the mat"),
+        (3, "the dog sat on the rug"),
+    ]
+    eval_rows = ref_rows + [
+        (10, "the cat sat on the mat"),      # pure ref transitions
+        (11, "zyx wvu tsr qpo nml kji"),     # all-unseen gibberish
+        (12, "solo"),                        # < 2 tokens -> no evidence
+        (13, "   "),                         # empty after trim
+    ]
+    ref = spark.createDataFrame(ref_rows, "doc_id long, text string")
+    docs = spark.createDataFrame(eval_rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in tx.lm_bits_per_token(docs, ref, n_buckets=B).collect()
+    }
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % B
+
+    def bigrams(t):
+        bs = [bucket(x) for x in t.strip().lower().split() if x]
+        return list(zip(bs, bs[1:]))
+
+    c_bi, c_ctx = {}, {}
+    for _, t in ref_rows:
+        for pb, cb in bigrams(t):
+            c_bi[(pb, cb)] = c_bi.get((pb, cb), 0) + 1
+            c_ctx[pb] = c_ctx.get(pb, 0) + 1
+
+    def fl2(x):
+        return x.bit_length() - 1
+
+    for did, t in eval_rows:
+        bg = bigrams(t)
+        if not bg:
+            assert (got[did]["n_bigrams"], got[did]["bits_ppm"]) == (0, 0), did
+            continue
+        total = sum(
+            fl2(c_ctx.get(pb, 0) + B) - fl2(c_bi.get((pb, cb), 0) + 1)
+            for pb, cb in bg
+        )
+        assert got[did]["n_bigrams"] == len(bg), did
+        assert got[did]["bits_ppm"] == (1_000_000 * total) // len(bg), did
+
+    # the quality signal: in-distribution text is cheaper to encode than
+    # gibberish (which pays ~fl2(B) bits on every unseen transition)
+    assert got[10]["bits_ppm"] < got[11]["bits_ppm"]
+
+
+def test_perplexity_filter_threshold_and_short_docs(spark):
+    ref = spark.createDataFrame(
+        [(1, "alpha beta gamma delta alpha beta")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "qq rr ss tt uu vv ww"), (3, "one")],
+        "doc_id long, text string",
+    )
+    scores = {
+        r["doc_id"]: r for r in tx.lm_bits_per_token(docs, ref, n_buckets=64).collect()
+    }
+    cut = scores[1]["bits_ppm"]  # keep exactly the in-distribution doc
+    out = {
+        r["doc_id"]: r["kept"]
+        for r in tx.perplexity_filter(docs, ref, max_bits_ppm=cut, n_buckets=64).collect()
+    }
+    assert out == {1: True, 2: False, 3: False}  # 3: no bigrams -> never kept
