@@ -1207,6 +1207,11 @@ def _doc_bigram_buckets(docs, n_buckets: int, text_col: str, id_col: str):
     return (
         docs.select(F.col(id_col), F.explode(pairs).alias("bg"))
         .select(id_col, F.col("bg.pb").alias("pb"), F.col("bg.cb").alias("cb"))
+        # pb/cb are never null (hash of a non-null token) — the explicit
+        # filter makes the c_bi and c_ctx lineages byte-identical below
+        # their exchanges, so ReuseExchange collapses the two reference-
+        # corpus scans in lm_bits_per_token into one
+        .where(F.col("pb").isNotNull() & F.col("cb").isNotNull())
     )
 
 
