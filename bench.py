@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "compression_ratio",
     "lang_id",
     "quality_score",
+    "lm_perplexity",
     "pii_scan",
     "repetition_score",
     "domain_filter",

@@ -111,6 +111,8 @@ def curate_and_write(
     fmt: str | None = None,
     benchmark_max_id: int = BENCHMARK_MAX_ID,
     min_compression_ppm: int = 50_000,
+    lm_ref_sources: list[str] | None = None,
+    lm_max_bits_ppm: int | None = None,
 ) -> dict:
     """The WHOLE pipeline, ingest to training shards, in one call:
 
@@ -159,6 +161,22 @@ def curate_and_write(
         .drop("is_quality", "pred_lang", "too_repetitive")
     )
     funnel["after_quality_gate"] = gated.count()
+
+    # optional CCNet-style LM perplexity gate: train a hashed-bigram LM on
+    # the named reference sources (post-quality-gate, so the LM never
+    # learns from boilerplate the gate already rejected) and drop docs
+    # whose integer bits/token exceed the threshold. Runs before dedup —
+    # it is pure codegen + two bounded joins, so gating early shrinks the
+    # MinHash/shingle volume downstream.
+    if lm_ref_sources is not None and lm_max_bits_ppm is not None:
+        ref = gated.where(F.col("source").isin(*lm_ref_sources)).select(
+            "doc_id", "text"
+        )
+        fluent = tx.perplexity_filter(
+            gated.select("doc_id", "text"), ref, lm_max_bits_ppm
+        ).where(F.col("kept")).select("doc_id")
+        gated = gated.join(fluent, "doc_id", "left_semi")
+        funnel["after_lm_filter"] = gated.count()
 
     # exact dedup on NORMALIZED text: keep min doc_id per digest (one
     # digest-keyed shuffle; payload rides it once). Persisted: three

@@ -9,6 +9,8 @@ import tempfile
 import pytest
 from conftest import SF_DIR
 
+from pyspark.sql import functions as F
+
 from kausaldb_spark import sinks
 from kausaldb_spark.functions import curation
 
@@ -246,3 +248,44 @@ def test_unique_id_guard_distinguishes_null_from_collision(spark):
     )
     with pytest.raises(ValueError, match="collision"):
         curation._assert_unique_ids(with_dup)
+
+
+def test_lm_perplexity_stage_in_pipeline(spark):
+    """The optional LM gate: funnel gains after_lm_filter between the
+    quality gate and exact dedup, stays monotone, and keeps the
+    reference-like slice preferentially."""
+    out = tempfile.mkdtemp(prefix="kdb_curate_lm_")
+    try:
+        m = curation.curate_and_write(
+            spark,
+            f"{SF_DIR}/documents.parquet",
+            out,
+            n_shards=2,
+            lm_ref_sources=["src0", "src1", "src2", "src3", "src4"],
+            lm_max_bits_ppm=9_300_000,
+        )
+        f = m["funnel"]
+        assert (
+            f["after_quality_gate"]
+            >= f["after_lm_filter"]
+            >= f["after_exact_dedup"]
+            >= f["after_near_dedup"]
+            >= f["after_decontamination"]
+            > 0
+        )
+        # the gate actually bites at this threshold...
+        assert f["after_lm_filter"] < f["after_quality_gate"]
+        # ...and what survives skews toward the reference distribution:
+        # ref sources keep a strictly higher fraction than the rest
+        back = spark.read.parquet(out)
+        ref = {"src0", "src1", "src2", "src3", "src4"}
+        per_src = {
+            r["source"]: r["n"]
+            for r in back.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        n_ref = sum(v for s, v in per_src.items() if s in ref)
+        n_other = sum(v for s, v in per_src.items() if s not in ref)
+        # 5 ref sources vs 15 others, each source same size upstream
+        assert n_ref / 5 > (n_other / 15 if n_other else 0)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
