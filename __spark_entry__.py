@@ -381,6 +381,11 @@ def _q_lm_perplexity(spark, sf_dir):
     return tx.perplexity_filter(docs, ref, _LM_MAX_BITS_PPM)
 
 
+def _q_gopher_rules(spark, sf_dir):
+    # the published Gopher Appendix-A word/line quality rules, integer ppm
+    return tx.gopher_quality(_docs(spark, sf_dir))
+
+
 def _q_token_count(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     return docs.select(
@@ -1011,15 +1016,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "quality_score": _q_quality_score,
         "lm_perplexity": _q_lm_perplexity,  # new r9: needs its driver row
+        "gopher_rules": _q_gopher_rules,    # new r9: needs its driver row
         "pack_offsets": _q_pack_offsets,
-        "pii_scan": _q_pii_scan,
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,
         # -- tail (position > 50: outside the driver sample; the oracle-
         #    backed entries here are still hash-gated by the local parity
         #    suite, the rows-only ones are pytest-gated) --
-        "embedding_near_dup": _q_embedding_near_dup,  # displaced by
-        #    lm_perplexity (green r8 driver row; still parity-gated)
+        "embedding_near_dup": _q_embedding_near_dup,  # displaced by the
+        "pii_scan": _q_pii_scan,  # two new r9 entries (both green r8;
+        #    still parity-gated every run)
         "events_funnel": _q_events_funnel,
         "cohort_retention": _q_cohort_retention,
         "sliding_rollup": _q_sliding_rollup,
@@ -1431,6 +1437,76 @@ SELECT * FROM (
          CAST(row_number() OVER (ORDER BY score_ppm DESC, doc_id) AS INT) AS rank
   FROM scored WHERE n_terms > 0
 ) WHERE rank <= 20""",
+        "gopher_rules": r"""
+WITH tok AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS t
+  FROM documents
+), words AS (
+  SELECT doc_id,
+         CAST(len(t) AS INT) AS n_words,
+         coalesce(list_sum(list_transform(t, x -> length(x))), 0)::BIGINT AS sum_len,
+         len(list_filter(t, x -> regexp_matches(x, '[a-z]')))::BIGINT AS n_alpha,
+         (length(text) - length(replace(text, '#', '')))::BIGINT AS n_hash,
+         ((length(text) - length(replace(text, '...', ''))) // 3)::BIGINT AS n_ell,
+         CAST(len(list_intersect(list_distinct(t),
+              ['the','be','to','of','and','that','have','with'])) AS INT)
+           AS n_req_stopwords
+  FROM tok
+), lines0 AS (
+  SELECT doc_id, trim(l) AS line FROM (
+    SELECT doc_id, unnest(string_split(text, chr(10))) AS l FROM documents)
+  WHERE trim(l) <> ''
+), per_line AS (
+  SELECT doc_id, line, count(*)::BIGINT AS cnt,
+         regexp_matches(line, '^[-*•]')::BIGINT AS is_bullet,
+         (line LIKE '%...' OR line LIKE '%…')::BIGINT AS is_ell
+  FROM lines0 GROUP BY doc_id, line
+), lns AS (
+  SELECT doc_id, sum(cnt)::BIGINT AS n_lines,
+         sum(cnt * length(line))::BIGINT AS n_line_chars,
+         sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)::BIGINT AS dup_lines,
+         sum(CASE WHEN cnt > 1 THEN cnt * length(line) ELSE 0 END)::BIGINT
+           AS dup_chars,
+         sum(cnt * is_bullet)::BIGINT AS bullet_lines,
+         sum(cnt * is_ell)::BIGINT AS ellipsis_lines
+  FROM per_line GROUP BY doc_id
+), m AS (
+  SELECT w.doc_id, w.n_words,
+         (w.sum_len * 100) // greatest(w.n_words, 1) AS mean_word_len_x100,
+         (w.n_alpha * 1000000) // greatest(w.n_words, 1) AS alpha_word_ppm,
+         ((w.n_hash + w.n_ell) * 1000000) // greatest(w.n_words, 1)
+           AS symbol_word_ppm,
+         w.n_req_stopwords,
+         (coalesce(l.bullet_lines, 0) * 1000000)
+           // greatest(coalesce(l.n_lines, 0), 1) AS bullet_line_ppm,
+         (coalesce(l.ellipsis_lines, 0) * 1000000)
+           // greatest(coalesce(l.n_lines, 0), 1) AS ellipsis_line_ppm,
+         (coalesce(l.dup_lines, 0) * 1000000)
+           // greatest(coalesce(l.n_lines, 0), 1) AS dup_line_ppm,
+         (coalesce(l.dup_chars, 0) * 1000000)
+           // greatest(coalesce(l.n_line_chars, 0), 1) AS dup_line_char_ppm
+  FROM words w LEFT JOIN lns l ON l.doc_id = w.doc_id
+)
+SELECT doc_id, n_words,
+       CAST(mean_word_len_x100 AS BIGINT) AS mean_word_len_x100,
+       CAST(alpha_word_ppm AS BIGINT) AS alpha_word_ppm,
+       CAST(symbol_word_ppm AS BIGINT) AS symbol_word_ppm,
+       n_req_stopwords,
+       CAST(bullet_line_ppm AS BIGINT) AS bullet_line_ppm,
+       CAST(ellipsis_line_ppm AS BIGINT) AS ellipsis_line_ppm,
+       CAST(dup_line_ppm AS BIGINT) AS dup_line_ppm,
+       CAST(dup_line_char_ppm AS BIGINT) AS dup_line_char_ppm,
+       (n_words BETWEEN 50 AND 100000
+        AND mean_word_len_x100 BETWEEN 300 AND 1000
+        AND alpha_word_ppm >= 800000
+        AND symbol_word_ppm <= 100000
+        AND n_req_stopwords >= 2
+        AND bullet_line_ppm <= 900000
+        AND ellipsis_line_ppm <= 300000
+        AND dup_line_ppm <= 300000
+        AND dup_line_char_ppm <= 200000) AS gopher_pass
+FROM m""",
         "lm_perplexity": rf"""
 WITH tok AS (
   SELECT doc_id, source,

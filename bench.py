@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "lang_id",
     "quality_score",
     "lm_perplexity",
+    "gopher_rules",
     "pii_scan",
     "repetition_score",
     "domain_filter",

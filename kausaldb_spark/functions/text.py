@@ -1181,6 +1181,133 @@ def importance_resample(
 
 
 # ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, Appendix A)
+# ---------------------------------------------------------------------------
+
+GOPHER_REQUIRED_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """The published Gopher document-quality rule set as integer ppm
+    metrics + a single pass flag (Rae et al. 2021, Appendix A — the same
+    rules MassiveText, RefinedWeb and FineWeb inherit):
+
+    - 50 ≤ word count ≤ 100 000
+    - 3 ≤ mean word length ≤ 10            (×100 fixed point)
+    - ≥ 80% of words contain an alphabetic character
+    - symbol-to-word ratio ≤ 0.1           ('#' chars + '...' occurrences)
+    - ≥ 2 of the 8 required English stop words present
+    - ≤ 90% of lines start with a bullet; ≤ 30% end with an ellipsis
+    - duplicate-line fraction ≤ 30%; duplicate-line CHAR fraction ≤ 20%
+
+    (The paper's remaining repetition rules — top-n-gram and duplicate
+    n-gram char fractions — are covered by :func:`repetition_score` and
+    :func:`compression_ratio`; this function carries the word- and
+    line-level family.)
+
+    Distributed shape: word metrics are pure array expressions on the
+    corpus scan; line metrics are one explode → (doc, line) count →
+    per-doc re-aggregate, i.e. a single shuffle keyed by doc — the
+    line-table route keeps long documents O(lines), never the O(lines²)
+    of array self-matching. Everything integer → full oracle row.
+
+    Output: (id, n_words, mean_word_len_x100, alpha_word_ppm,
+    symbol_word_ppm, n_req_stopwords, bullet_line_ppm, ellipsis_line_ppm,
+    dup_line_ppm, dup_line_char_ppm, gopher_pass)."""
+    toks = F.filter(tokens(F.col(text_col)), lambda x: x != "")
+    n_words = F.size(toks)
+    sum_len = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    n_hash = F.length(F.col(text_col)) - F.length(
+        F.replace(F.col(text_col), F.lit("#"), F.lit(""))
+    )
+    ellipsis_len_diff = F.length(F.col(text_col)) - F.length(
+        F.replace(F.col(text_col), F.lit("..."), F.lit(""))
+    )
+    stop_arr = F.array(*[F.lit(w) for w in GOPHER_REQUIRED_STOPWORDS])
+    n_req = F.size(F.array_intersect(F.array_distinct(toks), stop_arr))
+
+    def fdiv(num, den):
+        # exact bigint floor (house rule): subtract the remainder first
+        d = F.greatest(den, F.lit(1))  # empty doc → 0, never a div-by-0
+        return ((num - num % d) / d).cast("bigint")
+
+    def ppm(num, den):
+        return fdiv(num * F.lit(1_000_000), den)
+
+    # the length diff is always a multiple of 3 (non-overlapping '...'
+    # removal), so the quotient is exact
+    n_symbols = (n_hash + fdiv(ellipsis_len_diff, F.lit(3))).cast("bigint")
+    words = docs.select(
+        F.col(id_col),
+        n_words.cast("int").alias("n_words"),
+        fdiv(sum_len * 100, n_words).alias("mean_word_len_x100"),
+        ppm(n_alpha, n_words).alias("alpha_word_ppm"),
+        ppm(n_symbols, n_words).alias("symbol_word_ppm"),
+        n_req.cast("int").alias("n_req_stopwords"),
+    )
+
+    # line table: empty-after-trim lines are layout, not content — they
+    # never count as lines or duplicates
+    line = F.trim(F.col("_line"))
+    per_line = (
+        docs.select(
+            F.col(id_col), F.explode(F.split(F.col(text_col), "\n")).alias("_line")
+        )
+        .where(line != "")
+        .select(
+            id_col,
+            line.alias("line"),
+            line.rlike(r"^[-*•]").cast("bigint").alias("is_bullet"),
+            (line.endswith("...") | line.endswith("…"))
+            .cast("bigint").alias("is_ellipsis"),
+        )
+        .groupBy(id_col, "line")
+        .agg(
+            F.count("*").cast("bigint").alias("cnt"),
+            F.first("is_bullet").alias("is_bullet"),
+            F.first("is_ellipsis").alias("is_ellipsis"),
+        )
+    )
+    dup = F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(F.lit(0))
+    lines = per_line.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_lines"),
+        F.sum(F.col("cnt") * F.length("line")).alias("n_line_chars"),
+        F.sum(dup).alias("dup_lines"),
+        F.sum(dup * F.length("line")).alias("dup_chars"),
+        F.sum(F.col("cnt") * F.col("is_bullet")).alias("bullet_lines"),
+        F.sum(F.col("cnt") * F.col("is_ellipsis")).alias("ellipsis_lines"),
+    )
+    out = words.join(lines, id_col, "left").select(
+        id_col, "n_words", "mean_word_len_x100", "alpha_word_ppm",
+        "symbol_word_ppm", "n_req_stopwords",
+        ppm(F.coalesce("bullet_lines", F.lit(0)), F.coalesce("n_lines", F.lit(0)))
+        .alias("bullet_line_ppm"),
+        ppm(F.coalesce("ellipsis_lines", F.lit(0)), F.coalesce("n_lines", F.lit(0)))
+        .alias("ellipsis_line_ppm"),
+        ppm(F.coalesce("dup_lines", F.lit(0)), F.coalesce("n_lines", F.lit(0)))
+        .alias("dup_line_ppm"),
+        ppm(F.coalesce("dup_chars", F.lit(0)), F.coalesce("n_line_chars", F.lit(0)))
+        .alias("dup_line_char_ppm"),
+    )
+    return out.withColumn(
+        "gopher_pass",
+        (
+            (F.col("n_words") >= 50) & (F.col("n_words") <= 100_000)
+            & (F.col("mean_word_len_x100") >= 300)
+            & (F.col("mean_word_len_x100") <= 1000)
+            & (F.col("alpha_word_ppm") >= 800_000)
+            & (F.col("symbol_word_ppm") <= 100_000)
+            & (F.col("n_req_stopwords") >= 2)
+            & (F.col("bullet_line_ppm") <= 900_000)
+            & (F.col("ellipsis_line_ppm") <= 300_000)
+            & (F.col("dup_line_ppm") <= 300_000)
+            & (F.col("dup_line_char_ppm") <= 200_000)
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # hashed-bigram LM perplexity filter (CCNet-style quality gate)
 # ---------------------------------------------------------------------------
 

@@ -799,3 +799,54 @@ def test_perplexity_filter_threshold_and_short_docs(spark):
         for r in tx.perplexity_filter(docs, ref, max_bits_ppm=cut, n_buckets=64).collect()
     }
     assert out == {1: True, 2: False, 3: False}  # 3: no bigrams -> never kept
+
+
+def test_gopher_quality_rules(spark):
+    """Each Gopher rule trips on a crafted doc while a plain-prose doc
+    passes; metrics are pinned exactly on the hand-computable cases."""
+    prose_words = ("the quick brown fox jumps over that lazy dog and then "
+                   "we have some more of this plain text with many common "
+                   "words to be sure that the document is long enough " * 2)
+    rows = [
+        (1, prose_words),                                  # passes
+        (2, "word " * 30),                                 # too few words
+        (3, ("#### " * 60) + prose_words),                 # symbol ratio
+        (4, "\n".join(["- item %d the of and that" % i for i in range(20)])
+            + "\n" + prose_words),                         # >90% bullets? mixed
+        (5, "\n".join(["same line of the text"] * 10 + [prose_words])),
+        (6, "zz qq xx " * 40),                             # no req stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in tx.gopher_quality(df).collect()}
+
+    assert got[1]["gopher_pass"] is True
+    assert got[2]["n_words"] == 30 and got[2]["gopher_pass"] is False
+    assert got[3]["symbol_word_ppm"] > 100_000 and not got[3]["gopher_pass"]
+    assert got[6]["n_req_stopwords"] == 0 and not got[6]["gopher_pass"]
+
+    # doc 5: 10 duplicate copies of one line + 1 distinct line
+    assert got[5]["dup_line_ppm"] == (10 * 1_000_000) // 11
+    assert not got[5]["gopher_pass"]
+
+    # doc 4: 20 of 21 non-empty lines are bullets -> 952380 ppm > 900000
+    assert got[4]["bullet_line_ppm"] == (20 * 1_000_000) // 21
+    assert not got[4]["gopher_pass"]
+
+    # exact word metrics on doc 2: 30 words, each 4 chars, no alpha fails
+    assert got[2]["mean_word_len_x100"] == 400
+    assert got[2]["alpha_word_ppm"] == 1_000_000
+
+
+def test_gopher_quality_edge_docs(spark):
+    """Empty/whitespace/no-newline docs never error and never pass."""
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "one two the of " * 20), (4, "\n\n\n")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in tx.gopher_quality(df).collect()}
+    assert got[1]["n_words"] == 0 and not got[1]["gopher_pass"]
+    assert got[2]["n_words"] == 0 and not got[2]["gopher_pass"]
+    assert got[4]["n_words"] == 0 and not got[4]["gopher_pass"]
+    # doc 3: one long line, 80 words, passes word rules
+    assert got[3]["n_words"] == 80
+    assert got[3]["dup_line_ppm"] == 0
