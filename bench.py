@@ -120,6 +120,8 @@ BASELINE_MEDIANS = {
     # the pinned reference src/ corpus + daemon round-trip latency
     "ingest_parse": 1.87, "ingest_batch": 18.1, "ingest_incremental": 16.6,
     "e2e_find": 0.69, "e2e_show": 2.56,
+    # r9-recorded baselines: LM perplexity + Gopher rules (new this round)
+    "lm_perplexity": 2.12, "gopher_rules": 0.88,
 }
 
 
