@@ -113,6 +113,7 @@ def curate_and_write(
     min_compression_ppm: int = 50_000,
     lm_ref_sources: list[str] | None = None,
     lm_max_bits_ppm: int | None = None,
+    gopher: bool | dict | None = None,
 ) -> dict:
     """The WHOLE pipeline, ingest to training shards, in one call:
 
@@ -161,6 +162,20 @@ def curate_and_write(
         .drop("is_quality", "pred_lang", "too_repetitive")
     )
     funnel["after_quality_gate"] = gated.count()
+
+    # optional Gopher Appendix-A word/line rule gate (Rae et al. 2021):
+    # stricter than the cheap quality gate (stop-word presence, symbol
+    # ratio, bullet/duplicate-line fractions). Same early position — every
+    # doc dropped here skips the LM join and all dedup shuffles.
+    # ``gopher=True`` applies the published thresholds; a dict overrides
+    # them (e.g. {"min_req_stopwords": 0} for a non-English corpus)
+    if gopher:
+        overrides = gopher if isinstance(gopher, dict) else {}
+        ok = tx.gopher_quality(
+            gated.select("doc_id", "text"), **overrides
+        ).where(F.col("gopher_pass")).select("doc_id")
+        gated = gated.join(ok, "doc_id", "left_semi")
+        funnel["after_gopher_rules"] = gated.count()
 
     # optional CCNet-style LM perplexity gate: train a hashed-bigram LM on
     # the named reference sources (post-quality-gate, so the LM never

@@ -1187,7 +1187,15 @@ def importance_resample(
 GOPHER_REQUIRED_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
-def gopher_quality(docs, text_col: str = "text", id_col: str = "doc_id"):
+def gopher_quality(
+    docs, text_col: str = "text", id_col: str = "doc_id", *,
+    min_words: int = 50, max_words: int = 100_000,
+    min_mwl_x100: int = 300, max_mwl_x100: int = 1000,
+    min_alpha_ppm: int = 800_000, max_symbol_ppm: int = 100_000,
+    min_req_stopwords: int = 2, max_bullet_ppm: int = 900_000,
+    max_ellipsis_ppm: int = 300_000, max_dup_line_ppm: int = 300_000,
+    max_dup_line_char_ppm: int = 200_000,
+):
     """The published Gopher document-quality rule set as integer ppm
     metrics + a single pass flag (Rae et al. 2021, Appendix A — the same
     rules MassiveText, RefinedWeb and FineWeb inherit):
@@ -1290,19 +1298,22 @@ def gopher_quality(docs, text_col: str = "text", id_col: str = "doc_id"):
         ppm(F.coalesce("dup_chars", F.lit(0)), F.coalesce("n_line_chars", F.lit(0)))
         .alias("dup_line_char_ppm"),
     )
+    # thresholds default to the paper's; overridable per corpus the way
+    # production curation stacks expose them (synthetic or non-English
+    # corpora won't carry the English stop-word set, for example)
     return out.withColumn(
         "gopher_pass",
         (
-            (F.col("n_words") >= 50) & (F.col("n_words") <= 100_000)
-            & (F.col("mean_word_len_x100") >= 300)
-            & (F.col("mean_word_len_x100") <= 1000)
-            & (F.col("alpha_word_ppm") >= 800_000)
-            & (F.col("symbol_word_ppm") <= 100_000)
-            & (F.col("n_req_stopwords") >= 2)
-            & (F.col("bullet_line_ppm") <= 900_000)
-            & (F.col("ellipsis_line_ppm") <= 300_000)
-            & (F.col("dup_line_ppm") <= 300_000)
-            & (F.col("dup_line_char_ppm") <= 200_000)
+            (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
+            & (F.col("mean_word_len_x100") >= min_mwl_x100)
+            & (F.col("mean_word_len_x100") <= max_mwl_x100)
+            & (F.col("alpha_word_ppm") >= min_alpha_ppm)
+            & (F.col("symbol_word_ppm") <= max_symbol_ppm)
+            & (F.col("n_req_stopwords") >= min_req_stopwords)
+            & (F.col("bullet_line_ppm") <= max_bullet_ppm)
+            & (F.col("ellipsis_line_ppm") <= max_ellipsis_ppm)
+            & (F.col("dup_line_ppm") <= max_dup_line_ppm)
+            & (F.col("dup_line_char_ppm") <= max_dup_line_char_ppm)
         ),
     )
 

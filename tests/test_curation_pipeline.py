@@ -289,3 +289,37 @@ def test_lm_perplexity_stage_in_pipeline(spark):
         assert n_ref / 5 > (n_other / 15 if n_other else 0)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_gopher_stage_in_pipeline(spark):
+    out = tempfile.mkdtemp(prefix="kdb_curate_gopher_")
+    try:
+        # the synthetic fixture vocab carries only 'the' from the required
+        # stop-word list and most docs are under 50 words, so the stage
+        # runs with corpus-tuned thresholds (the published defaults are
+        # pinned in test_gopher_quality_rules)
+        m = curation.curate_and_write(
+            spark, f"{SF_DIR}/documents.parquet", out, n_shards=2,
+            gopher={"min_req_stopwords": 1, "min_words": 20},
+        )
+        f = m["funnel"]
+        assert (
+            f["after_quality_gate"]
+            >= f["after_gopher_rules"]
+            >= f["after_exact_dedup"]
+            >= f["after_decontamination"]
+            > 0
+        )
+        # every surviving doc actually passes the rules
+        back = spark.read.parquet(out)
+        from kausaldb_spark.functions import text as tx
+        n_fail = (
+            tx.gopher_quality(
+                back.select("doc_id", "text"),
+                min_req_stopwords=1, min_words=20,
+            )
+            .where(~F.col("gopher_pass")).count()
+        )
+        assert n_fail == 0
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
