@@ -386,6 +386,12 @@ def _q_gopher_rules(spark, sf_dir):
     return tx.gopher_quality(_docs(spark, sf_dir))
 
 
+def _q_gopher_repetition(spark, sf_dir):
+    # the n-gram half of the Gopher repetition rules (top-{2,3,4}-gram and
+    # overlap-once dup-{5..10}-gram char fractions), integer ppm
+    return tx.gopher_repetition(_docs(spark, sf_dir))
+
+
 def _q_token_count(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     return docs.select(
@@ -1046,6 +1052,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_quantiles": _q_length_quantiles,
         "source_mix": _q_source_mix,
         "repetition_score": _q_repetition_score,
+        "gopher_repetition": _q_gopher_repetition,  # new r9 (tail: local
+        # gate this round, rotates into the driver window next)
         "token_count": _q_token_count,
         "split_assignment": _q_split_assignment,
         "corpus_report": _q_corpus_report,
@@ -1506,6 +1514,90 @@ SELECT doc_id, n_words,
         AND ellipsis_line_ppm <= 300000
         AND dup_line_ppm <= 300000
         AND dup_line_char_ppm <= 200000) AS gopher_pass
+FROM m""",
+        # n-gram repetition family: one UNION ALL branch per n builds the
+        # gram table (zipped unnests give aligned pos/gram); overlap-once
+        # dup chars via DISTINCT covered positions joined to token lengths
+        "gopher_repetition": r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS t
+  FROM documents
+), base AS (
+  SELECT doc_id, t,
+         coalesce(list_sum(list_transform(t, x -> length(x))), 0)::BIGINT AS total_chars
+  FROM tok
+), g AS (
+"""
+        + "\n  UNION ALL\n".join(
+            f"""  SELECT doc_id, {n} AS n,
+         unnest(generate_series(0, len(t) - {n})) AS pos,
+         unnest(list_transform(generate_series(1, len(t) - {n - 1}),
+                i -> array_to_string(t[i:i + {n - 1}], ' '))) AS gram
+  FROM base WHERE len(t) >= {n}"""
+            for n in range(2, 11)
+        )
+        + r"""
+), cnt AS (
+  SELECT doc_id, n, gram, count(*)::BIGINT AS c FROM g GROUP BY 1, 2, 3
+), topg AS (
+  SELECT doc_id, n, c * (length(gram) - (n - 1)) AS chars,
+         row_number() OVER (PARTITION BY doc_id, n
+                            ORDER BY c DESC, length(gram) DESC, gram DESC) AS rn
+  FROM cnt WHERE n IN (2, 3, 4)
+), top AS (
+  SELECT doc_id,
+         max(CASE WHEN n = 2 THEN chars END) AS top2,
+         max(CASE WHEN n = 3 THEN chars END) AS top3,
+         max(CASE WHEN n = 4 THEN chars END) AS top4
+  FROM topg WHERE rn = 1 GROUP BY doc_id
+), duppos AS (
+  SELECT DISTINCT doc_id, n, p FROM (
+    SELECT g.doc_id, g.n, unnest(generate_series(g.pos, g.pos + g.n - 1)) AS p
+    FROM g JOIN cnt USING (doc_id, n, gram)
+    WHERE g.n >= 5 AND c > 1)
+), tokpos AS (
+  SELECT doc_id, unnest(generate_series(0, len(t) - 1)) AS p,
+         unnest(list_transform(t, x -> length(x)))::BIGINT AS l
+  FROM base WHERE len(t) >= 1
+), dup AS (
+  SELECT d.doc_id,
+         sum(CASE WHEN d.n = 5 THEN tp.l END) AS dup5,
+         sum(CASE WHEN d.n = 6 THEN tp.l END) AS dup6,
+         sum(CASE WHEN d.n = 7 THEN tp.l END) AS dup7,
+         sum(CASE WHEN d.n = 8 THEN tp.l END) AS dup8,
+         sum(CASE WHEN d.n = 9 THEN tp.l END) AS dup9,
+         sum(CASE WHEN d.n = 10 THEN tp.l END) AS dup10
+  FROM duppos d JOIN tokpos tp ON tp.doc_id = d.doc_id AND tp.p = d.p
+  GROUP BY d.doc_id
+), m AS (
+  SELECT b.doc_id, b.total_chars,
+         (coalesce(top2, 0) * 1000000) // greatest(b.total_chars, 1) AS top_2gram_char_ppm,
+         (coalesce(top3, 0) * 1000000) // greatest(b.total_chars, 1) AS top_3gram_char_ppm,
+         (coalesce(top4, 0) * 1000000) // greatest(b.total_chars, 1) AS top_4gram_char_ppm,
+         (coalesce(dup5, 0) * 1000000) // greatest(b.total_chars, 1) AS dup_5gram_char_ppm,
+         (coalesce(dup6, 0) * 1000000) // greatest(b.total_chars, 1) AS dup_6gram_char_ppm,
+         (coalesce(dup7, 0) * 1000000) // greatest(b.total_chars, 1) AS dup_7gram_char_ppm,
+         (coalesce(dup8, 0) * 1000000) // greatest(b.total_chars, 1) AS dup_8gram_char_ppm,
+         (coalesce(dup9, 0) * 1000000) // greatest(b.total_chars, 1) AS dup_9gram_char_ppm,
+         (coalesce(dup10, 0) * 1000000) // greatest(b.total_chars, 1) AS dup_10gram_char_ppm
+  FROM base b LEFT JOIN top USING (doc_id) LEFT JOIN dup USING (doc_id)
+)
+SELECT doc_id, total_chars,
+       CAST(top_2gram_char_ppm AS BIGINT) AS top_2gram_char_ppm,
+       CAST(top_3gram_char_ppm AS BIGINT) AS top_3gram_char_ppm,
+       CAST(top_4gram_char_ppm AS BIGINT) AS top_4gram_char_ppm,
+       CAST(dup_5gram_char_ppm AS BIGINT) AS dup_5gram_char_ppm,
+       CAST(dup_6gram_char_ppm AS BIGINT) AS dup_6gram_char_ppm,
+       CAST(dup_7gram_char_ppm AS BIGINT) AS dup_7gram_char_ppm,
+       CAST(dup_8gram_char_ppm AS BIGINT) AS dup_8gram_char_ppm,
+       CAST(dup_9gram_char_ppm AS BIGINT) AS dup_9gram_char_ppm,
+       CAST(dup_10gram_char_ppm AS BIGINT) AS dup_10gram_char_ppm,
+       (top_2gram_char_ppm <= 200000 AND top_3gram_char_ppm <= 180000
+        AND top_4gram_char_ppm <= 160000 AND dup_5gram_char_ppm <= 150000
+        AND dup_6gram_char_ppm <= 140000 AND dup_7gram_char_ppm <= 130000
+        AND dup_8gram_char_ppm <= 120000 AND dup_9gram_char_ppm <= 110000
+        AND dup_10gram_char_ppm <= 100000) AS rep_pass
 FROM m""",
         "lm_perplexity": rf"""
 WITH tok AS (

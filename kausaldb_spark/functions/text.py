@@ -1318,6 +1318,169 @@ def gopher_quality(
     )
 
 
+# paper thresholds for the n-gram repetition family (Rae et al. 2021,
+# Appendix A.2 table), in ppm of document token characters:
+#   top-{2,3,4}-gram char fraction  <= 0.20 / 0.18 / 0.16
+#   dup-{5..10}-gram char fraction  <= 0.15 / 0.14 / 0.13 / 0.12 / 0.11 / 0.10
+GOPHER_TOP_NGRAM_MAX_PPM = {2: 200_000, 3: 180_000, 4: 160_000}
+GOPHER_DUP_NGRAM_MAX_PPM = {
+    5: 150_000, 6: 140_000, 7: 130_000, 8: 120_000, 9: 110_000, 10: 100_000,
+}
+
+
+def gopher_repetition(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """The n-gram half of the Gopher repetition rules (Rae et al. 2021,
+    Appendix A.2) — the companion to :func:`gopher_quality`'s word/line
+    family, completing the published rule set:
+
+    - **top-n-gram char fraction** (n = 2, 3, 4): characters contained in
+      occurrences of the document's single most frequent word n-gram, as a
+      fraction of total token characters. Ties on count break by longer
+      gram then lexicographically-last gram (deterministic where the
+      paper's reference counter is insertion-ordered).
+    - **duplicate-n-gram char fraction** (n = 5..10): characters contained
+      in ANY n-gram that occurs more than once, counting each character
+      ONCE even when overlapping duplicate n-grams cover it repeatedly —
+      the paper's "taking care not to count characters ... more than once".
+
+    All metrics are integer ppm of the document's total token characters
+    (separator whitespace excluded on both sides), so the whole row is a
+    DuckDB-oracle-checkable integer surface; ``rep_pass`` applies the
+    paper's thresholds (module constants above).
+
+    Distributed shape: ONE narrow pass builds all nine gram tables from
+    the token array (``shingles`` + indexed transform — no window, no
+    per-n rescan of the corpus), then a single shuffle keyed by
+    (doc, n, gram) with map-side combine counts them. The top-gram pick is
+    a window over the already-aggregated counts. The overlap-once dup
+    measurement never rescans text: duplicated gram *start positions* (a
+    sliver — only grams with count > 1) explode into their ≤ n covered
+    token positions, ``distinct`` realizes the interval union, and an
+    equi-join against the (doc, pos, len) token table sums covered
+    characters — the gaps-and-islands union done as set-distinct because
+    n ≤ 10 bounds the expansion. Everything is codegen'd built-ins; no
+    UDF, no driver-side work. Skew: a pathological single doc only ever
+    keys by (doc, n, gram) or (doc, pos) — both finer than doc — so one
+    giant document cannot hot-spot a partition.
+
+    Output: (id, total_chars, top_2gram_char_ppm, top_3gram_char_ppm,
+    top_4gram_char_ppm, dup_5gram_char_ppm .. dup_10gram_char_ppm,
+    rep_pass)."""
+    from pyspark.sql.window import Window
+
+    toks = F.filter(tokens(F.col(text_col)), lambda x: x != "")
+    base = docs.select(
+        F.col(id_col),
+        toks.alias("t"),
+        F.coalesce(
+            F.aggregate(toks, F.lit(0).cast("bigint"), lambda a, t: a + F.length(t)),
+            F.lit(0).cast("bigint"),
+        ).alias("total_chars"),
+    )
+
+    ns = sorted(GOPHER_TOP_NGRAM_MAX_PPM) + sorted(GOPHER_DUP_NGRAM_MAX_PPM)
+
+    def _gram_structs(n: int):
+        return F.transform(
+            shingles(F.col("t"), n),
+            lambda g, i: F.struct(
+                F.lit(n).alias("n"), i.alias("pos"), g.alias("gram")
+            ),
+        )
+
+    gram_arrays = [_gram_structs(n) for n in ns]
+    grams = base.select(
+        id_col,
+        F.explode(F.concat(*gram_arrays)).alias("g"),
+    ).select(id_col, "g.n", "g.pos", "g.gram")
+
+    counts = grams.groupBy(id_col, "n", "gram").agg(F.count("*").alias("c"))
+
+    # top-n-gram (n=2,3,4): chars = count * token-chars of the gram (the
+    # ' '-joined gram string carries exactly n-1 separator chars)
+    top_n = sorted(GOPHER_TOP_NGRAM_MAX_PPM)
+    rn = F.row_number().over(
+        Window.partitionBy(id_col, "n").orderBy(
+            F.col("c").desc(), F.length("gram").desc(), F.col("gram").desc()
+        )
+    )
+    top = (
+        counts.where(F.col("n").isin(top_n))
+        .withColumn("rn", rn)
+        .where(F.col("rn") == 1)
+        .select(
+            id_col,
+            "n",
+            (F.col("c") * (F.length("gram") - (F.col("n") - 1))).alias("chars"),
+        )
+        .groupBy(id_col)
+        .agg(
+            *[
+                F.max(F.when(F.col("n") == n, F.col("chars")))
+                .alias(f"top_{n}chars")
+                for n in top_n
+            ]
+        )
+    )
+
+    # dup-n-gram (n=5..10): union of covered token positions, chars once
+    dup_n = sorted(GOPHER_DUP_NGRAM_MAX_PPM)
+    dup_starts = grams.where(F.col("n").isin(dup_n)).join(
+        counts.where(F.col("n").isin(dup_n) & (F.col("c") > 1)).select(
+            id_col, "n", "gram"
+        ),
+        [id_col, "n", "gram"],
+        "left_semi",
+    )
+    covered = (
+        dup_starts.select(
+            id_col,
+            "n",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + F.col("n") - 1)).alias(
+                "p"
+            ),
+        )
+        .distinct()
+    )
+    tokpos = base.select(id_col, F.posexplode("t").alias("p", "tok")).select(
+        id_col, "p", F.length("tok").alias("l")
+    )
+    dup = (
+        covered.join(tokpos, [id_col, "p"])
+        .groupBy(id_col)
+        .agg(
+            *[
+                F.sum(F.when(F.col("n") == n, F.col("l")))
+                .alias(f"dup_{n}chars")
+                for n in dup_n
+            ]
+        )
+    )
+
+    def ppm(c):
+        return F.floor(
+            F.coalesce(c, F.lit(0)) * 1_000_000 / F.greatest("total_chars", F.lit(1))
+        ).cast("bigint")
+
+    out = (
+        base.select(id_col, "total_chars")
+        .join(top, id_col, "left")
+        .join(dup, id_col, "left")
+        .select(
+            id_col,
+            "total_chars",
+            *[ppm(F.col(f"top_{n}chars")).alias(f"top_{n}gram_char_ppm") for n in top_n],
+            *[ppm(F.col(f"dup_{n}chars")).alias(f"dup_{n}gram_char_ppm") for n in dup_n],
+        )
+    )
+    passed = F.lit(True)
+    for n, thr in GOPHER_TOP_NGRAM_MAX_PPM.items():
+        passed = passed & (F.col(f"top_{n}gram_char_ppm") <= thr)
+    for n, thr in GOPHER_DUP_NGRAM_MAX_PPM.items():
+        passed = passed & (F.col(f"dup_{n}gram_char_ppm") <= thr)
+    return out.withColumn("rep_pass", passed)
+
+
 # ---------------------------------------------------------------------------
 # hashed-bigram LM perplexity filter (CCNet-style quality gate)
 # ---------------------------------------------------------------------------

@@ -850,3 +850,73 @@ def test_gopher_quality_edge_docs(spark):
     # doc 3: one long line, 80 words, passes word rules
     assert got[3]["n_words"] == 80
     assert got[3]["dup_line_ppm"] == 0
+
+
+def _brute_repetition(text):
+    """Reference model for gopher_repetition: literal Counter + marked
+    character positions (the datatrove/GopherRepetitionFilter shape)."""
+    from collections import Counter
+
+    t = [w for w in text.strip().lower().split() if w]
+    total = sum(len(w) for w in t)
+    out = {"total_chars": total}
+    for n in (2, 3, 4):
+        grams = [" ".join(t[i:i + n]) for i in range(len(t) - n + 1)]
+        if grams:
+            c = Counter(grams)
+            # tiebreak: count desc, char-len desc, gram desc (documented)
+            top = max(c, key=lambda g: (c[g], len(g), g))
+            chars = c[top] * (len(top) - (n - 1))
+        else:
+            chars = 0
+        out[f"top_{n}gram_char_ppm"] = chars * 1_000_000 // max(total, 1)
+    for n in range(5, 11):
+        grams = [" ".join(t[i:i + n]) for i in range(len(t) - n + 1)]
+        c = Counter(grams)
+        covered = set()
+        for i, g in enumerate(grams):
+            if c[g] > 1:
+                covered.update(range(i, i + n))
+        chars = sum(len(t[p]) for p in covered)
+        out[f"dup_{n}gram_char_ppm"] = chars * 1_000_000 // max(total, 1)
+    return out
+
+
+def test_gopher_repetition_vs_brute_force(spark):
+    rows = [
+        (1, "spam ham " * 40),                      # top-2-gram saturated
+        (2, "the quick brown fox jumps over the lazy dog and then sleeps"),
+        (3, ("one two three four five six seven ") * 3 + "tail words here"),
+        (4, "a b c d e f g h i j " * 2),            # exact doubling: every
+        # 5..10-gram duplicated, overlapping spans must count chars ONCE
+        (5, "solo"),
+        (6, ""),
+        (7, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in tx.gopher_repetition(df).collect()}
+    assert set(got) == {r[0] for r in rows}
+    for doc_id, text in rows:
+        want = _brute_repetition(text)
+        have = got[doc_id]
+        for k, v in want.items():
+            assert have[k] == v, f"doc {doc_id} {k}: {have[k]} != {v}"
+    # doc 4 sanity: overlap-once means dup chars == all 20 token chars, not
+    # the 6x-or-more a per-gram sum would produce
+    assert got[4]["dup_5gram_char_ppm"] == 1_000_000
+    assert got[4]["rep_pass"] is False
+    assert got[5]["rep_pass"] is True  # no grams at all -> all metrics 0
+    # the pass flag is exactly the thresholded brute-force metrics (note a
+    # SHORT doc fails top-n-gram by construction — its unique longest
+    # 3-gram alone exceeds 18% of chars; Gopher applies these after the
+    # >=50-word rule, same as our gopher_quality ordering)
+    for doc_id, text in rows:
+        want = _brute_repetition(text)
+        want_pass = all(
+            want[f"top_{n}gram_char_ppm"] <= thr
+            for n, thr in tx.GOPHER_TOP_NGRAM_MAX_PPM.items()
+        ) and all(
+            want[f"dup_{n}gram_char_ppm"] <= thr
+            for n, thr in tx.GOPHER_DUP_NGRAM_MAX_PPM.items()
+        )
+        assert got[doc_id]["rep_pass"] is want_pass, doc_id
