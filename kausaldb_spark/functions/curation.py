@@ -114,6 +114,7 @@ def curate_and_write(
     lm_ref_sources: list[str] | None = None,
     lm_max_bits_ppm: int | None = None,
     gopher: bool | dict | None = None,
+    gopher_rep: bool = False,
 ) -> dict:
     """The WHOLE pipeline, ingest to training shards, in one call:
 
@@ -176,6 +177,19 @@ def curate_and_write(
         ).where(F.col("gopher_pass")).select("doc_id")
         gated = gated.join(ok, "doc_id", "left_semi")
         funnel["after_gopher_rules"] = gated.count()
+
+    # optional Gopher n-gram repetition gate (Appendix A.2: top-{2,3,4}-gram
+    # and overlap-once dup-{5..10}-gram char fractions at the published
+    # thresholds) — the within-doc repetition screen the compression-ratio
+    # gate approximates; same early position, one gram shuffle
+    if gopher_rep:
+        ok = (
+            tx.gopher_repetition(gated.select("doc_id", "text"))
+            .where(F.col("rep_pass"))
+            .select("doc_id")
+        )
+        gated = gated.join(ok, "doc_id", "left_semi")
+        funnel["after_gopher_repetition"] = gated.count()
 
     # optional CCNet-style LM perplexity gate: train a hashed-bigram LM on
     # the named reference sources (post-quality-gate, so the LM never

@@ -323,3 +323,31 @@ def test_gopher_stage_in_pipeline(spark):
         assert n_fail == 0
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_gopher_repetition_stage_in_pipeline(spark):
+    out = tempfile.mkdtemp(prefix="kdb_curate_goprep_")
+    try:
+        m = curation.curate_and_write(
+            spark, f"{SF_DIR}/documents.parquet", out, n_shards=2,
+            gopher_rep=True,
+        )
+        f = m["funnel"]
+        assert (
+            f["after_quality_gate"]
+            >= f["after_gopher_repetition"]
+            >= f["after_exact_dedup"]
+            >= f["after_decontamination"]
+            > 0
+        )
+        # every surviving doc actually passes the repetition rules (shards
+        # store the normalized text the gate ran on, so re-check is exact)
+        back = spark.read.parquet(out)
+        from kausaldb_spark.functions import text as tx
+        n_fail = (
+            tx.gopher_repetition(back.select("doc_id", "text"))
+            .where(~F.col("rep_pass")).count()
+        )
+        assert n_fail == 0
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
