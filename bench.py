@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "quality_score",
     "lm_perplexity",
     "gopher_rules",
+    "gopher_repetition",
     "pii_scan",
     "repetition_score",
     "domain_filter",
@@ -122,6 +123,9 @@ BASELINE_MEDIANS = {
     "e2e_find": 0.69, "e2e_show": 2.56,
     # r9-recorded baselines: LM perplexity + Gopher rules (new this round)
     "lm_perplexity": 2.12, "gopher_rules": 0.88,
+    # r9: full n-gram repetition family (9 gram tables in one shuffle;
+    # sf1 median 12.5 s = 1.5x at 10x data)
+    "gopher_repetition": 8.29,
 }
 
 
