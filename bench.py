@@ -123,9 +123,12 @@ BASELINE_MEDIANS = {
     "e2e_find": 0.69, "e2e_show": 2.56,
     # r9-recorded baselines: LM perplexity + Gopher rules (new this round)
     "lm_perplexity": 2.12, "gopher_rules": 0.88,
-    # r9: full n-gram repetition family (9 gram tables in one shuffle;
-    # sf1 median 12.5 s = 1.5x at 10x data)
-    "gopher_repetition": 8.29,
+    # r9: full n-gram repetition family (one shingle pass + one
+    # (doc,n,gram) shuffle + one per-doc fold; sf1 median 13.4 s = 1.4x at
+    # 10x data. A 4-branch formulation measured ~15% faster on the locally
+    # page-cached fixture but re-ran the scan+shingle pass per branch —
+    # the wrong trade at cluster scale, see gopher_repetition docstring)
+    "gopher_repetition": 9.58,
 }
 
 

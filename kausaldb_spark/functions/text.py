@@ -1348,37 +1348,38 @@ def gopher_repetition(docs, text_col: str = "text", id_col: str = "doc_id"):
     DuckDB-oracle-checkable integer surface; ``rep_pass`` applies the
     paper's thresholds (module constants above).
 
-    Distributed shape: ONE narrow pass builds all nine gram tables from
-    the token array (``shingles`` + indexed transform — no window, no
-    per-n rescan of the corpus), then a single shuffle keyed by
-    (doc, n, gram) with map-side combine counts them. The top-gram pick is
-    a window over the already-aggregated counts. The overlap-once dup
-    measurement never rescans text: duplicated gram *start positions* (a
-    sliver — only grams with count > 1) explode into their ≤ n covered
-    token positions, ``distinct`` realizes the interval union, and an
-    equi-join against the (doc, pos, len) token table sums covered
-    characters — the gaps-and-islands union done as set-distinct because
-    n ≤ 10 bounds the expansion. Everything is codegen'd built-ins; no
-    UDF, no driver-side work. Skew: a pathological single doc only ever
-    keys by (doc, n, gram) or (doc, pos) — both finer than doc — so one
-    giant document cannot hot-spot a partition.
+    Distributed shape — the expensive shingling pass runs ONCE and the
+    whole family is a two-scan lineage (no branch ever re-shingles):
+    scan 1 builds all nine gram tables from the token array via
+    ``shingles`` + indexed transform, shuffle #1 keyed by (doc, n, gram)
+    aggregates (count, occurrence positions) with map-side combine, and
+    shuffle #2 keyed by doc folds them into one row per document — the
+    top-gram picks as conditional aggregates (the (count, token-chars,
+    gram) struct-max IS the deterministic tie-break) plus the
+    duplicated-gram (n, positions) groups as collected lists (the
+    count > 1 sliver only). Scan 2 is tokenize-only (no shingles, no
+    shuffle): per-doc token lengths + total chars, equi-joined by doc.
+    The overlap-once dup fraction is then pure higher-order array math
+    inside the row: duplicated starts expand to their ≤ n covered
+    positions, ``array_distinct`` realizes the interval union, and a fold
+    over the token-length array sums each covered token's chars exactly
+    once. (Two rejected formulations, measured: branching the aggregated
+    gram table 4 ways re-ran the scan+shingle per branch — per-branch
+    column pruning specializes every subtree below the exchange, so
+    ReuseExchange never fires; and folding token lengths through the gram
+    shuffle as n=1 rows + a per-doc position map cost ~15% more than this
+    shape at sf0.1 AND sf1.) Everything is codegen'd built-ins; no UDF,
+    no window, no driver-side work. Skew/memory: shuffle #1 keys finer
+    than doc, so a giant document cannot hot-spot a partition there; the
+    per-doc row in shuffle #2 carries only duplicated-gram positions,
+    O(tokens) ints worst-case — the same order as the document text.
 
     Output: (id, total_chars, top_2gram_char_ppm, top_3gram_char_ppm,
     top_4gram_char_ppm, dup_5gram_char_ppm .. dup_10gram_char_ppm,
     rep_pass)."""
-    from pyspark.sql.window import Window
-
     toks = F.filter(tokens(F.col(text_col)), lambda x: x != "")
-    base = docs.select(
-        F.col(id_col),
-        toks.alias("t"),
-        F.coalesce(
-            F.aggregate(toks, F.lit(0).cast("bigint"), lambda a, t: a + F.length(t)),
-            F.lit(0).cast("bigint"),
-        ).alias("total_chars"),
-    )
-
-    ns = sorted(GOPHER_TOP_NGRAM_MAX_PPM) + sorted(GOPHER_DUP_NGRAM_MAX_PPM)
+    top_n = sorted(GOPHER_TOP_NGRAM_MAX_PPM)
+    dup_n = sorted(GOPHER_DUP_NGRAM_MAX_PPM)
 
     def _gram_structs(n: int):
         return F.transform(
@@ -1388,89 +1389,102 @@ def gopher_repetition(docs, text_col: str = "text", id_col: str = "doc_id"):
             ),
         )
 
-    gram_arrays = [_gram_structs(n) for n in ns]
-    grams = base.select(
-        id_col,
-        F.explode(F.concat(*gram_arrays)).alias("g"),
-    ).select(id_col, "g.n", "g.pos", "g.gram")
-
-    counts = grams.groupBy(id_col, "n", "gram").agg(F.count("*").alias("c"))
-
-    # top-n-gram (n=2,3,4): chars = count * token-chars of the gram (the
-    # ' '-joined gram string carries exactly n-1 separator chars)
-    top_n = sorted(GOPHER_TOP_NGRAM_MAX_PPM)
-    rn = F.row_number().over(
-        Window.partitionBy(id_col, "n").orderBy(
-            F.col("c").desc(), F.length("gram").desc(), F.col("gram").desc()
-        )
-    )
-    top = (
-        counts.where(F.col("n").isin(top_n))
-        .withColumn("rn", rn)
-        .where(F.col("rn") == 1)
+    grams = (
+        docs.select(F.col(id_col), toks.alias("t"))
         .select(
             id_col,
-            "n",
-            (F.col("c") * (F.length("gram") - (F.col("n") - 1))).alias("chars"),
+            F.explode(
+                F.concat(*[_gram_structs(n) for n in top_n + dup_n])
+            ).alias("g"),
         )
-        .groupBy(id_col)
-        .agg(
-            *[
-                F.max(F.when(F.col("n") == n, F.col("chars")))
-                .alias(f"top_{n}chars")
-                for n in top_n
-            ]
-        )
+        .select(id_col, "g.n", "g.pos", "g.gram")
+    )
+    # positions are only consumed by the n>=5 dup families — when() nulls
+    # them out of the list for n=2..4 so the top grams never pay
+    # position-list shuffle bytes
+    agg = grams.groupBy(id_col, "n", "gram").agg(
+        F.count("*").alias("c"),
+        F.collect_list(
+            F.when(F.col("n") >= dup_n[0], F.col("pos"))
+        ).alias("ps"),
     )
 
-    # dup-n-gram (n=5..10): union of covered token positions, chars once
-    dup_n = sorted(GOPHER_DUP_NGRAM_MAX_PPM)
-    dup_starts = grams.where(F.col("n").isin(dup_n)).join(
-        counts.where(F.col("n").isin(dup_n) & (F.col("c") > 1)).select(
-            id_col, "n", "gram"
-        ),
-        [id_col, "n", "gram"],
-        "left_semi",
+    # ONE per-doc fold. top-n-gram chars = count * token-chars of the gram
+    # (the ' '-joined gram carries exactly n-1 separators); the struct-max
+    # over (c, token-chars, gram) is the tie-break: count desc, then
+    # longer gram, then lexicographically-last gram.
+    gram_tok_chars = F.length("gram") - (F.col("n") - 1)
+    per_doc = agg.groupBy(id_col).agg(
+        *[
+            F.max(
+                F.when(
+                    F.col("n") == n,
+                    F.struct(
+                        F.col("c").alias("c"),
+                        gram_tok_chars.alias("tl"),
+                        F.col("gram").alias("g"),
+                    ),
+                )
+            ).alias(f"top{n}")
+            for n in top_n
+        ],
+        F.collect_list(
+            F.when(
+                (F.col("n") >= dup_n[0]) & (F.col("c") > 1),
+                F.struct(F.col("n").alias("n"), F.col("ps").alias("ps")),
+            )
+        ).alias("dupgroups"),
     )
-    covered = (
-        dup_starts.select(
-            id_col,
-            "n",
-            F.explode(F.sequence(F.col("pos"), F.col("pos") + F.col("n") - 1)).alias(
-                "p"
-            ),
+
+    # scan 2 (tokenize-only, no shingles, no shuffle): per-token char
+    # lengths + total chars, the lookup side of the covered-position fold
+    base = docs.select(
+        F.col(id_col),
+        F.transform(toks, lambda t: F.length(t)).alias("lens"),
+        F.coalesce(
+            F.aggregate(toks, F.lit(0).cast("bigint"), lambda a, t: a + F.length(t)),
+            F.lit(0).cast("bigint"),
+        ).alias("total_chars"),
+    )
+
+    def _dup_chars(n: int):
+        # duplicated n-gram starts -> covered positions -> distinct union
+        # -> fold token chars; each char counted once per the paper
+        starts = F.flatten(
+            F.transform(
+                F.filter("dupgroups", lambda d: d["n"] == n), lambda d: d["ps"]
+            )
         )
-        .distinct()
-    )
-    tokpos = base.select(id_col, F.posexplode("t").alias("p", "tok")).select(
-        id_col, "p", F.length("tok").alias("l")
-    )
-    dup = (
-        covered.join(tokpos, [id_col, "p"])
-        .groupBy(id_col)
-        .agg(
-            *[
-                F.sum(F.when(F.col("n") == n, F.col("l")))
-                .alias(f"dup_{n}chars")
-                for n in dup_n
-            ]
+        cov = F.array_distinct(
+            F.flatten(F.transform(starts, lambda p: F.sequence(p, p + F.lit(n - 1))))
         )
-    )
+        return F.aggregate(
+            cov,
+            F.lit(0).cast("bigint"),
+            lambda a, p: a + F.element_at(F.col("lens"), p + 1),
+        )
 
     def ppm(c):
         return F.floor(
-            F.coalesce(c, F.lit(0)) * 1_000_000 / F.greatest("total_chars", F.lit(1))
+            F.coalesce(c, F.lit(0))
+            * 1_000_000
+            / F.greatest("total_chars", F.lit(1))
         ).cast("bigint")
 
+    # empty docs (zero grams) produce no agg rows — the base side of the
+    # left join restores them with all-zero metrics
     out = (
-        base.select(id_col, "total_chars")
-        .join(top, id_col, "left")
-        .join(dup, id_col, "left")
+        base.join(per_doc, id_col, "left")
         .select(
             id_col,
             "total_chars",
-            *[ppm(F.col(f"top_{n}chars")).alias(f"top_{n}gram_char_ppm") for n in top_n],
-            *[ppm(F.col(f"dup_{n}chars")).alias(f"dup_{n}gram_char_ppm") for n in dup_n],
+            *[
+                ppm(F.col(f"top{n}.c") * F.col(f"top{n}.tl")).alias(
+                    f"top_{n}gram_char_ppm"
+                )
+                for n in top_n
+            ],
+            *[ppm(_dup_chars(n)).alias(f"dup_{n}gram_char_ppm") for n in dup_n],
         )
     )
     passed = F.lit(True)
