@@ -1025,10 +1025,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": _q_gopher_rules,    # new r9: needs its driver row
         "pack_offsets": _q_pack_offsets,
         "ann_topk": _q_ann_topk,
-        "ann_lsh": _q_ann_lsh,
+        "gopher_repetition": _q_gopher_repetition,  # new r9: driver row
         # -- tail (position > 50: outside the driver sample; the oracle-
         #    backed entries here are still hash-gated by the local parity
         #    suite, the rows-only ones are pytest-gated) --
+        "ann_lsh": _q_ann_lsh,  # displaced by gopher_repetition (green r8;
+        #    still parity-gated every run)
         "embedding_near_dup": _q_embedding_near_dup,  # displaced by the
         "pii_scan": _q_pii_scan,  # two new r9 entries (both green r8;
         #    still parity-gated every run)
@@ -1052,11 +1054,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_quantiles": _q_length_quantiles,
         "source_mix": _q_source_mix,
         "repetition_score": _q_repetition_score,
-        "gopher_repetition": _q_gopher_repetition,  # new r9 (tail: local
-        # gate this round, rotates into the driver window next)
         "token_count": _q_token_count,
         "split_assignment": _q_split_assignment,
-        "corpus_report": _q_corpus_report,
         "bm25_topk": _q_bm25_topk,
         "semantic_dedup": _q_semantic_dedup,
         "importance_resample": _q_importance_resample,

@@ -2,6 +2,8 @@
 (the oracle gate covers corpus-level parity; these pin the per-pattern
 behavior on crafted strings)."""
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from kausaldb_spark.functions import text as tx
@@ -920,3 +922,29 @@ def test_gopher_repetition_vs_brute_force(spark):
             for n, thr in tx.GOPHER_DUP_NGRAM_MAX_PPM.items()
         )
         assert got[doc_id]["rep_pass"] is want_pass, doc_id
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["aa", "Bee", "cccc", "d", "ee-f", "GG", "hi", "j0"]),
+            min_size=0,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_gopher_repetition_hypothesis(spark, token_lists):
+    """Random small-vocab docs (duplicates forced by the 8-token vocab)
+    agree with the brute-force Counter+marked-positions model on every
+    metric — the property-test companion to the crafted-case pin."""
+    rows = [(i, " ".join(ts)) for i, ts in enumerate(token_lists)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in tx.gopher_repetition(df).collect()}
+    assert set(got) == set(range(len(rows)))
+    for doc_id, text in rows:
+        want = _brute_repetition(text)
+        for k, v in want.items():
+            assert got[doc_id][k] == v, f"doc {doc_id} {k}: {got[doc_id][k]} != {v}"
