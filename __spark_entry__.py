@@ -603,7 +603,10 @@ def _q_semantic_dedup(spark, sf_dir):
     # n_clusters is intentionally NOT pinned: the auto default scales k
     # with the corpus (expected cluster size = target_cluster_size) so
     # intra-cluster pair volume stays LINEAR in n — the r7 sf1 rehearsal
-    # caught the pinned k=8 going quadratic (250 s at 10x data)
+    # caught the pinned k=8 going quadratic (250 s at 10x data).
+    # (fit_sample_fraction deliberately unset here: an r9 A/B measured the
+    # full k-means fit at 1.4 s of the sf1 30 s — the pair scan dominates,
+    # and it was attacked directly by pre-normalizing vectors instead.)
     return sim.semantic_dedup(_emb(spark, sf_dir), threshold=0.97)
 
 
@@ -969,6 +972,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tests/test_oracle_parity.py still hash-checks every oracle-backed entry
     each run with the identical DuckDB harness, window position only
     affects which get a per-round driver row.
+
+    Late-r9 additions to the window: lm_perplexity, gopher_rules and
+    gopher_repetition (all new operators this round, each needing a first
+    driver row) — ann_lsh (green r8, unchanged code path) moved to the
+    tail to make room for the third.
     """
     return {
         # -- rotated INTO the driver sample this round (last gated r6; the

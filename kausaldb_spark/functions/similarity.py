@@ -552,22 +552,31 @@ def semantic_dedup(
     # hash join + codegen cosine beat the collect_list → nested-transform
     # explode it replaced ~2x at sf1 (the array formulation re-slices the
     # whole group per pair), and the join never materializes a cluster as
-    # one row — group size stops being bounded by single-row limits
-    left = capped.select(
-        "kc", F.col("id").alias("ia"), F.col("v").alias("va")
+    # one row — group size stops being bounded by single-row limits.
+    # Each vector is L2-normalized ONCE before the join so the pair
+    # predicate is a bare dot product — the norms otherwise recompute per
+    # PAIR (i.e. ~cluster_size times per vector) and cost 2 of every 3
+    # multiplies in the hot loop (r9: cut sf1 pair-scan wall time, the
+    # query's true dominant cost — the k-means fit measured 1.4 s of 30).
+    # A zero vector normalizes to NaN, so its dots fail every >= and it
+    # pairs with nothing — same outcome as cosine's 0/0.
+    nrm = F.sqrt(
+        F.aggregate(
+            "v", F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
+        )
     )
-    right = capped.select(
-        "kc", F.col("id").alias("ib"), F.col("v").alias("vb")
+    unit = capped.withColumn(
+        "vn", F.transform("v", lambda x: x.cast("double") / nrm)
+    )
+    left = unit.select("kc", F.col("id").alias("ia"), F.col("vn").alias("va"))
+    right = unit.select("kc", F.col("id").alias("ib"), F.col("vn").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
     )
     pairs = (
         left.join(right, "kc")
         .where(F.col("ia") < F.col("ib"))
-        .where(
-            float_cosine(
-                F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")
-            )
-            >= threshold
-        )
+        .where(dot >= threshold)
         .select(F.col("ia").alias("doc_a"), F.col("ib").alias("doc_b"))
     )
 
