@@ -338,3 +338,69 @@ def test_ivf_index_probe_prunes_partitions_and_full_probe_exact(spark, emb, tmp_
     got = df.collect()
     assert {r["query_id"] for r in got} == {0, 1}
     assert all(1 <= r["rank"] <= 5 for r in got)
+
+
+def test_semantic_dedup_single_cluster_matches_brute_cosine_components(spark):
+    """With n_clusters=1 the pair relation is exactly {cosine >= tau} over
+    the whole corpus, so the reported groups must equal the connected
+    components of the brute-force cosine graph — pins the r9
+    normalize-then-dot pair predicate against the literal cosine formula
+    (rounding differences at the threshold would split/merge groups)."""
+    import math
+    import random
+
+    rng = random.Random(77)
+    rows = []
+    for vid in range(40):
+        base = [rng.uniform(-1, 1) for _ in range(16)]
+        rows.append((vid, base))
+        if vid % 4 == 0:  # plant a near-dup of every 4th vector
+            rows.append(
+                (1000 + vid, [x + rng.uniform(-0.01, 0.01) for x in base])
+            )
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    def cos(a, b):
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return sum(x * y for x, y in zip(a, b)) / (na * nb)
+
+    tau = 0.9
+    parent = {vid: vid for vid, _ in rows}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, (ia, va) in enumerate(rows):
+        for ib, vb in rows[i + 1:]:
+            if cos(va, vb) >= tau:
+                ra, rb = find(ia), find(ib)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    want = {vid: find(vid) for vid, _ in rows}
+    # canonical component id = min member id (the operator's convention)
+    comp_min = {}
+    for vid, root in want.items():
+        comp_min.setdefault(root, []).append(vid)
+    want = {
+        vid: min(members)
+        for root, members in comp_min.items()
+        for vid in members
+    }
+
+    out = sim.semantic_dedup(
+        df, threshold=tau, n_clusters=1, seed=3,
+        max_cluster_size=100_000,
+    ).collect()
+    got = {r["vec_id"]: r["cluster_id"] for r in out}
+    assert got == want
+    # exactly one keeper per component
+    from collections import Counter
+
+    keeps = Counter(r["cluster_id"] for r in out if r["keep"] == 1)
+    assert set(keeps) == set(want.values()) and all(
+        v == 1 for v in keeps.values()
+    )
