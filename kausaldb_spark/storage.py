@@ -34,6 +34,7 @@ import json
 import os
 import shutil
 import socket
+import threading
 import time
 import uuid
 from contextlib import contextmanager
@@ -93,6 +94,7 @@ class BlockStore:
         self._lease_timeout = float(lease_timeout)
         self._lease_depth = 0
         self._lease_owner = f"{socket.gethostname()}:{os.getpid()}:{uuid.uuid4().hex[:8]}"
+        self._root_tl = threading.local()  # per-thread pinned version root
 
     # -- versioned-root layout (reader-vs-compact isolation) -----------------
     # Every table directory resolves through a `_current.json` pointer file:
@@ -109,11 +111,40 @@ class BlockStore:
     # exists, so both layouts read transparently.
 
     def _root(self) -> str:
+        pinned = getattr(self._root_tl, "pin", None)
+        if pinned is not None:
+            return pinned
         try:
             with open(self._current_path, encoding="utf-8") as f:
                 return os.path.join(self.path, json.load(f)["version"])
         except (OSError, ValueError, KeyError):
             return self.path  # legacy flat layout / store not yet compacted
+
+    @contextmanager
+    def _pin_root(self):
+        """Resolve the version root ONCE for a multi-table read composition.
+
+        Each table dir resolves through the ``_current.json`` pointer, so
+        without pinning a compact's pointer flip can land BETWEEN two table
+        reads of one logical snapshot and mix roots — e.g. blocks from the
+        pre-compact root joined against the new root's empty tombstone
+        table, resurrecting deleted rows (caught by the reader-vs-compact
+        fault test: the polling reader intermittently saw 60 instead of
+        50). Pinning makes every ``spark.read.parquet`` inside the block
+        list files under the same immutable ``v-<hex>`` root, which the
+        grace-copy GC keeps alive for a full compact cycle. Nested pins
+        reuse the outermost root; the pin is thread-local, so concurrent
+        readers sharing one store instance snapshot independently. Writers
+        don't need it: the pointer only flips inside compact(), which
+        serializes with every mutation under the writer lease."""
+        if getattr(self._root_tl, "pin", None) is not None:
+            yield
+            return
+        self._root_tl.pin = self._root()
+        try:
+            yield
+        finally:
+            self._root_tl.pin = None
 
     @property
     def _blocks_dir(self) -> str:
@@ -139,22 +170,68 @@ class BlockStore:
     # The reference gets write safety from its single-threaded core + WAL
     # (docs/DESIGN.md "Single-Threaded Core"); this store's analogue is a
     # TTL lease over the sequence counter: every mutating op runs inside
-    # acquire → reserve-then-write → release, so two engines pointed at one
-    # store can never read the same high-water mark and double-assign a
-    # sequence range. The lease is an O_CREAT|O_EXCL file (atomic on POSIX
-    # and NFSv4); a crashed holder's lease is STOLEN after its TTL via an
-    # atomic rename (exactly one stealer wins the rename; losers loop and
-    # re-contend on the recreate). On an object store this maps to a
-    # conditional put (S3 If-None-Match / GCS generation preconditions),
-    # or disappears entirely under a Delta transaction log.
+    # acquire -> reserve-then-write -> release, so two engines pointed at
+    # one store can never read the same high-water mark and double-assign
+    # a sequence range. A crashed holder's lease is STOLEN after its TTL.
     #
-    # Known advisory-protocol caveat, defended in depth (ADVICE r7): the
-    # default TTL is sized to the worst-case Spark job (600 s, same as
-    # compact()'s), the holder RENEWS the lease after the reserve step and
-    # before long writes (_lease_renew), and the release path is an atomic
-    # rename-claim — it can never unlink a stealer's fresh lease. A holder
-    # would have to stall past 600 s *without crossing any renewal point*
-    # to race a stealer.
+    # Every lease TRANSITION (acquire, steal, renew, release) is a
+    # read-decide-write of one small JSON file, executed under an flock on
+    # a sidecar `.lock` file — the file-system equivalent of the
+    # compare-and-swap the protocol needs. flock excludes across processes
+    # AND across threads in one process (it locks the open file
+    # description, not the pid), and the kernel drops it automatically if
+    # a holder dies mid-transition, so a crash inside the critical section
+    # cannot wedge the store. Transitions are microseconds; data writes
+    # (the Spark jobs) happen OUTSIDE the mutex, under the lease itself.
+    #
+    # History (r9): the previous protocol composed O_CREAT|O_EXCL
+    # acquisition with rename-claim steal/renew/release. Its renewal had
+    # to rename the lease file away, verify ownership on the claimed
+    # inode, and link it back - leaving a window where the lease PATH was
+    # absent while the lease was healthily HELD. A fresh contender's
+    # O_EXCL create read that absence as "free" and acquired a second
+    # lease: the concurrent-writer fault test caught the resulting dual
+    # writers (tests/test_fault_injection.py). POSIX has no file-content
+    # CAS, so every rename-dance variant just moves that window around;
+    # the mutex removes it. On an object store the transition maps to a
+    # conditional put (S3 If-Match / GCS generation preconditions), or
+    # disappears entirely under a Delta transaction log.
+    #
+    # TTL sizing unchanged (ADVICE r7): default 600 s = the worst-case
+    # Spark job, and the holder RENEWS after the reserve step, before long
+    # writes, and at every compact phase boundary. A holder must stall
+    # past the TTL without crossing any renewal point to be stolen from.
+
+    @contextmanager
+    def _lease_mutex(self):
+        """flock-serialized critical section for lease-file transitions."""
+        import fcntl
+
+        os.makedirs(self.path, exist_ok=True)
+        fd = os.open(self._lease_path + ".lock", os.O_CREAT | os.O_RDWR, 0o644)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            yield
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
+
+    def _lease_read(self) -> dict:
+        """Current lease content, {} when absent or torn (a holder that
+        crashed mid-create left a torn file: treated as expired)."""
+        try:
+            with open(self._lease_path, encoding="utf-8") as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return {}
+
+    def _lease_write(self, ttl: float) -> None:
+        tmp = f"{self._lease_path}.tmp.{self._lease_owner.rsplit(':', 1)[-1]}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(
+                {"owner": self._lease_owner, "expires": time.time() + ttl}, f
+            )
+        os.replace(tmp, self._lease_path)
 
     @contextmanager
     def _writer_lease(self, ttl: float | None = None):
@@ -167,43 +244,21 @@ class BlockStore:
             return
         ttl = ttl if ttl is not None else self._lease_ttl
         self._lease_ttl_active = ttl
-        os.makedirs(self.path, exist_ok=True)
         deadline = time.monotonic() + self._lease_timeout
         while True:
-            try:
-                fd = os.open(
-                    self._lease_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+            with self._lease_mutex():
+                cur = self._lease_read()
+                expired = not cur or time.time() > float(cur.get("expires", 0.0))
+                if expired:  # absent, torn, or past TTL: acquire / steal
+                    self._lease_write(ttl)
+                    break
+            if time.monotonic() > deadline:
+                raise LeaseHeldError(
+                    f"writer lease on {self.path} held by "
+                    f"{cur.get('owner', '?')} (expires in "
+                    f"{float(cur.get('expires', 0)) - time.time():.0f}s)"
                 )
-                with os.fdopen(fd, "w", encoding="utf-8") as f:
-                    json.dump(
-                        {"owner": self._lease_owner, "expires": time.time() + ttl},
-                        f,
-                    )
-                break
-            except FileExistsError:
-                try:
-                    with open(self._lease_path, encoding="utf-8") as f:
-                        cur = json.load(f)
-                    expired = time.time() > float(cur.get("expires", 0.0))
-                except (OSError, ValueError):
-                    # torn lease file (holder crashed mid-create) — treat
-                    # as expired; the rename below serializes the stealers
-                    expired = True
-                if expired:
-                    stale = f"{self._lease_path}.stale.{uuid.uuid4().hex[:8]}"
-                    try:
-                        os.rename(self._lease_path, stale)
-                        os.unlink(stale)
-                    except OSError:
-                        pass  # someone else stole it first — re-contend
-                    continue
-                if time.monotonic() > deadline:
-                    raise LeaseHeldError(
-                        f"writer lease on {self.path} held by "
-                        f"{cur.get('owner', '?')} (expires in "
-                        f"{float(cur.get('expires', 0)) - time.time():.0f}s)"
-                    )
-                time.sleep(0.05)
+            time.sleep(0.05)
         self._lease_depth = 1
         try:
             yield
@@ -212,98 +267,31 @@ class BlockStore:
             self._lease_release()
 
     def _lease_release(self) -> None:
-        """Atomic compare-and-delete (ADVICE r7): CLAIM the lease file with a
-        rename to an owner-unique name (atomic — exactly one of {us, a
-        stealer} gets any given inode), inspect the claimed copy, and only
-        then unlink. If the claim turns out to be a stealer's FRESH lease
-        (we overran our TTL), restore it with os.link — which, unlike
-        rename, refuses to clobber a lease a third writer created meanwhile.
-        The old read-then-unlink had a window where the stealer's new lease
-        was deleted between our owner check and the unlink."""
-        claim = f"{self._lease_path}.rel.{self._lease_owner.rsplit(':', 1)[-1]}"
-        try:
-            os.rename(self._lease_path, claim)
-        except OSError:
-            return  # already stolen AND released/renamed: nothing of ours left
-        try:
-            with open(claim, encoding="utf-8") as f:
-                cur = json.load(f)
-        except (OSError, ValueError):
-            cur = {}
-        if cur.get("owner") == self._lease_owner:
-            os.unlink(claim)
-            return
-        # We claimed someone else's fresh lease — put it back without
-        # clobbering anything newer, then drop our claim link.
-        #
-        # Residual window (ADVICE r8, acknowledged): between our rename-claim
-        # and this os.link the lease file is ABSENT, so a third writer can
-        # acquire via O_CREAT|O_EXCL; the link then fails EEXIST and the
-        # displaced stealer's lease is dropped while it still believes it
-        # holds the lease. The stealer gets its signal at its next
-        # _lease_renew: the claim-by-rename there finds a lease owned by the
-        # third writer (or absent) and refuses to renew, so the displaced
-        # holder's writes stop extending a lease it no longer holds. Fully
-        # closing the window needs a CAS primitive the filesystem lacks.
-        try:
-            os.link(claim, self._lease_path)
-        except OSError:
-            pass  # an even newer lease exists; the displaced holder re-contends
-        os.unlink(claim)
+        """Unlink the lease IFF still ours — under the mutex, so this can
+        never delete a stealer's fresh lease (the steal and the release
+        serialize; whichever runs second sees the other's owner)."""
+        with self._lease_mutex():
+            if self._lease_read().get("owner") == self._lease_owner:
+                try:
+                    os.unlink(self._lease_path)
+                except OSError:
+                    pass
 
     def _lease_renew(self) -> None:
         """Push the held lease's expiry out by the active TTL — called after
         the reserve step and before long Spark writes so a slow job can't
-        outlive its lease mid-operation (ADVICE r7).
-
-        Claim-by-rename, same pattern as _lease_release (ADVICE r8: the old
-        read-owner-then-os.replace had a TOCTOU window where a steal landing
-        between the read and the replace was clobbered by the renewal,
-        reintroducing dual writers). Rename gives exactly one of {us, a
-        stealer} any given inode; we inspect the inode we actually claimed,
-        renew it in place, and re-attach with os.link, which — unlike
-        rename — refuses to clobber a lease a contender created while the
-        file was absent."""
+        outlive its lease mid-operation (ADVICE r7). Under the mutex the
+        owner check and the rewrite are one atomic transition: a steal
+        cannot land between them, and the lease file never goes absent
+        (the r9 dual-writer bug this protocol replaced). If the lease was
+        already stolen — we truly overran our TTL — the stealer's lease is
+        left untouched and our writes stop extending a lease we no longer
+        hold; release will see the foreign owner and leave it alone too."""
         if self._lease_depth <= 0:
             return
-        claim = f"{self._lease_path}.renew.{self._lease_owner.rsplit(':', 1)[-1]}"
-        try:
-            os.rename(self._lease_path, claim)
-        except OSError:
-            return  # lease already stolen-and-claimed elsewhere: do not renew
-        try:
-            with open(claim, encoding="utf-8") as f:
-                cur = json.load(f)
-        except (OSError, ValueError):
-            cur = {}
-        if cur.get("owner") == self._lease_owner:
-            try:
-                with open(claim, "w", encoding="utf-8") as f:
-                    json.dump(
-                        {
-                            "owner": self._lease_owner,
-                            "expires": time.time() + self._lease_ttl_active,
-                        },
-                        f,
-                    )
-                os.link(claim, self._lease_path)  # refuses to clobber
-            except OSError:
-                pass  # a contender acquired during the claim window — they win
-            try:
-                os.unlink(claim)
-            except OSError:
-                pass
-            return
-        # We claimed a STEALER's fresh lease (we truly overran our TTL) —
-        # restore it without clobbering anything newer, exactly as release.
-        try:
-            os.link(claim, self._lease_path)
-        except OSError:
-            pass
-        try:
-            os.unlink(claim)
-        except OSError:
-            pass
+        with self._lease_mutex():
+            if self._lease_read().get("owner") == self._lease_owner:
+                self._lease_write(self._lease_ttl_active)
 
     # -- raw table accessors ------------------------------------------------
 
@@ -399,22 +387,23 @@ class BlockStore:
         """Rows at each file's CURRENT ingest epoch (the file_state view is
         the authority on which epoch is current — one broadcast join, no
         second window over the index)."""
-        cur = self.current_file_state().where(
-            F.col("content_hash").isNotNull()
-        ).select(
-            F.col("codebase").alias("_cb"), F.col("file_path").alias("_fp"),
-            F.col("ingest_seq").alias("_epoch"),
-        )
-        r = self.ref_names()
-        return (
-            r.join(
-                F.broadcast(cur),
-                (r.codebase == F.col("_cb"))
-                & (r.file_path == F.col("_fp"))
-                & (r.ingest_seq == F.col("_epoch")),
+        with self._pin_root():  # file_state + ref_names from ONE root
+            cur = self.current_file_state().where(
+                F.col("content_hash").isNotNull()
+            ).select(
+                F.col("codebase").alias("_cb"), F.col("file_path").alias("_fp"),
+                F.col("ingest_seq").alias("_epoch"),
             )
-            .select("codebase", "file_path", "name", "ingest_seq")
-        )
+            r = self.ref_names()
+            return (
+                r.join(
+                    F.broadcast(cur),
+                    (r.codebase == F.col("_cb"))
+                    & (r.file_path == F.col("_fp"))
+                    & (r.ingest_seq == F.col("_epoch")),
+                )
+                .select("codebase", "file_path", "name", "ingest_seq")
+            )
 
     # -- sequence management ------------------------------------------------
 
@@ -581,10 +570,11 @@ class BlockStore:
         mirroring the reference's content-addressed block ids
         (``src/core/types.zig:137-151``). Plan-asserted in
         tests/test_scale_fixes.py."""
-        raw = self.blocks_raw()
-        if codebase is not None:
-            raw = raw.where(F.col("codebase") == codebase)
-        return visible_blocks(raw, self.tombstones())
+        with self._pin_root():  # blocks + tombstones from ONE version root
+            raw = self.blocks_raw()
+            if codebase is not None:
+                raw = raw.where(F.col("codebase") == codebase)
+            return visible_blocks(raw, self.tombstones())
 
     def snapshot(self) -> DataFrame:
         """The visible() snapshot, persisted once per (session, store,
@@ -637,25 +627,28 @@ class BlockStore:
         endpoint blocks still exist). file_state is file-count-sized, so
         this is a third broadcast anti-join; legacy edges without provenance
         are exempt."""
-        ids = self.snapshot().select("id")
-        tomb_ids = self.tombstones().select("block_id").distinct()
-        invisible = tomb_ids.join(ids, tomb_ids.block_id == ids.id, "left_anti")
-        e = self.edges()
-        e = e.join(
-            F.broadcast(invisible), e.src == invisible.block_id, "left_anti"
-        ).join(F.broadcast(invisible), e.dst == invisible.block_id, "left_anti")
-        st = self.current_file_state().select(
-            F.col("codebase").alias("_cb"),
-            F.col("file_path").alias("_fp"),
-            F.col("ingest_seq").alias("_epoch"),
-        )
-        return e.join(
-            F.broadcast(st),
-            (e.codebase == F.col("_cb"))
-            & (e.src_file == F.col("_fp"))
-            & (e.ingest_seq < F.col("_epoch")),
-            "left_anti",
-        )
+        with self._pin_root():  # edges/tombstones/file_state from ONE root
+            ids = self.snapshot().select("id")
+            tomb_ids = self.tombstones().select("block_id").distinct()
+            invisible = tomb_ids.join(
+                ids, tomb_ids.block_id == ids.id, "left_anti"
+            )
+            e = self.edges()
+            e = e.join(
+                F.broadcast(invisible), e.src == invisible.block_id, "left_anti"
+            ).join(F.broadcast(invisible), e.dst == invisible.block_id, "left_anti")
+            st = self.current_file_state().select(
+                F.col("codebase").alias("_cb"),
+                F.col("file_path").alias("_fp"),
+                F.col("ingest_seq").alias("_epoch"),
+            )
+            return e.join(
+                F.broadcast(st),
+                (e.codebase == F.col("_cb"))
+                & (e.src_file == F.col("_fp"))
+                & (e.ingest_seq < F.col("_epoch")),
+                "left_anti",
+            )
 
     # -- cluster-scale layout ----------------------------------------------
 

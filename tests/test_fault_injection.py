@@ -428,19 +428,22 @@ def test_lease_release_is_atomic_claim_never_deletes_stealer(spark, tmp_path):
     assert os.path.exists(lease), "stealer's lease was deleted by release"
     with open(lease) as fh:
         assert _json.load(fh)["owner"] == "thief:2:beefbeef"
-    # and no stray claim files left behind
-    strays = [f for f in os.listdir(path) if f.startswith("_writer.lease.")]
+    # and no stray transition files left behind (the persistent .lock
+    # mutex sidecar is part of the protocol)
+    strays = [
+        f for f in os.listdir(path)
+        if f.startswith("_writer.lease.") and f != "_writer.lease.lock"
+    ]
     assert strays == [], strays
 
 
 def test_lease_renew_with_absent_lease_does_not_resurrect(spark, tmp_path):
-    """The r9 claim-by-rename renewal: when the lease file is ABSENT at
-    renewal time (we were stolen and the stealer already finished), the
-    renewal must NOT recreate a lease — a displaced holder silently
-    re-asserting ownership would reintroduce the dual-writer state the
-    claim protocol exists to prevent. And a renewal racing a mid-op steal
-    must leave the thief's lease exactly in place (the old
-    read-owner-then-replace clobbered it)."""
+    """When the lease file is ABSENT at renewal time (we were stolen and
+    the stealer already finished), the renewal must NOT recreate a lease —
+    a displaced holder silently re-asserting ownership would reintroduce
+    the dual-writer state the lease exists to prevent. And a renewal after
+    a mid-op steal must leave the thief's lease exactly in place (the
+    flock-serialized transition makes owner-check + rewrite atomic)."""
     import json as _json
     import time as _time
 
@@ -459,8 +462,11 @@ def test_lease_renew_with_absent_lease_does_not_resurrect(spark, tmp_path):
         store._lease_renew()
         with open(lease) as fh:
             assert _json.load(fh)["owner"] == "thief:3:feedface"
-    # no stray claim files from any path
-    strays = [f for f in os.listdir(path) if f.startswith("_writer.lease.")]
+    # no stray transition files from any path (.lock sidecar excepted)
+    strays = [
+        f for f in os.listdir(path)
+        if f.startswith("_writer.lease.") and f != "_writer.lease.lock"
+    ]
     assert strays == [], strays
 
 
@@ -596,3 +602,32 @@ def test_reader_polling_visible_across_compacts_sees_no_errors(spark, tmp_path):
     with open(os.path.join(path, "_current.json")) as fh:
         assert _json.load(fh)["version"] in roots
     assert BlockStore(spark, path).visible().count() == 50
+
+
+def test_pinned_root_makes_multi_table_reads_atomic(spark, tmp_path):
+    """Deterministic pin for the torn-read race the polling-reader test hit
+    stochastically: a compact pointer flip landing BETWEEN a snapshot's
+    blocks read and its tombstones read mixed roots (pre-compact blocks
+    joined against the new root's empty tombstone table resurrected the
+    deleted rows — visible()==60 instead of 50). Under _pin_root the whole
+    composition must resolve the root it started on, which the grace-copy
+    GC keeps alive for a full compact cycle."""
+    from kausaldb_spark.snapshot import visible_blocks
+    from kausaldb_spark.storage import BlockStore
+
+    path = str(tmp_path / "pin_root")
+    writer = BlockStore(spark, path)
+    writer.append_blocks(_mk_blocks(spark, "pin", 60, "cb"))
+    writer.compact()  # move to the versioned-root layout: root v1, blocks=60
+    doomed = [r["id"] for r in writer.visible().limit(10).collect()]
+    writer.delete_blocks(doomed)  # 10 tombstones appended under v1
+
+    reader = BlockStore(spark, path)
+    with reader._pin_root():
+        raw = reader.blocks_raw()  # listed under v1 (60 rows)
+        writer.compact()  # flips the pointer to v2 (blocks=50, tombs empty)
+        # the worst-case interleaving: tombstones read AFTER the flip must
+        # still come from v1, or the 10 deletes vanish from this snapshot
+        assert visible_blocks(raw, reader.tombstones()).count() == 50
+    # unpinned, a fresh composition reads v2 and agrees
+    assert reader.visible().count() == 50
