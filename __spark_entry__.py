@@ -386,6 +386,25 @@ def _q_gopher_rules(spark, sf_dir):
     return tx.gopher_quality(_docs(spark, sf_dir))
 
 
+def _q_c4_rules(spark, sf_dir):
+    # the published C4 line/page cleaning heuristics (Raffel et al. 2020
+    # §2.2), integer/boolean metrics — completes the second published
+    # web-filter family alongside the Gopher stack
+    return tx.c4_rules(_docs(spark, sf_dir))
+
+
+# hybrid retrieval: lexical BM25 leg + vector cosine leg fused by RRF.
+# query-doc 7 doubles as the vector query (vec_id == doc_id contract).
+_HYBRID_VEC_ID = 7
+
+
+def _q_hybrid_rrf(spark, sf_dir):
+    return sim.hybrid_rrf_topk(
+        _docs(spark, sf_dir), _emb(spark, sf_dir), list(_TM_TERMS),
+        _HYBRID_VEC_ID, k=20, k_each=50,
+    )
+
+
 def _q_gopher_repetition(spark, sf_dir):
     # the n-gram half of the Gopher repetition rules (top-{2,3,4}-gram and
     # overlap-once dup-{5..10}-gram char fractions), integer ppm
@@ -1031,12 +1050,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality_score,
         "lm_perplexity": _q_lm_perplexity,  # new r9: needs its driver row
         "gopher_rules": _q_gopher_rules,    # new r9: needs its driver row
-        "pack_offsets": _q_pack_offsets,
-        "ann_topk": _q_ann_topk,
         "gopher_repetition": _q_gopher_repetition,  # new r9: driver row
+        "c4_rules": _q_c4_rules,        # new late-r9: needs its driver row
+        "hybrid_rrf": _q_hybrid_rrf,    # new late-r9: needs its driver row
         # -- tail (position > 50: outside the driver sample; the oracle-
         #    backed entries here are still hash-gated by the local parity
         #    suite, the rows-only ones are pytest-gated) --
+        "pack_offsets": _q_pack_offsets,  # displaced by c4_rules (green
+        #    r8; still parity-gated every run)
+        "ann_topk": _q_ann_topk,  # displaced by hybrid_rrf (green r8; the
+        #    hybrid query's vector leg IS dot_topk, so the family keeps a
+        #    driver row; still parity-gated every run)
         "ann_lsh": _q_ann_lsh,  # displaced by gopher_repetition (green r8;
         #    still parity-gated every run)
         "embedding_near_dup": _q_embedding_near_dup,  # displaced by the
@@ -1101,6 +1125,67 @@ rec AS (
 SELECT id, CAST(min(depth) AS INT) AS depth FROM rec GROUP BY id
 ORDER BY depth, id LIMIT 10000"""
     )
+
+
+def _hybrid_rrf_sql(k: int = 20, k_each: int = 50, rrf_k: int = 60) -> str:
+    """Twin of sim.hybrid_rrf_topk: the bm25_topk_ppm CTE stack (same
+    fixed-point formula, rank cap k_each) FULL OUTER JOINed with the
+    dot_topk leg for query vec _HYBRID_VEC_ID, fused as
+    Σ floor(1e9/(rrf_k+rank)) in exact hugeint arithmetic."""
+    quant = oracles._QUANT
+    vid = _HYBRID_VEC_ID
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+), base AS (
+  SELECT doc_id, len(t)::BIGINT AS dl,
+         len(list_filter(t, x -> x = 'table'))::BIGINT AS tf1,
+         len(list_filter(t, x -> x = 'join'))::BIGINT AS tf2,
+         len(list_filter(t, x -> x = 'query'))::BIGINT AS tf3
+  FROM toks
+), stats AS (
+  SELECT count(*)::HUGEINT AS n_docs, sum(dl)::HUGEINT AS total_dl,
+         sum((tf1 > 0)::INT)::HUGEINT AS df1,
+         sum((tf2 > 0)::INT)::HUGEINT AS df2,
+         sum((tf3 > 0)::INT)::HUGEINT AS df3
+  FROM base
+), scored AS (
+  SELECT doc_id,
+         (tf1 > 0)::INT + (tf2 > 0)::INT + (tf3 > 0)::INT AS n_terms,
+         CASE WHEN tf1 > 0 THEN (((1000000::HUGEINT*(2*n_docs - 2*df1 + 1)) // (2*df1 + 1)) * ((1000000::HUGEINT * (22*total_dl*tf1::HUGEINT)) // (10*total_dl*tf1::HUGEINT + 3*total_dl + 9*dl::HUGEINT*n_docs))) // 1000000 ELSE 0 END
+         + CASE WHEN tf2 > 0 THEN (((1000000::HUGEINT*(2*n_docs - 2*df2 + 1)) // (2*df2 + 1)) * ((1000000::HUGEINT * (22*total_dl*tf2::HUGEINT)) // (10*total_dl*tf2::HUGEINT + 3*total_dl + 9*dl::HUGEINT*n_docs))) // 1000000 ELSE 0 END
+         + CASE WHEN tf3 > 0 THEN (((1000000::HUGEINT*(2*n_docs - 2*df3 + 1)) // (2*df3 + 1)) * ((1000000::HUGEINT * (22*total_dl*tf3::HUGEINT)) // (10*total_dl*tf3::HUGEINT + 3*total_dl + 9*dl::HUGEINT*n_docs))) // 1000000 ELSE 0 END AS score_ppm
+  FROM base CROSS JOIN stats
+), lex AS (
+  SELECT doc_id, bm25_rank FROM (
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY score_ppm DESC, doc_id) AS INT) AS bm25_rank
+    FROM scored WHERE n_terms > 0
+  ) WHERE bm25_rank <= {k_each}
+), q AS (
+  SELECT {quant} AS qv FROM embeddings WHERE vec_id = {vid}
+), vscored AS (
+  SELECT c.vec_id AS doc_id,
+         CAST(list_dot_product(q.qv, {quant.replace('embedding', 'c.embedding')}) AS BIGINT) AS dot
+  FROM q CROSS JOIN embeddings c WHERE c.vec_id != {vid}
+), vec AS (
+  SELECT doc_id, vec_rank FROM (
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY dot DESC, doc_id) AS INT) AS vec_rank
+    FROM vscored
+  ) WHERE vec_rank <= {k_each}
+), fused AS (
+  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+         l.bm25_rank, v.vec_rank,
+         CAST(coalesce(1000000000 // (CAST({rrf_k} + l.bm25_rank AS BIGINT)), 0)
+            + coalesce(1000000000 // (CAST({rrf_k} + v.vec_rank AS BIGINT)), 0)
+           AS BIGINT) AS rrf_score_x1e9
+  FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+)
+SELECT doc_id, bm25_rank, vec_rank, rrf_score_x1e9, rank FROM (
+  SELECT *, CAST(row_number() OVER (ORDER BY rrf_score_x1e9 DESC, doc_id) AS INT) AS rank
+  FROM fused
+) WHERE rank <= {k}"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1522,6 +1607,39 @@ SELECT doc_id, n_words,
         AND dup_line_ppm <= 300000
         AND dup_line_char_ppm <= 200000) AS gopher_pass
 FROM m""",
+        # C4 §2.2 line/page heuristics: pure list-lambda twin of
+        # tx.c4_rules — same trim → non-empty → line-rule filter chain,
+        # sentences = terminal-punct count over the kept-line join
+        "c4_rules": r"""
+WITH lines AS (
+  SELECT doc_id, text,
+         list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                     l -> l <> '') AS content
+  FROM documents
+), kept AS (
+  SELECT doc_id, text, content,
+         list_filter(content, l ->
+             regexp_matches(l, '[.!?"]$')
+             AND len(list_filter(string_split_regex(l, '\s+'), x -> x <> '')) >= 5
+             AND NOT contains(lower(l), 'javascript')) AS k
+  FROM lines
+), joined AS (
+  -- array_to_string([]) is NULL in DuckDB (Spark's array_join gives '')
+  SELECT *, coalesce(array_to_string(k, chr(10)), '') AS kt FROM kept
+), agg AS (
+  SELECT doc_id,
+         CAST(len(content) AS INT) AS n_lines,
+         CAST(len(k) AS INT) AS n_lines_kept,
+         CAST(length(kt) AS BIGINT) AS kept_chars,
+         CAST(length(kt) - length(translate(kt, '.!?', '')) AS INT)
+           AS n_sentences,
+         contains(text, '{') AS has_brace,
+         contains(lower(text), 'lorem ipsum') AS has_blocked
+  FROM joined
+)
+SELECT *, (n_sentences >= 3 AND NOT has_brace AND NOT has_blocked) AS c4_keep
+FROM agg""",
+        "hybrid_rrf": _hybrid_rrf_sql(),
         # n-gram repetition family: one UNION ALL branch per n builds the
         # gram table (zipped unnests give aligned pos/gram); overlap-once
         # dup chars via DISTINCT covered positions joined to token lengths

@@ -83,6 +83,8 @@ BENCH_QUERIES = [
     "lm_perplexity",
     "gopher_rules",
     "gopher_repetition",
+    "c4_rules",
+    "hybrid_rrf",
     "pii_scan",
     "repetition_score",
     "domain_filter",

@@ -115,6 +115,7 @@ def curate_and_write(
     lm_max_bits_ppm: int | None = None,
     gopher: bool | dict | None = None,
     gopher_rep: bool = False,
+    c4: bool | dict | None = None,
 ) -> dict:
     """The WHOLE pipeline, ingest to training shards, in one call:
 
@@ -163,6 +164,19 @@ def curate_and_write(
         .drop("is_quality", "pred_lang", "too_repetitive")
     )
     funnel["after_quality_gate"] = gated.count()
+
+    # optional C4 page gate (Raffel et al. 2020 §2.2): ≥3 sentences after
+    # line cleaning, no curly bracket, no blocked phrase. Map-only pass on
+    # the corpus scan (zero shuffles), so it sits first among the optional
+    # gates — every page it drops skips everything downstream.
+    # ``c4=True`` applies the published thresholds; a dict overrides them
+    if c4:
+        overrides = c4 if isinstance(c4, dict) else {}
+        ok = tx.c4_rules(
+            gated.select("doc_id", "text"), **overrides
+        ).where(F.col("c4_keep")).select("doc_id")
+        gated = gated.join(ok, "doc_id", "left_semi")
+        funnel["after_c4_rules"] = gated.count()
 
     # optional Gopher Appendix-A word/line rule gate (Rae et al. 2021):
     # stricter than the cheap quality gate (stop-word presence, symbol

@@ -82,6 +82,65 @@ def dot_topk(
     )
 
 
+def hybrid_rrf_topk(
+    docs: DataFrame, embeddings: DataFrame, query_terms: list[str],
+    query_vec_id: int, k: int = 20, k_each: int = 50, rrf_k: int = 60,
+    doc_id_col: str = "doc_id", vec_id_col: str = "vec_id",
+) -> DataFrame:
+    """Hybrid retrieval: fixed-point BM25 lexical leg + exact quantized
+    cosine vector leg, fused by Reciprocal Rank Fusion (Cormack, Clarke &
+    Büttcher 2009): ``score = Σ_legs 1/(rrf_k + rank)``. RRF is the
+    standard public fusion rule precisely because it consumes only RANKS
+    — the two legs' incomparable score scales (ppm BM25 vs integer dot)
+    never meet, so the integer-exactness of both legs carries through:
+    the fused score is ``Σ floor(1e9/(rrf_k+rank))`` in exact bigint
+    arithmetic, giving a full value-hash oracle row.
+
+    Retrieval semantics: each leg contributes its top ``k_each``; a doc
+    absent from a leg contributes 0 from that leg (the published
+    convention). Ties break by doc id. The vector leg treats the
+    query-doc's own embedding as the query (vec_id == doc_id in the
+    corpus contract) and never returns the query doc itself.
+
+    Distributed shape = the union of the legs' shapes, both already
+    scale-audited: BM25 is one single-row stats broadcast + a scoring
+    scan + a TakeOrdered heap; the vector leg broadcasts the single query
+    vector over one corpus scan + TakeOrdered. The fusion itself joins
+    two ≤``k_each``-row lists — driver-trivial at any corpus size.
+
+    Output: (doc_id, bm25_rank, vec_rank, rrf_score_x1e9, rank)."""
+    from .text import bm25_topk_ppm
+
+    lex = bm25_topk_ppm(docs, query_terms, k=k_each, id_col=doc_id_col).select(
+        F.col("doc_id"), F.col("rank").alias("bm25_rank")
+    )
+    vec = dot_topk(embeddings, [query_vec_id], k=k_each, id_col=vec_id_col).select(
+        F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("vec_rank")
+    )
+    SCALE = 1_000_000_000
+
+    def _leg(rank_col):
+        # exact bigint floor (house rule): subtract the remainder first so
+        # the division is integral before any float/decimal rounding
+        a = F.lit(SCALE).cast("bigint")
+        b = (F.lit(rrf_k) + rank_col).cast("bigint")
+        return F.coalesce(((a - a % b) / b).cast("bigint"), F.lit(0).cast("bigint"))
+
+    fused = lex.join(vec, "doc_id", "full_outer").select(
+        "doc_id",
+        F.col("bm25_rank").cast("int").alias("bm25_rank"),
+        F.col("vec_rank").cast("int").alias("vec_rank"),
+        (_leg(F.col("bm25_rank")) + _leg(F.col("vec_rank")))
+        .cast("bigint")
+        .alias("rrf_score_x1e9"),
+    )
+    w = Window.orderBy(F.col("rrf_score_x1e9").desc(), F.col("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+    )
+
+
 def sign_bucket(vec: Column, n_bits: int = 8) -> Column:
     """Sign-LSH bucket from the first n_bits coordinates (>=0 → 1)."""
     bucket = None

@@ -1496,6 +1496,83 @@ def gopher_repetition(docs, text_col: str = "text", id_col: str = "doc_id"):
 
 
 # ---------------------------------------------------------------------------
+# C4 heuristic cleaning rules (Raffel et al. 2020 §2.2)
+# ---------------------------------------------------------------------------
+
+def c4_rules(
+    docs, text_col: str = "text", id_col: str = "doc_id", *,
+    min_words_per_line: int = 5, min_sentences: int = 3,
+    blocked_phrases: tuple[str, ...] = ("lorem ipsum",),
+):
+    """The published C4 line/page cleaning heuristics (Raffel et al. 2020
+    §2.2 — the web-cleaning stack Gopher/MassiveText cite as prior art;
+    together with :func:`gopher_quality` / :func:`gopher_repetition` this
+    completes both published filter families end-to-end):
+
+    - a LINE is retained iff (after trim) it ends in a terminal
+      punctuation mark (``. ! ? "``), contains ≥ 5 words, and does not
+      contain the word "javascript" (case-insensitive);
+    - a PAGE is dropped if it contains a curly bracket ``{`` (code), any
+      blocked phrase ("lorem ipsum" by default), or fewer than 3
+      sentences after line cleaning.
+
+    One documented deviation: C4 counted sentences with an NLTK sentence
+    splitter; this engine counts terminal-punctuation marks (``. ! ?``)
+    in the retained lines — deterministic, engine-portable, and a strict
+    upper bound on the NLTK count (abbreviation periods over-count), so
+    the ≥3-sentences rule is marginally more permissive on abbreviation-
+    heavy pages. The bad-words list is a corpus-policy input, not code:
+    pass it via ``blocked_phrases``.
+
+    Distributed shape: pure higher-order array expressions on the corpus
+    scan — split/transform/filter/aggregate, zero shuffles, zero UDFs,
+    whole-stage codegen end to end. At 100 TB this is a map-only pass.
+
+    Output: (id, n_lines, n_lines_kept, kept_chars, n_sentences,
+    has_brace, has_blocked, c4_keep) — all integer/boolean, full oracle
+    row. The cleaned text itself is ``array_join`` of the kept lines;
+    ``kept_text=True`` adds it for pipeline use (excluded from the oracle
+    gate entry only to keep the hashed row narrow)."""
+    # single-arg lambda on purpose: transform(arr, F.trim) would bind the
+    # element INDEX as trim's optional second (trim-chars) parameter
+    lines = F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l))
+    # layout-only blank lines are not content lines (same convention as
+    # gopher_quality's line table)
+    content = F.filter(lines, lambda l: l != "")
+
+    def _n_words(l):
+        return F.size(F.filter(F.split(l, r"\s+"), lambda x: x != ""))
+
+    kept = F.filter(
+        content,
+        lambda l: l.rlike('[.!?"]$')
+        & (_n_words(l) >= min_words_per_line)
+        & ~F.lower(l).contains("javascript"),
+    )
+    kept_text = F.array_join(kept, "\n")
+    # count of . ! ? in the retained lines == sentences (see docstring)
+    n_sent = F.length(kept_text) - F.length(F.translate(kept_text, ".!?", ""))
+    has_blocked = F.lit(False)
+    for p in blocked_phrases:
+        has_blocked = has_blocked | F.lower(F.col(text_col)).contains(p.lower())
+    out = docs.select(
+        F.col(id_col),
+        F.size(content).cast("int").alias("n_lines"),
+        F.size(kept).cast("int").alias("n_lines_kept"),
+        F.length(kept_text).cast("bigint").alias("kept_chars"),
+        n_sent.cast("int").alias("n_sentences"),
+        F.col(text_col).contains("{").alias("has_brace"),
+        has_blocked.alias("has_blocked"),
+    )
+    return out.withColumn(
+        "c4_keep",
+        (F.col("n_sentences") >= min_sentences)
+        & ~F.col("has_brace")
+        & ~F.col("has_blocked"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # hashed-bigram LM perplexity filter (CCNet-style quality gate)
 # ---------------------------------------------------------------------------
 

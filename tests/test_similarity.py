@@ -404,3 +404,63 @@ def test_semantic_dedup_single_cluster_matches_brute_cosine_components(spark):
     assert set(keeps) == set(want.values()) and all(
         v == 1 for v in keeps.values()
     )
+
+
+def test_hybrid_rrf_fusion_planted(spark):
+    """Pins the FUSION logic exactly: leg ranks are read back from the two
+    already-pinned leg operators (bm25_topk_ppm / dot_topk) and the RRF
+    score must equal sum(floor(1e9/(60+rank))) with absent legs
+    contributing 0, ties broken by doc_id."""
+    from kausaldb_spark.functions import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            (0, "nothing lexical in the query doc at all"),
+            (1, "table join query table join appears a lot here"),
+            (2, "plain prose with no search words whatsoever"),
+            (3, "one table mention and one join mention and query"),
+            (4, "table only appears in this one"),
+        ],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),   # the query vector
+            (1, [0.0, 1.0, 0.0, 0.0]),   # orthogonal
+            (2, [0.95, 0.0, 0.0, 0.0]),  # close
+            (3, [1.0, 0.0, 0.0, 0.0]),   # identical
+            (4, [0.0, -1.0, 0.0, 0.0]),  # anti on another axis
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    terms = ["table", "join", "query"]
+    k_each = 3
+    got = sim.hybrid_rrf_topk(docs, emb, terms, 0, k=10, k_each=k_each).collect()
+
+    lex = {
+        r["doc_id"]: r["rank"]
+        for r in tx.bm25_topk_ppm(docs, terms, k=k_each).collect()
+    }
+    vec = {
+        r["neighbor_id"]: r["rank"]
+        for r in sim.dot_topk(emb, [0], k=k_each).collect()
+    }
+    expected = {}
+    for d in set(lex) | set(vec):
+        s = 0
+        if d in lex:
+            s += 1_000_000_000 // (60 + lex[d])
+        if d in vec:
+            s += 1_000_000_000 // (60 + vec[d])
+        expected[d] = s
+    order = sorted(expected, key=lambda d: (-expected[d], d))
+
+    assert [r["doc_id"] for r in got] == order
+    for r in got:
+        assert r["rrf_score_x1e9"] == expected[r["doc_id"]]
+        assert r["bm25_rank"] == lex.get(r["doc_id"])
+        assert r["vec_rank"] == vec.get(r["doc_id"])
+    # the query doc never appears through the vector leg (self-excluded)
+    assert all(r["doc_id"] != 0 for r in got)
+    # doc 3 matches strongly on BOTH legs -> fused rank 1
+    assert got[0]["doc_id"] == 3 and got[0]["rank"] == 1

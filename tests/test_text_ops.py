@@ -948,3 +948,52 @@ def test_gopher_repetition_hypothesis(spark, token_lists):
         want = _brute_repetition(text)
         for k, v in want.items():
             assert got[doc_id][k] == v, f"doc {doc_id} {k}: {got[doc_id][k]} != {v}"
+
+
+def test_c4_rules_planted(spark):
+    rows = [
+        # 3 clean sentences, one per line -> keep
+        (1, "This is a good first sentence line.\n"
+            "Here is another proper sentence line.\n"
+            "And a third full sentence line appears here."),
+        # javascript line + short line + unterminated line all drop;
+        # one survivor line -> only 1 sentence -> page dropped
+        (2, "Contains the word JavaScript so it drops.\n"
+            "Too short line.\n"
+            "No terminal punctuation here at all\n"
+            "This line is perfectly fine and stays here."),
+        # curly bracket anywhere on the page -> dropped
+        (3, "One full sentence right here stands alone.\n"
+            "function f() { return 1; }\n"
+            "Another full sentence line is right here.\n"
+            "A third full sentence line is here too."),
+        # blocked phrase (case-insensitive) -> dropped
+        (4, "Lorem Ipsum dolor sit amet consectetur adipiscing elit.\n"
+            "Second proper sentence with enough words here.\n"
+            "Third proper sentence with enough words too."),
+        # blank-only + one short line -> nothing kept
+        (5, "   \nShort.\n"),
+        # ONE line can carry >=3 sentences (terminal-punct counting)
+        (6, "He asked why? She said yes. Done now."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in tx.c4_rules(df).collect()}
+
+    assert got[1]["n_lines"] == 3 and got[1]["n_lines_kept"] == 3
+    assert got[1]["n_sentences"] == 3 and got[1]["c4_keep"] is True
+    # kept text is the newline-join of the trimmed kept lines
+    assert got[1]["kept_chars"] == len(rows[0][1])
+
+    assert got[2]["n_lines"] == 4 and got[2]["n_lines_kept"] == 1
+    assert got[2]["n_sentences"] == 1 and got[2]["c4_keep"] is False
+
+    assert got[3]["has_brace"] is True and got[3]["c4_keep"] is False
+    assert got[3]["n_lines_kept"] == 3  # the {-line itself fails the line rule
+
+    assert got[4]["has_blocked"] is True and got[4]["c4_keep"] is False
+
+    assert got[5]["n_lines"] == 1 and got[5]["n_lines_kept"] == 0
+    assert got[5]["kept_chars"] == 0 and got[5]["c4_keep"] is False
+
+    assert got[6]["n_lines_kept"] == 1 and got[6]["n_sentences"] == 3
+    assert got[6]["c4_keep"] is True
