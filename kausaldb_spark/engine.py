@@ -151,7 +151,12 @@ class KausalEngine:
             units, raw_edges, codebase, base, file_index
         )
         self.store.append_blocks(blocks, resequence=False)
-        self.store.append_edges(edges)
+        # endpoint-valid BY CONSTRUCTION: resolve_and_build semi-joins both
+        # ends against this batch's block ids, and those blocks were
+        # appended on the line above — re-checking against a snapshot here
+        # would re-read the just-written parquet and shuffle the edge
+        # relation twice for a check that cannot fail
+        self.store.append_edges(edges, assume_endpoints_exist=True)
         self.store.record_file_state(
             ing.file_hashes(self.spark, files).select(
                 F.lit(codebase).alias("codebase"), "file_path", "content_hash",
@@ -387,7 +392,10 @@ class KausalEngine:
                 extra_symbols=extra_symbols, known_ids=vis_rest.select("id"),
             )
             self.store.append_blocks(blocks, resequence=False)
-            self.store.append_edges(edges)
+            # endpoint-valid BY CONSTRUCTION: resolve_and_build semi-joined
+            # both ends against batch blocks ∪ known_ids (vis_rest), and
+            # the batch blocks landed on the line above
+            self.store.append_edges(edges, assume_endpoints_exist=True)
             self._record_refs(codebase, touch, raw_edges, base)
         # re-resolved files keep their hash but move to the new epoch so
         # their superseded edges are shadowed (BlockStore.visible_edges)
