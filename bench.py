@@ -120,8 +120,11 @@ BASELINE_MEDIANS = {
     "ann_topk": 0.49, "ann_lsh": 0.44, "embedding_near_dup": 0.39,
     "events_hourly": 0.41, "sessionize": 0.44,
     # r9-recorded baselines (first round these keys exist): ingestion over
-    # the pinned reference src/ corpus + daemon round-trip latency
-    "ingest_parse": 1.87, "ingest_batch": 18.1, "ingest_incremental": 16.6,
+    # the pinned reference src/ corpus + daemon round-trip latency.
+    # batch/incremental re-recorded late-r9 after the redundant snapshot
+    # endpoint re-check was dropped from the ingest append path (18.1 →
+    # 10.8 / 16.6 → 12.8) — the gate holds the improvement, not the debt
+    "ingest_parse": 1.87, "ingest_batch": 10.8, "ingest_incremental": 12.8,
     "e2e_find": 0.69, "e2e_show": 2.56,
     # r9-recorded baselines: LM perplexity + Gopher rules (new this round)
     "lm_perplexity": 2.12, "gopher_rules": 0.88,
@@ -131,6 +134,9 @@ BASELINE_MEDIANS = {
     # page-cached fixture but re-ran the scan+shingle pass per branch —
     # the wrong trade at cluster scale, see gopher_repetition docstring)
     "gopher_repetition": 9.58,
+    # late-r9: C4 cleaning rules (map-only array expressions) + hybrid
+    # BM25/vector RRF retrieval (two broadcast+scan legs + tiny fusion)
+    "c4_rules": 0.26, "hybrid_rrf": 1.92,
 }
 
 
