@@ -606,6 +606,16 @@ def _q_ann_topk(spark, sf_dir):
     return sim.dot_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, k=5)
 
 
+def _q_ann_recall(spark, sf_dir):
+    # recall@5 of the sign-LSH path vs the exact baseline, same params as
+    # the two gated legs — integer recall_ppm, full value-hash oracle.
+    # At tiny sf the 8-bit config's recall is near zero (256 buckets over
+    # a few hundred vectors ⇒ ~2 candidates/query): the metric EXISTS to
+    # expose that bits/probes must be tuned per corpus — see
+    # similarity.auto_n_bits and multi_probe for the production dials.
+    return sim.lsh_recall(_emb(spark, sf_dir), ANN_QUERY_IDS, k=5)
+
+
 def _q_ann_lsh(spark, sf_dir):
     return sim.lsh_bucketed_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, k=5)
 
@@ -1047,7 +1057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": _q_corpus_stats,
         "lang_id": _q_lang_id,
         "stratified_sample": _q_stratified_sample,
-        "quality_score": _q_quality_score,
+        "ann_recall": _q_ann_recall,  # new late-r9: needs its driver row
         "lm_perplexity": _q_lm_perplexity,  # new r9: needs its driver row
         "gopher_rules": _q_gopher_rules,    # new r9: needs its driver row
         "gopher_repetition": _q_gopher_repetition,  # new r9: driver row
@@ -1056,6 +1066,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tail (position > 50: outside the driver sample; the oracle-
         #    backed entries here are still hash-gated by the local parity
         #    suite, the rows-only ones are pytest-gated) --
+        "quality_score": _q_quality_score,  # displaced by ann_recall
+        #    (green r1-r8 on an unchanged path; still parity-gated; the
+        #    quality family keeps gopher_rules + c4_rules in-window)
         "pack_offsets": _q_pack_offsets,  # displaced by c4_rules (green
         #    r8; still parity-gated every run)
         "ann_topk": _q_ann_topk,  # displaced by hybrid_rrf (green r8; the
@@ -1844,6 +1857,7 @@ FROM documents GROUP BY 2""",
         "pii_scan": oracles.pii_scan_sql(),
         "repetition_score": oracles.repetition_sql(),
         "ann_topk": oracles.ann_topk_sql(ANN_QUERY_IDS),
+        "ann_recall": oracles.ann_recall_sql(ANN_QUERY_IDS),
         "ann_lsh": oracles.ann_lsh_sql(ANN_QUERY_IDS),
         "embedding_near_dup": oracles.embedding_near_dup_sql(EMB_NEAR_DUP_MIN_DOT),
         "events_hourly": oracles.events_hourly_sql(),

@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "gopher_repetition",
     "c4_rules",
     "hybrid_rrf",
+    "ann_recall",
     "pii_scan",
     "repetition_score",
     "domain_filter",
@@ -137,6 +138,8 @@ BASELINE_MEDIANS = {
     # late-r9: C4 cleaning rules (map-only array expressions) + hybrid
     # BM25/vector RRF retrieval (two broadcast+scan legs + tiny fusion)
     "c4_rules": 0.26, "hybrid_rrf": 1.92,
+    # late-r9: LSH recall@k vs the exact baseline (two legs + tiny joins)
+    "ann_recall": 1.65,
 }
 
 

@@ -141,6 +141,53 @@ def hybrid_rrf_topk(
     )
 
 
+def lsh_recall(
+    embeddings: DataFrame, query_ids: list[int], k: int = 5, n_bits: int | None = 8,
+    id_col: str = "vec_id", vec_col: str = "embedding", multi_probe: bool = False,
+) -> DataFrame:
+    """Recall@k of the sign-LSH path against the exact baseline — the
+    quality dial every approximate-ANN deployment tunes (probe more
+    buckets / more bits ⇒ recall↑, scan↑). Both legs are this module's
+    own integer-exact operators with deterministic tie-breaks, so recall
+    is a reproducible integer, not a float estimate: recall_ppm =
+    floor(1e6 · |exact∩approx| / |exact|).
+
+    Distributed shape: the two legs' shapes (query-broadcast corpus
+    scans), then joins/aggregates over ≤|Q|·k rows — driver-trivial.
+    Output: (query_id, n_exact, n_approx, n_hit, recall_ppm)."""
+    exact = dot_topk(embeddings, query_ids, k=k, id_col=id_col, vec_col=vec_col)
+    approx = lsh_bucketed_topk(
+        embeddings, query_ids, k=k, n_bits=n_bits, id_col=id_col,
+        vec_col=vec_col, multi_probe=multi_probe,
+    )
+    hits = exact.select("query_id", "neighbor_id").join(
+        approx.select("query_id", "neighbor_id").withColumn("_hit", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    per_q = hits.groupBy("query_id").agg(
+        F.count("*").cast("int").alias("n_exact"),
+        F.coalesce(F.sum("_hit"), F.lit(0)).cast("int").alias("n_hit"),
+    )
+    n_approx = approx.groupBy("query_id").agg(
+        F.count("*").cast("int").alias("n_approx")
+    )
+    num = (F.col("n_hit") * F.lit(1_000_000)).cast("bigint")
+    den = F.col("n_exact").cast("bigint")
+    return (
+        per_q.join(n_approx, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce(F.col("n_approx"), F.lit(0)).cast("int").alias("n_approx"),
+            "n_hit",
+            # exact bigint floor (house rule); n_exact >= 1 because the
+            # corpus always outnumbers k in any gated configuration
+            ((num - num % den) / den).cast("bigint").alias("recall_ppm"),
+        )
+    )
+
+
 def sign_bucket(vec: Column, n_bits: int = 8) -> Column:
     """Sign-LSH bucket from the first n_bits coordinates (>=0 → 1)."""
     bucket = None

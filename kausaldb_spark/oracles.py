@@ -447,6 +447,44 @@ ranked AS (
 SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank, dot FROM ranked WHERE rnk <= {k}"""
 
 
+def ann_recall_sql(query_ids: list[int], k: int = 5, n_bits: int = 8) -> str:
+    """Twin of similarity.lsh_recall: the ann_topk and ann_lsh rank CTEs
+    (identical formulas/tie-breaks as their own gated twins) intersected
+    per query; recall_ppm in exact integer division."""
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+WITH e AS (SELECT vec_id, {_QUANT} AS v, {_sign_bucket_expr(n_bits)} AS bucket FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id IN ({ids})),
+xs AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY list_dot_product(q.qv, c.v) DESC, c.vec_id) AS rnk
+    FROM q CROSS JOIN e c WHERE c.vec_id != q.query_id
+  ) WHERE rnk <= {k}
+), ap AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY list_dot_product(q.qv, c.v) DESC, c.vec_id) AS rnk
+    FROM q JOIN e c ON c.bucket = q.bucket AND c.vec_id != q.query_id
+  ) WHERE rnk <= {k}
+), napx AS (
+  SELECT query_id, CAST(count(*) AS INT) AS n_approx FROM ap GROUP BY query_id
+), agg AS (
+  SELECT xs.query_id,
+         CAST(count(*) AS INT) AS n_exact,
+         CAST(sum(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS n_hit
+  FROM xs LEFT JOIN ap
+    ON ap.query_id = xs.query_id AND ap.neighbor_id = xs.neighbor_id
+  GROUP BY xs.query_id
+)
+SELECT a.query_id, a.n_exact,
+       CAST(coalesce(n.n_approx, 0) AS INT) AS n_approx, a.n_hit,
+       CAST((a.n_hit::BIGINT * 1000000) // a.n_exact AS BIGINT) AS recall_ppm
+FROM agg a LEFT JOIN napx n ON n.query_id = a.query_id"""
+
+
 def embedding_near_dup_sql(min_dot: int, n_bits: int = 8) -> str:
     return f"""
 WITH e AS (SELECT vec_id, {_QUANT} AS v, {_sign_bucket_expr(n_bits)} AS bucket FROM embeddings),
