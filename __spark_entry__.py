@@ -386,6 +386,14 @@ def _q_gopher_rules(spark, sf_dir):
     return tx.gopher_quality(_docs(spark, sf_dir))
 
 
+def _q_pack_best_fit(spark, sf_dir):
+    # no-split best-fit-decreasing packing: stateful greedy per bounded
+    # sub-shard — not SQL-expressible, so rows-only here; the exact BFD
+    # assignment is pytest-pinned against a brute-force model
+    # (tests/test_text_ops.py), same policy as bpe_vocab
+    return tx.pack_best_fit(_docs(spark, sf_dir), seq_len=512)
+
+
 def _q_c4_rules(spark, sf_dir):
     # the published C4 line/page cleaning heuristics (Raffel et al. 2020
     # §2.2), integer/boolean metrics — completes the second published
@@ -1107,6 +1115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_vocab": _q_bpe_vocab,
         "quality_classifier": _q_quality_classifier,
         "compression_ratio": _q_compression_ratio,
+        "pack_best_fit": _q_pack_best_fit,
         "dfs_preorder": _q_dfs_preorder,
         "streaming_rollup": _q_streaming_rollup,
         "streaming_sessionize": _q_streaming_sessionize,

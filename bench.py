@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "domain_filter",
     "length_quantiles",
     "pack_sequences",
+    "pack_best_fit",
     "importance_resample",
     "ann_topk",
     "ann_lsh",
@@ -140,6 +141,8 @@ BASELINE_MEDIANS = {
     "c4_rules": 0.26, "hybrid_rrf": 1.92,
     # late-r9: LSH recall@k vs the exact baseline (two legs + tiny joins)
     "ann_recall": 1.65,
+    # late-r9: no-split BFD packing (Arrow-batched per-sub-shard greedy)
+    "pack_best_fit": 1.56,
 }
 
 

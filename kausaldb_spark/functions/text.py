@@ -967,6 +967,129 @@ def pack_sequences(docs, seq_len: int = 512, partition_col: str = "source",
     )
 
 
+def pack_best_fit(docs, seq_len: int = 512, partition_col: str = "source",
+                  text_col: str = "text", id_col: str = "doc_id",
+                  target_pieces_per_shard: int = 100_000):
+    """No-split sequence packing by best-fit-decreasing — the bin-packing
+    alternative to :func:`pack_offsets`' concat-and-chunk: no document
+    crosses a sequence boundary (fewer truncations at the price of some
+    padding), the layout used when attention must not bleed across
+    document joins.
+
+    Semantics (deterministic): a doc of n tokens contributes
+    ``n DIV seq_len`` FULL pieces — each a bin of its own — plus one
+    remainder piece of ``n MOD seq_len`` tokens (empty docs count one
+    1-token piece, same convention as pack_offsets). Remainder pieces are
+    packed within their shard by best-fit-decreasing: descending
+    (piece_tokens, doc_id asc) order, each piece into the fullest open
+    bin it fits (ties → oldest bin), else a new bin. Packed bins are
+    numbered 0.. in creation order; full-piece bins follow, in (doc_id,
+    piece_idx) order.
+
+    Scale shape: the greedy is inherently sequential PER SHARD, so shards
+    are bounded: documents hash-salt into sub-shards of at most
+    ~``target_pieces_per_shard`` pieces (one cheap per-partition count
+    derives the salt width), and each sub-shard packs independently in
+    one Arrow-batched applyInPandas group — state is O(open bins), the
+    pandas fallback every engine accepts for stateful-greedy semantics
+    built-ins can't express (same policy as compression_ratio). Salting
+    costs a little padding (bins don't mix across sub-shards) and buys
+    unbounded parallelism — the identical trade the shard-local sorts in
+    the sink make.
+
+    Output: (partition, subshard, doc_id, piece_idx, piece_tokens,
+    bin_id, bin_fill) — one row per piece; ``bin_fill`` is the final fill
+    of the piece's bin (every row of a bin repeats it, so padding waste =
+    seq_len − bin_fill aggregates without a second pass)."""
+    import pandas as pd
+
+    L = int(seq_len)
+    n = F.size(tokens(F.col(text_col))).cast("int")
+    base = docs.select(
+        F.col(partition_col).alias("partition"),
+        F.col(id_col).alias("doc_id"),
+        F.greatest(n, F.lit(1)).alias("n_tokens"),
+    )
+    # salt width from the LARGEST partition's piece count (pieces ≈ docs +
+    # full chunks ≤ docs·(1 + n/L); the doc count is the cheap safe proxy)
+    top = (
+        base.groupBy("partition").count()
+        .agg(F.max("count").alias("m")).collect()[0]["m"]
+    )
+    n_sub = max(1, -(-int(top or 0) // int(target_pieces_per_shard)))
+    sub = _hash_bucket(F.col("doc_id").cast("string"), n_sub)
+
+    pieces = base.select(
+        "partition",
+        sub.cast("int").alias("subshard"),
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                ((F.col("n_tokens") - F.col("n_tokens") % L) / L).cast("int")
+                - F.when(F.col("n_tokens") % L == 0, 1).otherwise(0),
+            )
+        ).alias("piece_idx"),
+        "n_tokens",
+    ).select(
+        "partition", "subshard", "doc_id", "piece_idx",
+        F.when(
+            (F.col("piece_idx") + 1) * L <= F.col("n_tokens"), F.lit(L)
+        ).otherwise(F.col("n_tokens") % L).cast("int").alias("piece_tokens"),
+    )
+
+    out_schema = (
+        "partition string, subshard int, doc_id long, piece_idx int,"
+        " piece_tokens int, bin_id long, bin_fill int"
+    )
+
+    def _bfd(pdf: pd.DataFrame) -> pd.DataFrame:
+        import bisect
+
+        rem = pdf[pdf.piece_tokens < L].sort_values(
+            ["piece_tokens", "doc_id", "piece_idx"],
+            ascending=[False, True, True],
+        )
+        fills: list[int] = []          # fill per packed bin, by bin_id
+        # ascending (remaining, bin_id): bisect_left((size, -1)) lands on
+        # the smallest remaining >= size — the FULLEST bin that fits —
+        # and, among equal remainders, the smallest bin_id (oldest bin)
+        open_bins: list[tuple[int, int]] = []
+        bin_of = {}
+        for row in rem.itertuples(index=False):
+            size = int(row.piece_tokens)
+            i = bisect.bisect_left(open_bins, (size, -1))
+            if i < len(open_bins):
+                remaining, bid = open_bins.pop(i)
+                fills[bid] += size
+                if remaining - size > 0:
+                    bisect.insort(open_bins, (remaining - size, bid))
+            else:
+                bid = len(fills)
+                fills.append(size)
+                if L - size > 0:
+                    bisect.insort(open_bins, (L - size, bid))
+            bin_of[(row.doc_id, row.piece_idx)] = bid
+        n_packed = len(fills)
+        full = pdf[pdf.piece_tokens >= L].sort_values(["doc_id", "piece_idx"])
+        rows = []
+        for row in rem.itertuples(index=False):
+            bid = bin_of[(row.doc_id, row.piece_idx)]
+            rows.append((row.partition, row.subshard, row.doc_id,
+                         row.piece_idx, row.piece_tokens, bid, fills[bid]))
+        for j, row in enumerate(full.itertuples(index=False)):
+            rows.append((row.partition, row.subshard, row.doc_id,
+                         row.piece_idx, row.piece_tokens, n_packed + j, L))
+        return pd.DataFrame(rows, columns=[
+            "partition", "subshard", "doc_id", "piece_idx", "piece_tokens",
+            "bin_id", "bin_fill",
+        ])
+
+    return pieces.groupBy("partition", "subshard").applyInPandas(
+        _bfd, schema=out_schema
+    )
+
+
 # ---------------------------------------------------------------------------
 # URL / domain blocklist filtering (UT1-style curation pass)
 # ---------------------------------------------------------------------------

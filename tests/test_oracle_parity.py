@@ -30,6 +30,10 @@ def test_every_query_has_an_oracle_or_is_declared():
         # SQL-expressible; merge table + encoding pytest-pinned vs a
         # brute-force Sennrich trainer (test_text_ops)
         "bpe_vocab",
+        # stateful best-fit-decreasing greedy is not SQL-expressible; the
+        # exact per-piece bin assignment is pytest-pinned vs a brute-force
+        # BFD model incl. hypothesis property (test_text_ops)
+        "pack_best_fit",
         # MLlib LR training is not SQL-expressible; planted good/bad
         # separation pytest-pinned (test_classify)
         "quality_classifier",

@@ -997,3 +997,97 @@ def test_c4_rules_planted(spark):
 
     assert got[6]["n_lines_kept"] == 1 and got[6]["n_sentences"] == 3
     assert got[6]["c4_keep"] is True
+
+
+def _brute_bfd(sizes, L):
+    """(doc_id, n_tokens) -> {(doc_id, piece_idx): (bin_id, final_fill)} —
+    the spec of pack_best_fit for ONE (partition, subshard) group."""
+    import bisect
+    pieces = []
+    for doc_id, n in sizes:
+        n = max(n, 1)
+        n_full = n // L
+        rem = n % L
+        for i in range(n_full):
+            pieces.append((doc_id, i, L))
+        if rem > 0:
+            pieces.append((doc_id, n_full, rem))
+    remainder = sorted(
+        [p for p in pieces if p[2] < L], key=lambda p: (-p[2], p[0], p[1])
+    )
+    fills, open_bins, assign = [], [], {}
+    for doc_id, idx, size in remainder:
+        i = bisect.bisect_left(open_bins, (size, -1))
+        if i < len(open_bins):
+            remaining, bid = open_bins.pop(i)
+            fills[bid] += size
+            if remaining - size > 0:
+                bisect.insort(open_bins, (remaining - size, bid))
+        else:
+            bid = len(fills)
+            fills.append(size)
+            if L - size > 0:
+                bisect.insort(open_bins, (L - size, bid))
+        assign[(doc_id, idx)] = bid
+    out = {}
+    for doc_id, idx, size in pieces:
+        if size < L:
+            bid = assign[(doc_id, idx)]
+            out[(doc_id, idx)] = (bid, fills[bid])
+    n_packed = len(fills)
+    for j, (doc_id, idx, size) in enumerate(
+        sorted([p for p in pieces if p[2] >= L], key=lambda p: (p[0], p[1]))
+    ):
+        out[(doc_id, idx)] = (n_packed + j, L)
+    return out
+
+
+def test_pack_best_fit_matches_brute_force(spark):
+    L = 16
+    rows = [
+        (1, "w " * 10),    # 10 tokens
+        (2, "w " * 9),     # 9
+        (3, "w " * 7),     # 7  -> fits with doc2's 9 exactly (16)
+        (4, "w " * 6),     # 6  -> with doc1's 10 exactly (16)
+        (5, "w " * 40),    # 2 full bins + remainder 8
+        (6, "w " * 16),    # exactly one full bin, no remainder
+        (7, ""),           # empty -> one 1-token piece
+    ]
+    docs = spark.createDataFrame(
+        [(i, t.strip(), "s0") for i, t in rows],
+        "doc_id long, text string, source string",
+    )
+    got = tx.pack_best_fit(docs, seq_len=L).collect()
+    sizes = [(i, len(t.split()) if t.strip() else 1) for i, t in rows]
+    want = _brute_bfd(sizes, L)
+    assert len(got) == len(want)
+    for r in got:
+        wb, wf = want[(r["doc_id"], r["piece_idx"])]
+        assert (r["bin_id"], r["bin_fill"]) == (wb, wf), r
+        assert r["bin_fill"] <= L
+    # the two planted PERFECT fits (10+6 and 9+7) fill their bins exactly;
+    # the third pairing (8+1 -> fill 9) is best-fit behavior, not perfect
+    perfect = {r["bin_id"] for r in got if r["bin_fill"] == L and r["piece_tokens"] < L}
+    assert len(perfect) == 2
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.integers(min_value=0, max_value=70), min_size=1, max_size=40))
+def test_pack_best_fit_hypothesis(spark, lens):
+    L = 24
+    docs = spark.createDataFrame(
+        [(i, "w " * n, "s0") for i, n in enumerate(lens)],
+        "doc_id long, text string, source string",
+    )
+    got = tx.pack_best_fit(docs, seq_len=L).collect()
+    want = _brute_bfd(list(enumerate(max(n, 1) for n in lens)), L)
+    # NOTE: tokens('') -> [''] counts 1, and 'w '*n strips to n tokens
+    assert len(got) == len(want)
+    fills = {}
+    for r in got:
+        wb, wf = want[(r["doc_id"], r["piece_idx"])]
+        assert (r["bin_id"], r["bin_fill"]) == (wb, wf)
+        fills.setdefault(r["bin_id"], 0)
+        fills[r["bin_id"]] += r["piece_tokens"]
+    for bid, total in fills.items():
+        assert total <= L
