@@ -1149,14 +1149,10 @@ ORDER BY depth, id LIMIT 10000"""
     )
 
 
-def _hybrid_rrf_sql(k: int = 20, k_each: int = 50, rrf_k: int = 60) -> str:
-    """Twin of sim.hybrid_rrf_topk: the bm25_topk_ppm CTE stack (same
-    fixed-point formula, rank cap k_each) FULL OUTER JOINed with the
-    dot_topk leg for query vec _HYBRID_VEC_ID, fused as
-    Σ floor(1e9/(rrf_k+rank)) in exact hugeint arithmetic."""
-    quant = oracles._QUANT
-    vid = _HYBRID_VEC_ID
-    return rf"""
+# the fixed-point BM25 CTE stack (toks → base → stats → scored), shared by
+# the bm25_topk_ppm oracle and the hybrid_rrf lexical leg — ONE source of
+# truth for the formula, so a tweak can never desynchronize the twins
+_BM25_SCORED_CTES = r"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
 ), base AS (
@@ -1178,7 +1174,17 @@ WITH toks AS (
          + CASE WHEN tf2 > 0 THEN (((1000000::HUGEINT*(2*n_docs - 2*df2 + 1)) // (2*df2 + 1)) * ((1000000::HUGEINT * (22*total_dl*tf2::HUGEINT)) // (10*total_dl*tf2::HUGEINT + 3*total_dl + 9*dl::HUGEINT*n_docs))) // 1000000 ELSE 0 END
          + CASE WHEN tf3 > 0 THEN (((1000000::HUGEINT*(2*n_docs - 2*df3 + 1)) // (2*df3 + 1)) * ((1000000::HUGEINT * (22*total_dl*tf3::HUGEINT)) // (10*total_dl*tf3::HUGEINT + 3*total_dl + 9*dl::HUGEINT*n_docs))) // 1000000 ELSE 0 END AS score_ppm
   FROM base CROSS JOIN stats
-), lex AS (
+)"""
+
+
+def _hybrid_rrf_sql(k: int = 20, k_each: int = 50, rrf_k: int = 60) -> str:
+    """Twin of sim.hybrid_rrf_topk: the shared bm25 CTE stack (rank cap
+    k_each) FULL OUTER JOINed with the dot_topk leg for query vec
+    _HYBRID_VEC_ID, fused as Σ floor(1e9/(rrf_k+rank)) in exact hugeint
+    arithmetic."""
+    quant = oracles._QUANT
+    vid = _HYBRID_VEC_ID
+    return _BM25_SCORED_CTES + rf""", lex AS (
   SELECT doc_id, bm25_rank FROM (
     SELECT doc_id,
            CAST(row_number() OVER (ORDER BY score_ppm DESC, doc_id) AS INT) AS bm25_rank
@@ -1530,29 +1536,7 @@ SELECT source_a, source_b, n_shared,
 FROM pairs
 JOIN totals ta ON ta.source = pairs.source_a
 JOIN totals tb ON tb.source = pairs.source_b""",
-        "bm25_topk_ppm": r"""
-WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
-), base AS (
-  SELECT doc_id, len(t)::BIGINT AS dl,
-         len(list_filter(t, x -> x = 'table'))::BIGINT AS tf1,
-         len(list_filter(t, x -> x = 'join'))::BIGINT AS tf2,
-         len(list_filter(t, x -> x = 'query'))::BIGINT AS tf3
-  FROM toks
-), stats AS (
-  SELECT count(*)::HUGEINT AS n_docs, sum(dl)::HUGEINT AS total_dl,
-         sum((tf1 > 0)::INT)::HUGEINT AS df1,
-         sum((tf2 > 0)::INT)::HUGEINT AS df2,
-         sum((tf3 > 0)::INT)::HUGEINT AS df3
-  FROM base
-), scored AS (
-  SELECT doc_id,
-         (tf1 > 0)::INT + (tf2 > 0)::INT + (tf3 > 0)::INT AS n_terms,
-         CASE WHEN tf1 > 0 THEN (((1000000::HUGEINT*(2*n_docs - 2*df1 + 1)) // (2*df1 + 1)) * ((1000000::HUGEINT * (22*total_dl*tf1::HUGEINT)) // (10*total_dl*tf1::HUGEINT + 3*total_dl + 9*dl::HUGEINT*n_docs))) // 1000000 ELSE 0 END
-         + CASE WHEN tf2 > 0 THEN (((1000000::HUGEINT*(2*n_docs - 2*df2 + 1)) // (2*df2 + 1)) * ((1000000::HUGEINT * (22*total_dl*tf2::HUGEINT)) // (10*total_dl*tf2::HUGEINT + 3*total_dl + 9*dl::HUGEINT*n_docs))) // 1000000 ELSE 0 END
-         + CASE WHEN tf3 > 0 THEN (((1000000::HUGEINT*(2*n_docs - 2*df3 + 1)) // (2*df3 + 1)) * ((1000000::HUGEINT * (22*total_dl*tf3::HUGEINT)) // (10*total_dl*tf3::HUGEINT + 3*total_dl + 9*dl::HUGEINT*n_docs))) // 1000000 ELSE 0 END AS score_ppm
-  FROM base CROSS JOIN stats
-)
+        "bm25_topk_ppm": _BM25_SCORED_CTES + r"""
 SELECT * FROM (
   SELECT doc_id, CAST(n_terms AS INT) AS n_terms,
          CAST(score_ppm AS BIGINT) AS score_ppm,
@@ -1631,11 +1615,13 @@ SELECT doc_id, n_words,
 FROM m""",
         # C4 §2.2 line/page heuristics: pure list-lambda twin of
         # tx.c4_rules — same trim → non-empty → line-rule filter chain,
-        # sentences = terminal-punct count over the kept-line join
+        # sentences = terminal-punct count over the kept-line join.
+        # CRLF-safe split mirrors the Spark side; RE2's non-multiline $
+        # is already end-of-text (the Spark pattern uses \z for the same)
         "c4_rules": r"""
 WITH lines AS (
   SELECT doc_id, text,
-         list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+         list_filter(list_transform(string_split_regex(text, '\r?\n'), l -> trim(l)),
                      l -> l <> '') AS content
   FROM documents
 ), kept AS (

@@ -165,17 +165,27 @@ def curate_and_write(
     )
     funnel["after_quality_gate"] = gated.count()
 
-    # optional C4 page gate (Raffel et al. 2020 §2.2): ≥3 sentences after
-    # line cleaning, no curly bracket, no blocked phrase. Map-only pass on
-    # the corpus scan (zero shuffles), so it sits first among the optional
-    # gates — every page it drops skips everything downstream.
-    # ``c4=True`` applies the published thresholds; a dict overrides them
+    # optional C4 stage (Raffel et al. 2020 §2.2): pages failing the page
+    # rules (≥3 sentences after line cleaning, curly bracket, blocked
+    # phrase) DROP, and surviving pages are REPLACED by their cleaned
+    # text (the javascript/short/unterminated lines removed) with
+    # n_tokens recomputed — downstream dedup/mixture see what C4 would
+    # train on, not the raw page. Map-only pass + one doc_id join; sits
+    # first among the optional gates. ``c4=True`` applies the published
+    # thresholds; a dict overrides them
     if c4:
         overrides = c4 if isinstance(c4, dict) else {}
-        ok = tx.c4_rules(
-            gated.select("doc_id", "text"), **overrides
-        ).where(F.col("c4_keep")).select("doc_id")
-        gated = gated.join(ok, "doc_id", "left_semi")
+        cleaned = (
+            tx.c4_rules(gated.select("doc_id", "text"), kept_text=True, **overrides)
+            .where(F.col("c4_keep"))
+            .select("doc_id", F.col("c4_text").alias("_c4_text"))
+        )
+        gated = (
+            gated.join(cleaned, "doc_id")  # inner join = gate + replace
+            .withColumn("text", F.col("_c4_text"))
+            .drop("_c4_text")
+            .withColumn("n_tokens", F.size(tx.tokens(F.col("text"))))
+        )
         funnel["after_c4_rules"] = gated.count()
 
     # optional Gopher Appendix-A word/line rule gate (Rae et al. 2021):

@@ -1010,11 +1010,20 @@ def pack_best_fit(docs, seq_len: int = 512, partition_col: str = "source",
         F.col(id_col).alias("doc_id"),
         F.greatest(n, F.lit(1)).alias("n_tokens"),
     )
-    # salt width from the LARGEST partition's piece count (pieces ≈ docs +
-    # full chunks ≤ docs·(1 + n/L); the doc count is the cheap safe proxy)
+    # salt width from the LARGEST partition's PIECE count — docs alone
+    # undercount by the full-chunk multiplier on long-doc corpora (a
+    # 100k-doc shard of 10·L-token docs is ~1.1M pieces); per-doc pieces
+    # = n DIV L + (1 if remainder) ≤ n DIV L + 1, summed in the same
+    # cheap aggregation
     top = (
-        base.groupBy("partition").count()
-        .agg(F.max("count").alias("m")).collect()[0]["m"]
+        base.groupBy("partition")
+        .agg(
+            F.sum(
+                ((F.col("n_tokens") - F.col("n_tokens") % L) / L).cast("bigint")
+                + F.lit(1)
+            ).alias("pieces")
+        )
+        .agg(F.max("pieces").alias("m")).collect()[0]["m"]
     )
     n_sub = max(1, -(-int(top or 0) // int(target_pieces_per_shard)))
     sub = _hash_bucket(F.col("doc_id").cast("string"), n_sub)
@@ -1626,6 +1635,7 @@ def c4_rules(
     docs, text_col: str = "text", id_col: str = "doc_id", *,
     min_words_per_line: int = 5, min_sentences: int = 3,
     blocked_phrases: tuple[str, ...] = ("lorem ipsum",),
+    kept_text: bool = False,
 ):
     """The published C4 line/page cleaning heuristics (Raffel et al. 2020
     §2.2 — the web-cleaning stack Gopher/MassiveText cite as prior art;
@@ -1653,12 +1663,17 @@ def c4_rules(
 
     Output: (id, n_lines, n_lines_kept, kept_chars, n_sentences,
     has_brace, has_blocked, c4_keep) — all integer/boolean, full oracle
-    row. The cleaned text itself is ``array_join`` of the kept lines;
-    ``kept_text=True`` adds it for pipeline use (excluded from the oracle
-    gate entry only to keep the hashed row narrow)."""
+    row. ``kept_text=True`` appends ``c4_text`` — the cleaned page, the
+    newline-join of the retained lines (excluded from the oracle gate
+    entry only to keep the hashed row narrow)."""
     # single-arg lambda on purpose: transform(arr, F.trim) would bind the
-    # element INDEX as trim's optional second (trim-chars) parameter
-    lines = F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l))
+    # element INDEX as trim's optional second (trim-chars) parameter.
+    # Split consumes an optional \r so CRLF text can't leave a trailing
+    # \r on the element (trim strips spaces only); the line-keep anchor
+    # below is \z (end of TEXT) because Java's $ also matches before a
+    # trailing unicode line separator where RE2's does not — both choices
+    # keep the DuckDB twin byte-for-byte
+    lines = F.transform(F.split(F.col(text_col), r"\r?\n"), lambda l: F.trim(l))
     # layout-only blank lines are not content lines (same convention as
     # gopher_quality's line table)
     content = F.filter(lines, lambda l: l != "")
@@ -1668,13 +1683,13 @@ def c4_rules(
 
     kept = F.filter(
         content,
-        lambda l: l.rlike('[.!?"]$')
+        lambda l: l.rlike(r'[.!?"]\z')
         & (_n_words(l) >= min_words_per_line)
         & ~F.lower(l).contains("javascript"),
     )
-    kept_text = F.array_join(kept, "\n")
+    kt = F.array_join(kept, "\n")
     # count of . ! ? in the retained lines == sentences (see docstring)
-    n_sent = F.length(kept_text) - F.length(F.translate(kept_text, ".!?", ""))
+    n_sent = F.length(kt) - F.length(F.translate(kt, ".!?", ""))
     has_blocked = F.lit(False)
     for p in blocked_phrases:
         has_blocked = has_blocked | F.lower(F.col(text_col)).contains(p.lower())
@@ -1682,10 +1697,11 @@ def c4_rules(
         F.col(id_col),
         F.size(content).cast("int").alias("n_lines"),
         F.size(kept).cast("int").alias("n_lines_kept"),
-        F.length(kept_text).cast("bigint").alias("kept_chars"),
+        F.length(kt).cast("bigint").alias("kept_chars"),
         n_sent.cast("int").alias("n_sentences"),
         F.col(text_col).contains("{").alias("has_brace"),
         has_blocked.alias("has_blocked"),
+        *([kt.alias("c4_text")] if kept_text else []),
     )
     return out.withColumn(
         "c4_keep",

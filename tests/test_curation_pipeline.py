@@ -351,3 +351,51 @@ def test_gopher_repetition_stage_in_pipeline(spark):
         assert n_fail == 0
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_c4_stage_in_pipeline_gates_and_cleans(spark):
+    """c4=True must (a) drop pages failing the published page rules and
+    (b) replace survivors' text with the line-cleaned page — downstream
+    stages and the sink see what C4 would train on. Planted corpus: the
+    sf fixture has no terminal-punctuation structure (every cleaned page
+    would be empty), which is exactly the corpus class the published
+    min_sentences=3 page rule exists to reject wholesale."""
+    a_keep = [
+        "The quick brown fox jumps over the lazy dog today.",
+        "Please review the javascript widget before the demo starts.",
+        "The second proper sentence is here with more good words.",
+        "The third proper sentence is also right here with words.",
+    ]
+    docs = [
+        (100, "\n".join(a_keep), "en", "s0"),
+        (101, "The opening sentence here is a perfectly normal one.\n"
+              "The closing sentence here is also a normal one today.\n"
+              "And a third full sentence keeps the page over the bar.\n"
+              "code block { return the_value }", "en", "s0"),
+        (102, "The only proper sentence on this page stands alone here.\n"
+              "a trailing fragment with no terminal punctuation at all", "en", "s0"),
+        (103, "Lorem ipsum dolor sit amet is the classic filler text line.\n"
+              "The second sentence here would otherwise be good enough.\n"
+              "The third sentence here would also be good enough today.", "en", "s0"),
+    ]
+    src_dir = tempfile.mkdtemp(prefix="kdb_c4_src_")
+    out = tempfile.mkdtemp(prefix="kdb_curate_c4_")
+    try:
+        spark.createDataFrame(
+            docs, "doc_id long, text string, lang string, source string"
+        ).write.mode("overwrite").parquet(f"{src_dir}/documents.parquet")
+        m = curation.curate_and_write(
+            spark, f"{src_dir}/documents.parquet", out, n_shards=1, c4=True,
+        )
+        f = m["funnel"]
+        assert f["after_quality_gate"] == 4          # all pass the cheap gate
+        assert f["after_c4_rules"] == 1              # brace/lorem/<3-sentences drop
+        back = spark.read.parquet(out).select("doc_id", "text").collect()
+        assert [r["doc_id"] for r in back] == [100]
+        # the javascript line is GONE from the stored text; the three
+        # clean sentences survive byte-for-byte
+        want = "\n".join([a_keep[0], a_keep[2], a_keep[3]])
+        assert back[0]["text"] == want
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)

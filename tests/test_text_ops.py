@@ -1002,7 +1002,6 @@ def test_c4_rules_planted(spark):
 def _brute_bfd(sizes, L):
     """(doc_id, n_tokens) -> {(doc_id, piece_idx): (bin_id, final_fill)} —
     the spec of pack_best_fit for ONE (partition, subshard) group."""
-    import bisect
     pieces = []
     for doc_id, n in sizes:
         n = max(n, 1)
@@ -1015,19 +1014,23 @@ def _brute_bfd(sizes, L):
     remainder = sorted(
         [p for p in pieces if p[2] < L], key=lambda p: (-p[2], p[0], p[1])
     )
-    fills, open_bins, assign = [], [], {}
+    # deliberately NOT the production bisect structure: a naive O(n·bins)
+    # scan over ALL open bins, picking the fullest (min remaining) that
+    # fits with ties to the oldest bin — an independent statement of the
+    # best-fit rule, so a shared algorithmic bug can't self-confirm
+    fills, assign = [], {}
     for doc_id, idx, size in remainder:
-        i = bisect.bisect_left(open_bins, (size, -1))
-        if i < len(open_bins):
-            remaining, bid = open_bins.pop(i)
+        candidates = [
+            (L - fills[bid], bid)
+            for bid in range(len(fills))
+            if L - fills[bid] >= size
+        ]
+        if candidates:
+            _, bid = min(candidates)
             fills[bid] += size
-            if remaining - size > 0:
-                bisect.insort(open_bins, (remaining - size, bid))
         else:
             bid = len(fills)
             fills.append(size)
-            if L - size > 0:
-                bisect.insort(open_bins, (L - size, bid))
         assign[(doc_id, idx)] = bid
     out = {}
     for doc_id, idx, size in pieces:
