@@ -29,8 +29,9 @@ _QUERIES = entry_mod.queries()
 # final frame, but the stream entries are excluded outright.
 _SKIP = {"streaming_rollup", "streaming_sessionize", "streaming_curate"}
 
-# ops with a documented Arrow-batched Python boundary
-_ARROW_OK = {"compression_ratio", "semantic_dedup"}
+# ops with a documented Arrow-batched Python boundary (zlib, MLlib vector
+# assembly, per-sub-shard best-fit-decreasing greedy — see each docstring)
+_ARROW_OK = {"compression_ratio", "semantic_dedup", "pack_best_fit"}
 
 
 def _plan_of(name, spark):
