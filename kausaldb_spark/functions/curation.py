@@ -165,6 +165,27 @@ def curate_and_write(
     )
     funnel["after_quality_gate"] = gated.count()
 
+    # a gate option is ON for True or ANY dict (incl. {} = published
+    # thresholds, zero overrides) — plain truthiness would silently skip
+    # the gate for {}, which the docstring contract says must run it
+    def _gate_on(opt) -> bool:
+        return opt is True or isinstance(opt, dict)
+
+    # each optional gate persists its survivor frame and releases the
+    # previous one: the per-stage funnel counts (and every later stage)
+    # would otherwise re-execute the whole prior semi-join chain — the
+    # gram shuffles of gopher_repetition and the LM joins are the
+    # pipeline's most expensive stages and must run once, not O(stages)
+    _prev = [None]
+
+    def _materialize(df):
+        df = df.persist()
+        n = df.count()
+        if _prev[0] is not None:
+            _prev[0].unpersist()
+        _prev[0] = df
+        return df, n
+
     # optional C4 stage (Raffel et al. 2020 §2.2): pages failing the page
     # rules (≥3 sentences after line cleaning, curly bracket, blocked
     # phrase) DROP, and surviving pages are REPLACED by their cleaned
@@ -173,7 +194,7 @@ def curate_and_write(
     # train on, not the raw page. Map-only pass + one doc_id join; sits
     # first among the optional gates. ``c4=True`` applies the published
     # thresholds; a dict overrides them
-    if c4:
+    if _gate_on(c4):
         overrides = c4 if isinstance(c4, dict) else {}
         cleaned = (
             tx.c4_rules(gated.select("doc_id", "text"), kept_text=True, **overrides)
@@ -186,7 +207,7 @@ def curate_and_write(
             .drop("_c4_text")
             .withColumn("n_tokens", F.size(tx.tokens(F.col("text"))))
         )
-        funnel["after_c4_rules"] = gated.count()
+        gated, funnel["after_c4_rules"] = _materialize(gated)
 
     # optional Gopher Appendix-A word/line rule gate (Rae et al. 2021):
     # stricter than the cheap quality gate (stop-word presence, symbol
@@ -194,13 +215,14 @@ def curate_and_write(
     # doc dropped here skips the LM join and all dedup shuffles.
     # ``gopher=True`` applies the published thresholds; a dict overrides
     # them (e.g. {"min_req_stopwords": 0} for a non-English corpus)
-    if gopher:
+    if _gate_on(gopher):
         overrides = gopher if isinstance(gopher, dict) else {}
         ok = tx.gopher_quality(
             gated.select("doc_id", "text"), **overrides
         ).where(F.col("gopher_pass")).select("doc_id")
-        gated = gated.join(ok, "doc_id", "left_semi")
-        funnel["after_gopher_rules"] = gated.count()
+        gated, funnel["after_gopher_rules"] = _materialize(
+            gated.join(ok, "doc_id", "left_semi")
+        )
 
     # optional Gopher n-gram repetition gate (Appendix A.2: top-{2,3,4}-gram
     # and overlap-once dup-{5..10}-gram char fractions at the published
@@ -212,8 +234,9 @@ def curate_and_write(
             .where(F.col("rep_pass"))
             .select("doc_id")
         )
-        gated = gated.join(ok, "doc_id", "left_semi")
-        funnel["after_gopher_repetition"] = gated.count()
+        gated, funnel["after_gopher_repetition"] = _materialize(
+            gated.join(ok, "doc_id", "left_semi")
+        )
 
     # optional CCNet-style LM perplexity gate: train a hashed-bigram LM on
     # the named reference sources (post-quality-gate, so the LM never
@@ -221,6 +244,11 @@ def curate_and_write(
     # whose integer bits/token exceed the threshold. Runs before dedup —
     # it is pure codegen + two bounded joins, so gating early shrinks the
     # MinHash/shingle volume downstream.
+    if (lm_ref_sources is None) != (lm_max_bits_ppm is None):
+        raise ValueError(
+            "lm_ref_sources and lm_max_bits_ppm must be set together — a "
+            "half-configured perplexity gate would be silently skipped"
+        )
     if lm_ref_sources is not None and lm_max_bits_ppm is not None:
         ref = gated.where(F.col("source").isin(*lm_ref_sources)).select(
             "doc_id", "text"
@@ -228,8 +256,9 @@ def curate_and_write(
         fluent = tx.perplexity_filter(
             gated.select("doc_id", "text"), ref, lm_max_bits_ppm
         ).where(F.col("kept")).select("doc_id")
-        gated = gated.join(fluent, "doc_id", "left_semi")
-        funnel["after_lm_filter"] = gated.count()
+        gated, funnel["after_lm_filter"] = _materialize(
+            gated.join(fluent, "doc_id", "left_semi")
+        )
 
     # exact dedup on NORMALIZED text: keep min doc_id per digest (one
     # digest-keyed shuffle; payload rides it once). Persisted: three
@@ -246,6 +275,9 @@ def curate_and_write(
         .persist()
     )
     funnel["after_exact_dedup"] = exact.count()
+    if _prev[0] is not None:  # exact is materialized; the last gate frame
+        _prev[0].unpersist()  # has no more consumers
+        _prev[0] = None
 
     # near-dup canonicals over the exact-deduped survivors
     pairs = minhash_pairs_for(exact.select("doc_id", "text"))

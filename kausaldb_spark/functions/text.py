@@ -1368,12 +1368,18 @@ def gopher_quality(
     n_req = F.size(F.array_intersect(F.array_distinct(toks), stop_arr))
 
     def fdiv(num, den):
-        # exact bigint floor (house rule): subtract the remainder first
-        d = F.greatest(den, F.lit(1))  # empty doc → 0, never a div-by-0
+        # exact bigint floor (house rule): subtract the remainder first.
+        # BOTH operands go to bigint BEFORE any arithmetic — F.size/counts
+        # are int32 and Spark's non-ANSI int multiplication WRAPS silently
+        # (n_alpha·1e6 overflows at 2,148 alphabetic words, squarely
+        # inside Gopher's 100k-word contract; the DuckDB twin casts to
+        # BIGINT, so the wrap was also an oracle divergence)
+        num = num.cast("bigint")
+        d = F.greatest(den.cast("bigint"), F.lit(1).cast("bigint"))
         return ((num - num % d) / d).cast("bigint")
 
     def ppm(num, den):
-        return fdiv(num * F.lit(1_000_000), den)
+        return fdiv(num.cast("bigint") * F.lit(1_000_000), den)
 
     # the length diff is always a multiple of 3 (non-overlapping '...'
     # removal), so the quotient is exact
@@ -1381,7 +1387,7 @@ def gopher_quality(
     words = docs.select(
         F.col(id_col),
         n_words.cast("int").alias("n_words"),
-        fdiv(sum_len * 100, n_words).alias("mean_word_len_x100"),
+        fdiv(sum_len.cast("bigint") * 100, n_words).alias("mean_word_len_x100"),
         ppm(n_alpha, n_words).alias("alpha_word_ppm"),
         ppm(n_symbols, n_words).alias("symbol_word_ppm"),
         n_req.cast("int").alias("n_req_stopwords"),
@@ -1597,11 +1603,12 @@ def gopher_repetition(docs, text_col: str = "text", id_col: str = "doc_id"):
         )
 
     def ppm(c):
-        return F.floor(
-            F.coalesce(c, F.lit(0))
-            * 1_000_000
-            / F.greatest("total_chars", F.lit(1))
-        ).cast("bigint")
+        # exact bigint floor (house rule, same as gopher_quality's fdiv):
+        # remainder-subtract instead of floor(double division), so the
+        # quotient can never drift from DuckDB's integer // at any scale
+        num = F.coalesce(c, F.lit(0)).cast("bigint") * F.lit(1_000_000)
+        den = F.greatest(F.col("total_chars").cast("bigint"), F.lit(1).cast("bigint"))
+        return ((num - num % den) / den).cast("bigint")
 
     # empty docs (zero grams) produce no agg rows — the base side of the
     # left join restores them with all-zero metrics

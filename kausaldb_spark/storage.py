@@ -225,6 +225,19 @@ class BlockStore:
         except (OSError, ValueError):
             return {}
 
+    @staticmethod
+    def _lease_expires(cur: dict) -> float:
+        """The lease's expiry as a float, 0.0 (= long expired, stealable)
+        when the field is missing or garbage. JSON-valid-but-non-numeric
+        ``expires`` (a crashed writer, a foreign tool) must degrade to the
+        TTL-steal path, never wedge every contender with a raised
+        ValueError/TypeError — the protocol's invariant is that ANY torn
+        or garbage lease is stealable after TTL."""
+        try:
+            return float(cur.get("expires", 0.0))
+        except (TypeError, ValueError):
+            return 0.0
+
     def _lease_write(self, ttl: float) -> None:
         tmp = f"{self._lease_path}.tmp.{self._lease_owner.rsplit(':', 1)[-1]}"
         with open(tmp, "w", encoding="utf-8") as f:
@@ -248,7 +261,7 @@ class BlockStore:
         while True:
             with self._lease_mutex():
                 cur = self._lease_read()
-                expired = not cur or time.time() > float(cur.get("expires", 0.0))
+                expired = not cur or time.time() > self._lease_expires(cur)
                 if expired:  # absent, torn, or past TTL: acquire / steal
                     self._lease_write(ttl)
                     break
@@ -256,7 +269,7 @@ class BlockStore:
                 raise LeaseHeldError(
                     f"writer lease on {self.path} held by "
                     f"{cur.get('owner', '?')} (expires in "
-                    f"{float(cur.get('expires', 0)) - time.time():.0f}s)"
+                    f"{self._lease_expires(cur) - time.time():.0f}s)"
                 )
             time.sleep(0.05)
         self._lease_depth = 1

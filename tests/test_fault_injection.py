@@ -631,3 +631,24 @@ def test_pinned_root_makes_multi_table_reads_atomic(spark, tmp_path):
         assert visible_blocks(raw, reader.tombstones()).count() == 50
     # unpinned, a fresh composition reads v2 and agrees
     assert reader.visible().count() == 50
+
+
+def test_lease_garbage_expires_field_is_stealable_not_wedging(spark, tmp_path):
+    """JSON-VALID lease with a non-numeric/null expires (foreign tool, a
+    writer that died mid-value) must degrade to the TTL-steal path — the
+    old float() conversion raised for every contender forever, wedging
+    the store with no steal possible."""
+    import json as _json
+
+    from kausaldb_spark.storage import BlockStore
+
+    path = str(tmp_path / "garbage_lease_store")
+    store = BlockStore(spark, path)
+    store.append_blocks(_mk_blocks(spark, "g", 2, "g"))
+
+    lease = os.path.join(path, "_writer.lease")
+    for bad in ("bad", None, [1, 2], {"nested": True}):
+        with open(lease, "w") as fh:
+            _json.dump({"owner": "foreign:1:cafe", "expires": bad}, fh)
+        store.append_blocks(_mk_blocks(spark, f"x{bad}", 1, "g"))
+    assert store.max_sequence() == 6

@@ -1094,3 +1094,19 @@ def test_pack_best_fit_hypothesis(spark, lens):
         fills[r["bin_id"]] += r["piece_tokens"]
     for bid, total in fills.items():
         assert total <= L
+
+
+def test_gopher_quality_long_doc_no_int32_overflow(spark):
+    """A clean 3,000-word doc is squarely inside Gopher's 50..100k word
+    contract, but n_alpha * 1_000_000 overflows int32 (wraps negative,
+    silently failing the alpha rule AND diverging from the BIGINT-casting
+    DuckDB twin). All ppm/x100 metrics must be computed in bigint."""
+    words = (["the", "and", "that", "have", "with"] * 600)[:3000]
+    text = " ".join(f"{w}{i%97}x" if i % 7 == 0 else w for i, w in enumerate(words))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = tx.gopher_quality(df).collect()[0]
+    assert r["n_words"] == 3000
+    assert r["alpha_word_ppm"] == 1_000_000        # every word has a letter
+    assert 200 <= r["mean_word_len_x100"] <= 1500  # sane, not wrapped
+    assert r["symbol_word_ppm"] == 0
+    assert r["gopher_pass"] is True
