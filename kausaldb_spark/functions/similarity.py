@@ -160,6 +160,32 @@ def lsh_recall(
         embeddings, query_ids, k=k, n_bits=n_bits, id_col=id_col,
         vec_col=vec_col, multi_probe=multi_probe,
     )
+    return _recall_vs_exact(exact, approx)
+
+
+def ivf_recall(
+    embeddings: DataFrame, query_ids: list[int], k: int = 5,
+    n_clusters: int | None = None, n_probe: int = 4, seed: int = 42,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    fit_sample_fraction: float | None = None,
+) -> DataFrame:
+    """Recall@k of the IVF path vs the exact baseline — :func:`lsh_recall`'s
+    twin for the learned-partition scale path (the probe-count dial).
+    Pytest-gated (k-means is not SQL-expressible): full probe is pinned to
+    recall_ppm == 1e6 exactly, partial probe to the metric's invariants."""
+    exact = dot_topk(embeddings, query_ids, k=k, id_col=id_col, vec_col=vec_col)
+    approx = ivf_topk(
+        embeddings, query_ids, k=k, n_clusters=n_clusters, n_probe=n_probe,
+        seed=seed, id_col=id_col, vec_col=vec_col,
+        fit_sample_fraction=fit_sample_fraction,
+    )
+    return _recall_vs_exact(exact, approx)
+
+
+def _recall_vs_exact(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """(query_id, n_exact, n_approx, n_hit, recall_ppm) from two ranked
+    (query_id, neighbor_id, …) frames. All joins/aggregates run over
+    ≤|Q|·k rows — driver-trivial after the legs."""
     hits = exact.select("query_id", "neighbor_id").join(
         approx.select("query_id", "neighbor_id").withColumn("_hit", F.lit(1)),
         ["query_id", "neighbor_id"],

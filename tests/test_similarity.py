@@ -495,3 +495,25 @@ def test_lsh_recall_planted(spark, emb):
     }
     assert any(v["n_hit"] > 0 for v in wide.values())
     assert all(v["n_approx"] == 5 for v in wide.values())
+
+
+def test_ivf_recall_full_probe_is_exact_and_partial_probe_bounded(emb):
+    """Full probe (n_probe >= n_clusters) IS the exact scan -> recall_ppm
+    must be exactly 1e6 for every query; a 1-probe run obeys the metric's
+    invariants and can only do worse or equal."""
+    full = {
+        r["query_id"]: r.asDict()
+        for r in sim.ivf_recall(emb, QIDS, k=5, n_clusters=8, n_probe=8).collect()
+    }
+    assert set(full) == set(QIDS)
+    for v in full.values():
+        assert v["recall_ppm"] == 1_000_000 and v["n_hit"] == v["n_exact"] == 5
+    one = {
+        r["query_id"]: r.asDict()
+        for r in sim.ivf_recall(emb, QIDS, k=5, n_clusters=8, n_probe=1).collect()
+    }
+    for q, v in one.items():
+        assert 0 <= v["n_hit"] <= v["n_exact"] == 5
+        assert v["n_approx"] <= 5
+        assert v["recall_ppm"] == (v["n_hit"] * 1_000_000) // 5
+        assert v["recall_ppm"] <= full[q]["recall_ppm"]
