@@ -31,6 +31,9 @@ from kausaldb_spark.storage import BlockStore
 
 CACHE_MAX_ENTRIES = 1000   # src/query/cache.zig defaults
 CACHE_TTL_SEC = 30 * 60
+# observation pairs retained while waiting for the caller's action; beyond
+# this, the oldest (likely abandoned) instrumented queries are dropped
+_PENDING_OBS_MAX = 256
 
 # Workspace registry lives IN the store as a config block with a fixed id —
 # the reference's exact pattern (deterministic metadata BlockId 0x111...1 +
@@ -111,6 +114,11 @@ class KausalEngine:
             " metadata_json string, content string",
         )
         self.store.append_blocks(block)  # resequence → last-writer-wins
+        # the registry lives IN the store as a block: rewriting it is a
+        # mutation like any other, so the result cache must drop (a cached
+        # keyword_search can otherwise serve the pre-write registry block
+        # for the TTL — the no-op-sync path hit exactly this)
+        self._invalidate()
 
     def list_codebases(self) -> list[dict]:
         """`kausal list`: what is linked, since when, how big
@@ -129,6 +137,22 @@ class KausalEngine:
             "edges": e.join(cb_ids, e.src == cb_ids.id, "left_semi").count(),
         }
 
+    def _path_filter(self, df: DataFrame, paths, keep: bool) -> DataFrame:
+        """file_path ∈ paths (keep) / ∉ paths (drop) without embedding an
+        unbounded literal list in the Catalyst plan — the measured
+        plan-analysis blowup traversal's FRONTIER_ISIN_MAX switch exists
+        for (traversal.py:47-50). Small sets stay isin (codegen, no join);
+        past the threshold the set becomes a broadcast semi/anti join, so
+        a 10k-changed-file monorepo sync keeps O(1)-size plans."""
+        paths = list(paths)
+        if len(paths) <= 1000:
+            pred = F.col("file_path").isin(paths)
+            return df.where(pred if keep else ~pred)
+        pf = self.spark.createDataFrame([(p,) for p in paths], "file_path string")
+        return df.join(
+            F.broadcast(pf), "file_path", "left_semi" if keep else "left_anti"
+        )
+
     # -- mutations (invalidate cache, reference src/query/engine.zig:493-502)
 
     def link_codebase(self, root: str, codebase: str) -> dict[str, int]:
@@ -136,7 +160,6 @@ class KausalEngine:
         record per-file content hashes (sync's change-detection baseline)
         and the registry entry."""
         files = ing.list_files(root)
-        base = self.store.max_sequence()
         units, raw_edges = ing.parse_files(self.spark, files)
         # parse once: blocks, edges, and the reference index all consume the
         # same mapInPandas output — without the checkpoint each action would
@@ -147,23 +170,32 @@ class KausalEngine:
             [(i, rel) for i, (_, rel) in enumerate(files)],
             "file_idx long, file_path string",
         )
-        blocks, edges = ing.resolve_and_build(
-            units, raw_edges, codebase, base, file_index
-        )
-        self.store.append_blocks(blocks, resequence=False)
-        # endpoint-valid BY CONSTRUCTION: resolve_and_build semi-joins both
-        # ends against this batch's block ids, and those blocks were
-        # appended on the line above — re-checking against a snapshot here
-        # would re-read the just-written parquet and shuffle the edge
-        # relation twice for a check that cannot fail
-        self.store.append_edges(edges, assume_endpoints_exist=True)
-        self.store.record_file_state(
-            ing.file_hashes(self.spark, files).select(
-                F.lit(codebase).alias("codebase"), "file_path", "content_hash",
-                F.lit(base).cast("bigint").alias("ingest_seq"),
+        # ONE lease spans read-base → resolve → append: with
+        # resequence=False the caller owns the sequences, so reading
+        # max_sequence() outside the lease would let two engines both
+        # read the same base and double-assign a range — exactly the
+        # race the storage lease exists to exclude. The lease is
+        # reentrant; the appends inside renew it.
+        with self.store._writer_lease():
+            base = self.store.max_sequence()
+            blocks, edges = ing.resolve_and_build(
+                units, raw_edges, codebase, base, file_index
             )
-        )
-        self._record_refs(codebase, [rel for _, rel in files], raw_edges, base)
+            self.store.append_blocks(blocks, resequence=False)
+            # endpoint-valid BY CONSTRUCTION: resolve_and_build semi-joins
+            # both ends against this batch's block ids, and those blocks
+            # were appended on the line above — re-checking against a
+            # snapshot here would re-read the just-written parquet and
+            # shuffle the edge relation twice for a check that cannot fail
+            self.store.append_edges(edges, assume_endpoints_exist=True)
+            self.store.record_file_state(
+                ing.file_hashes(self.spark, files).select(
+                    F.lit(codebase).alias("codebase"), "file_path",
+                    "content_hash",
+                    F.lit(base).cast("bigint").alias("ingest_seq"),
+                )
+            )
+            self._record_refs(codebase, [rel for _, rel in files], raw_edges, base)
         self._invalidate()
         counts = self._codebase_counts(codebase)
         now = int(time.time())
@@ -265,7 +297,7 @@ class KausalEngine:
         bare_of_unit = F.element_at(F.split(entity, r"\."), -1)
         names = {
             r["bare"]
-            for r in vis_cb.where(F.col("file_path").isin(affected))
+            for r in self._path_filter(vis_cb, affected, keep=True)
             .select(bare_of_unit.alias("bare"))
             .distinct()
             .collect()
@@ -313,7 +345,7 @@ class KausalEngine:
             n_covered = refs.where(F.col("name").isNull()).count()
             if n_covered >= n_files_cur:
                 hits = (
-                    refs.where(~F.col("file_path").isin(affected))
+                    self._path_filter(refs, affected, keep=False)
                     .join(
                         F.broadcast(names_df), refs.name == names_df.tok, "left_semi"
                     )
@@ -321,7 +353,7 @@ class KausalEngine:
                 )
             else:
                 hits = (
-                    vis_cb.where(~F.col("file_path").isin(affected))
+                    self._path_filter(vis_cb, affected, keep=False)
                     .select(
                         "file_path",
                         F.explode(
@@ -342,7 +374,7 @@ class KausalEngine:
             # a file stays a candidate if ANY affected name it references
             # is not locally shadowed.
             local_defs = (
-                vis_cb.where(~F.col("file_path").isin(affected))
+                self._path_filter(vis_cb, affected, keep=False)
                 .select("file_path", bare_of_unit.alias("tok"))
                 .distinct()
             )
@@ -360,57 +392,65 @@ class KausalEngine:
 
         touch = changed + reresolve  # files being re-ingested this sync
         shadowed = affected + reresolve
-        self.store.tombstone_where(
-            (F.col("codebase") == codebase) & F.col("file_path").isin(shadowed)
-        )
-        base = self.store.max_sequence()
-        if touch:
-            if reresolve:
-                units_x, raw_x = ing.parse_files(
-                    self.spark, [(abs_by_rel[rel], rel) for rel in reresolve]
+        # ONE lease spans tombstone → read-base → resolve → append →
+        # file-state (same double-assignment race as link_codebase:
+        # resequence=False means the base read here OWNS a sequence
+        # range, which is only safe while holding the writer lease)
+        with self.store._writer_lease():
+            # tombstone_where takes a Column predicate, so this one site
+            # keeps isin; sync batches are change-bounded and a >1000-file
+            # tombstone sweep should go through unlink/tombstone jobs
+            self.store.tombstone_where(
+                (F.col("codebase") == codebase) & F.col("file_path").isin(shadowed)
+            )
+            base = self.store.max_sequence()
+            if touch:
+                if reresolve:
+                    units_x, raw_x = ing.parse_files(
+                        self.spark, [(abs_by_rel[rel], rel) for rel in reresolve]
+                    )
+                    units_x = units_x.localCheckpoint()
+                    raw_x = raw_x.localCheckpoint()
+                    units = units_c.unionByName(units_x) if changed else units_x
+                    raw_edges = raw_c.unionByName(raw_x) if changed else raw_x
+                else:
+                    units, raw_edges = units_c, raw_c
+                file_index = self.spark.createDataFrame(
+                    [(i, rel) for i, rel in enumerate(touch)],
+                    "file_idx long, file_path string",
                 )
-                units_x = units_x.localCheckpoint()
-                raw_x = raw_x.localCheckpoint()
-                units = units_c.unionByName(units_x) if changed else units_x
-                raw_edges = raw_c.unionByName(raw_x) if changed else raw_x
-            else:
-                units, raw_edges = units_c, raw_c
-            file_index = self.spark.createDataFrame(
-                [(i, rel) for i, rel in enumerate(touch)],
-                "file_idx long, file_path string",
+                vis_rest = self._path_filter(
+                    self.store.visible(codebase), shadowed, keep=False
+                )
+                extra_symbols = vis_rest.select(
+                    "file_path",
+                    bare_of_unit.alias("bare"),
+                    "unit_id",
+                )
+                blocks, edges = ing.resolve_and_build(
+                    units, raw_edges, codebase, base, file_index,
+                    extra_symbols=extra_symbols, known_ids=vis_rest.select("id"),
+                )
+                self.store.append_blocks(blocks, resequence=False)
+                # endpoint-valid BY CONSTRUCTION: resolve_and_build semi-joined
+                # both ends against batch blocks ∪ known_ids (vis_rest), and
+                # the batch blocks landed on the line above
+                self.store.append_edges(edges, assume_endpoints_exist=True)
+                self._record_refs(codebase, touch, raw_edges, base)
+            # re-resolved files keep their hash but move to the new epoch so
+            # their superseded edges are shadowed (BlockStore.visible_edges)
+            state_rows = (
+                [(codebase, rel, cur[rel], base) for rel in changed]
+                + [(codebase, rel, None, base) for rel in removed]
+                + [(codebase, rel, cur[rel], base) for rel in reresolve]
             )
-            vis_rest = self.store.visible(codebase).where(
-                ~F.col("file_path").isin(shadowed)
+            self.store.record_file_state(
+                self.spark.createDataFrame(
+                    state_rows,
+                    "codebase string, file_path string, content_hash string,"
+                    " ingest_seq bigint",
+                )
             )
-            extra_symbols = vis_rest.select(
-                "file_path",
-                bare_of_unit.alias("bare"),
-                "unit_id",
-            )
-            blocks, edges = ing.resolve_and_build(
-                units, raw_edges, codebase, base, file_index,
-                extra_symbols=extra_symbols, known_ids=vis_rest.select("id"),
-            )
-            self.store.append_blocks(blocks, resequence=False)
-            # endpoint-valid BY CONSTRUCTION: resolve_and_build semi-joined
-            # both ends against batch blocks ∪ known_ids (vis_rest), and
-            # the batch blocks landed on the line above
-            self.store.append_edges(edges, assume_endpoints_exist=True)
-            self._record_refs(codebase, touch, raw_edges, base)
-        # re-resolved files keep their hash but move to the new epoch so
-        # their superseded edges are shadowed (BlockStore.visible_edges)
-        state_rows = (
-            [(codebase, rel, cur[rel], base) for rel in changed]
-            + [(codebase, rel, None, base) for rel in removed]
-            + [(codebase, rel, cur[rel], base) for rel in reresolve]
-        )
-        self.store.record_file_state(
-            self.spark.createDataFrame(
-                state_rows,
-                "codebase string, file_path string, content_hash string,"
-                " ingest_seq bigint",
-            )
-        )
         self._invalidate()
         counts = self._codebase_counts(codebase)
         now = int(time.time())
@@ -456,6 +496,10 @@ class KausalEngine:
             hit = self._cache_get(key)
             if hit is not None:
                 self.stats.cache_hits += 1
+                # a hit IS a served query: the per-type counters / QPS /
+                # latency must include it (reference counts every query,
+                # engine.zig:66-131) — its latency is the O(1) lookup
+                self.stats.record(qtype, 0)
                 return hit
             self.stats.cache_misses += 1
         t0 = time.monotonic_ns()
@@ -679,13 +723,21 @@ class KausalEngine:
                 continue
             self.stats.rows_scanned += int(vals.get("rows_scanned", 0))
             self.stats.rows_matched += int(vals.get("rows_matched", 0))
-        self._pending_obs = still
+        # bound the retained tail: a caller that abandons instrumented
+        # DataFrames without ever running an action would otherwise grow
+        # this list (and the per-status JVM round-trips) without limit —
+        # keep the newest window, silently dropping stats for abandoned
+        # queries (they contributed no counters anyway)
+        self._pending_obs = still[-_PENDING_OBS_MAX:]
 
     def status(self) -> dict:
         self._drain_observations()
         return {
             "blocks_visible": self.store.visible().count(),
-            "edges": self.store.edges().count(),
+            # visible_edges, not raw edges(): epoch-shadowed and dangling
+            # edge rows are invisible to every query and to the registry's
+            # edge_count — status must agree with what queries see
+            "edges": self.store.visible_edges().count(),
             "tombstones": self.store.tombstones().count(),
             "max_sequence": self.store.max_sequence(),
             "codebases": self.registry(),

@@ -211,6 +211,11 @@ def bfs(
     max_results truncation is BFS-ordered (depth asc, id asc) so results are
     deterministic — the reference truncates in visit order.
     """
+    if isinstance(start_ids, str):
+        # a bare id would iterate into its CHARACTERS via sorted(set(...))
+        # — wrong output with no error; the singular-start APIs are
+        # bfs_with_paths/dfs_preorder
+        raise TypeError("start_ids must be a collection of ids, not a bare str")
     if max_depth < 1:
         raise ValueError("max_depth must be >= 1 (src/query/traversal.zig:242-247)")
     max_depth = min(max_depth, MAX_DEPTH_LIMIT)
@@ -316,33 +321,53 @@ def dfs_preorder(
     reach = _bfs_on_adj(adj, [start_id], max_depth, max_results)
     ids = [r["id"] for r in reach.select("id").collect()]
     idt = _id_type(adj)
-    succ_rows = (
+    sub = (
         _restrict_to_frontier(adj, ids, idt)
         .join(reach.select("id").withColumnRenamed("id", "dst"), "dst", "left_semi")
         .select("src", "dst")
         .distinct()
-        .collect()
     )
+    # same driver-safety cap as topo_sort's collect: the ≤10k-node reach
+    # subgraph can still hold O(n²) internal edges. Unlike topo there is
+    # no distributed fallback — visit ORDER is inherently sequential — so
+    # past the cap this raises instead of OOMing the driver.
+    succ_rows = sub.limit(TOPO_COLLECT_EDGE_CAP + 1).collect()
+    if len(succ_rows) > TOPO_COLLECT_EDGE_CAP:
+        raise ValueError(
+            f"dfs_preorder: reach subgraph exceeds {TOPO_COLLECT_EDGE_CAP} "
+            "edges — preorder is a driver-side sequential computation and "
+            "is not safe at this density; use bfs/dfs set semantics instead"
+        )
     succs: dict[str, list[str]] = {}
     for r in succ_rows:
         succs.setdefault(r["src"], []).append(r["dst"])
     for v in succs:
         succs[v].sort(reverse=True)  # stack pops smallest id first
 
-    visited: dict[str, tuple[int, int]] = {}  # id -> (visit_order, depth)
+    # label-correcting DFS: a node is (re-)expanded whenever reached at a
+    # STRICTLY smaller depth than its best known one. Without this, a node
+    # first popped at depth == max_depth was marked visited with pruned
+    # children, and a pending shallower entry was skipped as visited —
+    # silently dropping nodes the BFS reach set (and the module's
+    # set-parity contract) includes. visit_order remains the FIRST-visit
+    # preorder; depth converges to the minimal depth (matching reach).
+    best: dict[str, int] = {}
+    first_order: dict[str, int] = {}
     stack = [(start_id, 0)]
     order = 0
     while stack and order < max_results:
         node, d = stack.pop()
-        if node in visited:
+        if node in best and best[node] <= d:
             continue
-        visited[node] = (order, d)
-        order += 1
+        if node not in first_order:
+            first_order[node] = order
+            order += 1
+        best[node] = d
         if d < max_depth:
             for nxt in succs.get(node, ()):
-                if nxt not in visited:
+                if nxt not in best or best[nxt] > d + 1:
                     stack.append((nxt, d + 1))
-    rows = [(i, o, d) for i, (o, d) in visited.items()]
+    rows = [(i, first_order[i], best[i]) for i in first_order]
     rows.sort(key=lambda r: r[1])
     from pyspark.sql.types import IntegerType, StructField, StructType
 
@@ -618,6 +643,10 @@ def find_paths_between(
     recursive CTE.
     """
     max_depth = min(max_depth, MAX_DEPTH_LIMIT)
+    # the reference's hard 100-path cap binds whatever the caller asks for
+    # (src/query/traversal.zig:1374) — same clamp discipline as
+    # MAX_DEPTH_LIMIT/MAX_RESULTS_LIMIT above
+    max_paths = min(max_paths, MAX_PATHS)
     adj = orient(edges, direction, edge_filter)
     spark = edges.sparkSession
 
@@ -627,8 +656,16 @@ def find_paths_between(
     done = frontier.where(F.col("last") == F.lit(target_id)).select(
         "path", F.lit(0).cast("int").alias("depth")
     )
+    n_done = done.count()
 
     for d in range(1, max_depth + 1):
+        # shortest-first early exit: levels complete in depth order, so
+        # once a finished level holds >= max_paths paths every deeper path
+        # sorts after the ones already in hand — expanding further levels
+        # (the frontier grows exponentially on branchy graphs) could never
+        # change the returned set
+        if n_done >= max_paths:
+            break
         # lazy checkpoint materialized by the count — one fused job per level;
         # `done` stays a plain union of slices of already-checkpointed
         # frontiers, so it needs no materialization of its own
@@ -644,11 +681,13 @@ def find_paths_between(
         )
         if frontier.count() == 0:
             break
-        done = done.unionByName(
-            frontier.where(F.col("last") == F.lit(target_id)).select(
-                "path", F.lit(d).cast("int").alias("depth")
-            )
+        hits = frontier.where(F.col("last") == F.lit(target_id)).select(
+            "path", F.lit(d).cast("int").alias("depth")
         )
+        done = done.unionByName(hits)
+        # frontier is checkpointed above, so this count re-reads the
+        # materialized level slice — no recomputation of prior levels
+        n_done += hits.count()
 
     return done.orderBy("depth", "path").limit(max_paths)
 

@@ -331,3 +331,59 @@ def test_wcc_exhausted_cap_raises(spark):
         tv.weakly_connected_components(e, max_iterations=3)
     got = {r["id"]: r["component"] for r in tv.weakly_connected_components(e).collect()}
     assert set(got.values()) == {"w00"} and len(got) == 31
+
+
+def test_dfs_preorder_depth_shadowing_counterexample(spark):
+    """The label-correcting fix: with s->a, a->b, s->b, b->c at max_depth=2
+    the old DFS popped b first at depth 2 (children pruned), then skipped
+    the pending depth-1 entry as visited — silently dropping c from its
+    own BFS-parity contract. Now b's depth corrects to 1 and c is visited."""
+    e = _edges(spark, [("s", "a"), ("a", "b"), ("s", "b"), ("b", "c")])
+    rows = tv.dfs_preorder(e, "s", max_depth=2).collect()
+    got = {r["id"]: r["depth"] for r in rows}
+    bfs_ids = _ids(tv.bfs(e, ["s"], max_depth=2))
+    assert set(got) == set(bfs_ids) == {"s", "a", "b", "c"}
+    assert got["b"] == 1 and got["c"] == 2  # minimal depths, matching BFS
+
+
+def test_dfs_preorder_set_parity_random_graphs(spark):
+    """Seeded random digraphs: dfs_preorder's visited set must equal the
+    BFS reachable set at every depth — the set-parity contract the depth
+    shadowing bug broke."""
+    import random
+
+    rng = random.Random(17)
+    for trial in range(5):
+        n = 12
+        edges = {(f"n{rng.randrange(n)}", f"n{rng.randrange(n)}")
+                 for _ in range(22)}
+        edges = [(a, b) for a, b in edges if a != b]
+        e = _edges(spark, edges)
+        for depth in (1, 2, 3):
+            dfs_ids = {r["id"] for r in tv.dfs_preorder(e, "n0", max_depth=depth).collect()}
+            bfs_ids = set(_ids(tv.bfs(e, ["n0"], max_depth=depth)))
+            assert dfs_ids == bfs_ids, (trial, depth, dfs_ids ^ bfs_ids)
+
+
+def test_bfs_rejects_bare_string_start(spark):
+    e = _edges(spark, [("a", "b")])
+    import pytest as _pt
+    with _pt.raises(TypeError, match="bare str"):
+        tv.bfs(e, "a")
+
+
+def test_find_paths_between_clamps_to_reference_cap(spark):
+    """max_paths is clamped to the reference's hard 100 (traversal.zig:1374)
+    and the level loop early-exits once a completed level holds enough."""
+    # 2 branches per level, 8 levels -> 256 distinct s~t path pairs via
+    # layered midpoints; far more than 100 simple paths
+    rows = []
+    width, depth = 2, 8
+    for lvl in range(depth):
+        for i in range(width):
+            for j in range(width):
+                rows.append((f"L{lvl}_{i}" if lvl else "s", f"L{lvl+1}_{j}"))
+    rows += [(f"L{depth}_{i}", "t") for i in range(width)]
+    e = _edges(spark, rows)
+    out = tv.find_paths_between(e, "s", "t", max_depth=12, max_paths=10**9)
+    assert out.count() <= 100

@@ -436,3 +436,73 @@ def test_locally_shadowed_references_skip_the_reresolve_cascade(spark, tmp_path_
         )
 
     assert edge_set(eng) == edge_set(eng2)
+
+
+def test_link_and_sync_read_base_under_the_writer_lease(spark, proj, tmp_path_factory):
+    """resequence=False means link/sync OWN the sequence range derived from
+    max_sequence() — two engines reading the same base outside the lease
+    could double-assign it. Spy at the point the base is consumed
+    (resolve_and_build assigns the sequences): the engine must hold the
+    writer lease there. (max_sequence itself is also read lock-free for
+    snapshot-cache keying — those reads don't own a range.)"""
+    from kausaldb_spark.sources import ingest as ing_mod
+
+    store = str(tmp_path_factory.mktemp("lease_base_store"))
+    eng = KausalEngine(spark, store)
+    depths = []
+    orig = ing_mod.resolve_and_build
+
+    def spy(*a, **k):
+        depths.append(eng.store._lease_depth)
+        return orig(*a, **k)
+
+    ing_mod.resolve_and_build = spy
+    try:
+        eng.link_codebase(str(proj), "cb")
+        assert depths and all(d > 0 for d in depths), depths
+
+        depths.clear()
+        (proj / "b.py").write_text(B_PY_V2)
+        eng.sync_codebase("cb", root=str(proj))
+        assert depths and all(d > 0 for d in depths), depths
+    finally:
+        ing_mod.resolve_and_build = orig
+
+
+def test_cache_hit_counts_as_a_served_query(spark, proj, tmp_path_factory):
+    """X4 parity: the reference counts every query; a cache hit must land
+    in the per-type counters, not only in cache_hits."""
+    store = str(tmp_path_factory.mktemp("stats_store"))
+    eng = KausalEngine(spark, store)
+    eng.link_codebase(str(proj), "cb")
+    eng.find_by_name("cb", "function", "fa")
+    eng.find_by_name("cb", "function", "fa")
+    assert eng.stats.cache_hits == 1
+    assert eng.stats.queries_by_type["find_by_name"] == 2
+
+
+def test_status_edges_agree_with_visible_after_sync(spark, proj, tmp_path_factory):
+    """status() must report the VISIBLE edge relation: after a sync the
+    old epochs' edge rows remain in parquet but are shadowed."""
+    store = str(tmp_path_factory.mktemp("status_store"))
+    eng = KausalEngine(spark, store)
+    eng.link_codebase(str(proj), "cb")
+    (proj / "b.py").write_text(B_PY_V2)
+    eng.sync_codebase("cb", root=str(proj))
+    st = eng.status()
+    assert st["edges"] == eng.store.visible_edges().count()
+    # raw parquet now holds MORE rows than visible (the shadowed epoch)
+    assert eng.store.edges().count() > st["edges"]
+
+
+def test_noop_sync_invalidates_result_cache(spark, proj, tmp_path_factory):
+    """A zero-change sync still rewrites the registry block (a store
+    mutation): cached results must drop so the next read sees the new
+    last_sync_at."""
+    store = str(tmp_path_factory.mktemp("noopinv_store"))
+    eng = KausalEngine(spark, store)
+    eng.link_codebase(str(proj), "cb")
+    eng.find_by_name("cb", "function", "fa")  # populate the cache
+    assert len(eng._cache) > 0
+    eng.sync_codebase("cb", root=str(proj))   # no files changed
+    assert len(eng._cache) == 0
