@@ -2,8 +2,11 @@
 
 Reference semantics (``src/storage/engine.zig:839-925``, ``docs/DESIGN.md:29-33``):
 a read sees, per block id, the version with the highest ``sequence``, unless a
-tombstone with a *strictly higher* sequence exists, in which case the block is
-invisible. A rewrite with a sequence above the tombstone resurrects the id
+tombstone with ``sequence >= `` that version's exists, in which case the block
+is invisible (a tombstone shadows everything at-or-below its own sequence —
+the comparator the oracle twin, ``tombstone_where``'s docstring, and the
+tombstone_sequencing scenario all pin). A rewrite with a sequence *strictly
+above* the tombstone resurrects the id
 (scenario ``src/tests/scenarios/tombstone_sequencing.zig``).
 
 Spark shape: window dedup + broadcast anti-join. The window partitions by

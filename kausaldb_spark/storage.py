@@ -73,7 +73,7 @@ _EDGE_COLS = ("src", "dst", "edge_type", "codebase", "src_file", "ingest_seq")
 # (reserve-then-write, see append_blocks) — so an unchanged mark implies an
 # unchanged visible set. One entry per store (stale marks are unpersisted on
 # replacement); compact() invalidates explicitly (same mark, new files).
-_SNAPSHOT_CACHE: dict[tuple[int, str, int], DataFrame] = {}
+_SNAPSHOT_CACHE: dict[tuple, DataFrame] = {}
 
 
 class BlockStore:
@@ -94,6 +94,9 @@ class BlockStore:
         self._lease_timeout = float(lease_timeout)
         self._lease_depth = 0
         self._lease_owner = f"{socket.gethostname()}:{os.getpid()}:{uuid.uuid4().hex[:8]}"
+        # intra-process writer serialization: same-thread reentrant, blocks
+        # other threads of this instance (see _writer_lease)
+        self._lease_tlock = threading.RLock()
         self._root_tl = threading.local()  # per-thread pinned version root
 
     # -- versioned-root layout (reader-vs-compact isolation) -----------------
@@ -221,9 +224,13 @@ class BlockStore:
         crashed mid-create left a torn file: treated as expired)."""
         try:
             with open(self._lease_path, encoding="utf-8") as f:
-                return json.load(f)
+                cur = json.load(f)
         except (OSError, ValueError):
             return {}
+        # valid JSON that isn't an object ('[1]', '"x"', '5') is equally
+        # torn/garbage — returning it would AttributeError in .get() and
+        # wedge every contender instead of degrading to the TTL steal
+        return cur if isinstance(cur, dict) else {}
 
     @staticmethod
     def _lease_expires(cur: dict) -> float:
@@ -248,36 +255,57 @@ class BlockStore:
 
     @contextmanager
     def _writer_lease(self, ttl: float | None = None):
-        if self._lease_depth > 0:  # reentrant within one engine call chain
-            self._lease_depth += 1
+        # Intra-process serialization FIRST: the depth counter alone made a
+        # second THREAD look like a re-entry of the first thread's lease —
+        # it skipped acquisition, and the first thread's exit then released
+        # the lease file mid-write (dual-writer window). The RLock gives
+        # same-thread reentrancy and blocks other threads, honoring the
+        # same acquisition timeout as the cross-process path.
+        if not self._lease_tlock.acquire(timeout=self._lease_timeout):
+            raise LeaseHeldError(
+                f"writer lease on {self.path} held by another thread of "
+                f"this process (waited {self._lease_timeout:.0f}s)"
+            )
+        try:
+            if self._lease_depth > 0:  # reentrant within one call chain
+                self._lease_depth += 1
+                # a nested scope asking for a LONGER ttl (compact inside an
+                # engine-held lease) must widen the active window — else
+                # its phase renewals keep extending the caller's shorter
+                # ttl and a long phase reopens the steal window
+                if ttl is not None and ttl > self._lease_ttl_active:
+                    self._lease_ttl_active = ttl
+                    self._lease_renew()
+                try:
+                    yield
+                finally:
+                    self._lease_depth -= 1
+                return
+            ttl = ttl if ttl is not None else self._lease_ttl
+            self._lease_ttl_active = ttl
+            deadline = time.monotonic() + self._lease_timeout
+            while True:
+                with self._lease_mutex():
+                    cur = self._lease_read()
+                    expired = not cur or time.time() > self._lease_expires(cur)
+                    if expired:  # absent, torn, or past TTL: acquire/steal
+                        self._lease_write(ttl)
+                        break
+                if time.monotonic() > deadline:
+                    raise LeaseHeldError(
+                        f"writer lease on {self.path} held by "
+                        f"{cur.get('owner', '?')} (expires in "
+                        f"{self._lease_expires(cur) - time.time():.0f}s)"
+                    )
+                time.sleep(0.05)
+            self._lease_depth = 1
             try:
                 yield
             finally:
-                self._lease_depth -= 1
-            return
-        ttl = ttl if ttl is not None else self._lease_ttl
-        self._lease_ttl_active = ttl
-        deadline = time.monotonic() + self._lease_timeout
-        while True:
-            with self._lease_mutex():
-                cur = self._lease_read()
-                expired = not cur or time.time() > self._lease_expires(cur)
-                if expired:  # absent, torn, or past TTL: acquire / steal
-                    self._lease_write(ttl)
-                    break
-            if time.monotonic() > deadline:
-                raise LeaseHeldError(
-                    f"writer lease on {self.path} held by "
-                    f"{cur.get('owner', '?')} (expires in "
-                    f"{self._lease_expires(cur) - time.time():.0f}s)"
-                )
-            time.sleep(0.05)
-        self._lease_depth = 1
-        try:
-            yield
+                self._lease_depth = 0
+                self._lease_release()
         finally:
-            self._lease_depth = 0
-            self._lease_release()
+            self._lease_tlock.release()
 
     def _lease_release(self) -> None:
         """Unlink the lease IFF still ours — under the mutex, so this can
@@ -437,10 +465,17 @@ class BlockStore:
             try:
                 with open(self._hwm_path, encoding="utf-8") as f:
                     return int(json.load(f)["max_sequence"])
-            except (ValueError, KeyError, OSError):
-                pass  # corrupt side-file: repair from the scan below
+            except (ValueError, KeyError, OSError, TypeError):
+                pass  # corrupt side-file (incl. null / non-object JSON):
+                # repair from the scan below
         hi = self._scan_max_sequence()
-        self._write_hwm(hi)
+        # REPAIR only under the lease: an unleased reader racing a writer
+        # could otherwise os.replace a stale-low mark AFTER the writer's
+        # reserve (its scan never sees the in-flight rows), and the next
+        # append would reuse the writer's sequence range. Readers just
+        # return the scanned value; the next leased writer persists it.
+        if self._lease_depth > 0:
+            self._write_hwm(hi)
         return hi
 
     def _write_hwm(self, hi: int) -> None:
@@ -467,23 +502,40 @@ class BlockStore:
         """
         with self._writer_lease():
             base = self.max_sequence()
-            lo, hi = blocks.agg(F.min("sequence"), F.max("sequence")).collect()[0]
-            lo, hi = lo or 0, hi or 0
-            if resequence:
-                blocks = blocks.withColumn(
-                    "sequence", (F.col("sequence") - lo + base + 1).cast("bigint")
+            # pin the batch: the agg below and the write would otherwise
+            # evaluate the incoming lineage TWICE — doubling upstream
+            # compute, and a nondeterministic input's second evaluation
+            # could write sequences ABOVE the reserved mark (silently
+            # breaking reserve-then-write). Spill-backed, released after
+            # the write commits.
+            pinned = blocks.persist()
+            try:
+                lo, hi = pinned.agg(F.min("sequence"), F.max("sequence")).collect()[0]
+                lo, hi = lo or 0, hi or 0
+                if resequence:
+                    out = pinned.withColumn(
+                        "sequence", (F.col("sequence") - lo + base + 1).cast("bigint")
+                    )
+                    new_hi = hi - lo + base + 1
+                else:
+                    out = pinned
+                    new_hi = max(hi, base)
+                self._write_hwm(new_hi)  # reserve first — see docstring
+                # explicit, not just mark-keyed: resequence=False can leave
+                # the mark unchanged (incoming max <= current), which would
+                # key a stale hit
+                self._invalidate_snapshot()
+                self._lease_renew()  # the agg above may have eaten lease time
+                out.write.mode("append").partitionBy("codebase").parquet(
+                    self._blocks_dir
                 )
-                new_hi = hi - lo + base + 1
-            else:
-                new_hi = max(hi, base)
-            self._write_hwm(new_hi)  # reserve first — see docstring
-            # explicit, not just mark-keyed: resequence=False can leave the mark
-            # unchanged (incoming max <= current), which would key a stale hit
+            finally:
+                pinned.unpersist()
+            # invalidate AGAIN after the write commits: with an unchanged
+            # mark, a concurrent reader that snapshotted DURING the write
+            # would otherwise have re-populated the cache with the
+            # pre-write visible set and served it until the next mark bump
             self._invalidate_snapshot()
-            self._lease_renew()  # the agg above may have eaten lease time
-            blocks.write.mode("append").partitionBy("codebase").parquet(
-                self._blocks_dir
-            )
             return new_hi
 
     def append_edges(
@@ -604,12 +656,22 @@ class BlockStore:
         the high-water mark first, keying this cache off the old entry.
         At cluster scale the same role is played by materialize_bucketed;
         this cache is spill-backed (MEMORY_AND_DISK) and session-local."""
-        key = (id(self.spark), os.path.abspath(self.path), self.max_sequence())
+        # the version ROOT is part of the key: a compact run by ANOTHER
+        # process flips the pointer without changing the mark, and its
+        # second compact GCs the old root — a mark-only key would keep
+        # serving a frame whose lineage lists the GC'd files (a spilled
+        # partition recompute would then FileNotFound). Root change ⇒ miss.
+        key = (
+            id(self.spark), os.path.abspath(self.path),
+            self.max_sequence(), self._root(),
+        )
         hit = _SNAPSHOT_CACHE.get(key)
         if hit is not None:
             return hit
-        for k in [k for k in _SNAPSHOT_CACHE if k[:2] == key[:2]]:
-            _SNAPSHOT_CACHE.pop(k).unpersist()
+        for k in [k for k in _SNAPSHOT_CACHE if k[:2] == key[:2] and k != key]:
+            stale = _SNAPSHOT_CACHE.pop(k, None)  # racing evictors: 2nd no-ops
+            if stale is not None:
+                stale.unpersist()
         snap = self.visible().persist()
         _SNAPSHOT_CACHE[key] = snap
         return snap
@@ -620,7 +682,9 @@ class BlockStore:
         the invalidation there)."""
         me = (id(self.spark), os.path.abspath(self.path))
         for k in [k for k in _SNAPSHOT_CACHE if k[:2] == me]:
-            _SNAPSHOT_CACHE.pop(k).unpersist()
+            stale = _SNAPSHOT_CACHE.pop(k, None)  # racing evictors: 2nd no-ops
+            if stale is not None:
+                stale.unpersist()
 
     def visible_edges(self) -> DataFrame:
         """Edges with both endpoints visible AND not epoch-shadowed.

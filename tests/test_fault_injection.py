@@ -652,3 +652,112 @@ def test_lease_garbage_expires_field_is_stealable_not_wedging(spark, tmp_path):
             _json.dump({"owner": "foreign:1:cafe", "expires": bad}, fh)
         store.append_blocks(_mk_blocks(spark, f"x{bad}", 1, "g"))
     assert store.max_sequence() == 6
+
+
+def test_lease_non_dict_json_is_stealable(spark, tmp_path):
+    """Valid-JSON-but-not-an-object lease files ('[1]', '"x"', '5') must
+    read as torn (stealable), not AttributeError in every contender."""
+    import json as _json
+
+    from kausaldb_spark.storage import BlockStore
+
+    path = str(tmp_path / "nondict_lease_store")
+    store = BlockStore(spark, path)
+    store.append_blocks(_mk_blocks(spark, "n", 1, "n"))
+    lease = os.path.join(path, "_writer.lease")
+    for raw in ("[1]", '"x"', "5", "null"):
+        with open(lease, "w") as fh:
+            fh.write(raw)
+        store.append_blocks(_mk_blocks(spark, f"n{raw}", 1, "n"))
+    assert store.max_sequence() == 5
+
+
+def test_second_thread_blocks_on_the_lease_not_reenters(spark, tmp_path):
+    """The depth counter alone let a second THREAD treat the first thread's
+    lease as its own re-entry (and the first thread's exit then released
+    the lease mid-write). The RLock serializes threads of one instance."""
+    import threading as _th
+    import time as _t
+
+    from kausaldb_spark.storage import BlockStore
+
+    path = str(tmp_path / "thread_lease_store")
+    store = BlockStore(spark, path)
+    store.append_blocks(_mk_blocks(spark, "t", 1, "t"))
+
+    events = []
+    entered = _th.Event()
+    release = _th.Event()
+
+    def holder():
+        with store._writer_lease():
+            events.append(("A-in", _t.monotonic()))
+            entered.set()
+            release.wait(10)
+            events.append(("A-out", _t.monotonic()))
+
+    def contender():
+        entered.wait(10)
+        with store._writer_lease():
+            events.append(("B-in", _t.monotonic()))
+
+    a = _th.Thread(target=holder)
+    b = _th.Thread(target=contender)
+    a.start(); b.start()
+    entered.wait(10)
+    _t.sleep(0.5)          # B must be blocked, not "re-entered"
+    assert [e for e, _ in events] == ["A-in"]
+    release.set()
+    a.join(10); b.join(10)
+    order = [e for e, _ in events]
+    assert order == ["A-in", "A-out", "B-in"], order
+
+
+def test_nested_lease_widens_active_ttl(spark, tmp_path):
+    """compact() nested inside an engine-held short-ttl lease must widen
+    the active TTL so its phase renewals extend the LONG window."""
+    from kausaldb_spark.storage import BlockStore
+
+    store = BlockStore(spark, str(tmp_path / "ttl_widen_store"))
+    with store._writer_lease(ttl=1.0):
+        assert store._lease_ttl_active == 1.0
+        with store._writer_lease(ttl=600.0):
+            assert store._lease_ttl_active == 600.0
+            cur = store._lease_read()
+            import time as _t
+            assert store._lease_expires(cur) - _t.time() > 100
+
+
+def test_unleased_max_sequence_read_does_not_write_the_mark(spark, tmp_path):
+    """A reader repairing the high-water side-file WITHOUT the lease could
+    clobber a concurrent writer's freshly-reserved mark with a stale-low
+    scan. Unleased reads return the scanned value but never persist it."""
+    from kausaldb_spark.storage import BlockStore
+
+    path = str(tmp_path / "hwm_repair_store")
+    store = BlockStore(spark, path)
+    store.append_blocks(_mk_blocks(spark, "h", 3, "h"))
+    hwm = os.path.join(path, "_max_seq.json")
+    os.unlink(hwm)
+    assert store.max_sequence() == 3       # unleased: scan only
+    assert not os.path.exists(hwm)
+    with store._writer_lease():
+        assert store.max_sequence() == 3   # leased: repairs the side-file
+    assert os.path.exists(hwm)
+
+
+def test_corrupt_hwm_json_shapes_repair_not_crash(spark, tmp_path):
+    """{"max_sequence": null} and bare numbers in the side-file must fall
+    through to the scan repair (TypeError was uncaught)."""
+    import json as _json
+
+    from kausaldb_spark.storage import BlockStore
+
+    path = str(tmp_path / "hwm_garbage_store")
+    store = BlockStore(spark, path)
+    store.append_blocks(_mk_blocks(spark, "g", 2, "g"))
+    hwm = os.path.join(path, "_max_seq.json")
+    for raw in ('{"max_sequence": null}', "3", "[7]"):
+        with open(hwm, "w") as fh:
+            fh.write(raw)
+        assert store.max_sequence() == 2
