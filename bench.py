@@ -563,8 +563,31 @@ def main() -> None:
         errors["regression_gate"] = _err_tail(exc)
     if errors:
         out["n_errors"] = len(errors)
-    print(json.dumps(out))
+
+    # BENCH record discipline (r9 verdict item 1: the driver's BENCH_r9.json
+    # came back `parsed: null` because the final JSON line outgrew its stdout
+    # tail capture). Three defenses:
+    #   1. the FULL record (incl. nested ingest_scale + error texts) is
+    #      written to BENCH_LOCAL.json as a by-path artifact;
+    #   2. the stdout line is compact (no separators whitespace, nested
+    #      diagnostic dicts elided — scalars only) — ~25% smaller;
+    #   3. it is printed AFTER spark.stop(), flushed, as the very last
+    #      stdout of the process, so no late JVM/log output can displace it
+    #      from a tail window.
+    try:
+        local_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                  "BENCH_LOCAL.json")
+        with open(local_path, "w", encoding="utf-8") as fh:
+            json.dump({**out, "errors": errors}, fh, indent=1)
+            fh.write("\n")
+    except OSError:
+        pass
+    line_out = dict(out)
+    line_out["queries"] = {
+        k: v for k, v in timings.items() if not isinstance(v, dict)
+    }
     spark.stop()
+    print(json.dumps(line_out, separators=(",", ":")), flush=True)
     if n_ok == 0:
         sys.exit(1)
 

@@ -143,10 +143,16 @@ class KausalEngine:
         plan-analysis blowup traversal's FRONTIER_ISIN_MAX switch exists
         for (traversal.py:47-50). Small sets stay isin (codegen, no join);
         past the threshold the set becomes a broadcast semi/anti join, so
-        a 10k-changed-file monorepo sync keeps O(1)-size plans."""
+        a 10k-changed-file monorepo sync keeps O(1)-size plans.
+
+        Null policy (ADVICE r9 — the two branches must agree): a NULL
+        file_path belongs to NO path set, so keep-mode drops it and
+        drop-mode keeps it — exactly the semi/anti-join behavior. The isin
+        branch coalesces its three-valued NULL to false so a null row can't
+        flip outcome with the size of the path set."""
         paths = list(paths)
         if len(paths) <= 1000:
-            pred = F.col("file_path").isin(paths)
+            pred = F.coalesce(F.col("file_path").isin(paths), F.lit(False))
             return df.where(pred if keep else ~pred)
         pf = self.spark.createDataFrame([(p,) for p in paths], "file_path string")
         return df.join(

@@ -36,5 +36,9 @@ def get_spark(app_name: str = "kausaldb-spark", cpus: str | None = None) -> Spar
         .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # stage-progress \r spam interleaves with stdout when streams are
+        # captured combined (the bench driver's tail window) — keep program
+        # stdout clean; progress is recoverable from the event log if needed
+        .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )

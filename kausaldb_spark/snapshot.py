@@ -9,6 +9,17 @@ tombstone_sequencing scenario all pin). A rewrite with a sequence *strictly
 above* the tombstone resurrects the id
 (scenario ``src/tests/scenarios/tombstone_sequencing.zig``).
 
+Equality edge (ADVICE r9): the reference's ``shadows_sequence``
+(``src/storage/tombstone.zig:47``) is strictly greater (``ts.sequence >
+block.sequence``) — at EQUAL sequences it keeps the block visible, while
+this view hides it. The edge is unreachable in both systems: the reference
+assigns every tombstone a fresh global sequence above all existing blocks
+(``src/storage/engine.zig:1132-1174``), and this repo's reserve-then-write
+HWM discipline (``storage.max_sequence``) does the same, so no tombstone
+ever carries a sequence equal to a block's. We deliberately keep ``>=``
+here because it is the safer comparator if the invariant were ever
+violated (a delete can never be silently lost), matching the oracle twin.
+
 Spark shape: window dedup + broadcast anti-join. The window partitions by
 ``id`` — at 100 TB this is one shuffle on the snapshot's natural key, and the
 result is persisted/reused by every read (the LSM engine pays the equivalent

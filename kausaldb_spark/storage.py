@@ -93,6 +93,7 @@ class BlockStore:
         self._lease_ttl_active = float(lease_ttl)
         self._lease_timeout = float(lease_timeout)
         self._lease_depth = 0
+        self._lease_tid: int | None = None  # thread that owns the held lease
         self._lease_owner = f"{socket.gethostname()}:{os.getpid()}:{uuid.uuid4().hex[:8]}"
         # intra-process writer serialization: same-thread reentrant, blocks
         # other threads of this instance (see _writer_lease)
@@ -299,10 +300,12 @@ class BlockStore:
                     )
                 time.sleep(0.05)
             self._lease_depth = 1
+            self._lease_tid = threading.get_ident()
             try:
                 yield
             finally:
                 self._lease_depth = 0
+                self._lease_tid = None
                 self._lease_release()
         finally:
             self._lease_tlock.release()
@@ -469,12 +472,15 @@ class BlockStore:
                 pass  # corrupt side-file (incl. null / non-object JSON):
                 # repair from the scan below
         hi = self._scan_max_sequence()
-        # REPAIR only under the lease: an unleased reader racing a writer
-        # could otherwise os.replace a stale-low mark AFTER the writer's
-        # reserve (its scan never sees the in-flight rows), and the next
-        # append would reuse the writer's sequence range. Readers just
-        # return the scanned value; the next leased writer persists it.
-        if self._lease_depth > 0:
+        # REPAIR only from the lease-OWNING THREAD: an unleased reader racing
+        # a writer could otherwise os.replace a stale-low mark AFTER the
+        # writer's reserve (its scan never sees the in-flight rows), and the
+        # next append would reuse the writer's sequence range. Checking the
+        # depth counter alone re-opened the same race intra-process (ADVICE
+        # r9): a reader THREAD saw another thread's held lease as its own.
+        # Readers just return the scanned value; the next leased writer
+        # persists it.
+        if self._lease_depth > 0 and self._lease_tid == threading.get_ident():
             self._write_hwm(hi)
         return hi
 

@@ -761,3 +761,39 @@ def test_corrupt_hwm_json_shapes_repair_not_crash(spark, tmp_path):
         with open(hwm, "w") as fh:
             fh.write(raw)
         assert store.max_sequence() == 2
+
+
+def test_hwm_repair_only_from_lease_owning_thread(spark, tmp_path):
+    """ADVICE r9: the HWM repair guard must test lease-owning THREAD, not
+    just process-wide depth. A reader thread calling max_sequence() on a
+    missing side-file while a DIFFERENT thread of the same process holds
+    the writer lease must not repair-write its (stale-low) scan — that
+    could clobber the writer's freshly reserved mark and reuse a sequence
+    range."""
+    import threading
+
+    from kausaldb_spark.storage import BlockStore
+
+    path = str(tmp_path / "tid_store")
+    store = BlockStore(spark, path)
+    store.append_blocks(_mk_blocks(spark, "t", 2, "t"))
+    hwm = os.path.join(path, "_max_seq.json")
+
+    reader_result: dict = {}
+
+    def reader():
+        # no side-file: falls to the scan; must NOT persist it (this thread
+        # does not own the lease, even though self._lease_depth > 0)
+        reader_result["hi"] = store.max_sequence()
+        reader_result["wrote"] = os.path.exists(hwm)
+
+    with store._writer_lease():
+        os.unlink(hwm)
+        t = threading.Thread(target=reader)
+        t.start()
+        t.join(120)
+        assert reader_result["hi"] == 2          # scan is still correct
+        assert reader_result["wrote"] is False   # ...but not persisted
+        # the owning thread DOES repair
+        assert store.max_sequence() == 2
+        assert os.path.exists(hwm)

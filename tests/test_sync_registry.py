@@ -506,3 +506,22 @@ def test_noop_sync_invalidates_result_cache(spark, proj, tmp_path_factory):
     assert len(eng._cache) > 0
     eng.sync_codebase("cb", root=str(proj))   # no files changed
     assert len(eng._cache) == 0
+
+
+def test_path_filter_null_semantics_agree_across_threshold(spark, tmp_path_factory):
+    """ADVICE r9: _path_filter's isin branch (<=1000 paths) and its
+    semi/anti-join branch (>1000) must return the SAME rows for a NULL
+    file_path. Policy: null belongs to no path set — dropped in keep mode,
+    kept in drop mode, on both branches."""
+    store = str(tmp_path_factory.mktemp("pf_store"))
+    eng = KausalEngine(spark, store)
+    df = spark.createDataFrame(
+        [("a", "p0"), ("b", None), ("c", "zz")], "id string, file_path string"
+    )
+    small = ["p0", "p1"]
+    big = small + [f"bulk_{i}" for i in range(1200)]
+    for paths in (small, big):
+        kept = {r.id for r in eng._path_filter(df, paths, keep=True).collect()}
+        dropped = {r.id for r in eng._path_filter(df, paths, keep=False).collect()}
+        assert kept == {"a"}, (len(paths), kept)
+        assert dropped == {"b", "c"}, (len(paths), dropped)
