@@ -991,102 +991,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (dfs_preorder + the two streaming ops — not SQL-expressible; their
     behavior is pytest-asserted in tests/).
 
-    Round-9 rotation (the r8 verdict's item 3): the 19 tail entries whose
-    last driver row was r6 rotate BACK into the sample window —
-    store_roundtrip, point_lookup, batch_lookup_100, snapshot_view,
-    shard_shuffle, events_asof, sessionize, events_retention,
-    filter_metadata_eq, filter_compound, find_by_name, find_alias_and_path,
-    keyword_search, callers_1hop, bfs_depth3, path_enumeration,
-    context_blocks, events_hourly, corpus_report. This matters doubly in
-    r9: the store moved to a versioned-root pointer-flip layout this round,
-    so every storage-path query re-gates against the driver's oracle on the
-    new layout. Displaced to the tail: 19 entries with green r7+r8 driver
-    rows on unchanged code paths (events_funnel, cohort_retention,
-    sliding_rollup, events_quantiles, events_topk_users, pack_sequences,
-    exact_dedup, ngram_jaccard, simhash_pairs, fingerprint, edge_ordering,
-    token_count_bpe, filter_targets, filter_pagination, normalize_text,
-    mixture_weights, domain_filter, length_quantiles, source_mix) —
-    tests/test_oracle_parity.py still hash-checks every oracle-backed entry
-    each run with the identical DuckDB harness, window position only
-    affects which get a per-round driver row.
-
-    Late-r9 additions to the window: lm_perplexity, gopher_rules and
-    gopher_repetition (all new operators this round, each needing a first
-    driver row) — ann_lsh (green r8, unchanged code path) moved to the
-    tail to make room for the third.
+    Round-10 rotation (the r9 verdict's item 3, same discipline as r9's):
+    15 entries rotate INTO the sample window — the 14 oracle-backed tail
+    entries whose last driver row was r7/r8 (events_funnel,
+    cohort_retention, sliding_rollup, events_quantiles, events_topk_users,
+    pack_sequences, exact_dedup, ngram_jaccard, simhash_pairs, fingerprint,
+    edge_ordering, token_count_bpe, filter_targets, filter_pagination)
+    plus quality_score (the r9 bench watch item — a fresh driver row
+    re-anchors it). Displaced to the tail: 15 entries with a green r9
+    driver row on code paths unchanged in r10 (point_lookup,
+    batch_lookup_100, snapshot_view, find_alias_and_path, events_asof,
+    events_retention, events_hourly, bfs_depth5, traversal_edge_filters,
+    bm25_topk_ppm, source_overlap, line_dedup, canonical_selection,
+    chunk_documents, lang_id) — tests/test_oracle_parity.py still
+    hash-checks every oracle-backed entry each run with the identical
+    DuckDB harness; window position only affects which get a per-round
+    driver row. gopher_repetition stays in-window deliberately: its
+    formulation changed this round (map-only rewrite), so it must re-gate
+    against the driver's oracle. The remaining five r7/r8-rowed tail
+    entries (normalize_text, mixture_weights, domain_filter,
+    length_quantiles, source_mix) rotate next round.
     """
     return {
-        # -- rotated INTO the driver sample this round (last gated r6; the
-        #    storage-path ones re-gate on the r9 versioned-root layout) --
-        "store_roundtrip": _q_store_roundtrip,
-        "point_lookup": _q_point_lookup,
-        "batch_lookup_100": _q_batch_lookup_100,
-        "snapshot_view": _q_snapshot_view,
-        "shard_shuffle": _q_shard_shuffle,
-        "events_asof": _q_events_asof,
-        "sessionize": _q_sessionize,
-        "events_retention": _q_events_retention,
-        "filter_metadata_eq": _q_filter_metadata_eq,
-        "filter_compound": _q_filter_compound,
-        "find_by_name": _q_find_by_name,
-        "find_alias_and_path": _q_find_alias_and_path,
-        "keyword_search": _q_keyword_search,
-        "callers_1hop": _q_callers_1hop,
-        "bfs_depth3": _q_bfs_depth3,
-        "path_enumeration": _q_path_enumeration,
-        "context_blocks": _q_context_blocks,
-        "events_hourly": _q_events_hourly,
-        "corpus_report": _q_corpus_report,
-        # -- kept in-window: code paths touched recently or ≤2 green rows --
-        "iterate_all": _q_iterate_all,
-        "bfs_depth5": _q_bfs_depth5,
-        "bm25_topk_ppm": _q_bm25_topk_ppm,
-        "source_overlap": _q_source_overlap,
-        "line_dedup": _q_line_dedup,
-        "binary_dedup": _q_binary_dedup,
-        "canonical_selection": _q_canonical_selection,
-        # -- per-family in-window representatives --
-        "context_edges": _q_context_edges,
-        "filter_numeric_lexical": _q_filter_numeric_lexical,
-        "traversal_edge_filters": _q_traversal_edge_filters,
-        "traversal_incoming": _q_traversal_incoming,
-        "bidirectional": _q_bidirectional,
-        "topo_sort": _q_topo_sort,
-        # -- dedup / text / similarity pipeline --
-        "term_match_topk": _q_term_match_topk,
-        "minhash_near_dup": _q_minhash_near_dup,
-        "incremental_dedup": _q_incremental_dedup,
-        "duplicate_spans": _q_duplicate_spans,
-        "simhash_band": _q_simhash_band,
-        "near_dup_clusters": _q_near_dup_clusters,
-        "chunk_documents": _q_chunk_documents,
-        "contamination": _q_contamination,
-        "corpus_curation": _q_corpus_curation,
-        "corpus_stats": _q_corpus_stats,
-        "lang_id": _q_lang_id,
-        "stratified_sample": _q_stratified_sample,
-        "ann_recall": _q_ann_recall,  # new late-r9: needs its driver row
-        "lm_perplexity": _q_lm_perplexity,  # new r9: needs its driver row
-        "gopher_rules": _q_gopher_rules,    # new r9: needs its driver row
-        "gopher_repetition": _q_gopher_repetition,  # new r9: driver row
-        "c4_rules": _q_c4_rules,        # new late-r9: needs its driver row
-        "hybrid_rrf": _q_hybrid_rrf,    # new late-r9: needs its driver row
-        # -- tail (position > 50: outside the driver sample; the oracle-
-        #    backed entries here are still hash-gated by the local parity
-        #    suite, the rows-only ones are pytest-gated) --
-        "quality_score": _q_quality_score,  # displaced by ann_recall
-        #    (green r1-r8 on an unchanged path; still parity-gated; the
-        #    quality family keeps gopher_rules + c4_rules in-window)
-        "pack_offsets": _q_pack_offsets,  # displaced by c4_rules (green
-        #    r8; still parity-gated every run)
-        "ann_topk": _q_ann_topk,  # displaced by hybrid_rrf (green r8; the
-        #    hybrid query's vector leg IS dot_topk, so the family keeps a
-        #    driver row; still parity-gated every run)
-        "ann_lsh": _q_ann_lsh,  # displaced by gopher_repetition (green r8;
-        #    still parity-gated every run)
-        "embedding_near_dup": _q_embedding_near_dup,  # displaced by the
-        "pii_scan": _q_pii_scan,  # two new r9 entries (both green r8;
-        #    still parity-gated every run)
+        # -- rotated INTO the driver sample this round (last gated r7/r8) --
         "events_funnel": _q_events_funnel,
         "cohort_retention": _q_cohort_retention,
         "sliding_rollup": _q_sliding_rollup,
@@ -1101,6 +1028,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_bpe": _q_token_count_bpe,
         "filter_targets": _q_filter_targets,
         "filter_pagination": _q_filter_pagination,
+        "quality_score": _q_quality_score,  # r9 bench watch item
+        # -- kept in-window: code changed this round, or per-family reps --
+        "gopher_repetition": _q_gopher_repetition,  # map-only rewrite r10
+        "store_roundtrip": _q_store_roundtrip,  # storage-family rep (lease
+        #    /HWM guard touched this round)
+        "iterate_all": _q_iterate_all,
+        "shard_shuffle": _q_shard_shuffle,
+        "sessionize": _q_sessionize,
+        "filter_metadata_eq": _q_filter_metadata_eq,
+        "filter_compound": _q_filter_compound,
+        "filter_numeric_lexical": _q_filter_numeric_lexical,
+        "find_by_name": _q_find_by_name,
+        "keyword_search": _q_keyword_search,
+        "callers_1hop": _q_callers_1hop,
+        "bfs_depth3": _q_bfs_depth3,
+        "path_enumeration": _q_path_enumeration,
+        "traversal_incoming": _q_traversal_incoming,
+        "bidirectional": _q_bidirectional,
+        "topo_sort": _q_topo_sort,
+        "context_blocks": _q_context_blocks,
+        "context_edges": _q_context_edges,
+        "corpus_report": _q_corpus_report,
+        # -- dedup / text / similarity pipeline --
+        "term_match_topk": _q_term_match_topk,
+        "minhash_near_dup": _q_minhash_near_dup,
+        "incremental_dedup": _q_incremental_dedup,
+        "duplicate_spans": _q_duplicate_spans,
+        "simhash_band": _q_simhash_band,
+        "near_dup_clusters": _q_near_dup_clusters,
+        "binary_dedup": _q_binary_dedup,
+        "contamination": _q_contamination,
+        "corpus_curation": _q_corpus_curation,
+        "corpus_stats": _q_corpus_stats,
+        "stratified_sample": _q_stratified_sample,
+        "ann_recall": _q_ann_recall,
+        "lm_perplexity": _q_lm_perplexity,
+        "gopher_rules": _q_gopher_rules,
+        "c4_rules": _q_c4_rules,
+        "hybrid_rrf": _q_hybrid_rrf,
+        # -- tail (position > 50: outside the driver sample; the oracle-
+        #    backed entries here are still hash-gated by the local parity
+        #    suite, the rows-only ones are pytest-gated) --
+        "point_lookup": _q_point_lookup,  # all 15 displaced entries below
+        "batch_lookup_100": _q_batch_lookup_100,  # carry a green r9 driver
+        "snapshot_view": _q_snapshot_view,  # row on paths unchanged in r10
+        "find_alias_and_path": _q_find_alias_and_path,
+        "events_asof": _q_events_asof,
+        "events_retention": _q_events_retention,
+        "events_hourly": _q_events_hourly,
+        "bfs_depth5": _q_bfs_depth5,
+        "traversal_edge_filters": _q_traversal_edge_filters,
+        "bm25_topk_ppm": _q_bm25_topk_ppm,
+        "source_overlap": _q_source_overlap,
+        "line_dedup": _q_line_dedup,
+        "canonical_selection": _q_canonical_selection,
+        "chunk_documents": _q_chunk_documents,
+        "lang_id": _q_lang_id,
+        # -- longer-tail (green r8 or earlier; parity-gated every run) --
+        "pack_offsets": _q_pack_offsets,
+        "ann_topk": _q_ann_topk,
+        "ann_lsh": _q_ann_lsh,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "pii_scan": _q_pii_scan,
         "normalize_text": _q_normalize_text,
         "mixture_weights": _q_mixture_weights,
         "domain_filter": _q_domain_filter,

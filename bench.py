@@ -127,15 +127,17 @@ BASELINE_MEDIANS = {
     # endpoint re-check was dropped from the ingest append path (18.1 →
     # 10.8 / 16.6 → 12.8) — the gate holds the improvement, not the debt
     "ingest_parse": 1.87, "ingest_batch": 10.8, "ingest_incremental": 12.8,
-    "e2e_find": 0.69, "e2e_show": 2.56,
+    # e2e_show re-recorded r10 after engine.traverse moved to the persisted
+    # snapshot/edges_snapshot session views (2.56 -> ~0.8 steady-state; the
+    # first traversal of a session pays the one-time view build)
+    "e2e_find": 0.69, "e2e_show": 0.85,
     # r9-recorded baselines: LM perplexity + Gopher rules (new this round)
     "lm_perplexity": 2.12, "gopher_rules": 0.88,
-    # r9: full n-gram repetition family (one shingle pass + one
-    # (doc,n,gram) shuffle + one per-doc fold; sf1 median 13.4 s = 1.4x at
-    # 10x data. A 4-branch formulation measured ~15% faster on the locally
-    # page-cached fixture but re-ran the scan+shingle pass per branch —
-    # the wrong trade at cluster scale, see gopher_repetition docstring)
-    "gopher_repetition": 9.58,
+    # r10: map-only reformulation (in-row sorted-gram neighbor scans +
+    # incremental gram builds — zero shuffles; the r9 two-shuffle shape
+    # measured 12.2 s controlled median after its 1.57x driver drift flag).
+    # Baseline re-recorded at the improved value so the gate holds the gain
+    "gopher_repetition": 6.7,
     # late-r9: C4 cleaning rules (map-only array expressions) + hybrid
     # BM25/vector RRF retrieval (two broadcast+scan legs + tiny fusion)
     "c4_rules": 0.26, "hybrid_rrf": 1.92,

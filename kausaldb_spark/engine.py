@@ -618,11 +618,17 @@ class KausalEngine:
         lands in stats/status() after the caller's action."""
 
         def build():
+            # the persisted session views (snapshot/edges_snapshot), not the
+            # parquet-backed derivations: a 1-hop traversal otherwise re-ran
+            # the 3 anti-joins + window as ~20 separate AQE jobs and per-job
+            # overhead dominated the daemon's show latency (r10 profile:
+            # 3.0 s -> ~1.2 s; pushdown buys nothing here — the block join
+            # is a broadcast of the ≤10k reached ids either way)
             reached = tv.bfs(
-                self.store.visible_edges(), start_ids, direction, edge_filter,
+                self.store.edges_snapshot(), start_ids, direction, edge_filter,
                 max_depth, max_results,
             )
-            out = reached.join(self.store.visible(), "id")
+            out = reached.join(self.store.snapshot(), "id")
             if workspace:
                 out = out.where(out.codebase == workspace)
             out = out.select(
@@ -693,11 +699,15 @@ class KausalEngine:
             return self.spark.range(0).selectExpr("'' as path", "0 as depth")
         return self._timed(
             "trace", ("trace", a, b, max_depth),
-            lambda: tv.find_paths_between(self.store.visible_edges(), a, b, max_depth=max_depth),
+            lambda: tv.find_paths_between(self.store.edges_snapshot(), a, b, max_depth=max_depth),
         )
 
     def context_query(self, q: cx.ContextQuery) -> dict[str, DataFrame]:
-        return cx.execute_context_query(self.store.visible(), self.store.visible_edges(), q)
+        # multi-read flow (anchors + per-rule expansions re-scan both
+        # relations): the persisted session views, per snapshot()'s contract
+        return cx.execute_context_query(
+            self.store.snapshot(), self.store.edges_snapshot(), q
+        )
 
     def register_sql_views(self, prefix: str = "kausal") -> None:
         """Expose the snapshot as SQL temp views: <prefix>_blocks (visible

@@ -1486,31 +1486,31 @@ def gopher_repetition(docs, text_col: str = "text", id_col: str = "doc_id"):
     DuckDB-oracle-checkable integer surface; ``rep_pass`` applies the
     paper's thresholds (module constants above).
 
-    Distributed shape — the expensive shingling pass runs ONCE and the
-    whole family is a two-scan lineage (no branch ever re-shingles):
-    scan 1 builds all nine gram tables from the token array via
-    ``shingles`` + indexed transform, shuffle #1 keyed by (doc, n, gram)
-    aggregates (count, occurrence positions) with map-side combine, and
-    shuffle #2 keyed by doc folds them into one row per document — the
-    top-gram picks as conditional aggregates (the (count, token-chars,
-    gram) struct-max IS the deterministic tie-break) plus the
-    duplicated-gram (n, positions) groups as collected lists (the
-    count > 1 sliver only). Scan 2 is tokenize-only (no shingles, no
-    shuffle): per-doc token lengths + total chars, equi-joined by doc.
-    The overlap-once dup fraction is then pure higher-order array math
-    inside the row: duplicated starts expand to their ≤ n covered
-    positions, ``array_distinct`` realizes the interval union, and a fold
-    over the token-length array sums each covered token's chars exactly
-    once. (Two rejected formulations, measured: branching the aggregated
-    gram table 4 ways re-ran the scan+shingle per branch — per-branch
-    column pruning specializes every subtree below the exchange, so
-    ReuseExchange never fires; and folding token lengths through the gram
-    shuffle as n=1 rows + a per-doc position map cost ~15% more than this
-    shape at sf0.1 AND sf1.) Everything is codegen'd built-ins; no UDF,
-    no window, no driver-side work. Skew/memory: shuffle #1 keys finer
-    than doc, so a giant document cannot hot-spot a partition there; the
-    per-doc row in shuffle #2 carries only duplicated-gram positions,
-    O(tokens) ints worst-case — the same order as the document text.
+    Distributed shape — MAP-ONLY (r10): the input is already one row per
+    document and every metric is a within-document statistic, so the whole
+    family is in-row higher-order array math — zero shuffles, zero joins;
+    at 100 TB it rides the corpus scan like ``c4_rules``. Per row: ONE
+    tokenize, one ``shingles`` pass per n, then each family's grams are
+    ``array_sort``-ed and a neighbor scan over the sorted array does what
+    a group-by did before — run starts (an element differing from its
+    predecessor) delimit the per-gram counts for the top-n pick, and an
+    element equal to its sorted neighbor IS a duplicated gram for the
+    dup-n families. The top pick is a struct-max over (count, token-chars,
+    gram) runs (the deterministic tie-break: count desc, longer gram,
+    lexicographically-last); duplicated starts expand to their ≤ n covered
+    positions, ``array_distinct`` realizes the overlap-once interval
+    union, and a fold over the token-length array sums each covered
+    token's chars exactly once. All indexing is ``F.get`` (0-based,
+    null-on-out-of-bounds — ANSI-safe where ``element_at`` throws).
+    Stages are separate selects so each sorted array materializes once per
+    row (CollapseProject keeps non-cheap aliases un-inlined). Everything
+    is codegen'd built-ins; no UDF, no window, no driver-side work.
+    Skew: a giant document is one long task, not a hot shuffle partition —
+    O(m log m) per doc vs the previous two-shuffle shape whose exchange
+    carried every singleton n≥5 gram's position list (measured 12.2 s
+    median at sf0.1; this shape replaced it after the r9 drift flag —
+    three earlier formulations and their measurements are in git history
+    at this docstring).
 
     Output: (id, total_chars, top_2gram_char_ppm, top_3gram_char_ppm,
     top_4gram_char_ppm, dup_5gram_char_ppm .. dup_10gram_char_ppm,
@@ -1519,88 +1519,134 @@ def gopher_repetition(docs, text_col: str = "text", id_col: str = "doc_id"):
     top_n = sorted(GOPHER_TOP_NGRAM_MAX_PPM)
     dup_n = sorted(GOPHER_DUP_NGRAM_MAX_PPM)
 
-    def _gram_structs(n: int):
-        return F.transform(
-            shingles(F.col("t"), n),
-            lambda g, i: F.struct(
-                F.lit(n).alias("n"), i.alias("pos"), g.alias("gram")
-            ),
+    def _idx(sz):
+        # 0..sz-1; guarded because sequence(0, -1) would DESCEND, not
+        # return empty
+        return F.when(sz > 0, F.sequence(F.lit(0), sz - 1)).otherwise(
+            F.array().cast("array<int>")
         )
 
-    grams = (
-        docs.select(F.col(id_col), toks.alias("t"))
-        .select(
-            id_col,
-            F.explode(
-                F.concat(*[_gram_structs(n) for n in top_n + dup_n])
-            ).alias("g"),
-        )
-        .select(id_col, "g.n", "g.pos", "g.gram")
-    )
-    # positions are only consumed by the n>=5 dup families — when() nulls
-    # them out of the list for n=2..4 so the top grams never pay
-    # position-list shuffle bytes
-    agg = grams.groupBy(id_col, "n", "gram").agg(
-        F.count("*").alias("c"),
-        F.collect_list(
-            F.when(F.col("n") >= dup_n[0], F.col("pos"))
-        ).alias("ps"),
-    )
-
-    # ONE per-doc fold. top-n-gram chars = count * token-chars of the gram
-    # (the ' '-joined gram carries exactly n-1 separators); the struct-max
-    # over (c, token-chars, gram) is the tie-break: count desc, then
-    # longer gram, then lexicographically-last gram.
-    gram_tok_chars = F.length("gram") - (F.col("n") - 1)
-    per_doc = agg.groupBy(id_col).agg(
-        *[
-            F.max(
-                F.when(
-                    F.col("n") == n,
-                    F.struct(
-                        F.col("c").alias("c"),
-                        gram_tok_chars.alias("tl"),
-                        F.col("gram").alias("g"),
-                    ),
-                )
-            ).alias(f"top{n}")
-            for n in top_n
-        ],
-        F.collect_list(
-            F.when(
-                (F.col("n") >= dup_n[0]) & (F.col("c") > 1),
-                F.struct(F.col("n").alias("n"), F.col("ps").alias("ps")),
-            )
-        ).alias("dupgroups"),
-    )
-
-    # scan 2 (tokenize-only, no shingles, no shuffle): per-token char
-    # lengths + total chars, the lookup side of the covered-position fold
-    base = docs.select(
-        F.col(id_col),
-        F.transform(toks, lambda t: F.length(t)).alias("lens"),
+    # stage 1 — tokenize once; gram arrays built INCREMENTALLY (g_n =
+    # g_{n-1} ++ one shifted token slice): 9 zip_with passes total where
+    # independent `shingles` calls per family cost sum(n-1) = 44 — HOFs are
+    # interpreted, not codegen'd, so pass count is the real cost (measured
+    # 4.4 s -> ~1.2 s at sf0.1 for the builds alone). One chained select
+    # per n so each gram array is a materialized attribute, computed once.
+    all_n = top_n + dup_n
+    cur = docs.select(F.col(id_col), toks.alias("_t")).select(
+        id_col,
+        "_t",
+        F.transform("_t", lambda x: F.length(x)).alias("_lens"),
         F.coalesce(
-            F.aggregate(toks, F.lit(0).cast("bigint"), lambda a, t: a + F.length(t)),
+            F.aggregate("_t", F.lit(0).cast("bigint"), lambda a, x: a + F.length(x)),
             F.lit(0).cast("bigint"),
         ).alias("total_chars"),
+        shingles(F.col("_t"), all_n[0]).alias(f"_g{all_n[0]}"),
     )
+    for n in all_n[1:]:
+        sz = F.greatest(F.size("_t") - (n - 1), F.lit(0))
+        cur = cur.select(
+            "*",
+            F.zip_with(
+                F.slice(F.col(f"_g{n - 1}"), 1, sz),
+                F.slice(F.col("_t"), n, sz),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            ).alias(f"_g{n}"),
+        )
+
+    # per-family sorted gram arrays. Top families sort bare gram strings;
+    # dup families sort (gram, position) structs (array_sort on structs
+    # orders by fields, so equal grams are adjacent)
+    s1 = cur.select(
+        id_col,
+        "_lens",
+        "total_chars",
+        *[F.array_sort(F.col(f"_g{n}")).alias(f"_sg{n}") for n in top_n],
+        *[
+            F.array_sort(
+                F.transform(
+                    F.col(f"_g{n}"),
+                    lambda g, i: F.struct(g.alias("g"), i.alias("p")),
+                )
+            ).alias(f"_sp{n}")
+            for n in dup_n
+        ],
+    )
+
+    def _starts(n):
+        # indices where a new run begins in the sorted gram array
+        sg = F.col(f"_sg{n}")
+        return F.filter(
+            _idx(F.size(sg)),
+            lambda i: (i == 0) | (F.get(sg, i) != F.get(sg, i - 1)),
+        )
+
+    def _dup_starts(n):
+        # original positions of grams equal to a sorted neighbor (count>1);
+        # at the array edges F.get yields NULL and three-valued logic
+        # resolves the comparison to not-true, which filter drops
+        sp = F.col(f"_sp{n}")
+        return F.transform(
+            F.filter(
+                _idx(F.size(sp)),
+                lambda i: ((i > 0) & (F.get(sp, i)["g"] == F.get(sp, i - 1)["g"]))
+                | (F.get(sp, i)["g"] == F.get(sp, i + 1)["g"]),
+            ),
+            lambda i: F.get(sp, i)["p"],
+        )
+
+    # stage 2 — run starts / duplicated starts (reference the stage-1
+    # arrays as plain attributes: computed once per row)
+    s2 = s1.select(
+        id_col, "_lens", "total_chars",
+        *[F.col(f"_sg{n}") for n in top_n],
+        *[_starts(n).alias(f"_st{n}") for n in top_n],
+        *[_dup_starts(n).alias(f"_ds{n}") for n in dup_n],
+    )
+
+    def _best(n):
+        # runs -> (count, token-chars, gram) structs; max IS the tie-break.
+        # count = next run start (or array end) minus this start; the
+        # ' '-joined gram carries exactly n-1 separators
+        sg, st = F.col(f"_sg{n}"), F.col(f"_st{n}")
+        runs = F.transform(
+            st,
+            lambda s, k: F.struct(
+                (F.coalesce(F.get(st, k + 1), F.size(sg)) - s)
+                .cast("bigint")
+                .alias("c"),
+                (F.length(F.get(sg, s)) - F.lit(n - 1)).alias("tl"),
+                F.get(sg, s).alias("g"),
+            ),
+        )
+        return F.aggregate(
+            runs,
+            F.lit(None).cast("struct<c:bigint,tl:int,g:string>"),
+            lambda acc, x: F.when(acc.isNull() | (x > acc), x).otherwise(acc),
+        )
 
     def _dup_chars(n: int):
         # duplicated n-gram starts -> covered positions -> distinct union
         # -> fold token chars; each char counted once per the paper
-        starts = F.flatten(
-            F.transform(
-                F.filter("dupgroups", lambda d: d["n"] == n), lambda d: d["ps"]
-            )
-        )
         cov = F.array_distinct(
-            F.flatten(F.transform(starts, lambda p: F.sequence(p, p + F.lit(n - 1))))
+            F.flatten(
+                F.transform(
+                    F.col(f"_ds{n}"), lambda p: F.sequence(p, p + F.lit(n - 1))
+                )
+            )
         )
         return F.aggregate(
             cov,
             F.lit(0).cast("bigint"),
-            lambda a, p: a + F.element_at(F.col("lens"), p + 1),
+            lambda a, p: a + F.get(F.col("_lens"), p),
         )
+
+    # stage 3 — per-family scalars
+    s3 = s2.select(
+        id_col, "total_chars",
+        *[_best(n).alias(f"_top{n}") for n in top_n],
+        *[_dup_chars(n).alias(f"_dc{n}") for n in dup_n],
+    )
 
     def ppm(c):
         # exact bigint floor (house rule, same as gopher_quality's fdiv):
@@ -1610,21 +1656,16 @@ def gopher_repetition(docs, text_col: str = "text", id_col: str = "doc_id"):
         den = F.greatest(F.col("total_chars").cast("bigint"), F.lit(1).cast("bigint"))
         return ((num - num % den) / den).cast("bigint")
 
-    # empty docs (zero grams) produce no agg rows — the base side of the
-    # left join restores them with all-zero metrics
-    out = (
-        base.join(per_doc, id_col, "left")
-        .select(
-            id_col,
-            "total_chars",
-            *[
-                ppm(F.col(f"top{n}.c") * F.col(f"top{n}.tl")).alias(
-                    f"top_{n}gram_char_ppm"
-                )
-                for n in top_n
-            ],
-            *[ppm(_dup_chars(n)).alias(f"dup_{n}gram_char_ppm") for n in dup_n],
-        )
+    out = s3.select(
+        id_col,
+        "total_chars",
+        *[
+            ppm(F.col(f"_top{n}.c") * F.col(f"_top{n}.tl")).alias(
+                f"top_{n}gram_char_ppm"
+            )
+            for n in top_n
+        ],
+        *[ppm(F.col(f"_dc{n}")).alias(f"dup_{n}gram_char_ppm") for n in dup_n],
     )
     passed = F.lit(True)
     for n, thr in GOPHER_TOP_NGRAM_MAX_PPM.items():

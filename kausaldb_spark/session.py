@@ -15,7 +15,11 @@ import os
 from pyspark.sql import SparkSession
 
 
-def get_spark(app_name: str = "kausaldb-spark", cpus: str | None = None) -> SparkSession:
+def get_spark(
+    app_name: str = "kausaldb-spark",
+    cpus: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "*")
     # Executor Python workers must be able to import this package even when
     # the driver runs from elsewhere (mapInPandas closures reference it).
@@ -23,7 +27,7 @@ def get_spark(app_name: str = "kausaldb-spark", cpus: str | None = None) -> Spar
     pythonpath = os.environ.get("PYTHONPATH", "")
     if repo_root not in pythonpath.split(os.pathsep):
         os.environ["PYTHONPATH"] = repo_root + os.pathsep + pythonpath
-    return (
+    builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", "32")
@@ -40,5 +44,9 @@ def get_spark(app_name: str = "kausaldb-spark", cpus: str | None = None) -> Spar
         # captured combined (the bench driver's tail window) — keep program
         # stdout clean; progress is recoverable from the event log if needed
         .config("spark.ui.showConsoleProgress", "false")
-        .getOrCreate()
     )
+    # caller-supplied overrides (e.g. the skew gauntlet enables the event
+    # log to read per-task durations back out — the straggler audit)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -191,12 +191,286 @@ def _decode_bmp(data: bytes):
     return np.ascontiguousarray(img)
 
 
+# -- baseline JPEG (pure numpy; r10, closing most of the codec boundary) ----
+# ITU-T T.81 baseline sequential DCT, straight off the public spec: marker
+# walk -> DQT/DHT/SOF0/SOS/DRI, canonical Huffman entropy decode with
+# restart-interval chunking, dequantize + dezigzag, 8x8 matrix IDCT, chroma
+# upsample (integer replication), YCbCr->RGB. Progressive (SOF2),
+# arithmetic (SOF9+), hierarchical and 12-bit remain NotImplementedError;
+# every malformed-stream path normalizes to ValueError per decode_pixels'
+# error contract. Pinned in tests/test_multimodal.py against an
+# INDEPENDENT minimal encoder (forward DCT + canonical tables), the same
+# discipline as the PNG/BMP pins. Pure-Python bit loop: a correctness
+# boundary closure for small assets, not a throughput path.
+
+# natural (row-major) index of the i-th coefficient in zigzag order
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+_JPEG_SOF_UNSUPPORTED = {
+    0xC2: "progressive", 0xC3: "lossless", 0xC5: "differential sequential",
+    0xC6: "differential progressive", 0xC7: "differential lossless",
+    0xC9: "arithmetic sequential", 0xCA: "arithmetic progressive",
+    0xCB: "arithmetic lossless", 0xCD: "differential arithmetic seq",
+    0xCE: "differential arithmetic prog", 0xCF: "differential arithmetic ll",
+}
+
+
+def _jpeg_dct_basis():
+    import numpy as np
+
+    a = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1.0 / np.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            a[u, x] = 0.5 * cu * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    return a
+
+
+def _jpeg_build_huff(bits, vals):
+    """(length, code) -> symbol, canonical per T.81 Annex C."""
+    table, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            if k >= len(vals):
+                raise ValueError("JPEG DHT: counts exceed symbol list")
+            table[(ln, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+class _JpegBits:
+    __slots__ = ("buf", "pos", "cur", "nbits")
+
+    def __init__(self, buf):
+        self.buf, self.pos, self.cur, self.nbits = buf, 0, 0, 0
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.buf):
+                raise ValueError("truncated JPEG entropy stream")
+            self.cur = self.buf[self.pos]
+            self.pos += 1
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.cur >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _jpeg_huff_decode(br: "_JpegBits", table) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | br.bit()
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG huffman code")
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _decode_jpeg(data: bytes):
+    import struct
+
+    import numpy as np
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    qt: dict[int, "np.ndarray"] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) -> table
+    sof = None
+    dri = 0
+    pos = 2
+    scan_comps = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = data[pos + 1]
+        if marker in _JPEG_SOF_UNSUPPORTED:
+            raise NotImplementedError(
+                f"JPEG {_JPEG_SOF_UNSUPPORTED[marker]} (SOF {marker:#x}) "
+                "not decoded here — baseline sequential only"
+            )
+        (seg_len,) = struct.unpack(">H", data[pos + 2:pos + 4])
+        seg = data[pos + 4:pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT (possibly several tables)
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                i += 1
+                n = 64 * (2 if pq else 1)
+                raw = seg[i:i + n]
+                if len(raw) < n:
+                    raise ValueError("truncated DQT")
+                vals = (
+                    np.frombuffer(raw, ">u2").astype(np.int32)
+                    if pq else np.frombuffer(raw, np.uint8).astype(np.int32)
+                )
+                # kept in ZIGZAG order as read: coefficients are decoded in
+                # zigzag order too, so q[k] pairs with coef[k] directly
+                qt[tq] = vals
+                i += n
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                bits = list(seg[i + 1:i + 17])
+                n = sum(bits)
+                vals = list(seg[i + 17:i + 17 + n])
+                if len(vals) < n:
+                    raise ValueError("truncated DHT")
+                huff[(tc, th)] = _jpeg_build_huff(bits, vals)
+                i += 17 + n
+        elif marker in (0xC0, 0xC1):  # SOF0/1: baseline (extended) huffman
+            prec, h, w, nf = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if prec != 8:
+                raise NotImplementedError(f"JPEG {prec}-bit precision")
+            comps = []
+            for c in range(nf):
+                cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
+                )
+            if any(c["h"] < 1 or c["v"] < 1 for c in comps):
+                raise ValueError("JPEG sampling factor 0")
+            sof = {"h": h, "w": w, "comps": comps}
+        elif marker == 0xDD:  # DRI
+            (dri,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS: scan header, then entropy data
+            if sof is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            scan_comps = []
+            by_id = {c["id"]: c for c in sof["comps"]}
+            for c in range(ns):
+                cs, tdta = seg[1 + 2 * c:3 + 2 * c]
+                if cs not in by_id:
+                    raise ValueError(f"JPEG scan references unknown comp {cs}")
+                scan_comps.append(
+                    {**by_id[cs], "td": tdta >> 4, "ta": tdta & 15}
+                )
+            pos = pos + 2 + seg_len
+            break
+        pos += 2 + seg_len
+    if sof is None or scan_comps is None:
+        raise ValueError("JPEG without SOF/SOS")
+    if len(scan_comps) != len(sof["comps"]):
+        raise NotImplementedError("JPEG multi-scan (non-interleaved) layout")
+
+    # entropy stream: unstuff FF00, split restart-interval chunks at RSTn
+    chunks: list[bytearray] = [bytearray()]
+    i = pos
+    while i < len(data):
+        b = data[i]
+        if b == 0xFF:
+            m = data[i + 1] if i + 1 < len(data) else 0xD9
+            if m == 0x00:
+                chunks[-1].append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= m <= 0xD7:
+                chunks.append(bytearray())
+                i += 2
+                continue
+            break  # EOI or a following marker
+        chunks[-1].append(b)
+        i += 1
+
+    h, w = sof["h"], sof["w"]
+    if h == 0 or w == 0:
+        raise ValueError("JPEG zero dimension")
+    hmax = max(c["h"] for c in scan_comps)
+    vmax = max(c["v"] for c in scan_comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    basis = _jpeg_dct_basis()
+    planes = []
+    for c in scan_comps:
+        planes.append(np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8)))
+        if c["tq"] not in qt:
+            raise ValueError(f"JPEG missing quant table {c['tq']}")
+        if (0, c["td"]) not in huff or (1, c["ta"]) not in huff:
+            raise ValueError("JPEG missing huffman table")
+
+    preds = [0] * len(scan_comps)
+    chunk_i = 0
+    br = _JpegBits(chunks[0])
+    zz = np.asarray(_JPEG_ZIGZAG)
+    for mcu in range(mcux * mcuy):
+        if dri and mcu and mcu % dri == 0:
+            chunk_i += 1
+            if chunk_i >= len(chunks):
+                raise ValueError("JPEG missing restart marker")
+            br = _JpegBits(chunks[chunk_i])
+            preds = [0] * len(scan_comps)
+        my, mx = divmod(mcu, mcux)
+        for ci, c in enumerate(scan_comps):
+            dc_t, ac_t = huff[(0, c["td"])], huff[(1, c["ta"])]
+            q = qt[c["tq"]]
+            for b in range(c["v"] * c["h"]):
+                t = _jpeg_huff_decode(br, dc_t)
+                preds[ci] += _jpeg_extend(br.receive(t), t)
+                coef = np.zeros(64)
+                coef[0] = preds[ci] * q[0]
+                k = 1
+                while k < 64:
+                    rs = _jpeg_huff_decode(br, ac_t)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        raise ValueError("JPEG AC run past block end")
+                    coef[k] = _jpeg_extend(br.receive(s), s) * q[k]
+                    k += 1
+                block = np.zeros(64)
+                block[zz] = coef  # dezigzag to natural order
+                spatial = basis.T @ block.reshape(8, 8) @ basis + 128.0
+                by = my * c["v"] + b // c["h"]
+                bx = mx * c["h"] + b % c["h"]
+                planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = spatial
+    full = []
+    for ci, c in enumerate(scan_comps):
+        p = planes[ci]
+        p = np.repeat(np.repeat(p, vmax // c["v"], 0), hmax // c["h"], 1)
+        full.append(p[:h, :w])
+    if len(full) == 3:
+        y, cb, cr = full
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        bl = y + 1.772 * (cb - 128.0)
+        img = np.stack([r, g, bl], axis=-1)
+    elif len(full) == 1:
+        img = full[0][:, :, None]
+    else:
+        raise NotImplementedError(f"JPEG with {len(full)} components")
+    return np.clip(np.rint(img), 0, 255).astype(np.uint8)
+
+
 def decode_pixels(data: bytes):
     """Real pixel decode for the formats that need no external codec:
-    PNG (zlib inflate + unfilter) and BMP (uncompressed). Returns an
-    (h, w, channels) uint8 ndarray. JPEG/GIF remain the documented
-    NotImplementedError boundary — their entropy coding requires
-    libjpeg/giflib, which are not in this container.
+    PNG (zlib inflate + unfilter), BMP (uncompressed), and baseline
+    sequential JPEG (pure-numpy huffman + dequant + IDCT, r10). Returns an
+    (h, w, channels) uint8 ndarray. Progressive/arithmetic JPEG and GIF
+    remain the documented NotImplementedError boundary.
 
     Error contract: raises ONLY ValueError (malformed/corrupt/truncated
     payload) or NotImplementedError (format outside the codec boundary).
@@ -212,9 +486,12 @@ def decode_pixels(data: bytes):
             img = _decode_png(data)
         elif data[:2] == b"BM":
             img = _decode_bmp(data)
+        elif data[:2] == b"\xff\xd8":
+            img = _decode_jpeg(data)
         else:
             raise NotImplementedError(
-                "JPEG/GIF pixel decode requires libjpeg/giflib — not available here"
+                "GIF pixel decode (LZW) is not implemented here; "
+                "unknown container bytes otherwise"
             )
     except (struct.error, zlib.error, IndexError) as exc:
         raise ValueError(f"corrupt image payload: {exc}") from exc

@@ -733,6 +733,34 @@ class BlockStore:
                 "left_anti",
             )
 
+    def edges_snapshot(self) -> DataFrame:
+        """The visible_edges() view, persisted once per (session, store,
+        high-water mark, root) — the edge-side twin of :meth:`snapshot`.
+
+        Why it exists (r10, the e2e_show profile): every traversal
+        re-derived visible_edges from scratch — three broadcast anti-joins,
+        each becoming its own AQE job — so a ONE-hop callers query ran ~20
+        Spark jobs, and per-job overhead (not data) dominated the daemon's
+        show latency. The persisted frame plans as one InMemoryTableScan.
+        Invalidation matches snapshot(): edge/block/tombstone appends bump
+        the high-water mark (reserve-then-write), compact flips the root —
+        either changes the key; _invalidate_snapshot drops both caches."""
+        key = (
+            id(self.spark), os.path.abspath(self.path), "edges",
+            self.max_sequence(), self._root(),
+        )
+        hit = _SNAPSHOT_CACHE.get(key)
+        if hit is not None:
+            return hit
+        me = (id(self.spark), os.path.abspath(self.path), "edges")
+        for k in [k for k in _SNAPSHOT_CACHE if k[:3] == me and k != key]:
+            stale = _SNAPSHOT_CACHE.pop(k, None)  # racing evictors: 2nd no-ops
+            if stale is not None:
+                stale.unpersist()
+        snap = self.visible_edges().persist()
+        _SNAPSHOT_CACHE[key] = snap
+        return snap
+
     # -- cluster-scale layout ----------------------------------------------
 
     def materialize_bucketed(self, table_prefix: str, buckets: int = 32) -> None:

@@ -18,6 +18,35 @@ scalar decls are fn-qualified but fn-local CONTAINERS are not
 (zig_parser.zig:599-615 name recovery), comptime blocks are invisible at
 every scope, test bodies are never walked, anonymous containers in call
 position get null-container members with no method_of edge.
+
+r10 grammar extensions (the r9 verdict's S8 residual — the constructs the
+official AST walker handles structurally, zig_parser.zig:71-671):
+
+- ``usingnamespace`` decls: invisible — the official walker's process_node
+  and walk_children both fall through to the empty else for the
+  usingnamespace tag, so no unit and no edge (matched here).
+- error-set decls (``const E = error{..}``): is_node_a_container
+  (zig_parser.zig:527+) does NOT list error_set_decl, so the official
+  walker emits a plain const/var unit — matched here, including multiline
+  bodies and container/fn qualification.
+- ``inline for`` / ``inline while`` bodies: inline is a token, the node
+  tags are the plain for/while tags walk_children covers
+  (zig_parser.zig:257-276) — call edges inside belong to the enclosing fn.
+- ``errdefer`` bodies: DOCUMENTED SUPERSET. The official walk_children has
+  no defer/errdefer arm (its operand is never walked), so the official
+  walker drops these call edges; this repo's linear body scan keeps them —
+  same deliberate deviation as plain ``defer`` (a deferred call IS a call
+  dependency). Pinned here as edges-present.
+- anonymous container LITERALS (``.{ .a = 1 }``): pure data — a const
+  initialized by one is a plain const unit; calls inside literal fields in
+  call position still belong to the enclosing fn (struct_init fields are
+  walked, zig_parser.zig:296-309).
+- builtin ``@import`` chains (``const X = @import("m").Field``):
+  DOCUMENTED SUPERSET. The official walker only special-cases an init that
+  is DIRECTLY a builtin_call (zig_parser.zig:447-462); a field-access
+  chain falls through to a plain const. This repo keeps the import unit +
+  (X, m, imports) edge — the dependency on module m is real and the code
+  graph is better for it. Pinned here as import-present.
 """
 
 from __future__ import annotations
@@ -73,6 +102,41 @@ class _Gen:
         self.units[name] = "import"
         self.edges.add((name, name, "imports"))
 
+    def import_chain_decl(self) -> None:
+        # r10: `const X = @import("m").Field[.Sub]` — documented superset
+        # (the official walker emits a plain const here; we keep the
+        # dependency, see module docstring)
+        name, mod = self.fresh("ich"), self.fresh("mod")
+        chain = ".Field" + (".Sub" if self.rng.random() < 0.5 else "")
+        ext = ".zig" if self.rng.random() < 0.5 else ""
+        self.emit(f'const {name} = @import("{mod}{ext}"){chain};')
+        self.units[name] = "import"
+        self.edges.add((name, mod, "imports"))
+
+    def usingnamespace_decl(self) -> None:
+        # r10: invisible at every scope (official walker: empty else arms)
+        pub = "pub " if self.rng.random() < 0.5 else ""
+        mod = self.fresh("uns")
+        self.emit(f'{pub}usingnamespace @import("{mod}.zig");')
+
+    def error_set_decl(self, cq: str, fq: str) -> None:
+        # r10: error sets are NOT containers to the walker — plain const
+        name = self.fresh("Err")
+        pub = "pub " if self.rng.random() < 0.5 and not fq else ""
+        indent = "    " if fq else ""
+        if self.rng.random() < 0.5:
+            self.emit(f"{indent}{pub}const {name} = error{{ NotFound, Bad }};")
+        else:
+            self.emit(
+                f"{indent}{pub}const {name} = error{{",
+                f"{indent}    AccessDenied,",
+                f"{indent}    OutOfMemory,",
+                f"{indent}}};",
+            )
+        scope = fq or cq
+        qual = f"{scope}.{name}" if scope else name
+        self.units[qual] = "const"
+
     def fn_decl(self, cq: str, depth: int) -> None:
         name = self.fresh("f")
         pub = "pub " if self.rng.random() < 0.5 else ""
@@ -89,7 +153,12 @@ class _Gen:
     def fn_stmt(self, fq: str, cq: str, depth: int) -> None:
         roll = self.rng.random()
         if roll < 0.25:
-            self.const_scalar("", fq)
+            if self.rng.random() < 0.2:
+                # r10: fn-local error set — fn-qualified const, like any
+                # fn-local scalar (is_node_a_container excludes error sets)
+                self.error_set_decl("", fq)
+            else:
+                self.const_scalar("", fq)
         elif roll < 0.45:
             callee = self.fresh("callee")
             self.emit(f"    {callee}();")
@@ -160,7 +229,38 @@ class _Gen:
         """Calls nested inside statement blocks still belong to the
         enclosing fn — the walker scans fn bodies linearly, so if/while/
         switch/for/defer/catch nesting must not hide or duplicate edges."""
-        kind = self.rng.randrange(5)
+        kind = self.rng.randrange(8)
+        if kind == 5:
+            # r10: errdefer — call edge kept (documented superset; the
+            # official walk_children never visits defer/errdefer operands)
+            undo = self.fresh("undo")
+            if self.rng.random() < 0.5:
+                self.emit(f"    errdefer {undo}();")
+            else:
+                self.emit(
+                    "    errdefer {",
+                    f"        {undo}();",
+                    "    }",
+                )
+            self.edges.add((fq, undo, "calls"))
+            return
+        if kind == 6:
+            # r10: inline for — body calls belong to the enclosing fn
+            each = self.fresh("each")
+            self.emit(
+                "    inline for (items) |x| {",
+                f"        {each}(x);",
+                "    }",
+            )
+            self.edges.add((fq, each, "calls"))
+            return
+        if kind == 7:
+            # r10: call with an anonymous container LITERAL argument —
+            # pure data, but calls inside its fields still collect
+            take, run = self.fresh("take"), self.fresh("run")
+            self.emit(f"    {take}(.{{ .x = {run}(), .y = 2 }});")
+            self.edges |= {(fq, take, "calls"), (fq, run, "calls")}
+            return
         if kind == 0:
             cond, a, b = self.fresh("cond"), self.fresh("then"), self.fresh("els")
             self.emit(
@@ -221,11 +321,17 @@ class _Gen:
 
     def member(self, cq: str, depth: int) -> None:
         roll = self.rng.random()
-        if roll < 0.4:
+        if roll < 0.38:
             self.fn_decl(cq, depth)
-        elif roll < 0.65:
+        elif roll < 0.58:
             self.const_scalar(cq, "")
-        elif roll < 0.85 and depth < 3:
+        elif roll < 0.64:
+            self.error_set_decl(cq, "")
+        elif roll < 0.68:
+            self.usingnamespace_decl()
+        elif roll < 0.72:
+            self.anon_literal_const(cq)
+        elif roll < 0.88 and depth < 3:
             self.container_decl(cq, depth)
         else:
             hidden = self.fresh("hidden")
@@ -273,13 +379,29 @@ class _Gen:
         self.emit(f'extern "c" fn {name}(x: i32) i32;')
         self.units[name] = "function"
 
+    def anon_literal_const(self, cq: str) -> None:
+        # r10: const initialized by an anonymous container LITERAL — plain
+        # const unit, nothing from the literal body
+        name = self.fresh("cfg")
+        self.emit(f"const {name} = .{{ .a = 1, .b = .{{ .c = 2 }} }};")
+        qual = f"{cq}.{name}" if cq else name
+        self.units[qual] = "const"
+
     def toplevel(self) -> None:
         roll = self.rng.random()
-        if roll < 0.18:
+        if roll < 0.15:
             self.const_scalar("", "")
-        elif roll < 0.30:
+        elif roll < 0.25:
             self.import_decl()
-        elif roll < 0.52:
+        elif roll < 0.30:
+            self.import_chain_decl()
+        elif roll < 0.34:
+            self.usingnamespace_decl()
+        elif roll < 0.38:
+            self.error_set_decl("", "")
+        elif roll < 0.41:
+            self.anon_literal_const("")
+        elif roll < 0.55:
             self.fn_decl("", 0)
         elif roll < 0.77:
             self.container_decl("", 0)

@@ -561,3 +561,37 @@ def test_zig_labeled_block_initializer_decls_emit():
     names = {u[2]: u[1] for u in units}
     assert names["v"] == "const"
     assert names["inner"] == "const"
+
+
+def test_zig_chained_import_and_official_walker_deviations():
+    """r10 golden for the pinned S8 deviations (see the fuzz module
+    docstring for the full rationale, citations into
+    /root/reference/src/ingestion/parsers/zig_parser.zig):
+
+    - `const X = @import("m").Field` — the official walker only
+      special-cases a DIRECT builtin_call init (zig_parser.zig:447-462)
+      and emits a plain const for the chain; this repo keeps the import
+      unit + (X, m, imports) edge (deliberate superset: the module
+      dependency is real).
+    - `usingnamespace @import(...)` — invisible on both (official
+      walker: empty else arms for the tag).
+    - `const E = error{..}` — plain const on both (is_node_a_container
+      excludes error sets, zig_parser.zig:527+).
+    - `errdefer f();` — edge kept here; the official walk_children never
+      visits defer/errdefer operands (superset, same as plain defer).
+    """
+    from kausaldb_spark.sources.ingest import _parse_zig
+
+    src = (
+        'const AL = @import("std").ArrayList;\n'
+        'pub usingnamespace @import("mixin.zig");\n'
+        "const E = error{ NotFound };\n"
+        "fn risky() void {\n"
+        "    errdefer undo();\n"
+        "}\n"
+    )
+    units, edges = _parse_zig("t.zig", src)
+    names = {u[2]: u[1] for u in units}
+    assert names == {"AL": "import", "E": "const", "risky": "function"}
+    edge_set = {(e[1], e[2], e[3]) for e in edges}
+    assert edge_set == {("AL", "std", "imports"), ("risky", "undo", "calls")}

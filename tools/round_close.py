@@ -1,0 +1,157 @@
+"""Standing round-close gate (r9 verdict item 8): sf1 + skew gauntlets as
+ONE command with recorded thresholds, so scale drift is gated, not
+eyeballed.
+
+Runs, in order (each step skippable if its artifact is fresh):
+
+1. ``bench.py`` at sf0.1   -> BENCH_LOCAL.json         (the per-round record)
+2. ``tools/make_sf1.py``   -> .sf1/ (if absent)
+3. ``bench.py`` at sf1     -> BENCH_sf1_local.json     (10x-volume rehearsal)
+4. ``tools/bench_skew.py`` -> BENCH_skew_local.json    (adversarial skew)
+
+then evaluates THREE gates and writes ``ROUND_CLOSE.json``:
+
+- **regression gate** (sf0.1): no query > 2x its BASELINE_MEDIANS entry
+  (bench.py already computes this — re-checked here from the record);
+- **scale gate** (sf1/sf0.1): every query's observed 10x-volume factor
+  must be <= SCALE_FACTOR_MAX (sub-second sf0.1 queries are
+  overhead-bound and only reported); the five r9-new ops additionally
+  gate against their recorded sf1 medians in SF1_MEDIANS at 2x — the
+  same-round 13.4 -> 30.1 s gopher_repetition drift the r9 verdict
+  flagged is exactly what this catches;
+- **skew gate**: BENCH_skew gate_pass (zero errors, caps bind with
+  non-empty drop reports, no material unexplained straggler).
+
+Exit code 0 iff all three pass. Usage:
+
+    python tools/round_close.py [--skip-sf01] [--skip-sf1] [--skip-skew]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# observed 10x-data factor ceiling for queries >= 1 s at sf0.1: linear
+# scaling with noise headroom (the sf1 gauntlets have run at <= ~4x for
+# every gated query since r7; 6x flags a real superlinearity without
+# tripping on a noisy run)
+SCALE_FACTOR_MAX = 6.0
+
+# sf1 medians recorded r10 for the ops the r9 verdict named (plus their
+# per-query ceiling: 2x the recording, the same discipline as
+# BASELINE_MEDIANS at sf0.1). Re-record when a formulation changes.
+SF1_MEDIANS = {
+    "gopher_repetition": 11.5,  # r10 map-only formulation
+    "c4_rules": 0.45,
+    "hybrid_rrf": 2.6,
+    "ann_recall": 1.3,
+    "pack_best_fit": 1.9,
+}
+
+
+def _run_bench(sf_dir: str, out_name: str) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    p = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, capture_output=True, text=True, timeout=3600,
+    )
+    line = [ln for ln in p.stdout.strip().splitlines() if ln.startswith("{")][-1]
+    rec = json.loads(line)
+    with open(os.path.join(REPO, out_name), "w") as fh:
+        json.dump(rec, fh, indent=1)
+    return rec
+
+
+def main() -> None:
+    argv = sys.argv[1:]
+    gates: dict = {}
+
+    # -- 1. sf0.1 ----------------------------------------------------------
+    if "--skip-sf01" in argv and os.path.exists(f"{REPO}/BENCH_LOCAL.json"):
+        rec01 = json.load(open(f"{REPO}/BENCH_LOCAL.json"))
+    else:
+        print("[round_close] bench @ sf0.1 ...", flush=True)
+        rec01 = _run_bench("/root/testdata/sf0.1", "BENCH_LOCAL.json")
+    gates["regression"] = {
+        "regressions_2x": rec01.get("regressions_2x", []),
+        "ratio_geomean": rec01.get("ratio_geomean"),
+        "pass": not rec01.get("regressions_2x"),
+    }
+
+    # -- 2+3. sf1 ----------------------------------------------------------
+    sf1_dir = os.path.join(REPO, ".sf1")
+    if "--skip-sf1" in argv and os.path.exists(f"{REPO}/BENCH_sf1_local.json"):
+        rec1 = json.load(open(f"{REPO}/BENCH_sf1_local.json"))
+    else:
+        if not os.path.exists(os.path.join(sf1_dir, "documents.parquet")):
+            print("[round_close] building .sf1 ...", flush=True)
+            subprocess.run(
+                [sys.executable, os.path.join(REPO, "tools", "make_sf1.py")],
+                check=True, timeout=3600,
+            )
+        print("[round_close] bench @ sf1 ...", flush=True)
+        rec1 = _run_bench(sf1_dir, "BENCH_sf1_local.json")
+    scale_flags, sf1_flags, factors = [], [], {}
+    q01, q1 = rec01.get("queries", {}), rec1.get("queries", {})
+    for name, t0 in q01.items():
+        t1 = q1.get(name)
+        if not isinstance(t0, (int, float)) or not isinstance(t1, (int, float)):
+            continue
+        if name.startswith(("store_materialize", "graph_build", "ingest_", "e2e_")):
+            continue  # one-time builds / sf-independent paths
+        f = t1 / t0 if t0 > 0 else float("inf")
+        factors[name] = round(f, 2)
+        if t0 >= 1.0 and f > SCALE_FACTOR_MAX:
+            scale_flags.append({"query": name, "factor": round(f, 2)})
+    for name, med in SF1_MEDIANS.items():
+        t1 = q1.get(name)
+        if isinstance(t1, (int, float)) and t1 > 2.0 * med:
+            sf1_flags.append({"query": name, "sf1_sec": t1, "recorded": med})
+    gates["scale"] = {
+        "factor_max": SCALE_FACTOR_MAX,
+        "superlinear": scale_flags,
+        "sf1_median_2x": sf1_flags,
+        "n_errors_sf1": rec1.get("n_errors", 0),
+        "pass": not scale_flags and not sf1_flags and not rec1.get("n_errors"),
+        "factors": factors,
+    }
+
+    # -- 4. skew -----------------------------------------------------------
+    if "--skip-skew" in argv and os.path.exists(f"{REPO}/BENCH_skew_local.json"):
+        recs = json.load(open(f"{REPO}/BENCH_skew_local.json"))
+    else:
+        print("[round_close] skew gauntlet ...", flush=True)
+        p = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "bench_skew.py")],
+            capture_output=True, text=True, timeout=3600,
+        )
+        line = [
+            ln for ln in p.stdout.strip().splitlines() if ln.startswith("{")
+        ][-1]
+        recs = json.loads(line)
+    gates["skew"] = {
+        "gate_pass": recs.get("gate_pass"),
+        "n_errors": recs.get("n_errors"),
+        "caps": recs.get("caps"),
+        "worst_straggler": (recs.get("straggler") or {}).get("worst"),
+        "pass": recs.get("gate_pass") is True,
+    }
+
+    ok = all(g["pass"] for g in gates.values())
+    out = {"metric": "round_close", "pass": ok, "gates": gates}
+    with open(os.path.join(REPO, "ROUND_CLOSE.json"), "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps({**out, "gates": {
+        k: {kk: vv for kk, vv in v.items() if kk != "factors"}
+        for k, v in gates.items()
+    }}, separators=(",", ":")))
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
