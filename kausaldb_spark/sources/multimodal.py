@@ -8,12 +8,15 @@ Schema contract: an asset row is
 - ``meta`` carries typed sidecar fields (width, sample_rate, …) as strings
 
 The heavy stages run as ``mapInPandas`` over Arrow batches — payload bytes
-never pass through Python row-at-a-time. The codec boundary (r7): PNG and
-BMP pixel decode is REAL — pure zlib + numpy straight off the public specs
-(PNG chunk walk → IDAT inflate → per-scanline unfilter incl. Paeth; BMP
-BITMAPINFOHEADER, bottom-up padded rows, BGR(A)→RGB(A)); JPEG/GIF entropy
-decoding genuinely requires libjpeg/giflib and stays behind an explicit
-NotImplementedError. The deterministic fake decoder remains the default for
+never pass through Python row-at-a-time. Pixel decode is REAL for four
+containers, straight off the public specs with no codec library: PNG (r7:
+chunk walk → IDAT inflate → per-scanline unfilter incl. Paeth), BMP (r7:
+BITMAPINFOHEADER, bottom-up padded rows, BGR(A)→RGB(A)), baseline
+sequential JPEG (r10: huffman + dequant + IDCT in numpy), and GIF first
+frame (r10: variable-width LZW). The remaining boundary — progressive/
+arithmetic JPEG, 12-bit, unknown containers — stays behind an explicit
+NotImplementedError; each decoder is pinned against an INDEPENDENT
+test-side encoder. The deterministic fake decoder remains the default for
 the synthetic-asset plumbing tests.
 
 Scale notes: decode is the classic CPU-bound embarrassing-parallel stage —
@@ -465,12 +468,148 @@ def _decode_jpeg(data: bytes):
     return np.clip(np.rint(img), 0, 255).astype(np.uint8)
 
 
+# -- GIF (pure python LZW; r10) ----------------------------------------------
+# GIF87a/89a first frame, straight off the public spec: logical screen +
+# global/local color table, extension-block skip, variable-width LZW with
+# clear/EOI codes, deferred-clear (full-table) handling, interlace passes.
+# Animated GIFs return the FIRST frame composited on the logical screen.
+
+
+def _gif_lzw_decode(stream: bytes, min_code_size: int, npix: int) -> list:
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    width = min_code_size + 1
+    bitpos = 0
+    table: list | None = None
+    prev: list | None = None
+    out: list = []
+
+    def read_code(w: int) -> int:
+        nonlocal bitpos
+        v = 0
+        for i in range(w):
+            byte = bitpos >> 3
+            if byte >= len(stream):
+                raise ValueError("truncated GIF LZW stream")
+            v |= ((stream[byte] >> (bitpos & 7)) & 1) << i
+            bitpos += 1
+        return v
+
+    while len(out) < npix:
+        code = read_code(width)
+        if code == clear:
+            table = [[i] for i in range(clear)] + [None, None]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if table is None:
+            raise ValueError("GIF LZW code before initial clear")
+        if prev is None:
+            if code >= len(table) or table[code] is None:
+                raise ValueError("bad first GIF LZW code")
+            entry = table[code]
+        elif code < len(table):
+            if table[code] is None:
+                raise ValueError("GIF LZW references reserved code")
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < 4096:
+            entry = prev + prev[:1]  # the KwKwK case
+            table.append(entry)
+        else:
+            raise ValueError("GIF LZW code out of range")
+        out.extend(entry)
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    if len(out) < npix:
+        raise ValueError("GIF LZW ended short of the pixel count")
+    return out[:npix]
+
+
+def _decode_gif(data: bytes):
+    import struct
+
+    import numpy as np
+
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w, h = struct.unpack("<HH", data[6:10])
+    flags = data[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = data[pos:pos + 3 * n]
+        pos += 3 * n
+    canvas = np.zeros((h, w, 3), np.uint8)
+    if gct:  # background fill from the table's entry 0 region is optional;
+        canvas[:, :] = tuple(gct[0:3])  # entry 0 is a common default
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x21:  # extension: label then sub-blocks
+            pos += 2
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            ix, iy, iw, ih = struct.unpack("<HHHH", data[pos + 1:pos + 9])
+            iflags = data[pos + 9]
+            pos += 10
+            pal = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 7)
+                pal = data[pos:pos + 3 * n]
+                pos += 3 * n
+            if pal is None:
+                raise ValueError("GIF frame without any color table")
+            if pos >= len(data):
+                raise ValueError("truncated GIF before LZW data")
+            mcs = data[pos]
+            pos += 1
+            if not (2 <= mcs <= 11):
+                raise ValueError(f"bad GIF LZW min code size {mcs}")
+            stream = bytearray()
+            while pos < len(data) and data[pos] != 0:
+                n = data[pos]
+                stream += data[pos + 1:pos + 1 + n]
+                pos += 1 + n
+            pos += 1
+            idx = np.asarray(
+                _gif_lzw_decode(bytes(stream), mcs, iw * ih), np.int32
+            )
+            if int(idx.max(initial=0)) * 3 + 2 >= len(pal):
+                raise ValueError("GIF pixel index outside color table")
+            pal_arr = np.frombuffer(pal, np.uint8).reshape(-1, 3)
+            frame = pal_arr[idx].reshape(ih, iw, 3)
+            if (iflags >> 6) & 1:  # interlaced: 4 passes
+                de = np.zeros_like(frame)
+                rows = (
+                    list(range(0, ih, 8)) + list(range(4, ih, 8))
+                    + list(range(2, ih, 4)) + list(range(1, ih, 2))
+                )
+                de[rows] = frame
+                frame = de
+            if iy + ih > h or ix + iw > w:
+                raise ValueError("GIF frame exceeds logical screen")
+            canvas[iy:iy + ih, ix:ix + iw] = frame
+            return canvas  # first frame only
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block {b:#x}")
+    raise ValueError("GIF without image data")
+
+
 def decode_pixels(data: bytes):
     """Real pixel decode for the formats that need no external codec:
-    PNG (zlib inflate + unfilter), BMP (uncompressed), and baseline
-    sequential JPEG (pure-numpy huffman + dequant + IDCT, r10). Returns an
-    (h, w, channels) uint8 ndarray. Progressive/arithmetic JPEG and GIF
-    remain the documented NotImplementedError boundary.
+    PNG (zlib inflate + unfilter), BMP (uncompressed), baseline sequential
+    JPEG (pure-numpy huffman + dequant + IDCT, r10), and GIF first frame
+    (pure-python variable-width LZW, r10). Returns an (h, w, channels)
+    uint8 ndarray. Progressive/arithmetic JPEG remains the documented
+    NotImplementedError boundary.
 
     Error contract: raises ONLY ValueError (malformed/corrupt/truncated
     payload) or NotImplementedError (format outside the codec boundary).
@@ -488,10 +627,11 @@ def decode_pixels(data: bytes):
             img = _decode_bmp(data)
         elif data[:2] == b"\xff\xd8":
             img = _decode_jpeg(data)
+        elif data[:6] in (b"GIF87a", b"GIF89a"):
+            img = _decode_gif(data)
         else:
             raise NotImplementedError(
-                "GIF pixel decode (LZW) is not implemented here; "
-                "unknown container bytes otherwise"
+                "unrecognized container bytes — PNG/BMP/JPEG/GIF are decoded"
             )
     except (struct.error, zlib.error, IndexError) as exc:
         raise ValueError(f"corrupt image payload: {exc}") from exc

@@ -264,13 +264,21 @@ def test_bmp_decode_24_and_32_bit_with_padding():
     assert np.array_equal(got4, img4)
 
 
-def test_decode_boundary_still_explicit_for_jpeg():
+def test_decode_boundary_now_covers_jpeg_and_gif():
+    """r10: baseline JPEG and GIF are now DECODED (pins below); the
+    remaining boundary is progressive/arithmetic JPEG + unknown containers.
+    Magic-only blobs with no decodable body are malformed, not
+    out-of-boundary: ValueError per the decode_pixels error contract."""
     import pytest as _pytest
 
     from kausaldb_spark.sources.multimodal import decode_pixels
 
+    with _pytest.raises(ValueError):
+        decode_pixels(b"GIF89a" + b"\x00" * 32)  # no image descriptor
+    with _pytest.raises(ValueError):
+        decode_pixels(b"\xff\xd8\xff\xe0" + b"\x00" * 32)  # SOI, no SOF/SOS
     with _pytest.raises(NotImplementedError):
-        decode_pixels(b"\xff\xd8\xff\xe0" + b"\x00" * 32)  # JPEG SOI
+        decode_pixels(b"RIFFxxxxWEBP" + b"\x00" * 16)  # unknown container
 
 
 def test_decode_image_stats_and_resize_ops(spark):
@@ -349,3 +357,410 @@ def test_corrupt_payloads_are_per_row_isolated(spark):
     assert np.frombuffer(bytes(rs["ok"]["pixels"]), np.uint8).shape == (12,)
     for bad in ("corrupt_png", "trunc_bmp", "zero_dim_bmp"):
         assert rs[bad]["err"] and rs[bad]["pixels"] is None
+
+
+# -- baseline JPEG pins (r10) -------------------------------------------------
+# Independent minimal encoder, same discipline as _png_encode/_bmp_encode:
+# forward DCT + quantize + canonical huffman straight off T.81, sharing NO
+# code with the decoder. Uniform-length canonical tables (DC: 12 symbols at
+# 5 bits, AC: 162 symbols at 8 bits) keep the table blob out of the test;
+# all-ones codes are never assigned (the longest code is 161 < 255).
+
+_JZZ = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+_J_DC_SYMS = list(range(12))
+_J_AC_SYMS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+
+
+def _j_codes(nbits, syms):
+    """Canonical code assignment for a single-length table."""
+    return {sym: (nbits, i) for i, sym in enumerate(syms)}
+
+
+class _JBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, nbits, val):
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((val >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc, self.n = 0, 0
+
+    def flush(self):
+        while self.n:
+            self.put(1, 1)  # pad with 1s per spec
+
+
+def _j_dct_basis():
+    import numpy as np
+
+    a = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1 / np.sqrt(2)) if u == 0 else 1.0
+        for x in range(8):
+            a[u, x] = 0.5 * cu * np.cos((2 * x + 1) * u * np.pi / 16)
+    return a
+
+
+def _j_encode_block(bw, block, pred, qnat, dc, ac):
+    import numpy as np
+
+    a = _j_dct_basis()
+    f = a @ (block.astype(float) - 128.0) @ a.T
+    fq = np.rint(f / qnat).astype(int)
+    zz = [int(fq.flat[i]) for i in _JZZ]
+
+    def cat(v):
+        return int(abs(v)).bit_length()
+
+    def put_val(t, v):
+        if t:
+            bw.put(t, v if v >= 0 else v + (1 << t) - 1)
+
+    diff = zz[0] - pred
+    t = cat(diff)
+    bw.put(*dc[t])
+    put_val(t, diff)
+    run = 0
+    last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+    for k in range(1, last_nz + 1):
+        if zz[k] == 0:
+            run += 1
+            continue
+        while run > 15:
+            bw.put(*ac[0xF0])
+            run -= 16
+        s = cat(zz[k])
+        bw.put(*ac[(run << 4) | s])
+        put_val(s, zz[k])
+        run = 0
+    if last_nz < 63:
+        bw.put(*ac[0x00])  # EOB
+    return zz[0]
+
+
+def _jpeg_encode(img, subsample=False, restart_interval=0, q=1):
+    """Baseline sequential JPEG: 4:4:4 (or 4:2:0 with `subsample`),
+    flat quant table `q` (1 = near-lossless round-trip), optional DRI."""
+    import struct
+
+    import numpy as np
+
+    h, w = img.shape[:2]
+    ch = img.shape[2] if img.ndim == 3 else 1
+    dc = _j_codes(5, _J_DC_SYMS)
+    ac = _j_codes(8, _J_AC_SYMS)
+    qzz = bytes([q] * 64)
+    qnat = np.full((8, 8), float(q))
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + qzz
+    sy = (2, 2) if (subsample and ch == 3) else (1, 1)
+    comps = [(1, sy, 0)] + ([(2, (1, 1), 0), (3, (1, 1), 0)] if ch == 3 else [])
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for cid, (hs, vs), tq in comps:
+        sof += bytes([cid, (hs << 4) | vs, tq])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    for tc, syms, ln in ((0, _J_DC_SYMS, 5), (1, _J_AC_SYMS, 8)):
+        bits = [0] * 16
+        bits[ln - 1] = len(syms)
+        payload = bytes([tc << 4]) + bytes(bits) + bytes(syms)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    sos = bytes([len(comps)])
+    for cid, _hv, _tq in comps:
+        sos += bytes([cid, 0x00])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    # planes: YCbCr (or gray), padded to MCU multiples by edge replication
+    if ch == 3:
+        rgb = img.astype(float)
+        y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+        cb = 128.0 - 0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2]
+        cr = 128.0 + 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2]
+        planes = [y, cb, cr]
+    else:
+        planes = [img.reshape(h, w).astype(float)]
+    hmax, vmax = comps[0][1]
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+
+    def pad(p, ph, pw):
+        return np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), "edge")
+
+    prepped = []
+    for (cid, (hs, vs), _tq), p in zip(comps, planes):
+        if (hs, vs) != (hmax, vmax):  # subsample chroma by box average
+            p = pad(p, mcuy * vmax * 8, mcux * hmax * 8)
+            fy, fx = vmax // vs, hmax // hs
+            p = p.reshape(p.shape[0] // fy, fy, p.shape[1] // fx, fx).mean((1, 3))
+        else:
+            p = pad(p, mcuy * vs * 8, mcux * hs * 8)
+        prepped.append(p)
+
+    bw = _JBitWriter()
+    preds = [0] * len(comps)
+    rst = 0
+    for mcu in range(mcux * mcuy):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            bw.flush()
+            out += bw.out
+            bw = _JBitWriter()
+            out += bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+            preds = [0] * len(comps)
+        my, mx = divmod(mcu, mcux)
+        for ci, (cid, (hs, vs), _tq) in enumerate(comps):
+            for b in range(vs * hs):
+                by, bx = my * vs + b // hs, mx * hs + b % hs
+                blk = prepped[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                preds[ci] = _j_encode_block(bw, blk, preds[ci], qnat, dc, ac)
+    bw.flush()
+    out += bw.out + b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_baseline_roundtrip_444():
+    import numpy as np
+
+    from kausaldb_spark.sources.multimodal import decode_pixels, probe_dimensions
+
+    img = _rand_img(13, 11, 3, seed=42)  # non-multiple-of-8 dims
+    data = _jpeg_encode(img)
+    assert probe_dimensions(data) == ("jpeg", 11, 13)
+    got = decode_pixels(data)
+    assert got.shape == (13, 11, 3)
+    # flat q=1 tables: error = DCT/quant rounding + two color conversions
+    assert int(np.abs(got.astype(int) - img.astype(int)).max()) <= 4
+
+
+def test_jpeg_baseline_roundtrip_grayscale():
+    import numpy as np
+
+    from kausaldb_spark.sources.multimodal import decode_pixels
+
+    img = _rand_img(16, 8, 1, seed=9)
+    got = decode_pixels(_jpeg_encode(img))
+    assert got.shape == (16, 8, 1)
+    # no color conversion: pure DCT rounding
+    assert int(np.abs(got.astype(int) - img.astype(int)).max()) <= 2
+
+
+def test_jpeg_420_subsampling_and_restart_intervals():
+    import numpy as np
+
+    from kausaldb_spark.sources.multimodal import decode_pixels
+
+    # smooth gradient: chroma box-average loses almost nothing
+    yy, xx = np.mgrid[0:24, 0:20]
+    img = np.stack(
+        [(yy * 5) % 256, (xx * 7) % 256, ((yy + xx) * 3) % 256], -1
+    ).astype(np.uint8)
+    base = decode_pixels(_jpeg_encode(img, subsample=True))
+    assert base.shape == (24, 20, 3)
+    assert float(np.abs(base.astype(int) - img.astype(int)).mean()) <= 6.0
+    # restart markers change the byte stream but not the coefficients:
+    # decoded output must be IDENTICAL
+    with_rst = decode_pixels(_jpeg_encode(img, subsample=True, restart_interval=2))
+    assert np.array_equal(base, with_rst)
+
+
+def test_jpeg_error_contract():
+    import struct
+
+    import pytest as _pytest
+
+    from kausaldb_spark.sources.multimodal import decode_pixels
+
+    img = _rand_img(8, 8, 1, seed=1)
+    data = _jpeg_encode(img)
+    # truncated entropy stream -> ValueError (never a crash)
+    with _pytest.raises(ValueError):
+        decode_pixels(data[: len(data) - 6])
+    # progressive SOF2 -> explicit NotImplementedError boundary
+    prog = bytearray(data)
+    prog[prog.index(b"\xff\xc0") + 1] = 0xC2
+    with _pytest.raises(NotImplementedError):
+        decode_pixels(bytes(prog))
+    # headerless blob (SOI then garbage) -> ValueError
+    with _pytest.raises(ValueError):
+        decode_pixels(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
+    # 12-bit precision -> NotImplementedError
+    twelve = bytearray(data)
+    sof_at = twelve.index(b"\xff\xc0")
+    twelve[sof_at + 4] = 12
+    with _pytest.raises(NotImplementedError):
+        decode_pixels(bytes(twelve))
+
+
+# -- GIF pins (r10): independent LZW-compressing encoder ----------------------
+
+def _gif_lzw_encode(indices, mcs):
+    """Real LZW compressor (dict-based, emits the KwKwK-producing stream a
+    literal-only encoder never would). Width bump rule is the encoder-side
+    mirror of the decoder's (one code later: the decoder adds its entry
+    only after the second code), clear emitted as the table nears 4096."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    acc = [0, 0]  # bit accumulator: value, nbits (LSB-first packing)
+
+    state = {"width": mcs + 1, "next": eoi + 1, "dict": {}}
+
+    def emit(code):
+        v, n = acc
+        v |= code << n
+        n += state["width"]
+        while n >= 8:
+            out.append(v & 0xFF)
+            v >>= 8
+            n -= 8
+        acc[0], acc[1] = v, n
+
+    def reset_table():
+        state["dict"] = {(i,): i for i in range(clear)}
+        state["next"] = eoi + 1
+        state["width"] = mcs + 1
+
+    reset_table()
+    emit(clear)
+    cur = ()
+    for p in indices:
+        p = int(p)
+        nxt = cur + (p,)
+        if nxt in state["dict"]:
+            cur = nxt
+            continue
+        emit(state["dict"][cur])
+        state["dict"][nxt] = state["next"]
+        state["next"] += 1
+        if state["next"] == (1 << state["width"]) + 1 and state["width"] < 12:
+            state["width"] += 1
+        if state["next"] >= 4095:
+            emit(clear)
+            reset_table()
+        cur = (p,)
+    if cur:
+        emit(state["dict"][cur])
+    emit(eoi)
+    if acc[1]:
+        out.append(acc[0] & 0xFF)
+    return bytes(out)
+
+
+def _gif_encode(img_idx, palette, local_table=False, interlace=False, w=None, h=None):
+    """Independent GIF89a writer: logical screen + global or local color
+    table, optional interlace row permutation, sub-block framing."""
+    import struct
+
+    import numpy as np
+
+    ih, iw = img_idx.shape
+    w, h = w or iw, h or ih
+    n = len(palette)
+    size_field = max(1, (n - 1).bit_length()) - 1  # 2 << f entries
+    pal_bytes = bytearray()
+    for r, g, b in palette:
+        pal_bytes += bytes([r, g, b])
+    pal_bytes += b"\x00" * (3 * ((2 << size_field) - n))
+
+    out = bytearray(b"GIF89a") + struct.pack("<HH", w, h)
+    if local_table:
+        out += bytes([0x00, 0, 0])  # no GCT
+    else:
+        out += bytes([0x80 | size_field, 0, 0]) + pal_bytes
+    # a graphic-control extension the decoder must skip
+    out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    iflags = (0x80 | size_field if local_table else 0) | (0x40 if interlace else 0)
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, iw, ih) + bytes([iflags])
+    if local_table:
+        out += pal_bytes
+    rows = img_idx
+    if interlace:
+        order = (
+            list(range(0, ih, 8)) + list(range(4, ih, 8))
+            + list(range(2, ih, 4)) + list(range(1, ih, 2))
+        )
+        rows = img_idx[order]
+    mcs = max(2, size_field + 1)
+    out += bytes([mcs])
+    lzw = _gif_lzw_encode(rows.reshape(-1).tolist(), mcs)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_gif_decode_roundtrip_and_variants():
+    import numpy as np
+
+    from kausaldb_spark.sources.multimodal import decode_pixels
+
+    rng = np.random.RandomState(5)
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (17, 34, 51)]
+    idx = rng.randint(0, 4, size=(9, 7))
+    want = np.array(palette, np.uint8)[idx]
+
+    got = decode_pixels(_gif_encode(idx, palette))
+    assert got.shape == (9, 7, 3)
+    assert np.array_equal(got, want)
+
+    # local color table + interlace exercise their own paths
+    got_l = decode_pixels(_gif_encode(idx, palette, local_table=True))
+    assert np.array_equal(got_l, want)
+    got_i = decode_pixels(_gif_encode(idx, palette, interlace=True))
+    assert np.array_equal(got_i, want)
+
+
+def test_gif_lzw_table_growth_and_clear():
+    """Large random-index image: the LZW dict crosses several width bumps
+    and the 4096-entry clear — the growth/deferred-clear machinery, plus
+    the KwKwK case real compression produces."""
+    import numpy as np
+
+    from kausaldb_spark.sources.multimodal import decode_pixels
+
+    rng = np.random.RandomState(11)
+    palette = [(i * 16, 255 - i * 16, i) for i in range(16)]
+    idx = rng.randint(0, 16, size=(96, 128))
+    got = decode_pixels(_gif_encode(idx, palette))
+    want = np.array(palette, np.uint8)[idx]
+    assert np.array_equal(got, want)
+    # KwKwK explicitly: a run-heavy stream (aaa bbb aaa ...) hits it early
+    runs = np.repeat(rng.randint(0, 4, size=200), 3).reshape(20, 30)
+    pal4 = [(0, 0, 0), (85, 85, 85), (170, 170, 170), (255, 255, 255)]
+    got2 = decode_pixels(_gif_encode(runs, pal4))
+    assert np.array_equal(got2, np.array(pal4, np.uint8)[runs])
+
+
+def test_gif_frame_on_larger_screen_and_errors():
+    import numpy as np
+    import pytest as _pytest
+
+    from kausaldb_spark.sources.multimodal import decode_pixels
+
+    palette = [(9, 9, 9), (200, 100, 50)]
+    idx = np.ones((3, 4), int)
+    data = _gif_encode(idx, palette, w=6, h=5)
+    got = decode_pixels(data)
+    assert got.shape == (5, 6, 3)
+    assert np.array_equal(got[:3, :4], np.array(palette, np.uint8)[idx])
+    assert tuple(got[4, 5]) == (9, 9, 9)  # background = table entry 0
+
+    # truncated LZW -> ValueError
+    with _pytest.raises(ValueError):
+        decode_pixels(data[: len(data) - 4])
