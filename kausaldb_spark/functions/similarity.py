@@ -680,36 +680,71 @@ def semantic_dedup(
     wn = Window.partitionBy("kc")
     sized = assigned.withColumn("_n", F.count("*").over(wn))
     capped = sized.where(F.col("_n") <= max_cluster_size)
-    # intra-cluster candidate pairs as a kc-keyed SELF-JOIN: Tungsten's
-    # hash join + codegen cosine beat the collect_list → nested-transform
-    # explode it replaced ~2x at sf1 (the array formulation re-slices the
-    # whole group per pair), and the join never materializes a cluster as
-    # one row — group size stops being bounded by single-row limits.
-    # Each vector is L2-normalized ONCE before the join so the pair
-    # predicate is a bare dot product — the norms otherwise recompute per
-    # PAIR (i.e. ~cluster_size times per vector) and cost 2 of every 3
-    # multiplies in the hot loop (r9: cut sf1 pair-scan wall time, the
-    # query's true dominant cost — the k-means fit measured 1.4 s of 30).
-    # A zero vector normalizes to NaN, so its dots fail every >= and it
+    # intra-cluster candidate pairs as ONE Arrow-batched GEMM per k-means
+    # cluster (r10). Lineage of this hot loop, each step measured at sf1:
+    # collect_list + nested-transform explode (r7) -> kc-keyed self-join
+    # with codegen'd zip_with dot (r8, ~2x better) -> pre-normalized
+    # vectors so the predicate is a bare dot (r9, 30 -> 17.8 s) -> this:
+    # higher-order-function lambdas are INTERPRETED per element, so the
+    # self-join still paid ~target_cluster_size/2 * dim lambda evals per
+    # vector; a per-cluster V @ V.T in numpy (BLAS) does the same dots at
+    # vector-unit speed. applyInPandas groups by kc — exactly the dense
+    # linear algebra case the DataFrame API can't express natively; the
+    # Arrow boundary is documented and plan-guard-allowlisted. Memory is
+    # bounded two ways: clusters over max_cluster_size were dropped above
+    # (reported via with_dropped), and the GEMM runs in 1024-row blocks so
+    # a cap-sized cluster peaks at ~1024*max_cluster_size doubles, not
+    # n^2. Rows sort by id inside the group, so block row i < column j
+    # implies id_i < id_j — the (doc_a < doc_b) contract without a second
+    # pass. A zero vector normalizes to NaN, NaN >= t is False, so it
     # pairs with nothing — same outcome as cosine's 0/0.
     nrm = F.sqrt(
         F.aggregate(
             "v", F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
         )
     )
-    unit = capped.withColumn(
-        "vn", F.transform("v", lambda x: x.cast("double") / nrm)
+    unit = capped.select(
+        "kc", "id", F.transform("v", lambda x: x.cast("double") / nrm).alias("vn")
     )
-    left = unit.select("kc", F.col("id").alias("ia"), F.col("vn").alias("va"))
-    right = unit.select("kc", F.col("id").alias("ib"), F.col("vn").alias("vb"))
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
-    )
-    pairs = (
-        left.join(right, "kc")
-        .where(F.col("ia") < F.col("ib"))
-        .where(dot >= threshold)
-        .select(F.col("ia").alias("doc_a"), F.col("ib").alias("doc_b"))
+
+    thr = float(threshold)
+
+    def _gemm_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        v = np.stack(pdf["vn"].to_numpy()[order]).astype(np.float64)
+        n = len(ids)
+        out_a, out_b = [], []
+        block = 1024
+        for s in range(0, n, block):
+            g = v[s:s + block] @ v.T  # (b, n) dots
+            with np.errstate(invalid="ignore"):
+                mask = g >= thr  # NaN rows/cols -> False
+            for k in range(mask.shape[0]):
+                mask[k, : s + k + 1] = False  # keep strictly id_a < id_b
+            ai, bj = np.nonzero(mask)
+            out_a.append(ids[ai + s])
+            out_b.append(ids[bj])
+        if not out_a:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series([], dtype="int64"),
+                    "doc_b": pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "doc_a": np.concatenate(out_a).astype("int64"),
+                "doc_b": np.concatenate(out_b).astype("int64"),
+            }
+        )
+
+    pairs = unit.groupBy("kc").applyInPandas(
+        _gemm_pairs, "doc_a long, doc_b long"
     )
 
     from kausaldb_spark.functions.dedup import components_from_pairs

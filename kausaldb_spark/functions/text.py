@@ -1519,11 +1519,35 @@ def gopher_repetition(docs, text_col: str = "text", id_col: str = "doc_id"):
     top_n = sorted(GOPHER_TOP_NGRAM_MAX_PPM)
     dup_n = sorted(GOPHER_DUP_NGRAM_MAX_PPM)
 
-    def _idx(sz):
-        # 0..sz-1; guarded because sequence(0, -1) would DESCEND, not
-        # return empty
-        return F.when(sz > 0, F.sequence(F.lit(0), sz - 1)).otherwise(
-            F.array().cast("array<int>")
+    # HOF DISCIPLINE (r10 hang postmortem): no lambda body may reference a
+    # COLUMN — lambdas bind only their own element/index variables, and
+    # every array is consumed in ARGUMENT position. Rationale: when column
+    # pruning leaves an alias referenced exactly once, Catalyst inlines its
+    # defining expression at the use site; inlined into an HOF *argument*
+    # that costs one extra evaluation per row, but inlined into a lambda
+    # *body* it re-evaluates PER ELEMENT — an indexed F.get(sorted_arr, i)
+    # inside a filter turned O(m log m) into O(m^2 log m) and hung the
+    # curation pipeline (the standalone plan kept the attributes, so the
+    # direct query never showed it). Neighbor logic is therefore expressed
+    # as zip_with over SHIFTED COPIES (slice pads the tail comparison with
+    # null -> three-valued -> coalesce(false)), and per-run values are
+    # harvested with flag-conditional zips + array_compact instead of
+    # indexed lookups. The one residual indexed access (token lengths by
+    # covered position) binds `_lens`, which is referenced by all six dup
+    # families — multi-reference aliases are never single-ref-inlined.
+    # tests/test_plan_guard.py pins the pruned-projection plan's
+    # array_sort count so a future optimizer change can't regress this.
+
+    def _shift_left(arr):
+        # arr[1:], so zip_with(arr, _shift_left(arr), f) pairs each
+        # element with its successor (the last pairs with null)
+        return F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0)))
+
+    def _shift_right(arr, fill):
+        # [fill] ++ arr[:-1] — aligns each element with its predecessor
+        return F.concat(
+            F.array(fill),
+            F.slice(arr, 1, F.greatest(F.size(arr) - 1, F.lit(0))),
         )
 
     # stage 1 — tokenize once; gram arrays built INCREMENTALLY (g_n =
@@ -1573,61 +1597,67 @@ def gopher_repetition(docs, text_col: str = "text", id_col: str = "doc_id"):
         ],
     )
 
-    def _starts(n):
-        # indices where a new run begins in the sorted gram array
-        sg = F.col(f"_sg{n}")
-        return F.filter(
-            _idx(F.size(sg)),
-            lambda i: (i == 0) | (F.get(sg, i) != F.get(sg, i - 1)),
+    def _eq_next(arr, key=lambda x: x):
+        # eq_next[i] = key(arr[i]) == key(arr[i+1]) (false at the end)
+        return F.zip_with(
+            arr, _shift_left(arr),
+            lambda a, b: F.coalesce(key(a) == key(b), F.lit(False)),
         )
+
+    _BEST_T = "struct<c:bigint,tl:int,g:string>"
+
+    def _best(n):
+        # ONE bind-only fold over the sorted gram strings: track (current
+        # run length, current gram, best-so-far). A candidate is emitted
+        # at EVERY element; a run's intermediate candidates are dominated
+        # by its final one (same gram/tl, larger count), so the running
+        # struct-max over all candidates equals the max over complete
+        # runs. The (count, token-chars, gram) struct-max IS the
+        # tie-break; the ' '-joined gram carries exactly n-1 separators.
+        sg = F.col(f"_sg{n}")
+
+        def merge(acc, g):
+            same = F.coalesce(g == acc["g"], F.lit(False))
+            nl = F.when(same, acc["l"] + 1).otherwise(F.lit(1).cast("bigint"))
+            cand = F.struct(
+                nl.alias("c"),
+                (F.length(g) - F.lit(n - 1)).alias("tl"),
+                g.alias("g"),
+            )
+            nb = F.when(
+                acc["best"].isNull() | (cand > acc["best"]), cand
+            ).otherwise(acc["best"])
+            return F.struct(nl.alias("l"), g.alias("g"), nb.alias("best"))
+
+        init = F.struct(
+            F.lit(0).cast("bigint").alias("l"),
+            F.lit(None).cast("string").alias("g"),
+            F.lit(None).cast(_BEST_T).alias("best"),
+        )
+        return F.aggregate(sg, init, merge, lambda acc: acc["best"])
 
     def _dup_starts(n):
-        # original positions of grams equal to a sorted neighbor (count>1);
-        # at the array edges F.get yields NULL and three-valued logic
-        # resolves the comparison to not-true, which filter drops
+        # original positions of grams equal to a sorted neighbor (count>1)
         sp = F.col(f"_sp{n}")
-        return F.transform(
-            F.filter(
-                _idx(F.size(sp)),
-                lambda i: ((i > 0) & (F.get(sp, i)["g"] == F.get(sp, i - 1)["g"]))
-                | (F.get(sp, i)["g"] == F.get(sp, i + 1)["g"]),
-            ),
-            lambda i: F.get(sp, i)["p"],
+        eqn = _eq_next(sp, key=lambda x: x["g"])
+        eq_prev = _shift_right(eqn, F.lit(False))
+        dup_flag = F.zip_with(eqn, eq_prev, lambda a, b: a | b)
+        return F.array_compact(
+            F.zip_with(sp, dup_flag, lambda e, f: F.when(f, e["p"]))
         )
 
-    # stage 2 — run starts / duplicated starts (reference the stage-1
-    # arrays as plain attributes: computed once per row)
+    # stage 2 — per-family run maxima and duplicated starts (stage-1
+    # arrays referenced in argument position only)
     s2 = s1.select(
         id_col, "_lens", "total_chars",
-        *[F.col(f"_sg{n}") for n in top_n],
-        *[_starts(n).alias(f"_st{n}") for n in top_n],
+        *[_best(n).alias(f"_top{n}") for n in top_n],
         *[_dup_starts(n).alias(f"_ds{n}") for n in dup_n],
     )
 
-    def _best(n):
-        # runs -> (count, token-chars, gram) structs; max IS the tie-break.
-        # count = next run start (or array end) minus this start; the
-        # ' '-joined gram carries exactly n-1 separators
-        sg, st = F.col(f"_sg{n}"), F.col(f"_st{n}")
-        runs = F.transform(
-            st,
-            lambda s, k: F.struct(
-                (F.coalesce(F.get(st, k + 1), F.size(sg)) - s)
-                .cast("bigint")
-                .alias("c"),
-                (F.length(F.get(sg, s)) - F.lit(n - 1)).alias("tl"),
-                F.get(sg, s).alias("g"),
-            ),
-        )
-        return F.aggregate(
-            runs,
-            F.lit(None).cast("struct<c:bigint,tl:int,g:string>"),
-            lambda acc, x: F.when(acc.isNull() | (x > acc), x).otherwise(acc),
-        )
-
     def _dup_chars(n: int):
         # duplicated n-gram starts -> covered positions -> distinct union
-        # -> fold token chars; each char counted once per the paper
+        # -> fold token chars; each char counted once per the paper. The
+        # `_lens` bind inside the fold is the documented exception above.
         cov = F.array_distinct(
             F.flatten(
                 F.transform(
@@ -1644,7 +1674,7 @@ def gopher_repetition(docs, text_col: str = "text", id_col: str = "doc_id"):
     # stage 3 — per-family scalars
     s3 = s2.select(
         id_col, "total_chars",
-        *[_best(n).alias(f"_top{n}") for n in top_n],
+        *[F.col(f"_top{n}") for n in top_n],
         *[_dup_chars(n).alias(f"_dc{n}") for n in dup_n],
     )
 

@@ -51,3 +51,27 @@ def test_no_row_python_udf_and_no_cartesian(name, spark):
                 f"{name}: undocumented Python boundary ({marker})"
             )
     assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+
+
+def test_gopher_repetition_pruned_plan_no_lambda_inlining(spark):
+    """r10 hang postmortem pin: when a consumer prunes gopher_repetition's
+    projection (the curation funnel keeps only rep_pass), single-reference
+    aliases get inlined — and an expression inlined into an HOF LAMBDA
+    BODY re-evaluates per array element (the observed O(m^2 log m) hang:
+    array_sort re-run inside a filter predicate). The operator is written
+    bind-only (see its docstring), so even the fully-collapsed pruned plan
+    must contain each family's array_sort a BOUNDED number of times —
+    argument-position inlining duplicates at most a couple per family,
+    per-element inlining would multiply it into the hundreds."""
+    from kausaldb_spark.functions import text as tx
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c d e f g h i j k")], "doc_id long, text string"
+    )
+    pruned = tx.gopher_repetition(docs).select("rep_pass")
+    plan = pruned._jdf.queryExecution().optimizedPlan().toString()
+    n_sorts = plan.count("array_sort")
+    assert n_sorts <= 27, (
+        f"array_sort appears {n_sorts} times in the pruned plan — "
+        "lambda-body inlining is back"
+    )
