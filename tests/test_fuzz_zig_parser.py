@@ -57,7 +57,7 @@ import pytest
 
 from kausaldb_spark.sources.ingest import _parse_zig
 
-N_PROGRAMS = 600
+N_PROGRAMS = 1200  # r10: doubled with the grammar extension — runs in ~1 s
 MASTER_SEED = 0xC0DE
 
 

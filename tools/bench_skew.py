@@ -199,13 +199,18 @@ def straggler_report(eventlog_dir: str, windows: dict) -> dict:
 
     The data-share test is the point: every per-doc operator in this repo
     is LINEAR in document bytes (shingle, minhash, simhash, gopher), so a
-    task's duration should track its input+shuffle-read bytes. In this
-    fixture the one 100k-word doc is ~half of all corpus tokens, so the
-    task holding it is legitimately ~Nx its siblings — at 100 TB that same
-    doc is ~0.5% of a 128 MB split and the stage is bytes-balanced by
-    construction (maxPartitionBytes splits on bytes, and linear work per
-    byte means balanced bytes = balanced time). A straggler whose duration
-    ratio is > 2x its bytes ratio is NOT explained by data volume — that is
+    task's duration should track its data volume. Volume is measured on
+    BOTH sides — input + shuffle-read bytes AND shuffle-write bytes /
+    records — because parquet input bytes are COMPRESSED: the fixture's
+    synthetic giant doc compresses ~10x better than natural text, so its
+    scan task reads ~1x bytes while doing ~12x decompressed work; the
+    shuffle records it WRITES (its shingles) are exactly proportional to
+    that work. In this fixture the one 100k-word doc is ~half of all
+    corpus tokens, so the task holding it is legitimately ~Nx its
+    siblings — at 100 TB that same doc is ~0.5% of a 128 MB split and the
+    stage is volume-balanced by construction (many docs per split average
+    out per-doc variance, compressed or not). A straggler whose duration
+    ratio is > 2x EVERY volume ratio is NOT explained by data — that is
     the superlinear-per-row or hot-key pathology the gate exists for."""
     # Spark 4 writes a rolling event-log DIRECTORY (eventlog_v2_<app>/
     # events_1_<app> + an appstatus marker); walk every regular file
@@ -236,32 +241,36 @@ def straggler_report(eventlog_dir: str, windows: dict) -> dict:
                     ti = ev.get("Task Info") or {}
                     dur = (ti.get("Finish Time", 0) - ti.get("Launch Time", 0)) / 1000.0
                     tm = ev.get("Task Metrics") or {}
+                    srm = tm.get("Shuffle Read Metrics") or {}
+                    swm = tm.get("Shuffle Write Metrics") or {}
                     nbytes = float(
                         (tm.get("Input Metrics") or {}).get("Bytes Read", 0)
-                        + (tm.get("Shuffle Read Metrics") or {}).get(
-                            "Local Bytes Read", 0
-                        )
-                        + (tm.get("Shuffle Read Metrics") or {}).get(
-                            "Remote Bytes Read", 0
-                        )
+                        + srm.get("Local Bytes Read", 0)
+                        + srm.get("Remote Bytes Read", 0)
                     )
+                    wbytes = float(swm.get("Shuffle Bytes Written", 0))
+                    wrecs = float(swm.get("Shuffle Records Written", 0))
                     stage_tasks.setdefault(ev.get("Stage ID"), []).append(
-                        (dur, nbytes)
+                        (dur, nbytes, wbytes, wrecs)
                     )
     flagged, audited, explained = [], 0, []
     worst = {"ratio": 0.0}
     for sid, tasks in stage_tasks.items():
         if len(tasks) < 8:
             continue
-        durs = [d for d, _ in tasks]
+        durs = [t[0] for t in tasks]
         med = statistics.median(durs)
         if med < 0.2:
             continue
         audited += 1
-        dmax, bmax = max(tasks)  # the slowest task and ITS bytes
+        dmax, bmax, wbmax, wrmax = max(tasks)  # slowest task + ITS volumes
         ratio = dmax / med
-        med_bytes = statistics.median(b for _, b in tasks)
-        bytes_ratio = (bmax / med_bytes) if med_bytes > 0 else None
+        vol_ratios = []
+        for idx, vmax in ((1, bmax), (2, wbmax), (3, wrmax)):
+            med_v = statistics.median(t[idx] for t in tasks)
+            if med_v > 0:
+                vol_ratios.append(vmax / med_v)
+        vol_ratio = max(vol_ratios) if vol_ratios else None
         sub = stage_submit.get(sid, 0.0)
         qname = next(
             (q for q, (t0, t1) in windows.items() if t0 <= sub <= t1), "?"
@@ -274,7 +283,7 @@ def straggler_report(eventlog_dir: str, windows: dict) -> dict:
             "median_s": round(med, 2),
             "max_s": round(dmax, 2),
             "ratio": round(ratio, 2),
-            "bytes_ratio": round(bytes_ratio, 2) if bytes_ratio else None,
+            "volume_ratio": round(vol_ratio, 2) if vol_ratio else None,
         }
         if ratio > worst["ratio"]:
             worst = {"ratio": round(ratio, 2), **rec}
@@ -287,9 +296,10 @@ def straggler_report(eventlog_dir: str, windows: dict) -> dict:
         # a 0.28 s median) stay well above it, and at cluster scale task
         # medians are far larger so the floor is negligible there.
         if ratio > 4.0 and (dmax - med) >= 1.5:
-            # explained = the slow task read proportionally more data
-            # (linear work per byte); unexplained = hot key / superlinear
-            if bytes_ratio is not None and bytes_ratio >= ratio / 2.0:
+            # explained = the slow task moved proportionally more data on
+            # SOME side (linear work per unit volume); unexplained = hot
+            # key / superlinear per row
+            if vol_ratio is not None and vol_ratio >= ratio / 2.0:
                 explained.append(rec)
             else:
                 flagged.append(rec)
