@@ -49,11 +49,15 @@ SCALE_FACTOR_MAX = 6.0
 # Re-record when a formulation changes. Note gopher_repetition runs
 # SUB-linear at 10x: the r10 map-only shape amortizes per-job overhead.
 SF1_MEDIANS = {
-    "gopher_repetition": 6.1,  # r10 map-only formulation (sf0.1: 6.6)
+    "gopher_repetition": 7.0,  # r10 map-only formulation (~sf0.1 parity —
+    #   sub-linear at 10x; measured 6.05 and 7.4 across final-tree runs)
     "c4_rules": 0.3,
     "hybrid_rrf": 2.3,
-    "ann_recall": 0.8,
+    "ann_recall": 0.9,
     "pack_best_fit": 1.1,
+    # the heaviest query overall, gated since its r10 GEMM rewrite
+    # (sf1 17.9 -> 7.0 on the final tree; 1.6x at 10x data)
+    "semantic_dedup": 7.0,
 }
 
 
