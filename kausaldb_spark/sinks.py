@@ -127,6 +127,19 @@ def shard_digests(
     per-shard local sort, bounded by corpus/n_shards) + one groupBy."""
     from pyspark.sql import Window
 
+    # a run whose gates dropped EVERY row writes no part files (dynamic
+    # partitioning of zero rows leaves only _SUCCESS) — that is an empty
+    # corpus, not corruption: report zero shards instead of failing
+    # schema inference (r10, found by the all-stages composition test)
+    has_parquet = any(
+        f.endswith(".parquet")
+        for _root, _dirs, files in os.walk(path)
+        for f in files
+    )
+    if not has_parquet:
+        return spark.createDataFrame(
+            [], "shard int, n_rows bigint, digest string"
+        )
     df = spark.read.parquet(path)
     payload_cols = [c for c in df.columns if c not in ("shard", "_key")]
     pos = F.row_number().over(

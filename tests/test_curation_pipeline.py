@@ -399,3 +399,88 @@ def test_c4_stage_in_pipeline_gates_and_cleans(spark):
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_all_optional_stages_composed(spark, tmp_path_factory):
+    """r10 (the inlining-hang postmortem): EVERY optional gate enabled at
+    once — LM perplexity, Gopher word/line, Gopher n-gram repetition, C4
+    cleaning — on top of the always-on quality/dedup/decontamination
+    path. Per-stage tests exercise each gate against a mostly-bare plan;
+    this one pins the COMPOSED plan, where column pruning and project
+    collapsing interact across stage trees (the gopher_repetition hang
+    only reproduced under composition). The sf fixture has no terminal
+    punctuation (C4's fixed line rule would empty it — covered by the
+    zero-survivor test below), so the corpus is the fixture with a
+    sentence-shaped tail appended. Asserts the full funnel is monotone
+    with survivors, and survivors re-pass the repetition + C4 gates."""
+    src = str(tmp_path_factory.mktemp("allstages_src") / "docs.parquet")
+    (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .withColumn(
+            "text",
+            F.concat(
+                F.col("text"),
+                # doc-unique tail: a SHARED tail would put one 8-gram in
+                # every doc and the decontamination stage (rightly) drops
+                # everything sharing a benchmark-slice shingle
+                F.lit(" tail sentence nr "),
+                F.col("doc_id").cast("string"),
+                F.lit(" closes this properly."),
+            ),
+        )
+        .write.parquet(src)
+    )
+    out = tempfile.mkdtemp(prefix="kdb_curate_all_")
+    try:
+        m = curation.curate_and_write(
+            spark, src, out, n_shards=2,
+            lm_ref_sources=["src0", "src1", "src2", "src3", "src4"],
+            lm_max_bits_ppm=9_300_000,
+            gopher={"min_req_stopwords": 1, "min_words": 5},
+            gopher_rep=True,
+            c4={"min_words_per_line": 1, "min_sentences": 1},
+        )
+        f = m["funnel"]
+        order = [
+            "after_quality_gate", "after_c4_rules", "after_gopher_rules",
+            "after_gopher_repetition", "after_lm_filter",
+            "after_exact_dedup", "after_decontamination",
+        ]
+        for k in order:
+            assert k in f, f"missing funnel key {k} (got {sorted(f)})"
+        vals = [f[k] for k in order]
+        assert vals == sorted(vals, reverse=True), f
+        assert vals[-1] > 0, f
+        # survivors re-pass the two composed-plan-sensitive gates (shards
+        # store the cleaned/normalized text the gates ran on)
+        back = spark.read.parquet(out)
+        from kausaldb_spark.functions import text as tx
+        assert (
+            tx.gopher_repetition(back.select("doc_id", "text"))
+            .where(~F.col("rep_pass")).count() == 0
+        )
+        assert (
+            tx.c4_rules(back.select("doc_id", "text"),
+                        min_words_per_line=1, min_sentences=1)
+            .where(~F.col("c4_keep")).count() == 0
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_zero_survivor_run_is_graceful(spark):
+    """A gate set that drops EVERY document must produce a zero-count
+    funnel and an empty-manifest sink — not a schema-inference crash on
+    the empty output directory (r10: dynamic partitioning of zero rows
+    writes no part files). The raw sf fixture has no terminal
+    punctuation, so real C4 line rules empty it deterministically."""
+    out = tempfile.mkdtemp(prefix="kdb_curate_zero_")
+    try:
+        m = curation.curate_and_write(
+            spark, f"{SF_DIR}/documents.parquet", out, n_shards=2,
+            c4=True,
+        )
+        assert m["funnel"]["after_c4_rules"] == 0
+        assert m["shards"] == []
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
