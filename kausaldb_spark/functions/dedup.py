@@ -14,9 +14,11 @@ Pipeline shapes (all shuffle-conscious):
 - **SimHash**: 16-bit signature per doc (functions.text.simhash16);
   distance-0 pairs via signature groupBy.
 
-The min-hash family is "min over lexicographic md5(seed || '|' || shingle)"
-— hash-function-free portability: DuckDB computes the identical signature,
-which is what the oracle gate checks.
+The min-hash family (scheme v2, r10) draws its random bits from ONE md5
+per shingle and spreads seeds with universal integer mixes — engine-portable
+exactness: DuckDB computes the identical signature from the identical
+arithmetic (see MINHASH_SIG_VERSION below), which is what the oracle gate
+checks.
 
 The test corpus ships zero natural duplicates, so ``dedup_corpus`` plants
 deterministic exact copies (doc_id % 50) and near-copies with the first five
@@ -106,15 +108,51 @@ def doc_shingles(corpus: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+# MinHash signature scheme v2 (r10): ONE md5 per shingle supplies all the
+# randomness; the per-seed hashes are universal mixes of its two 44-bit
+# chunks, h_k = ((c0 mod P) * A_k + c1 mod P) mod P with P = 2^31 - 1 —
+# the standard (a*x + b) mod p family (Broder's MinHash uses exactly such
+# seeded universal hashes; only the RANDOM BITS need a strong hash, the
+# seeds just need pairwise spread). v1 computed md5(k || shingle) per seed:
+# 8x the cryptographic-hash work on the map side — the dominant per-byte
+# cost of the whole dedup pipeline at corpus scale. All products stay
+# under 2^62 (ANSI-safe), and the identical integer arithmetic runs in the
+# DuckDB twins via ('0x' || substring(md5(x), ..))::BIGINT. Any persisted
+# minhash_index carries sig_v and is rejected on mismatch — v1 indexes
+# must be rebuilt, silently mixing schemes would just miss every dup.
+MINHASH_SIG_VERSION = 2
+MIX_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+MIX_A = [
+    1_000_000_007, 998_244_353, 805_306_457, 469_762_049,
+    2_013_265_921, 1_610_612_741, 1_073_741_789, 1_296_217_291,
+]
+
+
+def _sig_chunks(shingle_col):
+    """(c0, c1): the md5's first/second 11 hex nibbles as bigints mod P."""
+    h = F.md5(shingle_col)
+    c0 = F.conv(F.substring(h, 1, 11), 16, 10).cast("bigint") % F.lit(MIX_P)
+    c1 = F.conv(F.substring(h, 12, 11), 16, 10).cast("bigint") % F.lit(MIX_P)
+    return c0, c1
+
+
 def minhash_signatures(sh: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
-    """(doc_id, k, minh): min over md5(k || '|' || shingle) per seed k.
-    The explode-by-seed then min-groupBy does partial (map-side) aggregation
+    """(doc_id, k, minh): min over the per-seed universal mix (scheme v2
+    above) per seed k. The md5 chunks are computed ONCE per shingle before
+    the seed explode; the min-groupBy does partial (map-side) aggregation
     before the shuffle — signature state per doc is tiny."""
+    c0, c1 = _sig_chunks(F.col("shingle"))
     seeds = F.explode(F.array(*[F.lit(k) for k in range(n_hashes)])).alias("k")
+    a_k = F.element_at(
+        F.array(*[F.lit(a) for a in MIX_A[:n_hashes]]), F.col("k") + 1
+    )
     return (
-        sh.select("doc_id", "shingle", seeds)
+        sh.select("doc_id", c0.alias("_c0"), c1.alias("_c1"))
+        .select("doc_id", "_c0", "_c1", seeds)
         .groupBy("doc_id", "k")
-        .agg(F.min(F.md5(F.concat(F.col("k").cast("string"), F.lit("|"), F.col("shingle")))).alias("minh"))
+        .agg(
+            F.min((F.col("_c0") * a_k + F.col("_c1")) % F.lit(MIX_P)).alias("minh")
+        )
     )
 
 
@@ -209,11 +247,14 @@ def _wide_signature_buckets(
     sorted pair (least, greatest) — string-identical to the sorted-list
     formulation the oracle uses."""
     assert band_size == 2, "wide bucket builder is specialized for band_size=2"
+    c0, c1 = _sig_chunks(F.col("shingle"))
+    pre = sh.select("doc_id", c0.alias("_c0"), c1.alias("_c1"))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("shingle")))).alias(f"h{k}")
+        F.min((F.col("_c0") * F.lit(MIX_A[k]) + F.col("_c1")) % F.lit(MIX_P))
+        .alias(f"h{k}")
         for k in range(n_hashes)
     ]
-    wide = sh.groupBy("doc_id").agg(*aggs)
+    wide = pre.groupBy("doc_id").agg(*aggs)
     bands = F.array(
         *[
             F.struct(
@@ -756,8 +797,12 @@ def minhash_index(corpus: DataFrame) -> DataFrame:
     partitioned by ``band`` for bucket-join pruning), appends each accepted
     batch's buckets, and dedups every incoming batch against it WITHOUT
     re-hashing the corpus — the incremental analogue of
-    ``minhash_pairs_for``'s self-join."""
-    return _wide_signature_buckets(doc_shingles(corpus))
+    ``minhash_pairs_for``'s self-join. Carries ``sig_v`` (the signature
+    scheme version): a persisted index from another scheme would silently
+    miss every duplicate, so ``near_dup_vs_corpus`` refuses it instead."""
+    return _wide_signature_buckets(doc_shingles(corpus)).withColumn(
+        "sig_v", F.lit(MINHASH_SIG_VERSION)
+    )
 
 
 def near_dup_vs_corpus(
@@ -784,6 +829,24 @@ def near_dup_vs_corpus(
     run ``minhash_pairs_for`` on the batch for that."""
     if index is None:
         index = minhash_index(corpus_docs)
+    # scheme guard on a CALLER-SUPPLIED (possibly persisted) index: buckets
+    # from a different signature scheme never match the batch's — that is
+    # a silent zero-dup result, so fail loudly instead
+    if "sig_v" in index.columns:
+        row = index.select("sig_v").first()
+        if row is not None and row["sig_v"] != MINHASH_SIG_VERSION:
+            raise ValueError(
+                f"minhash index was built with signature scheme "
+                f"v{row['sig_v']}; this build uses "
+                f"v{MINHASH_SIG_VERSION} — rebuild the index"
+            )
+        index = index.drop("sig_v")
+    else:
+        # an index persisted before versioning is scheme v1 by definition
+        raise ValueError(
+            "unversioned (pre-v2) minhash index — rebuild it with "
+            "minhash_index() on this build"
+        )
     idx_ok, _dropped = capped_buckets(index, max_bucket_size)
     new_buckets = _wide_signature_buckets(doc_shingles(new_docs))
     cand = (

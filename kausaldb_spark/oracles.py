@@ -64,15 +64,34 @@ FROM corpus GROUP BY md5(text) HAVING count(*) > 1"""
     )
 
 
+def _sigs_cte(n_hashes: int = 8) -> str:
+    """The v2 signature CTE (dedup.MINHASH_SIG_VERSION): one md5 per
+    shingle, per-seed universal mix ((c0 mod P) * A_k + c1 mod P) mod P —
+    the SAME integer arithmetic the Spark side runs; the seed constants
+    are imported so the two can never drift."""
+    from kausaldb_spark.functions.dedup import MIX_A, MIX_P
+
+    seed_rows = ", ".join(
+        f"({k}, {MIX_A[k]}::BIGINT)" for k in range(n_hashes)
+    )
+    return f"""
+sigs AS (
+  SELECT doc_id, k,
+         min(((('0x' || substring(md5(shingle), 1, 11))::BIGINT % {MIX_P})
+              * a
+              + ('0x' || substring(md5(shingle), 12, 11))::BIGINT % {MIX_P})
+             % {MIX_P}) AS minh
+  FROM sh CROSS JOIN (VALUES {seed_rows}) seeds(k, a)
+  GROUP BY doc_id, k
+),"""
+
+
 def _minhash_ctes(num: int = 7, den: int = 10, n_hashes: int = 8, band: int = 2) -> str:
     return (
         _TOK_SH
-        + f""",
-sigs AS (
-  SELECT doc_id, k, min(md5(k || '|' || shingle)) AS minh
-  FROM sh CROSS JOIN generate_series(0, {n_hashes - 1}) g(k)
-  GROUP BY doc_id, k
-),
+        + ","
+        + _sigs_cte(n_hashes)
+        + f"""
 bands AS (
   SELECT doc_id, k // {band} AS band,
          md5(array_to_string(list_sort(list(minh)), '|')) AS bucket
@@ -103,12 +122,9 @@ def incremental_dedup_sql(num: int = 7, den: int = 10, n_hashes: int = 8,
     return (
         "WITH "
         + _TOK_SH
-        + f""",
-sigs AS (
-  SELECT doc_id, k, min(md5(k || '|' || shingle)) AS minh
-  FROM sh CROSS JOIN generate_series(0, {n_hashes - 1}) g(k)
-  GROUP BY doc_id, k
-),
+        + ","
+        + _sigs_cte(n_hashes)
+        + f"""
 bands AS (
   SELECT doc_id, k // {band} AS band,
          md5(array_to_string(list_sort(list(minh)), '|')) AS bucket
