@@ -764,3 +764,74 @@ def test_gif_frame_on_larger_screen_and_errors():
     # truncated LZW -> ValueError
     with _pytest.raises(ValueError):
         decode_pixels(data[: len(data) - 4])
+
+
+# -- codec property tests (r10): hypothesis over the encoder/decoder pair ----
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYP = False
+
+if _HAVE_HYP:
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 40),
+        w=st.integers(1, 40),
+        ch=st.sampled_from([1, 3]),
+        seed=st.integers(0, 2**31 - 1),
+        subsample=st.booleans(),
+        dri=st.sampled_from([0, 1, 3]),
+        q=st.sampled_from([1, 2]),
+    )
+    def test_jpeg_roundtrip_hypothesis(h, w, ch, seed, subsample, dri, q):
+        """Random dims (incl. 1-pixel edges and non-multiple-of-8/16),
+        channels, subsampling, restart intervals, and two quant levels:
+        decode(encode(img)) stays within the quantization error bound and
+        never crashes."""
+        import numpy as np
+
+        from kausaldb_spark.sources.multimodal import decode_pixels
+
+        img = _rand_img(h, w, ch, seed=seed % 100000)
+        sub = subsample and ch == 3
+        got = decode_pixels(
+            _jpeg_encode(img, subsample=sub, restart_interval=dri, q=q)
+        )
+        assert got.shape == (h, w, ch)
+        if not sub:
+            # flat-q rounding bound: ~4q plus color-convert rounding
+            bound = 4 * q + (4 if ch == 3 else 0)
+            assert int(np.abs(got.astype(int) - img.astype(int)).max()) <= bound
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 48),
+        w=st.integers(1, 48),
+        n_colors=st.sampled_from([2, 4, 16, 64]),
+        seed=st.integers(0, 2**31 - 1),
+        local_table=st.booleans(),
+        interlace=st.booleans(),
+    )
+    def test_gif_roundtrip_hypothesis(h, w, n_colors, seed, local_table, interlace):
+        """Random dims, palette sizes (all LZW min-code widths 2..6),
+        table placement, and interlacing: GIF round-trips bit-exact."""
+        import numpy as np
+
+        rng = np.random.RandomState(seed % 100000)
+        palette = [
+            (int(rng.randint(256)), int(rng.randint(256)), int(rng.randint(256)))
+            for _ in range(n_colors)
+        ]
+        idx = rng.randint(0, n_colors, size=(h, w))
+        got = decode = None
+        from kausaldb_spark.sources.multimodal import decode_pixels
+
+        got = decode_pixels(
+            _gif_encode(idx, palette, local_table=local_table, interlace=interlace)
+        )
+        assert np.array_equal(got, np.array(palette, np.uint8)[idx])
