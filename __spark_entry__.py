@@ -991,34 +991,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (dfs_preorder + the two streaming ops — not SQL-expressible; their
     behavior is pytest-asserted in tests/).
 
-    Round-10 rotation (the r9 verdict's item 3, same discipline as r9's):
-    15 entries rotate INTO the sample window — the 14 oracle-backed tail
-    entries whose last driver row was r7/r8 (events_funnel,
-    cohort_retention, sliding_rollup, events_quantiles, events_topk_users,
-    pack_sequences, exact_dedup, ngram_jaccard, simhash_pairs, fingerprint,
-    edge_ordering, token_count_bpe, filter_targets, filter_pagination)
-    plus quality_score (the r9 bench watch item — a fresh driver row
-    re-anchors it). Displaced to the tail: 15 entries with a green r9
-    driver row on code paths unchanged in r10 (point_lookup,
-    batch_lookup_100, snapshot_view, find_alias_and_path, events_asof,
-    events_retention, events_hourly, bfs_depth5, traversal_edge_filters,
-    bm25_topk_ppm, source_overlap, line_dedup, canonical_selection,
-    chunk_documents, lang_id) — tests/test_oracle_parity.py still
-    hash-checks every oracle-backed entry each run with the identical
-    DuckDB harness; window position only affects which get a per-round
-    driver row. gopher_repetition stays in-window deliberately: its
-    formulation changed this round (map-only rewrite), so it must re-gate
-    against the driver's oracle. The remaining five r7/r8-rowed tail
-    entries (normalize_text, mixture_weights, domain_filter,
-    length_quantiles, source_mix) rotate next round.
+    Round-11 rotation (closes the rotation debt — the r10 verdict's item
+    2): the final five oracle-backed tail entries whose last driver row
+    was r7/r8 (normalize_text, mixture_weights, domain_filter,
+    length_quantiles, source_mix) rotate INTO the sample window; displaced
+    to the tail are five entries with a green r10 driver row on code paths
+    unchanged in r11 (events_funnel, cohort_retention, sliding_rollup,
+    events_quantiles, events_topk_users — the events family keeps
+    sessionize in-window as its rep). After this round EVERY oracle-backed
+    registry entry has a driver row from r9-r11. As always,
+    tests/test_oracle_parity.py still hash-checks every oracle-backed
+    entry on every pytest run with the identical DuckDB harness; window
+    position only affects which entries get a per-round driver row.
+    Rotation history: r10 rotated 15 in (the 14-entry r7/r8 tail +
+    quality_score) / 15 r9-green out; gopher_repetition re-gated its r10
+    map-only rewrite in-window.
     """
     return {
-        # -- rotated INTO the driver sample this round (last gated r7/r8) --
-        "events_funnel": _q_events_funnel,
-        "cohort_retention": _q_cohort_retention,
-        "sliding_rollup": _q_sliding_rollup,
-        "events_quantiles": _q_events_quantiles,
-        "events_topk_users": _q_events_topk_users,
+        # -- rotated INTO the driver sample this round (last gated r7/r8;
+        #    the final five of the r8 tail — rotation debt hits zero) --
+        "normalize_text": _q_normalize_text,
+        "mixture_weights": _q_mixture_weights,
+        "domain_filter": _q_domain_filter,
+        "length_quantiles": _q_length_quantiles,
+        "source_mix": _q_source_mix,
+        # -- r10-rotated entries retained in-window --
         "pack_sequences": _q_pack_sequences,
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -1070,7 +1067,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tail (position > 50: outside the driver sample; the oracle-
         #    backed entries here are still hash-gated by the local parity
         #    suite, the rows-only ones are pytest-gated) --
-        "point_lookup": _q_point_lookup,  # all 15 displaced entries below
+        "events_funnel": _q_events_funnel,  # displaced r11: green r10 rows
+        "cohort_retention": _q_cohort_retention,  # on paths unchanged this
+        "sliding_rollup": _q_sliding_rollup,  # round (events family keeps
+        "events_quantiles": _q_events_quantiles,  # sessionize in-window)
+        "events_topk_users": _q_events_topk_users,
+        "point_lookup": _q_point_lookup,  # 15 r10-displaced entries below
         "batch_lookup_100": _q_batch_lookup_100,  # carry a green r9 driver
         "snapshot_view": _q_snapshot_view,  # row on paths unchanged in r10
         "find_alias_and_path": _q_find_alias_and_path,
@@ -1091,11 +1093,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": _q_ann_lsh,
         "embedding_near_dup": _q_embedding_near_dup,
         "pii_scan": _q_pii_scan,
-        "normalize_text": _q_normalize_text,
-        "mixture_weights": _q_mixture_weights,
-        "domain_filter": _q_domain_filter,
-        "length_quantiles": _q_length_quantiles,
-        "source_mix": _q_source_mix,
         "repetition_score": _q_repetition_score,
         "token_count": _q_token_count,
         "split_assignment": _q_split_assignment,

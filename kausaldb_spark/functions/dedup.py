@@ -141,6 +141,12 @@ def minhash_signatures(sh: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
     above) per seed k. The md5 chunks are computed ONCE per shingle before
     the seed explode; the min-groupBy does partial (map-side) aggregation
     before the shuffle — signature state per doc is tiny."""
+    if n_hashes > len(MIX_A):
+        raise ValueError(
+            f"n_hashes={n_hashes} exceeds the {len(MIX_A)} fixed seed "
+            f"constants (MIX_A) of signature scheme v{MINHASH_SIG_VERSION}; "
+            "extend MIX_A (and bump the scheme version) to widen signatures"
+        )
     c0, c1 = _sig_chunks(F.col("shingle"))
     seeds = F.explode(F.array(*[F.lit(k) for k in range(n_hashes)])).alias("k")
     a_k = F.element_at(
@@ -247,6 +253,12 @@ def _wide_signature_buckets(
     sorted pair (least, greatest) — string-identical to the sorted-list
     formulation the oracle uses."""
     assert band_size == 2, "wide bucket builder is specialized for band_size=2"
+    if n_hashes > len(MIX_A):
+        raise ValueError(
+            f"n_hashes={n_hashes} exceeds the {len(MIX_A)} fixed seed "
+            f"constants (MIX_A) of signature scheme v{MINHASH_SIG_VERSION}; "
+            "extend MIX_A (and bump the scheme version) to widen signatures"
+        )
     c0, c1 = _sig_chunks(F.col("shingle"))
     pre = sh.select("doc_id", c0.alias("_c0"), c1.alias("_c1"))
     aggs = [
@@ -828,11 +840,13 @@ def near_dup_vs_corpus(
     New-vs-new duplicates inside the batch are deliberately NOT flagged —
     run ``minhash_pairs_for`` on the batch for that."""
     if index is None:
-        index = minhash_index(corpus_docs)
+        # built in-function just above: version-correct by construction, no
+        # extra Spark job to re-read the constant column (r10 ADVICE)
+        index = minhash_index(corpus_docs).drop("sig_v")
     # scheme guard on a CALLER-SUPPLIED (possibly persisted) index: buckets
     # from a different signature scheme never match the batch's — that is
     # a silent zero-dup result, so fail loudly instead
-    if "sig_v" in index.columns:
+    elif "sig_v" in index.columns:
         row = index.select("sig_v").first()
         if row is not None and row["sig_v"] != MINHASH_SIG_VERSION:
             raise ValueError(

@@ -637,12 +637,25 @@ def semantic_dedup(
     the (kc, _n) relation of skipped over-cap clusters — same visibility
     contract as ``dedup.capped_buckets`` / ``embedding_near_duplicates``:
     a silently skipped cluster must never read as "deduped".
+
+    ``id_col`` must be an INTEGRAL type (the r10 GEMM pair scan emits
+    ``doc_a long, doc_b long`` at its Arrow boundary; the pre-r10 self-join
+    accepted any orderable id). Validated up front so a string id fails
+    here, not deep inside an executor Arrow cast (r10 ADVICE).
     """
     try:
         from pyspark.ml.clustering import KMeans  # noqa: F401 — availability probe
         from pyspark.ml.functions import array_to_vector
     except ImportError:  # pragma: no cover - mllib ships with pyspark
         raise RuntimeError("semantic_dedup requires pyspark.ml")
+
+    id_type = embeddings.schema[id_col].dataType.simpleString()
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"semantic_dedup requires an integral {id_col!r} "
+            f"(got {id_type}): the per-cluster GEMM pair scan emits "
+            "bigint ids at its Arrow boundary"
+        )
 
     if n_clusters is None:
         # auto-scale k with the corpus so expected cluster size stays at

@@ -130,7 +130,15 @@ def shard_digests(
     # a run whose gates dropped EVERY row writes no part files (dynamic
     # partitioning of zero rows leaves only _SUCCESS) — that is an empty
     # corpus, not corruption: report zero shards instead of failing
-    # schema inference (r10, found by the all-stages composition test)
+    # schema inference (r10, found by the all-stages composition test).
+    # A MISSING directory is a different thing — a typo'd verify path must
+    # not read as "zero shards, all good" (r10 ADVICE): os.walk on a
+    # nonexistent path silently yields nothing, so check existence first.
+    if not os.path.isdir(path):
+        raise FileNotFoundError(
+            f"shard_digests: no written corpus at {path!r} — a zero-"
+            "survivor run still leaves the output directory (+_SUCCESS)"
+        )
     has_parquet = any(
         f.endswith(".parquet")
         for _root, _dirs, files in os.walk(path)

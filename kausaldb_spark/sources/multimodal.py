@@ -90,7 +90,7 @@ def synthetic_assets(spark: SparkSession, n: int = 64) -> DataFrame:
             F.lit("hex"),
         ).alias("payload"),
         F.create_map(
-            F.lit("source"), F.concat(F.lit("s3://corpus/"), F.col("id").cast("string")),
+            F.lit("source"), F.concat(F.lit("synthetic://corpus/"), F.col("id").cast("string")),
         ).alias("meta"),
     )
 

@@ -256,3 +256,24 @@ def test_source_overlap_matrix_crafted(spark):
     # src_a: 10 tokens -> 3 distinct 8-grams; src_b: 9 tokens -> 2; 1 shared
     assert (r["n_shared"], r["n_a"], r["n_b"]) == (1, 3, 2)
     assert r["ppm_of_smaller"] == 1_000_000 // 2
+
+
+def test_minhash_n_hashes_over_seed_count_fails_loudly(spark):
+    # r10 ADVICE: MIX_A has exactly 8 seed constants; n_hashes beyond that
+    # used to read past the seed array (NULL signatures non-ANSI, a throw
+    # under ANSI) — both entry points must refuse consistently instead
+    from kausaldb_spark.functions import dedup as dd
+    import pytest
+
+    sh = dd.doc_shingles(
+        spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta")],
+            "doc_id long, text string",
+        )
+    )
+    with pytest.raises(ValueError, match="seed"):
+        dd.minhash_signatures(sh, n_hashes=9)
+    with pytest.raises(ValueError, match="seed"):
+        dd._wide_signature_buckets(sh, n_hashes=16)
+    # the supported widths still work
+    assert dd.minhash_signatures(sh, n_hashes=8).count() == 8

@@ -517,3 +517,17 @@ def test_ivf_recall_full_probe_is_exact_and_partial_probe_bounded(emb):
         assert v["n_approx"] <= 5
         assert v["recall_ppm"] == (v["n_hit"] * 1_000_000) // 5
         assert v["recall_ppm"] <= full[q]["recall_ppm"]
+
+
+def test_semantic_dedup_rejects_non_integral_id(spark):
+    # r10 ADVICE: the GEMM pair scan narrowed the id contract to integral
+    # types (its Arrow schema is 'doc_a long, doc_b long'); a string id
+    # must fail up front, not deep inside an executor batch
+    import pytest
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 1.0])],
+        "vec_id string, embedding array<double>",
+    )
+    with pytest.raises(TypeError, match="integral"):
+        sim.semantic_dedup(df, n_clusters=2, seed=1)

@@ -262,3 +262,21 @@ def test_unstamped_v2_manifest_verifies_without_spurious_corruption(spark):
             sinks.verify_shards(spark, p)
     finally:
         shutil.rmtree(p, ignore_errors=True)
+
+
+def test_shard_digests_missing_path_raises(spark, tmp_path):
+    # r10 ADVICE: a typo'd verify path must not read as "zero shards" —
+    # os.walk on a missing dir yields nothing; only a dir that EXISTS but
+    # holds no part files is the legitimate zero-survivor case
+    import pytest
+    from kausaldb_spark import sinks
+
+    missing = str(tmp_path / "never_written")
+    with pytest.raises(FileNotFoundError, match="no written corpus"):
+        sinks.shard_digests(spark, missing)
+    # an existing-but-empty dir (the zero-survivor write) still reports
+    # zero shards gracefully
+    empty = tmp_path / "empty_write"
+    empty.mkdir()
+    (empty / "_SUCCESS").touch()
+    assert sinks.shard_digests(spark, str(empty)).count() == 0
