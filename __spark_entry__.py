@@ -839,6 +839,45 @@ def _q_binary_dedup(spark, sf_dir):
     return mm.exact_binary_duplicates(assets)
 
 
+def _decode_coverage_sql() -> str:
+    """DuckDB twin of _q_decode_coverage, generated from the single
+    FORMAT_CLASSES definition so the taxonomy cannot drift."""
+    from kausaldb_spark.sources import multimodal as mm
+
+    vals = ",\n   ".join(
+        "({}, {}, {}, {})".format(
+            k,
+            "NULL" if f is None else f"'{f}'",
+            "NULL" if m is None else f"'{m}'",
+            "true" if ok else "false",
+        )
+        for k, (f, m, ok) in enumerate(mm.FORMAT_CLASSES)
+    )
+    return f"""
+WITH cls AS (
+  SELECT * FROM (VALUES
+   {vals}
+  ) AS t(k, format, mode, decodable)
+)
+SELECT cls.format, cls.mode, cls.decodable,
+       CAST(count(*) AS BIGINT) AS n_assets
+FROM documents d JOIN cls ON d.doc_id % 10 = cls.k
+GROUP BY 1, 2, 3"""
+
+
+def _q_decode_coverage(spark, sf_dir):
+    # codec-boundary share (r10 verdict item 5): per-(format, mode) decode
+    # coverage over a deterministic binary corpus — ten structurally REAL
+    # container classes keyed off doc_id % 10 (multimodal.FORMAT_CLASSES),
+    # header-sniffed by the actual probe (a misclassified container breaks
+    # the oracle match). This is the number that tells you what fraction
+    # of a real corpus the progressive-JPEG/interlace/RLE boundary loses.
+    from kausaldb_spark.sources import multimodal as mm
+
+    assets = mm.synthetic_format_assets(_docs(spark, sf_dir))
+    return mm.decode_coverage(assets)
+
+
 def _q_line_dedup(spark, sf_dir):
     # CCNet-style line-level boilerplate removal over the SAME planted
     # corpus the other dedup gates use (raw documents have no duplicate
@@ -1031,7 +1070,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_roundtrip": _q_store_roundtrip,  # storage-family rep (lease
         #    /HWM guard touched this round)
         "iterate_all": _q_iterate_all,
-        "shard_shuffle": _q_shard_shuffle,
         "sessionize": _q_sessionize,
         "filter_metadata_eq": _q_filter_metadata_eq,
         "filter_compound": _q_filter_compound,
@@ -1055,6 +1093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_band": _q_simhash_band,
         "near_dup_clusters": _q_near_dup_clusters,
         "binary_dedup": _q_binary_dedup,
+        "decode_coverage": _q_decode_coverage,  # NEW r11 (verdict item 5)
         "contamination": _q_contamination,
         "corpus_curation": _q_corpus_curation,
         "corpus_stats": _q_corpus_stats,
@@ -1072,6 +1111,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_rollup": _q_sliding_rollup,  # round (events family keeps
         "events_quantiles": _q_events_quantiles,  # sessionize in-window)
         "events_topk_users": _q_events_topk_users,
+        "shard_shuffle": _q_shard_shuffle,  # displaced r11 for the new
+        #    decode_coverage entry (green r10 row, path unchanged)
         "point_lookup": _q_point_lookup,  # 15 r10-displaced entries below
         "batch_lookup_100": _q_batch_lookup_100,  # carry a green r9 driver
         "snapshot_view": _q_snapshot_view,  # row on paths unchanged in r10
@@ -2035,6 +2076,11 @@ SELECT lower(sha256(text)) AS sha256,
        CAST(count(*) AS BIGINT) AS n_assets,
        CAST(min(doc_id) AS BIGINT) AS keep_id
 FROM corpus GROUP BY 1, 2 HAVING count(*) > 1""",
+        # the oracle recomputes the classification from doc_id % 10 via the
+        # shared FORMAT_CLASSES taxonomy; the Spark side header-sniffs the
+        # actual synthesized container bytes — a probe misclassification
+        # (or a builder emitting the wrong structure) breaks this match
+        "decode_coverage": _decode_coverage_sql(),
         "sessionize": oracles.sessionize_sql(ev.SESSION_GAP_US),
         "events_topk_users": """
 WITH counts AS (

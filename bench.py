@@ -42,7 +42,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-N_RUNS = 3
+# per-query runs (median taken). $SPARK_GRAFT_BENCH_RUNS forces a count
+# everywhere (incl. the sub-second 5-run override) — the sf10 gauntlet
+# runs once per query: at multi-second durations the ±50% local noise
+# band is proportionally irrelevant and a 3-run median would triple a
+# ~15 min measurement for nothing.
+N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+_RUNS_FORCED = "SPARK_GRAFT_BENCH_RUNS" in os.environ
 
 BENCH_QUERIES = [
     # reference-parity ops (BASELINE.md §3 table)
@@ -132,6 +138,12 @@ BASELINE_MEDIANS = {
     # harness median-of-5 includes the cold first request that pays the
     # one-time view build, measured 1.14-1.42 across quiet runs)
     "e2e_find": 0.69, "e2e_show": 1.3,
+    # r11 (verdict item 7): the cold FIRST request is now timed separately
+    # (it pays the one-time snapshot/edges_snapshot persisted-view build on
+    # the show path) so the warm keys above measure steady state only.
+    # Recorded at the upper quiet-box median of 3 harness reps
+    # (find_cold 0.68-0.98, show_cold 2.5-3.6)
+    "e2e_find_cold": 1.0, "e2e_show_cold": 3.0,
     # r9-recorded baselines: LM perplexity + Gopher rules (new this round)
     "lm_perplexity": 2.12, "gopher_rules": 0.88,
     # r10: map-only reformulation (in-row single-fold run maxima +
@@ -440,6 +452,21 @@ def _bench_e2e(spark, timings, errors) -> float:
                 assert r["ok"], r
 
             for name, fn in (("e2e_find", run_find), ("e2e_show", run_show)):
+                # r10 verdict item 7: the cold FIRST request (pays the
+                # one-time persisted-view build on the show path) is a
+                # different quantity from the steady-state latency — time
+                # it separately so the warm median is actually warm and
+                # both get their own baseline + regression gate
+                t0 = time.monotonic()
+                try:
+                    fn()
+                except Exception as exc:  # noqa: BLE001
+                    errors[name] = _err_tail(exc)
+                    timings[name] = {"err": _err_tail(exc)}
+                    continue
+                cold = time.monotonic() - t0
+                timings[f"{name}_cold"] = round(cold, 3)
+                added += cold
                 med = _timed(fn, timings, errors, name, n_runs=5)
                 if med is not None:
                     added += med
@@ -499,13 +526,22 @@ def main() -> None:
         errors["graph_build"] = _err_tail(exc)
         timings["graph_build"] = {"err": _err_tail(exc)}
 
+    # $SPARK_GRAFT_BENCH_ONLY: comma list restricting the run to a query
+    # subset (the sf10 gauntlet benches the top-expensive ops only). The
+    # store/ingest/e2e/incremental legs run iff a key of theirs is listed.
+    only_env = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").strip()
+    only = {x.strip() for x in only_env.split(",") if x.strip()} or None
+
     for name in BENCH_QUERIES:
-        if name not in qs:
+        if name not in qs or (only is not None and name not in only):
             continue
         # sub-second queries get medians of 5 (r6 verdict Wrong #1: four
         # such lookups drifted >1.5x purely on 3-run noise — at <1 s each,
         # the extra runs cost nothing and stabilize the regression gate)
-        n_runs = 5 if BASELINE_MEDIANS.get(name, 99.0) < 1.0 else N_RUNS
+        if _RUNS_FORCED:
+            n_runs = N_RUNS
+        else:
+            n_runs = 5 if BASELINE_MEDIANS.get(name, 99.0) < 1.0 else N_RUNS
         runs = []
         try:
             for _ in range(n_runs):
@@ -521,37 +557,44 @@ def main() -> None:
         total += med
         n_ok += 1
 
+    def _leg_wanted(prefix: str) -> bool:
+        return only is None or any(k.startswith(prefix) for k in only)
+
     # incremental dedup: index-build + steady-state batch, reported as two
     # keys (the conflated single key hid the sub-second batch cost)
-    try:
-        total += _bench_incremental_dedup(spark, sf_dir, timings, errors)
-        n_ok += 1
-    except Exception as exc:  # noqa: BLE001
-        errors["incremental_dedup_split"] = _err_tail(exc)
+    if _leg_wanted("incremental_dedup"):
+        try:
+            total += _bench_incremental_dedup(spark, sf_dir, timings, errors)
+            n_ok += 1
+        except Exception as exc:  # noqa: BLE001
+            errors["incremental_dedup_split"] = _err_tail(exc)
 
     # production read path: materialized bucketed store (r6). Reported under
     # its own total so `value` stays the fixture-path number that rounds 1-5
     # recorded (comparable across BENCH_r*.json); store_* per-query keys
     # still land in `queries`.
     store_total = 0.0
-    try:
-        store_total = _bench_store_path(spark, sf_dir, timings, errors)
-    except Exception as exc:  # noqa: BLE001 — never lose the fixture numbers
-        errors["store_path"] = _err_tail(exc)
+    if _leg_wanted("store"):
+        try:
+            store_total = _bench_store_path(spark, sf_dir, timings, errors)
+        except Exception as exc:  # noqa: BLE001 — never lose fixture numbers
+            errors["store_path"] = _err_tail(exc)
 
     # ingestion throughput + daemon round-trip (r9): sf-independent
     # (pinned corpus / synthetic project), reported under their own totals
     # so `value` stays comparable across BENCH_r*.json.
     ingest_total = 0.0
-    try:
-        ingest_total = _bench_ingestion(spark, timings, errors)
-    except Exception as exc:  # noqa: BLE001
-        errors["ingestion_path"] = _err_tail(exc)
+    if _leg_wanted("ingest"):
+        try:
+            ingest_total = _bench_ingestion(spark, timings, errors)
+        except Exception as exc:  # noqa: BLE001
+            errors["ingestion_path"] = _err_tail(exc)
     e2e_total = 0.0
-    try:
-        e2e_total = _bench_e2e(spark, timings, errors)
-    except Exception as exc:  # noqa: BLE001
-        errors["e2e_path"] = _err_tail(exc)
+    if _leg_wanted("e2e"):
+        try:
+            e2e_total = _bench_e2e(spark, timings, errors)
+        except Exception as exc:  # noqa: BLE001
+            errors["e2e_path"] = _err_tail(exc)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
     IntegerType,
     LongType,
     MapType,
@@ -875,6 +876,231 @@ def probe_image_metadata(assets: DataFrame) -> DataFrame:
             )
 
     return assets.select("asset_id", "payload").mapInPandas(batch_fn, PROBE_SCHEMA)
+
+
+def _gif_count_frames(data: bytes) -> int:
+    """Image-descriptor count from the block structure (no LZW decode):
+    skip the global color table, then walk extensions / descriptors /
+    sub-blocks to the trailer. Raises on malformed structure."""
+    if data[:6] not in (b"GIF87a", b"GIF89a") or len(data) < 13:
+        raise ValueError("not a GIF")
+    flags = data[10]
+    pos = 13
+    if flags & 0x80:
+        pos += 3 * (2 << (flags & 7))
+    frames = 0
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x21:  # extension: label then sub-blocks
+            pos += 2
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            frames += 1
+            iflags = data[pos + 9]
+            pos += 10
+            if iflags & 0x80:
+                pos += 3 * (2 << (iflags & 7))
+            pos += 1  # LZW min code size
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block {b:#x}")
+    return frames
+
+
+def probe_format_mode(data: bytes):
+    """(format, mode, decodable) from container HEADERS only — the codec-
+    boundary share probe (r10 verdict item 5). ``decodable`` predicts
+    whether ``decode_pixels`` is inside its implemented boundary for this
+    payload (it may still raise ValueError on a corrupt stream — coverage
+    measures the FORMAT boundary, not corruption). The mode taxonomy
+    mirrors the decoders' own NotImplementedError conditions:
+
+      png   depth{d}-ctype{t}[-interlaced]   decodable iff d=8, no
+                                             interlace, ctype in {0,2,4,6}
+      jpeg  baseline / extended-sequential   decodable (8-bit precision)
+            progressive / arithmetic-* / lossless / differential-* /
+            *-{p}bit / no-sof                not decodable
+      gif   single-frame / multi-frame       decodable (decode_pixels
+                                             composites the FIRST frame;
+                                             later frames are the boundary)
+      bmp   comp{c}-{b}bpp                   decodable iff c=0, b in 24/32
+      unknown                                not decodable
+
+    At 100 TB this is the number that tells you whether the progressive-
+    JPEG gap is a boundary or a bug: real web corpora are heavily
+    progressive, and a decode stage that silently error-marks 40% of
+    images must be MEASURED before it is shipped."""
+    if len(data) >= 29 and data[:8] == b"\x89PNG\r\n\x1a\n" and data[12:16] == b"IHDR":
+        depth, ctype, interlace = data[24], data[25], data[28]
+        mode = f"depth{depth}-ctype{ctype}" + ("-interlaced" if interlace else "")
+        ok = depth == 8 and interlace == 0 and ctype in (0, 2, 4, 6)
+        return "png", mode, ok
+    if data[:3] == b"\xff\xd8\xff":
+        i = 2
+        while i + 4 <= len(data):
+            if data[i] != 0xFF:
+                i += 1
+                continue
+            marker = data[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if marker in _JPEG_SOF_UNSUPPORTED:
+                    return (
+                        "jpeg",
+                        _JPEG_SOF_UNSUPPORTED[marker].replace(" ", "-"),
+                        False,
+                    )
+                mode = "baseline" if marker == 0xC0 else "extended-sequential"
+                prec = data[i + 4] if i + 4 < len(data) else 0
+                if prec != 8:
+                    return "jpeg", f"{mode}-{prec}bit", False
+                return "jpeg", mode, True
+            i += 2 + int.from_bytes(data[i + 2 : i + 4], "big")
+        return "jpeg", "no-sof", False
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        try:
+            frames = _gif_count_frames(data)
+        except (ValueError, IndexError):
+            return "gif", "malformed", False
+        if frames == 0:
+            return "gif", "no-frames", False
+        return "gif", "multi-frame" if frames > 1 else "single-frame", True
+    if len(data) >= 34 and data[:2] == b"BM":
+        bpp = int.from_bytes(data[28:30], "little")
+        comp = int.from_bytes(data[30:34], "little")
+        return "bmp", f"comp{comp}-{bpp}bpp", comp == 0 and bpp in (24, 32)
+    return "unknown", None, False
+
+
+COVERAGE_SCHEMA = StructType(
+    [
+        StructField("format", StringType()),
+        StructField("mode", StringType()),
+        StructField("decodable", BooleanType()),
+    ]
+)
+
+
+def decode_coverage(assets: DataFrame) -> DataFrame:
+    """Per-(format, mode) decode coverage of a binary corpus:
+    (format, mode, decodable, n_assets) — the corpus_report companion for
+    binary modalities. One Arrow mapInPandas header-sniff pass (no pixel
+    decode, no payload shuffle: the groupBy key is the tiny classification
+    tuple), then a map-side-combined count."""
+
+    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                probe_format_mode(bytes(p) if p is not None else b"")
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(rows, columns=["format", "mode", "decodable"])
+
+    return (
+        assets.select("payload")
+        .mapInPandas(batch_fn, COVERAGE_SCHEMA)
+        .groupBy("format", "mode", "decodable")
+        .agg(F.count("*").cast("bigint").alias("n_assets"))
+    )
+
+
+# --- deterministic format-corpus synthesis (the decode_coverage fixture) --
+# Ten structurally REAL minimal containers, one per class k = id % 10,
+# spanning the codec boundary from both sides. The builders emit honest
+# header walks (the probe actually parses them — a misclassification
+# breaks the oracle), with junk entropy/pixel data (coverage never
+# decodes pixels).
+
+FORMAT_CLASSES = [
+    # (format, mode, decodable) — MUST match probe_format_mode's taxonomy
+    ("png", "depth8-ctype2", True),
+    ("png", "depth16-ctype2", False),
+    ("jpeg", "baseline", True),
+    ("jpeg", "progressive", False),
+    ("jpeg", "arithmetic-sequential", False),
+    ("gif", "single-frame", True),
+    ("gif", "multi-frame", True),
+    ("bmp", "comp0-24bpp", True),
+    ("bmp", "comp1-8bpp", False),
+    ("unknown", None, False),
+]
+
+
+def synth_container(cls: int, salt: int = 0) -> bytes:
+    """A minimal structurally-valid container of class ``cls`` (see
+    FORMAT_CLASSES); ``salt`` varies trailing junk bytes so payloads are
+    not byte-identical across assets."""
+    import struct
+
+    tail = hashlib.md5(f"{cls}:{salt}".encode()).digest()
+    k = cls % len(FORMAT_CLASSES)
+    if k in (0, 1):  # PNG, depth 8 vs 16
+        depth = 8 if k == 0 else 16
+        ihdr = struct.pack(">IIBBBBB", 4, 4, depth, 2, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", 13) + b"IHDR" + ihdr + b"\x00\x00\x00\x00"
+            + tail
+        )
+    if k in (2, 3, 4):  # JPEG: SOF0 / SOF2 / SOFC9
+        sof_marker = {2: 0xC0, 3: 0xC2, 4: 0xC9}[k]
+        app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        sof = (
+            bytes([0xFF, sof_marker])
+            + struct.pack(">H", 11)            # length
+            + bytes([8])                        # precision
+            + struct.pack(">HH", 4, 4)          # height, width
+            + bytes([1, 1, 0x11, 0])            # 1 component
+        )
+        return b"\xff\xd8" + app0 + sof + tail + b"\xff\xd9"
+    if k in (5, 6):  # GIF: 1 vs 2 image descriptors
+        hdr = b"GIF89a" + struct.pack("<HH", 4, 4) + bytes([0x80, 0, 0])
+        gct = b"\x00\x00\x00\xff\xff\xff"  # 2-entry global table
+        desc = (
+            b"\x2c" + struct.pack("<HHHH", 0, 0, 4, 4) + b"\x00"
+            + b"\x02"            # LZW min code size
+            + b"\x01\x44\x00"    # one 1-byte sub-block + terminator
+        )
+        n = 1 if k == 5 else 2
+        return hdr + gct + desc * n + b"\x3b" + tail
+    if k in (7, 8):  # BMP: uncompressed 24bpp vs RLE8 8bpp
+        bpp, comp = (24, 0) if k == 7 else (8, 1)
+        info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, bpp, comp, 0, 0, 0, 0, 0)
+        filehdr = b"BM" + struct.pack("<IHHI", 54 + 16, 0, 0, 54)
+        return filehdr + info + tail
+    return b"\x00NOTAFORMAT" + tail  # class 9: unknown container
+
+
+def synthetic_format_assets(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(asset_id, payload) with payload = synth_container(id % 10, id) —
+    the deterministic binary-corpus stand-in keyed off the documents
+    table, same discipline as the binary_dedup fixture (an oracle can
+    recompute the classification from the id alone while the Spark side
+    actually SNIFFS real container bytes)."""
+
+    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids.astype("string"),
+                    "payload": [
+                        synth_container(int(i) % 10, int(i)) for i in ids
+                    ],
+                }
+            )
+
+    return docs.select(id_col).mapInPandas(
+        batch_fn, "asset_id string, payload binary"
+    )
 
 
 def content_address(

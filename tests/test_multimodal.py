@@ -835,3 +835,79 @@ if _HAVE_HYP:
             _gif_encode(idx, palette, local_table=local_table, interlace=interlace)
         )
         assert np.array_equal(got, np.array(palette, np.uint8)[idx])
+
+
+# -- codec-boundary coverage probe (r11: r10 verdict item 5) ------------------
+
+def test_probe_format_mode_on_independent_encoders():
+    """Real encoder output (the independent test-side encoders) must probe
+    decodable with the right mode — the probe is the number a 100 TB run
+    uses to size the decode-stage loss, so it must agree with what
+    decode_pixels actually accepts."""
+    import numpy as np
+
+    from kausaldb_spark.sources.multimodal import probe_format_mode
+
+    img = np.arange(16 * 16 * 3, dtype=np.uint8).reshape(16, 16, 3) % 251
+    assert probe_format_mode(_png_encode(img, 2, [0] * 16)) == (
+        "png", "depth8-ctype2", True)
+    assert probe_format_mode(_bmp_encode(img, bpp=24)) == (
+        "bmp", "comp0-24bpp", True)
+    assert probe_format_mode(_jpeg_encode(img)) == ("jpeg", "baseline", True)
+    pal = [(3 * i, 3 * i + 1, 3 * i + 2) for i in range(16)]
+    gif = _gif_encode((np.zeros((8, 8), np.int64) + 3), pal)
+    assert probe_format_mode(gif) == ("gif", "single-frame", True)
+    assert probe_format_mode(b"plainly not an image") == (
+        "unknown", None, False)
+
+
+def test_probe_format_mode_matches_decode_boundary():
+    """Every FORMAT_CLASSES fixture class must (a) probe to its declared
+    triple and (b) have decode_pixels agree with the decodable flag:
+    decodable classes never raise NotImplementedError (junk entropy data
+    may still ValueError — corruption, not boundary), boundary classes
+    never silently decode."""
+    import pytest
+
+    from kausaldb_spark.sources import multimodal as mm
+
+    for k, (fmt, mode, ok) in enumerate(mm.FORMAT_CLASSES):
+        for salt in (0, 9, 12345):
+            payload = mm.synth_container(k, salt)
+            assert probe_format_mode_tuple(payload) == (fmt, mode, ok), (k, salt)
+        try:
+            mm.decode_pixels(mm.synth_container(k, 1))
+            outcome = "decoded"
+        except NotImplementedError:
+            outcome = "boundary"
+        except ValueError:
+            outcome = "corrupt"
+        if ok:
+            assert outcome in ("decoded", "corrupt"), (k, fmt, mode, outcome)
+        else:
+            assert outcome == "boundary", (k, fmt, mode, outcome)
+
+
+def probe_format_mode_tuple(payload):
+    from kausaldb_spark.sources.multimodal import probe_format_mode
+
+    return probe_format_mode(payload)
+
+
+def test_decode_coverage_stage(spark):
+    """decode_coverage over a crafted asset mix: counts per (format, mode,
+    decodable) and nothing dropped — 'decodable %' is derivable and every
+    asset is accounted for."""
+    from kausaldb_spark.sources import multimodal as mm
+
+    rows = [(str(i), mm.synth_container(i % 10, i)) for i in range(40)]
+    assets = spark.createDataFrame(rows, "asset_id string, payload binary")
+    got = {
+        (r["format"], r["mode"], r["decodable"]): r["n_assets"]
+        for r in mm.decode_coverage(assets).collect()
+    }
+    assert sum(got.values()) == 40  # every asset classified exactly once
+    for k, (fmt, mode, ok) in enumerate(mm.FORMAT_CLASSES):
+        assert got[(fmt, mode, ok)] == 4
+    n_dec = sum(n for (f, m, ok), n in got.items() if ok)
+    assert n_dec == 20  # 5 of 10 classes are inside the boundary

@@ -30,8 +30,12 @@ _QUERIES = entry_mod.queries()
 _SKIP = {"streaming_rollup", "streaming_sessionize", "streaming_curate"}
 
 # ops with a documented Arrow-batched Python boundary (zlib, MLlib vector
-# assembly, per-sub-shard best-fit-decreasing greedy — see each docstring)
-_ARROW_OK = {"compression_ratio", "semantic_dedup", "pack_best_fit"}
+# assembly, per-sub-shard best-fit-decreasing greedy, binary container
+# header-sniffing — see each docstring)
+_ARROW_OK = {
+    "compression_ratio", "semantic_dedup", "pack_best_fit",
+    "decode_coverage",
+}
 
 
 def _plan_of(name, spark):

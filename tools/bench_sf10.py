@@ -1,0 +1,155 @@
+"""True 100x scale rehearsal (r10 verdict item 1): bench the top-expensive
+operators at sf10 = 100x of sf0.1 and gate their scaling factors.
+
+Until r10 the 100 TB scale argument interpolated from the sf1 (10x)
+gauntlet. This runs the actual 100x volume on the box (sf10 is ~1.7 GB
+compressed / ~60 M lineitem rows / 500 k documents — well inside 128 GiB
+local[32]) and records, per query:
+
+    t_01      sf0.1 median from BENCH_LOCAL.json (the round record)
+    t_1       sf1 median from BENCH_sf1_local.json
+    t_10      this run's sf10 time (single run — at multi-second
+              durations the local ±50% band is proportionally small)
+    f100      t_10 / t_01   (100x-volume factor)
+    f10_100   t_10 / t_1    (the 10x -> 100x leg: catches superlinearity
+              that only kicks in past the sf1 knee)
+
+GATES (written to BENCH_sf10.json, exit code carries the verdict):
+  - zero query errors at sf10;
+  - every gated query's f100 <= F100_MAX (linear-in-volume + headroom:
+    a query that is exactly proportional to data lands at ~100 only if
+    its sf0.1 time had zero fixed overhead — observed factors sit far
+    below that because per-job overhead amortizes; anything ABOVE
+    proportional is a superlinear plan and fails);
+  - every gated query's f10_100 <= F10_100_MAX (10x data -> at most
+    ~linear on the already-warm leg, with noise headroom).
+
+Queries under 1 s at sf0.1 are overhead-bound there, so their f100 is
+reported but gated only on the f10_100 leg. store_materialize and
+graph_build are one-time layout builds: reported + gated on f10_100 only
+(their sf0.1 time includes fixed session warmup that makes f100
+meaningless).
+
+Usage: python tools/bench_sf10.py [--rebuild]
+Builds .sf10 via tools/make_sf1.py (N_COPIES=100) if absent.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF10_DIR = os.path.join(REPO, ".sf10")
+
+# the top-expensive operator set the r10 verdict names, plus the worst
+# sf1 scalers (token_count_bpe 2.64x) and the one-time layout builds
+TOP_QUERIES = [
+    "gopher_repetition",
+    "minhash_near_dup",
+    "near_dup_clusters",
+    "simhash_band",
+    "semantic_dedup",
+    "duplicate_spans",
+    "topo_sort",
+    "lm_perplexity",
+    "ngram_jaccard",
+    "contamination",
+    "token_count_bpe",
+    "store_materialize",  # pulls the whole store leg (bucketed gates too)
+]
+
+F100_MAX = 100.0   # proportional-to-volume ceiling for >=1 s queries
+F10_100_MAX = 15.0  # 10x data on the 10x->100x leg, +50% headroom
+
+ONE_TIME = {"store_materialize", "graph_build"}
+
+
+def main() -> None:
+    if "--rebuild" in sys.argv or not os.path.exists(
+        os.path.join(SF10_DIR, "documents.parquet")
+    ):
+        print("[bench_sf10] building .sf10 (100 copies of sf0.1) ...", flush=True)
+        subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "make_sf1.py")],
+            env=dict(os.environ, N_COPIES="100", OUT_DIR=SF10_DIR),
+            check=True, timeout=3600,
+        )
+
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR=SF10_DIR,
+        SPARK_GRAFT_BENCH_ONLY=",".join(TOP_QUERIES),
+        SPARK_GRAFT_BENCH_RUNS="1",
+    )
+    print("[bench_sf10] bench @ sf10 (single run per query) ...", flush=True)
+    p = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, capture_output=True, text=True, timeout=7200,
+    )
+    lines = [ln for ln in p.stdout.strip().splitlines() if ln.startswith("{")]
+    if not lines:
+        print(p.stdout[-2000:])
+        print(p.stderr[-2000:])
+        raise SystemExit("bench.py produced no JSON record")
+    rec10 = json.loads(lines[-1])
+
+    rec01 = json.load(open(os.path.join(REPO, "BENCH_LOCAL.json")))
+    rec1 = json.load(open(os.path.join(REPO, "BENCH_sf1_local.json")))
+    q01, q1, q10 = rec01["queries"], rec1["queries"], rec10["queries"]
+
+    rows, flags, errs = {}, [], []
+    watch = list(TOP_QUERIES) + ["graph_build"]
+    for name in watch:
+        t10 = q10.get(name)
+        if isinstance(t10, dict):  # {"err": ...}
+            errs.append({"query": name, "err": t10.get("err")})
+            continue
+        if not isinstance(t10, (int, float)):
+            continue
+        t01, t1 = q01.get(name), q1.get(name)
+        row: dict = {"t_01": t01, "t_1": t1, "t_10": t10}
+        if isinstance(t01, (int, float)) and t01 > 0:
+            row["f100"] = round(t10 / t01, 2)
+        if isinstance(t1, (int, float)) and t1 > 0:
+            row["f10_100"] = round(t10 / t1, 2)
+        rows[name] = row
+        one_time = name in ONE_TIME
+        overhead_bound = not isinstance(t01, (int, float)) or t01 < 1.0
+        if not one_time and not overhead_bound and row.get("f100", 0) > F100_MAX:
+            flags.append({"query": name, "leg": "f100", "factor": row["f100"]})
+        if row.get("f10_100", 0) > F10_100_MAX:
+            flags.append(
+                {"query": name, "leg": "f10_100", "factor": row["f10_100"]}
+            )
+
+    # any other error the sf10 run surfaced (store leg, graph build, ...)
+    for name, v in q10.items():
+        if isinstance(v, dict) and not any(e["query"] == name for e in errs):
+            errs.append({"query": name, "err": v.get("err")})
+
+    gate_pass = not flags and not errs
+    out = {
+        "metric": "bench_sf10_gate",
+        "sf": 10.0,
+        "gate_pass": gate_pass,
+        "gates": {"f100_max": F100_MAX, "f10_100_max": F10_100_MAX},
+        "factors": rows,
+        "flags": flags,
+        "errors": errs,
+        "sf10_total_sec": rec10.get("value"),
+        "store_bucketed_join_exchange_free": q10.get(
+            "store_bucketed_join_exchange_free"
+        ),
+    }
+    with open(os.path.join(REPO, "BENCH_sf10.json"), "w") as fh:
+        json.dump(out, fh, indent=1)
+        fh.write("\n")
+    print(json.dumps(out, indent=1))
+    raise SystemExit(0 if gate_pass else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,34 +1,44 @@
-"""Deterministic sf1 synthesis: upsample /root/testdata/sf0.1 by 10x.
+"""Deterministic scale synthesis: upsample /root/testdata/sf0.1 by N_COPIES.
 
-The driver ships sf{0.001,0.01,0.1}; the r6 verdict's top item is a scale
-rehearsal at 10x data ("prove every bucketed/never-all-pairs claim
-empirically"). This script derives sf1 from sf0.1 with copy index
-c = 0..9, entirely deterministic (no RNG):
+The driver ships sf{0.001,0.01,0.1}; the r6 verdict's top item was a scale
+rehearsal at 10x data and the r10 verdict's is a TRUE 100x rehearsal
+("the scale argument currently interpolates from 10x"). This script
+derives sfN from sf0.1 with copy index c = 0..N_COPIES-1, entirely
+deterministic (no RNG):
 
-- copy 0 is byte-identical to sf0.1 (so the planted-dup discipline of
+- copy 0 is value-identical to sf0.1 (so the planted-dup discipline of
   functions.dedup.dedup_corpus carries over unchanged);
 - fact-table keys shift by c * 10^10 CONSISTENTLY across pk and fk
   (orders.o_orderkey and lineitem.l_orderkey shift together, etc.), so
   referential integrity — and therefore the derived code-graph shape —
-  is preserved per copy: sf1's graph is 10 disjoint sf0.1 graphs, which
-  is exactly what "10x more repositories ingested" looks like;
+  is preserved per copy: sfN's graph is N disjoint sf0.1 graphs, which
+  is exactly what "N x more repositories ingested" looks like;
 - region/nation stay fixed (TPC-H dimension tables don't grow with sf);
-- events: user_id shifts by c * 1_000_000 — 10x users, same per-user
+- events: user_id shifts by c * 1_000_000 — N x users, same per-user
   activity and time range (rollup/sessionize/retention load scales
   linearly and honestly);
-- documents: doc_id shifts by c * 100_000 (stays clear of dedup's
-  1_000_000/2_000_000 planted-copy offsets); for c > 0 every 5th token
-  is prefixed with `c{copy}x` so NO 8-shingle (nor 3-shingle) survives
-  across copies — without this, 10 exact copies of every doc would make
-  the near-dup candidate volume grow quadratically BY CONSTRUCTION and
-  the scaling measurement would test the data, not the plan;
-- embeddings: vec_id shifts by c * 100_000; for c > 0 each component j
+- documents: doc_id shifts by c * DOC_OFF; DOC_OFF is 100_000 for
+  N_COPIES <= 10 (the recorded .sf1 layout) and 10_000_000 beyond that —
+  dedup_corpus plants exact/near copies at doc_id + 1_000_000 / 2_000_000
+  AT QUERY TIME, so every copy's id block must keep [base, base+2M+max_id]
+  disjoint from every other copy's. For c > 0 every 5th token is prefixed
+  with `c{copy}x` so NO 8-shingle (nor 3-shingle) survives across copies —
+  without this, N exact copies of every doc would make the near-dup
+  candidate volume grow quadratically BY CONSTRUCTION and the scaling
+  measurement would test the data, not the plan;
+- embeddings: vec_id shifts by c * DOC_OFF; for c > 0 each component j
   is scaled by (1 + ((c*31 + j) % 7 - 3)/50), which rotates copies far
   enough apart in cosine that ANN/near-dup candidate sets stay
   duplication-rate-sized.
 
+r11: the N-way unionByName chain became a broadcast cross-join against a
+range(N_COPIES) copy index — one scan of the source regardless of N (the
+union version planned 100 scans at N=100), which is also the shape a real
+100 TB synthetic upsample would use.
+
 Output: $OUT_DIR (default /root/repo/.sf1), one parquet dir per table.
-Run: python tools/make_sf1.py
+Run: python tools/make_sf1.py            (sf1: 10 copies)
+     N_COPIES=100 OUT_DIR=/root/repo/.sf10 python tools/make_sf1.py
 """
 
 from __future__ import annotations
@@ -46,58 +56,71 @@ N_COPIES = int(os.environ.get("N_COPIES", "10"))
 
 KEY_OFF = 10_000_000_000  # fact keys
 USER_OFF = 1_000_000      # events.user_id
-DOC_OFF = 100_000         # documents.doc_id / embeddings.vec_id
+# documents.doc_id / embeddings.vec_id: each copy's id block must clear the
+# query-time planted-copy offsets (dedup.EXACT_COPY_OFFSET=1M / NEAR=2M)
+# of every other copy. 100_000 reproduces the recorded .sf1 exactly; at
+# N_COPIES > 10 the blocks would march into [1M, 2M+max_id], so widen.
+DOC_OFF = 100_000 if N_COPIES <= 10 else 10_000_000
+
+_SPARK = None  # set in main()
 
 
 def _copies(df: DataFrame, shifts: dict[str, int], extra=None) -> DataFrame:
-    parts = []
-    for c in range(N_COPIES):
-        d = df
-        for col, off in shifts.items():
-            d = d.withColumn(col, (F.col(col) + F.lit(c * off)).cast("bigint"))
-        if extra is not None:
-            d = extra(d, c)
-        parts.append(d)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    """One scan of ``df`` cross-joined against the broadcast copy index
+    (column ``_c``); ``extra(df)`` may reference ``_c`` for per-copy
+    perturbation. Value-identical to the old N-way union."""
+    cidx = _SPARK.range(N_COPIES).select(F.col("id").cast("bigint").alias("_c"))
+    d = df.crossJoin(F.broadcast(cidx))
+    for col, off in shifts.items():
+        d = d.withColumn(
+            col, (F.col(col) + F.col("_c") * F.lit(off)).cast("bigint")
+        )
+    if extra is not None:
+        d = extra(d)
+    return d.drop("_c")
 
 
-def _perturb_text(d: DataFrame, c: int) -> DataFrame:
-    if c == 0:
-        return d
+def _perturb_text(d: DataFrame) -> DataFrame:
     toks = F.split(F.trim(F.col("text")), r"\s+")
+    # `_c` is a plain input column — cheap to re-read per element, unlike
+    # the aliased-expression lambda-body references the r10 inlining
+    # postmortem (functions/text.py gopher_repetition) bans
+    prefix = F.concat(F.lit("c"), F.col("_c").cast("string"), F.lit("x"))
     mangled = F.array_join(
         F.transform(
             toks,
-            lambda x, i: F.when(
-                i % 5 == 0, F.concat(F.lit(f"c{c}x"), x)
-            ).otherwise(x),
+            lambda x, i: F.when(i % 5 == 0, F.concat(prefix, x)).otherwise(x),
         ),
         " ",
     )
-    return d.withColumn("text", mangled).withColumn(
+    text = F.when(F.col("_c") == 0, F.col("text")).otherwise(mangled)
+    return d.withColumn("text", text).withColumn(
         "n_chars", F.length("text").cast("bigint")
     )
 
 
-def _perturb_vec(d: DataFrame, c: int) -> DataFrame:
-    if c == 0:
-        return d
+def _perturb_vec(d: DataFrame) -> DataFrame:
     scaled = F.transform(
         F.col("embedding"),
         lambda v, j: (
-            v * (F.lit(1.0) + ((F.lit(c * 31) + j) % 7 - F.lit(3)) / F.lit(50.0))
+            v
+            * (
+                F.lit(1.0)
+                + ((F.col("_c") * 31 + j) % 7 - F.lit(3)) / F.lit(50.0)
+            )
         ).cast("float"),
     )
-    return d.withColumn("embedding", scaled)
+    keep = F.col("_c") == 0
+    return d.withColumn(
+        "embedding", F.when(keep, F.col("embedding")).otherwise(scaled)
+    )
 
 
 def main() -> None:
+    global _SPARK
     from kausaldb_spark.session import get_spark
 
-    spark = get_spark("make-sf1")
+    _SPARK = spark = get_spark("make-sfN")
     os.makedirs(OUT, exist_ok=True)
     rd = lambda t: spark.read.parquet(f"{SRC}/{t}.parquet")  # noqa: E731
     wr = lambda df, t: df.write.mode("overwrite").parquet(f"{OUT}/{t}.parquet")  # noqa: E731

@@ -87,6 +87,14 @@ def main() -> None:
     gates["regression"] = {
         "regressions_2x": rec01.get("regressions_2x", []),
         "ratio_geomean": rec01.get("ratio_geomean"),
+        # r10 verdict item 7: the daemon round-trip keys gate like every
+        # other BASELINE_MEDIANS entry (2x via regressions_2x above) —
+        # surfaced here explicitly so e2e drift is visible in ROUND_CLOSE,
+        # not buried in the bench record
+        "e2e": {
+            k: rec01.get("queries", {}).get(k)
+            for k in ("e2e_find", "e2e_find_cold", "e2e_show", "e2e_show_cold")
+        },
         "pass": not rec01.get("regressions_2x"),
     }
 
