@@ -216,7 +216,7 @@ _JPEG_ZIGZAG = [
 ]
 
 _JPEG_SOF_UNSUPPORTED = {
-    0xC2: "progressive", 0xC3: "lossless", 0xC5: "differential sequential",
+    0xC3: "lossless", 0xC5: "differential sequential",
     0xC6: "differential progressive", 0xC7: "differential lossless",
     0xC9: "arithmetic sequential", 0xCA: "arithmetic progressive",
     0xCB: "arithmetic lossless", 0xCD: "differential arithmetic seq",
@@ -288,7 +288,94 @@ def _jpeg_extend(v: int, t: int) -> int:
     return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
+def _jpeg_first_ac(br, coef, ss, se, al, eobrun, ac_t) -> int:
+    """Progressive AC first scan (Ah=0) for one data unit, T.81 G.1.2.2:
+    run/size pairs like baseline, but s=0/r<15 encodes an END-OF-BAND RUN
+    of (1<<r)-1+receive(r) blocks whose band is entirely zero at this
+    approximation level; new coefficients land shifted by the point
+    transform Al. Returns the remaining EOB run."""
+    if eobrun:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _jpeg_huff_decode(br, ac_t)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:  # ZRL: 16 zeros
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += br.receive(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC run past band end")
+        coef[k] = _jpeg_extend(br.receive(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _jpeg_refine_ac(br, coef, ss, se, al, eobrun, ac_t) -> int:
+    """Progressive AC refinement scan (Ah>0) for one data unit, T.81
+    G.1.2.3: every already-nonzero coefficient passed over receives a
+    correction bit (magnitude += 1<<Al when set, moving away from zero);
+    zero-history positions count toward the run, and a newly-nonzero
+    coefficient arrives as ±1<<Al. An EOB run still sends correction bits
+    for the nonzero coefficients in the remaining band."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _jpeg_huff_decode(br, ac_t)
+            r, s = rs >> 4, rs & 15
+            newval = 0
+            if s == 0:
+                if r != 15:
+                    # NB: (1<<r)+extra here, unlike the first scan's
+                    # (1<<r)-1+extra — the shared tail below consumes one
+                    # for THIS block (its remaining band still takes
+                    # correction bits; a first-scan EOB block takes none)
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.receive(r)
+                    break
+                # r == 15: ZRL — pass 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("JPEG AC refinement size != 1")
+                newval = p1 if br.bit() else m1
+            while k <= se:
+                if coef[k]:
+                    if br.bit() and (coef[k] & p1) == 0:
+                        coef[k] += p1 if coef[k] > 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= se:
+                coef[k] = newval
+            k += 1
+    if eobrun:
+        while k <= se:
+            if coef[k]:
+                if br.bit() and (coef[k] & p1) == 0:
+                    coef[k] += p1 if coef[k] > 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
 def _decode_jpeg(data: bytes):
+    """Huffman JPEG decode — baseline sequential (SOF0/1, interleaved or
+    multi-scan non-interleaved) AND progressive (SOF2: spectral selection
+    + successive approximation, r11). One generic scan loop accumulates
+    raw zigzag coefficients per component; dequant + IDCT + upsample run
+    once at the end (identical arithmetic to applying q inline, and the
+    only formulation progressive refinement permits). Arithmetic-coded,
+    lossless, hierarchical and 12-bit remain NotImplementedError."""
     import struct
 
     import numpy as np
@@ -298,18 +385,26 @@ def _decode_jpeg(data: bytes):
     qt: dict[int, "np.ndarray"] = {}
     huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) -> table
     sof = None
+    progressive = False
     dri = 0
     pos = 2
-    scan_comps = None
-    while pos + 4 <= len(data):
+    scans: list[dict] = []
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
         marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # standalone
+            pos += 2
+            continue
         if marker in _JPEG_SOF_UNSUPPORTED:
             raise NotImplementedError(
                 f"JPEG {_JPEG_SOF_UNSUPPORTED[marker]} (SOF {marker:#x}) "
-                "not decoded here — baseline sequential only"
+                "not decoded here — huffman baseline/progressive only"
             )
+        if pos + 4 > len(data):
+            break
         (seg_len,) = struct.unpack(">H", data[pos + 2:pos + 4])
         seg = data[pos + 4:pos + 2 + seg_len]
         if marker == 0xDB:  # DQT (possibly several tables)
@@ -329,7 +424,7 @@ def _decode_jpeg(data: bytes):
                 # zigzag order too, so q[k] pairs with coef[k] directly
                 qt[tq] = vals
                 i += n
-        elif marker == 0xC4:  # DHT (possibly several tables)
+        elif marker == 0xC4:  # DHT (possibly several, possibly mid-file)
             i = 0
             while i < len(seg):
                 tc, th = seg[i] >> 4, seg[i] & 15
@@ -340,10 +435,11 @@ def _decode_jpeg(data: bytes):
                     raise ValueError("truncated DHT")
                 huff[(tc, th)] = _jpeg_build_huff(bits, vals)
                 i += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0/1: baseline (extended) huffman
+        elif marker in (0xC0, 0xC1, 0xC2):  # huffman SOF
             prec, h, w, nf = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise NotImplementedError(f"JPEG {prec}-bit precision")
+            progressive = marker == 0xC2
             comps = []
             for c in range(nf):
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
@@ -352,8 +448,21 @@ def _decode_jpeg(data: bytes):
                 )
             if any(c["h"] < 1 or c["v"] < 1 for c in comps):
                 raise ValueError("JPEG sampling factor 0")
+            # annotate block geometry NOW: scan headers copy these dicts
+            _hmax = max(c["h"] for c in comps)
+            _vmax = max(c["v"] for c in comps)
+            _mcux = -(-w // (8 * _hmax)) if w else 0
+            _mcuy = -(-h // (8 * _vmax)) if h else 0
+            for ci, c in enumerate(comps):
+                c["ci"] = ci
+                c["bw_pad"], c["bh_pad"] = _mcux * c["h"], _mcuy * c["v"]
+                # non-interleaved scans cover ONLY the component's own
+                # block grid: comp dims = ceil(frame * sampling / max),
+                # blocks = ceil(dim / 8)
+                c["bw"] = -(--(-w * c["h"] // _hmax) // 8)
+                c["bh"] = -(--(-h * c["v"] // _vmax) // 8)
             sof = {"h": h, "w": w, "comps": comps}
-        elif marker == 0xDD:  # DRI
+        elif marker == 0xDD:  # DRI (may change between scans)
             (dri,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS: scan header, then entropy data
             if sof is None:
@@ -368,69 +477,89 @@ def _decode_jpeg(data: bytes):
                 scan_comps.append(
                     {**by_id[cs], "td": tdta >> 4, "ta": tdta & 15}
                 )
-            pos = pos + 2 + seg_len
-            break
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            # entropy: unstuff FF00, split restart-interval chunks at RSTn
+            chunks: list[bytearray] = [bytearray()]
+            i = pos + 2 + seg_len
+            while i < len(data):
+                b = data[i]
+                if b == 0xFF:
+                    m = data[i + 1] if i + 1 < len(data) else 0xD9
+                    if m == 0x00:
+                        chunks[-1].append(0xFF)
+                        i += 2
+                        continue
+                    if 0xD0 <= m <= 0xD7:
+                        chunks.append(bytearray())
+                        i += 2
+                        continue
+                    break  # EOI or a following marker segment
+                chunks[-1].append(b)
+                i += 1
+            scans.append(
+                {
+                    "comps": scan_comps, "ss": ss, "se": se,
+                    "ah": ahal >> 4, "al": ahal & 15, "dri": dri,
+                    "tables": dict(huff), "chunks": chunks,
+                }
+            )
+            pos = i
+            continue
         pos += 2 + seg_len
-    if sof is None or scan_comps is None:
+    if sof is None or not scans:
         raise ValueError("JPEG without SOF/SOS")
-    if len(scan_comps) != len(sof["comps"]):
-        raise NotImplementedError("JPEG multi-scan (non-interleaved) layout")
-
-    # entropy stream: unstuff FF00, split restart-interval chunks at RSTn
-    chunks: list[bytearray] = [bytearray()]
-    i = pos
-    while i < len(data):
-        b = data[i]
-        if b == 0xFF:
-            m = data[i + 1] if i + 1 < len(data) else 0xD9
-            if m == 0x00:
-                chunks[-1].append(0xFF)
-                i += 2
-                continue
-            if 0xD0 <= m <= 0xD7:
-                chunks.append(bytearray())
-                i += 2
-                continue
-            break  # EOI or a following marker
-        chunks[-1].append(b)
-        i += 1
 
     h, w = sof["h"], sof["w"]
     if h == 0 or w == 0:
         raise ValueError("JPEG zero dimension")
-    hmax = max(c["h"] for c in scan_comps)
-    vmax = max(c["v"] for c in scan_comps)
+    comps = sof["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
-    basis = _jpeg_dct_basis()
-    planes = []
-    for c in scan_comps:
-        planes.append(np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8)))
-        if c["tq"] not in qt:
-            raise ValueError(f"JPEG missing quant table {c['tq']}")
-        if (0, c["td"]) not in huff or (1, c["ta"]) not in huff:
-            raise ValueError("JPEG missing huffman table")
+    coefs = [
+        np.zeros((c["bh_pad"], c["bw_pad"], 64), dtype=np.int64)
+        for c in comps
+    ]
 
-    preds = [0] * len(scan_comps)
-    chunk_i = 0
-    br = _JpegBits(chunks[0])
-    zz = np.asarray(_JPEG_ZIGZAG)
-    for mcu in range(mcux * mcuy):
-        if dri and mcu and mcu % dri == 0:
-            chunk_i += 1
-            if chunk_i >= len(chunks):
-                raise ValueError("JPEG missing restart marker")
-            br = _JpegBits(chunks[chunk_i])
-            preds = [0] * len(scan_comps)
-        my, mx = divmod(mcu, mcux)
-        for ci, c in enumerate(scan_comps):
-            dc_t, ac_t = huff[(0, c["td"])], huff[(1, c["ta"])]
-            q = qt[c["tq"]]
-            for b in range(c["v"] * c["h"]):
+    for sc in scans:
+        scomps = sc["comps"]
+        ss, se, ah, al = sc["ss"], sc["se"], sc["ah"], sc["al"]
+        if not progressive:
+            ss, se, ah, al = 0, 63, 0, 0  # baseline scans are full-band
+        tables = sc["tables"]
+        if progressive and ss > 0 and len(scomps) != 1:
+            raise ValueError("JPEG progressive AC scan with >1 component")
+        if progressive and (se > 63 or ss > se or (ss == 0 and se != 0)):
+            raise ValueError("JPEG bad spectral selection")
+        need_dc = ss == 0 and ah == 0
+        need_ac = se > 0
+        for c in scomps:
+            if need_dc and (0, c["td"]) not in tables:
+                raise ValueError("JPEG missing huffman table")
+            if need_ac and (1, c["ta"]) not in tables:
+                raise ValueError("JPEG missing huffman table")
+        interleaved = len(scomps) > 1
+        if interleaved:
+            n_units = mcux * mcuy
+        else:
+            c0 = scomps[0]
+            # a single-component scan of a 1-component frame still uses
+            # the MCU grid (hmax == c.h), so bw == bw_pad there
+            n_units = c0["bw"] * c0["bh"]
+        preds = {c["ci"]: 0 for c in scomps}
+        eobrun = 0
+        chunk_i = 0
+        br = _JpegBits(sc["chunks"][0])
+
+        def decode_unit(coef, c):
+            nonlocal eobrun
+            if not progressive:
+                dc_t, ac_t = tables[(0, c["td"])], tables[(1, c["ta"])]
                 t = _jpeg_huff_decode(br, dc_t)
-                preds[ci] += _jpeg_extend(br.receive(t), t)
-                coef = np.zeros(64)
-                coef[0] = preds[ci] * q[0]
+                preds[c["ci"]] += _jpeg_extend(br.receive(t), t)
+                coef[0] = preds[c["ci"]]
                 k = 1
                 while k < 64:
                     rs = _jpeg_huff_decode(br, ac_t)
@@ -443,17 +572,62 @@ def _decode_jpeg(data: bytes):
                     k += r
                     if k > 63:
                         raise ValueError("JPEG AC run past block end")
-                    coef[k] = _jpeg_extend(br.receive(s), s) * q[k]
+                    coef[k] = _jpeg_extend(br.receive(s), s)
                     k += 1
-                block = np.zeros(64)
-                block[zz] = coef  # dezigzag to natural order
-                spatial = basis.T @ block.reshape(8, 8) @ basis + 128.0
-                by = my * c["v"] + b // c["h"]
-                bx = mx * c["h"] + b % c["h"]
-                planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = spatial
+            elif ss == 0:
+                if ah == 0:  # DC first
+                    t = _jpeg_huff_decode(br, tables[(0, c["td"])])
+                    preds[c["ci"]] += _jpeg_extend(br.receive(t), t)
+                    coef[0] = preds[c["ci"]] << al
+                elif br.bit():  # DC refinement: one correction bit
+                    coef[0] |= 1 << al
+            elif ah == 0:
+                eobrun = _jpeg_first_ac(
+                    br, coef, ss, se, al, eobrun, tables[(1, c["ta"])]
+                )
+            else:
+                eobrun = _jpeg_refine_ac(
+                    br, coef, ss, se, al, eobrun, tables[(1, c["ta"])]
+                )
+
+        for unit in range(n_units):
+            if sc["dri"] and unit and unit % sc["dri"] == 0:
+                chunk_i += 1
+                if chunk_i >= len(sc["chunks"]):
+                    raise ValueError("JPEG missing restart marker")
+                br = _JpegBits(sc["chunks"][chunk_i])
+                preds = {c["ci"]: 0 for c in scomps}
+                eobrun = 0
+            if interleaved:
+                my, mx = divmod(unit, mcux)
+                for c in scomps:
+                    for b in range(c["v"] * c["h"]):
+                        by = my * c["v"] + b // c["h"]
+                        bx = mx * c["h"] + b % c["h"]
+                        decode_unit(coefs[c["ci"]][by, bx], c)
+            else:
+                c = scomps[0]
+                by, bx = divmod(unit, c["bw"])
+                decode_unit(coefs[c["ci"]][by, bx], c)
+
+    # dequant + dezigzag + IDCT, vectorized over every block of each plane
+    basis = _jpeg_dct_basis()
+    zz = np.asarray(_JPEG_ZIGZAG)
     full = []
-    for ci, c in enumerate(scan_comps):
-        p = planes[ci]
+    for ci, c in enumerate(comps):
+        if c["tq"] not in qt:
+            raise ValueError(f"JPEG missing quant table {c['tq']}")
+        q = qt[c["tq"]]
+        deq = coefs[ci].astype(np.float64) * q[None, None, :]
+        blocks = np.zeros_like(deq)
+        blocks[:, :, zz] = deq  # dezigzag to natural (row-major) order
+        blocks = blocks.reshape(c["bh_pad"], c["bw_pad"], 8, 8)
+        spatial = (
+            np.einsum("ux,nmuv,vy->nmxy", basis, blocks, basis) + 128.0
+        )
+        p = spatial.transpose(0, 2, 1, 3).reshape(
+            c["bh_pad"] * 8, c["bw_pad"] * 8
+        )
         p = np.repeat(np.repeat(p, vmax // c["v"], 0), hmax // c["h"], 1)
         full.append(p[:h, :w])
     if len(full) == 3:
@@ -923,8 +1097,9 @@ def probe_format_mode(data: bytes):
 
       png   depth{d}-ctype{t}[-interlaced]   decodable iff d=8, no
                                              interlace, ctype in {0,2,4,6}
-      jpeg  baseline / extended-sequential   decodable (8-bit precision)
-            progressive / arithmetic-* / lossless / differential-* /
+      jpeg  baseline / extended-sequential
+            / progressive (huffman, r11)     decodable (8-bit precision)
+            arithmetic-* / lossless / differential-* /
             *-{p}bit / no-sof                not decodable
       gif   single-frame / multi-frame       decodable (decode_pixels
                                              composites the FIRST frame;
@@ -958,7 +1133,11 @@ def probe_format_mode(data: bytes):
                         _JPEG_SOF_UNSUPPORTED[marker].replace(" ", "-"),
                         False,
                     )
-                mode = "baseline" if marker == 0xC0 else "extended-sequential"
+                mode = {
+                    0xC0: "baseline",
+                    0xC1: "extended-sequential",
+                    0xC2: "progressive",  # huffman progressive decodes (r11)
+                }[marker]
                 prec = data[i + 4] if i + 4 < len(data) else 0
                 if prec != 8:
                     return "jpeg", f"{mode}-{prec}bit", False
@@ -1024,7 +1203,7 @@ FORMAT_CLASSES = [
     ("png", "depth8-ctype2", True),
     ("png", "depth16-ctype2", False),
     ("jpeg", "baseline", True),
-    ("jpeg", "progressive", False),
+    ("jpeg", "progressive", True),  # huffman progressive decodes since r11
     ("jpeg", "arithmetic-sequential", False),
     ("gif", "single-frame", True),
     ("gif", "multi-frame", True),

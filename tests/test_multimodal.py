@@ -373,7 +373,9 @@ _JZZ = [
     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
 ]
 _J_DC_SYMS = list(range(12))
-_J_AC_SYMS = [0x00, 0xF0] + [
+# 0x00 (EOB) .. 0xE0: the s=0 symbols double as progressive EOBn run codes
+# (EOBRUN = (1<<r) + r extra bits); 0xF0 is ZRL in both modes
+_J_AC_SYMS = [0x00, 0xF0] + [r << 4 for r in range(1, 15)] + [
     (r << 4) | s for r in range(16) for s in range(1, 11)
 ]
 
@@ -591,10 +593,17 @@ def test_jpeg_error_contract():
     # truncated entropy stream -> ValueError (never a crash)
     with _pytest.raises(ValueError):
         decode_pixels(data[: len(data) - 6])
-    # progressive SOF2 -> explicit NotImplementedError boundary
+    # arithmetic-coded SOF -> explicit NotImplementedError boundary
+    arith = bytearray(data)
+    arith[arith.index(b"\xff\xc0") + 1] = 0xC9
+    with _pytest.raises(NotImplementedError):
+        decode_pixels(bytes(arith))
+    # SOF2 flag on a baseline full-band scan header (Ss=0, Se=63) is an
+    # invalid progressive stream, not a boundary: ValueError (r11 —
+    # progressive itself now decodes)
     prog = bytearray(data)
     prog[prog.index(b"\xff\xc0") + 1] = 0xC2
-    with _pytest.raises(NotImplementedError):
+    with _pytest.raises(ValueError):
         decode_pixels(bytes(prog))
     # headerless blob (SOI then garbage) -> ValueError
     with _pytest.raises(ValueError):
@@ -910,4 +919,366 @@ def test_decode_coverage_stage(spark):
     for k, (fmt, mode, ok) in enumerate(mm.FORMAT_CLASSES):
         assert got[(fmt, mode, ok)] == 4
     n_dec = sum(n for (f, m, ok), n in got.items() if ok)
-    assert n_dec == 20  # 5 of 10 classes are inside the boundary
+    assert n_dec == 24  # 6 of 10 classes are inside the boundary (r11:
+    # huffman progressive moved inside)
+
+
+# -- progressive JPEG pins (r11): independent multi-scan encoder --------------
+# Same discipline as _jpeg_encode: forward DCT + quantize once, then emit a
+# SOF2 scan script (spectral selection + successive approximation) sharing
+# NO code with the decoder. The entropy layer is lossless, so progressive
+# and baseline encodings of the SAME image must decode to IDENTICAL pixels
+# — the round-trips below assert exact equality, not a bound.
+
+
+class _JEobState:
+    def __init__(self):
+        self.eobrun = 0
+        self.corr = []  # correction bits deferred until the EOBn flush
+
+
+def _j_flush_eobrun(state, ac, bw):
+    if state.eobrun == 0:
+        return
+    r = state.eobrun.bit_length() - 1
+    bw.put(*ac[r << 4])
+    if r:
+        bw.put(r, state.eobrun - (1 << r))
+    for b in state.corr:
+        bw.put(1, b)
+    state.eobrun = 0
+    state.corr = []
+
+
+def _j_trunc(v, al):
+    # AC point transform: magnitude shift (truncation toward zero)
+    return (v >> al) if v >= 0 else -((-v) >> al)
+
+
+def _j_ac_first_block(state, band, al, ac, bw):
+    ts = [_j_trunc(v, al) for v in band]
+    if not any(ts):
+        state.eobrun += 1
+        if state.eobrun == 0x7FFF:
+            _j_flush_eobrun(state, ac, bw)
+        return
+    _j_flush_eobrun(state, ac, bw)
+    run = 0
+    last_nz = max(i for i, t in enumerate(ts) if t)
+    for i, t in enumerate(ts[: last_nz + 1]):
+        if t == 0:
+            run += 1
+            continue
+        while run > 15:
+            bw.put(*ac[0xF0])
+            run -= 16
+        s = abs(t).bit_length()
+        bw.put(*ac[(run << 4) | s])
+        bw.put(s, t if t >= 0 else t + (1 << s) - 1)
+        run = 0
+    if last_nz < len(ts) - 1:
+        state.eobrun += 1
+        if state.eobrun == 0x7FFF:
+            _j_flush_eobrun(state, ac, bw)
+
+
+def _j_ac_refine_block(state, band, ah, al, ac, bw):
+    tnew = [_j_trunc(v, al) for v in band]
+    absv = [abs(t) for t in tnew]
+    # newly nonzero at this precision <=> |tnew| == 1 (history magnitudes
+    # are >= 2 after the appended bit)
+    eob_pos = -1
+    for i, a in enumerate(absv):
+        if a == 1:
+            eob_pos = i
+    r = 0
+    pend = []
+    for i, t in enumerate(tnew):
+        a = absv[i]
+        if a == 0:
+            r += 1
+            continue
+        while r > 15 and i <= eob_pos:
+            _j_flush_eobrun(state, ac, bw)
+            bw.put(*ac[0xF0])
+            r -= 16
+            for b in pend:
+                bw.put(1, b)
+            pend = []
+        if a > 1:
+            pend.append(a & 1)
+            continue
+        _j_flush_eobrun(state, ac, bw)
+        bw.put(*ac[(r << 4) | 1])
+        bw.put(1, 1 if t > 0 else 0)
+        r = 0
+        for b in pend:
+            bw.put(1, b)
+        pend = []
+    if r > 0 or pend:
+        state.eobrun += 1
+        state.corr.extend(pend)
+        if state.eobrun == 0x7FFF:
+            _j_flush_eobrun(state, ac, bw)
+
+
+def _jpeg_encode_progressive(img, q=1, subsample=False, script=None,
+                             restart_interval=0):
+    """SOF2 progressive encoder. Default script: DC first at Al=1 for all
+    components (interleaved), DC refinement, then per-component AC band
+    scans at Al=1 (split bands for component 0) and AC refinements to
+    Al=0. `script` entries: ("dc", ah, al) or ("ac", ci, ss, se, ah, al).
+    """
+    import struct
+
+    import numpy as np
+
+    h, w = img.shape[:2]
+    ch = img.shape[2] if img.ndim == 3 else 1
+    dc = _j_codes(5, _J_DC_SYMS)
+    ac = _j_codes(8, _J_AC_SYMS)
+    qnat = np.full((8, 8), float(q))
+    a = _j_dct_basis()
+
+    sy = (2, 2) if (subsample and ch == 3) else (1, 1)
+    comps = [(1, sy, 0)] + ([(2, (1, 1), 0), (3, (1, 1), 0)] if ch == 3 else [])
+    hmax, vmax = comps[0][1]
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+
+    if ch == 3:
+        rgb = img.astype(float)
+        y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+        cb = 128.0 - 0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2]
+        cr = 128.0 + 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2]
+        planes = [y, cb, cr]
+    else:
+        planes = [img.reshape(h, w).astype(float)]
+
+    def pad(p, ph, pw):
+        return np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), "edge")
+
+    coefs = []  # per comp: [bh][bw] -> 64-list zigzag ints
+    bdims = []
+    for (cid, (hs, vs), _tq), p in zip(comps, planes):
+        if (hs, vs) != (hmax, vmax):
+            p = pad(p, mcuy * vmax * 8, mcux * hmax * 8)
+            fy, fx = vmax // vs, hmax // hs
+            p = p.reshape(p.shape[0] // fy, fy, p.shape[1] // fx, fx).mean((1, 3))
+        else:
+            p = pad(p, mcuy * vs * 8, mcux * hs * 8)
+        bh, bwid = p.shape[0] // 8, p.shape[1] // 8
+        arr = []
+        for by in range(bh):
+            row = []
+            for bx in range(bwid):
+                blk = p[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                f = a @ (blk - 128.0) @ a.T
+                fq = np.rint(f / qnat).astype(int)
+                row.append([int(fq.flat[i]) for i in _JZZ])
+            arr.append(row)
+        coefs.append(arr)
+        # non-interleaved scans cover the component's SPEC block grid
+        # (ceil(comp_dim / 8)), not the MCU-padded grid the DC
+        # interleaved scan walks — padded blocks are simply never coded
+        comp_w = -(-w * hs // hmax)
+        comp_h = -(-h * vs // vmax)
+        bdims.append((-(-comp_h // 8), -(-comp_w // 8)))
+
+    if script is None:
+        script = [("dc", 0, 1), ("dc", 1, 0)]
+        for ci in range(len(comps)):
+            if ci == 0:
+                script += [("ac", 0, 1, 5, 0, 1), ("ac", 0, 6, 63, 0, 1)]
+                script += [("ac", 0, 1, 5, 1, 0), ("ac", 0, 6, 63, 1, 0)]
+            else:
+                script += [("ac", ci, 1, 63, 0, 1), ("ac", ci, 1, 63, 1, 0)]
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([q] * 64)
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for cid, (hs, vs), tq in comps:
+        sof += bytes([cid, (hs << 4) | vs, tq])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    for tc, syms, ln in ((0, _J_DC_SYMS, 5), (1, _J_AC_SYMS, 8)):
+        bits = [0] * 16
+        bits[ln - 1] = len(syms)
+        payload = bytes([tc << 4]) + bytes(bits) + bytes(syms)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    rst = [0]
+
+    def run_scan(scan):
+        nonlocal out
+        kind = scan[0]
+        bw = _JBitWriter()
+
+        def restart_flush():
+            bw.flush()
+            nonlocal out
+            out += bw.out
+            out_marker = bytes([0xFF, 0xD0 + (rst[0] % 8)])
+            rst[0] += 1
+            return out_marker
+
+        if kind == "dc":
+            _, ah, al = scan
+            sos = bytes([len(comps)])
+            for cid, _hv, _tq in comps:
+                sos += bytes([cid, 0x00])
+            sos += bytes([0, 0, (ah << 4) | al])
+            out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+            preds = [0] * len(comps)
+            for mcu in range(mcux * mcuy):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    out += restart_flush()
+                    bw = _JBitWriter()
+                    preds = [0] * len(comps)
+                my, mx = divmod(mcu, mcux)
+                for ci, (cid, (hs, vs), _tq) in enumerate(comps):
+                    for b in range(vs * hs):
+                        by, bx = my * vs + b // hs, mx * hs + b % hs
+                        v = coefs[ci][by][bx][0]
+                        if ah == 0:
+                            t = v >> al  # DC: arithmetic shift per T.81
+                            diff = t - preds[ci]
+                            preds[ci] = t
+                            s = abs(diff).bit_length()
+                            bw.put(*dc[s])
+                            if s:
+                                bw.put(s, diff if diff >= 0 else diff + (1 << s) - 1)
+                        else:
+                            bw.put(1, (v >> al) & 1)
+        else:
+            _, ci, ss, se, ah, al = scan
+            cid = comps[ci][0]
+            sos = bytes([1, cid, 0x00, ss, se, (ah << 4) | al])
+            out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+            bh, bwid = bdims[ci]
+            state = _JEobState()
+            for unit in range(bh * bwid):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    _j_flush_eobrun(state, ac, bw)
+                    out += restart_flush()
+                    bw = _JBitWriter()
+                    state = _JEobState()
+                by, bx = divmod(unit, bwid)
+                band = coefs[ci][by][bx][ss:se + 1]
+                if ah == 0:
+                    _j_ac_first_block(state, band, al, ac, bw)
+                else:
+                    _j_ac_refine_block(state, band, ah, al, ac, bw)
+            _j_flush_eobrun(state, ac, bw)
+        bw.flush()
+        out += bw.out
+
+    for scan in script:
+        run_scan(scan)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_progressive_equals_baseline_gray():
+    import numpy as np
+
+    from kausaldb_spark.sources.multimodal import decode_pixels, probe_format_mode
+
+    img = _rand_img(13, 11, 1, seed=7)
+    prog = _jpeg_encode_progressive(img)
+    assert probe_format_mode(prog) == ("jpeg", "progressive", True)
+    base = decode_pixels(_jpeg_encode(img))
+    got = decode_pixels(prog)
+    assert np.array_equal(got, base)  # lossless entropy layer: exact
+
+
+def test_jpeg_progressive_equals_baseline_rgb():
+    import numpy as np
+
+    from kausaldb_spark.sources.multimodal import decode_pixels
+
+    img = _rand_img(24, 17, 3, seed=8)
+    got = decode_pixels(_jpeg_encode_progressive(img))
+    base = decode_pixels(_jpeg_encode(img))
+    assert np.array_equal(got, base)
+
+
+def test_jpeg_progressive_subsampled_and_restarts():
+    import numpy as np
+
+    from kausaldb_spark.sources.multimodal import decode_pixels
+
+    img = _rand_img(33, 18, 3, seed=9)  # non-multiple-of-16 dims
+    base = decode_pixels(_jpeg_encode(img, subsample=True))
+    got = decode_pixels(_jpeg_encode_progressive(img, subsample=True))
+    assert np.array_equal(got, base)
+    # restart intervals inside progressive scans (DC preds + EOB runs reset)
+    got_rst = decode_pixels(
+        _jpeg_encode_progressive(img, subsample=True, restart_interval=2)
+    )
+    assert np.array_equal(got_rst, base)
+
+
+def test_jpeg_progressive_deep_successive_approximation():
+    import numpy as np
+
+    from kausaldb_spark.sources.multimodal import decode_pixels
+
+    # 3 refinement levels + split bands: exercises ZRL-in-refinement,
+    # correction-bit buffering across EOB runs, and multi-bit DC approx
+    img = _rand_img(16, 16, 1, seed=10)
+    script = [
+        ("dc", 0, 2), ("dc", 1, 1), ("dc", 1, 0),
+        ("ac", 0, 1, 2, 0, 2), ("ac", 0, 3, 63, 0, 2),
+        ("ac", 0, 1, 2, 1, 1), ("ac", 0, 3, 63, 1, 1),
+        ("ac", 0, 1, 2, 2, 0), ("ac", 0, 3, 63, 2, 0),
+    ]
+    got = decode_pixels(_jpeg_encode_progressive(img, script=script))
+    base = decode_pixels(_jpeg_encode(img))
+    assert np.array_equal(got, base)
+
+
+if _HAVE_HYP:
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 40),
+        w=st.integers(1, 40),
+        ch=st.sampled_from([1, 3]),
+        seed=st.integers(0, 2**31 - 1),
+        subsample=st.booleans(),
+        dri=st.sampled_from([0, 1, 3]),
+        q=st.sampled_from([1, 2]),
+        deep=st.booleans(),
+    )
+    def test_jpeg_progressive_roundtrip_hypothesis(
+        h, w, ch, seed, subsample, dri, q, deep
+    ):
+        """Progressive must decode to EXACTLY the baseline pixels of the
+        same image at the same quantization — the entropy layer is
+        lossless, so any deviation is a scan-machinery bug. Random dims
+        (incl. 1-pixel edges), channels, subsampling, restart intervals,
+        quant levels, and both the default script and a deep 3-level
+        successive-approximation script."""
+        import numpy as np
+
+        from kausaldb_spark.sources.multimodal import decode_pixels
+
+        img = _rand_img(h, w, ch, seed=seed % 100000)
+        sub = subsample and ch == 3
+        script = None
+        if deep:
+            script = [("dc", 0, 2), ("dc", 1, 1), ("dc", 1, 0)]
+            for ci in range(3 if ch == 3 else 1):
+                script += [
+                    ("ac", ci, 1, 5, 0, 2), ("ac", ci, 6, 63, 0, 2),
+                    ("ac", ci, 1, 5, 1, 1), ("ac", ci, 6, 63, 1, 1),
+                    ("ac", ci, 1, 5, 2, 0), ("ac", ci, 6, 63, 2, 0),
+                ]
+        base = decode_pixels(_jpeg_encode(img, subsample=sub, q=q))
+        got = decode_pixels(
+            _jpeg_encode_progressive(
+                img, q=q, subsample=sub, script=script, restart_interval=dri
+            )
+        )
+        assert np.array_equal(got, base)
