@@ -779,12 +779,22 @@ class BlockStore:
             # a dropped-but-orphaned location (e.g. from a previous session)
             # blocks managed-table creation — clear it
             shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
-        self.snapshot().write.bucketBy(buckets, "id").sortBy("id").saveAsTable(
-            f"{table_prefix}_blocks_b"
-        )
-        self.visible_edges().write.bucketBy(buckets, "src").sortBy("src").saveAsTable(
-            f"{table_prefix}_edges_b"
-        )
+        # repartition BY THE BUCKET COLUMN first (Spark's hash partitioning
+        # and bucket assignment are both Murmur3 on the column): every
+        # output task then writes exactly ONE bucket file. Without it each
+        # input task fans out into up to `buckets` concurrent parquet
+        # writers, each buffering a row group — the r11 sf10 (100x)
+        # rehearsal OOM'd a 16g heap exactly here. Same discipline a real
+        # cluster write uses; also collapses the file count from
+        # n_tasks x buckets to `buckets`.
+        from pyspark.sql import functions as F
+
+        self.snapshot().repartition(buckets, F.col("id")).write.bucketBy(
+            buckets, "id"
+        ).sortBy("id").saveAsTable(f"{table_prefix}_blocks_b")
+        self.visible_edges().repartition(buckets, F.col("src")).write.bucketBy(
+            buckets, "src"
+        ).sortBy("src").saveAsTable(f"{table_prefix}_edges_b")
 
     # -- maintenance --------------------------------------------------------
 

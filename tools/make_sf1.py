@@ -53,6 +53,13 @@ from pyspark.sql import DataFrame, functions as F  # noqa: E402
 SRC = os.environ.get("SF_SRC_DIR", "/root/testdata/sf0.1")
 OUT = os.environ.get("OUT_DIR", "/root/repo/.sf1")
 N_COPIES = int(os.environ.get("N_COPIES", "10"))
+# part files per fact table. The r11 sf10 bring-up found the cross-join
+# builder inheriting the SOURCE's partitioning (one ~30 MB file for 500k
+# documents): every scan then ran at parallelism 1-2 and the 10x->100x
+# factors read 20-70x — a fixture LAYOUT artifact, not a plan problem. A
+# real corpus arrives as many ~128 MB files; 32 files keeps local[32]
+# saturated at bench scale.
+OUT_FILES = int(os.environ.get("OUT_FILES", "32"))
 
 KEY_OFF = 10_000_000_000  # fact keys
 USER_OFF = 1_000_000      # events.user_id
@@ -77,7 +84,7 @@ def _copies(df: DataFrame, shifts: dict[str, int], extra=None) -> DataFrame:
         )
     if extra is not None:
         d = extra(d)
-    return d.drop("_c")
+    return d.drop("_c").repartition(OUT_FILES)
 
 
 def _perturb_text(d: DataFrame) -> DataFrame:

@@ -157,6 +157,25 @@ def main() -> None:
         "pass": recs.get("gate_pass") is True,
     }
 
+    # -- 5. sf10 (optional, r11) ------------------------------------------
+    # the 100x gauntlet is expensive (~35 min); round_close consumes its
+    # record when present (run tools/bench_sf10.py to refresh), gating on
+    # its own verdict. --with-sf10 forces a fresh run.
+    sf10_path = os.path.join(REPO, "BENCH_sf10.json")
+    if "--with-sf10" in argv:
+        subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "bench_sf10.py")],
+            timeout=7200,
+        )
+    if os.path.exists(sf10_path):
+        rec10 = json.load(open(sf10_path))
+        gates["scale_100x"] = {
+            "gate_pass": rec10.get("gate_pass"),
+            "flags": rec10.get("flags"),
+            "n_errors": len(rec10.get("errors") or []),
+            "pass": rec10.get("gate_pass") is True,
+        }
+
     ok = all(g["pass"] for g in gates.values())
     out = {"metric": "round_close", "pass": ok, "gates": gates}
     with open(os.path.join(REPO, "ROUND_CLOSE.json"), "w") as fh:
