@@ -645,11 +645,16 @@ def main() -> None:
         sys.exit(1)
 
 
-def _err_tail(exc: Exception, limit: int = 300) -> str:
-    """Last `limit` chars of the exception text — enough to diagnose, small
-    enough to keep the one-line JSON readable."""
+def _err_tail(exc: Exception, limit: int = 400) -> str:
+    """Head + tail of the exception text — JVM exceptions put the root
+    cause ('Caused by: ...') at the END but the exception class and
+    message at the START; a tail-only capture lost the r11 sf10 store
+    OOM's cause. Small enough to keep the one-line JSON readable."""
     msg = f"{type(exc).__name__}: {exc}"
-    return msg[-limit:] if len(msg) > limit else msg
+    if len(msg) <= limit:
+        return msg
+    half = limit // 2
+    return msg[:half] + " ... " + msg[-half:]
 
 
 if __name__ == "__main__":

@@ -211,7 +211,22 @@ def jaccard_verify(
 ) -> DataFrame:
     """Exact Jaccard on candidate pairs via the shingle relation:
     keep pairs with inter/union >= num/den (integer arithmetic — no float
-    drift). Returns (doc_a, doc_b, n_inter, n_union)."""
+    drift). Returns (doc_a, doc_b, n_inter, n_union).
+
+    Scale shape (r11, found by the sf10 gauntlet): the shingle relation is
+    first semi-join-pruned to CANDIDATE docs only — the verify legs then
+    shuffle a duplication-rate-sized sliver instead of the whole corpus's
+    shingles (at sf10 the unpruned verify re-shuffled a ~40M-row relation
+    twice and minhash read ~proportional-to-volume instead of
+    overhead-amortized; same sliver discipline near_dup_vs_corpus already
+    documents). Sizes are computed on the sliver too: only candidate docs
+    need n_sh for the ratio prefilter."""
+    cand_ids = (
+        candidates.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = sh.join(cand_ids, "doc_id", "leftsemi")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     # Size-ratio prefilter: J(A,B) <= min/max, so den*min < num*max can never
     # pass — drop those pairs BEFORE the (expensive) intersection join.

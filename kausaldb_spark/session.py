@@ -38,7 +38,15 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # local[32] puts 32 executor cores in ONE JVM: parquet writers
+        # buffer a row group PER TASK outside Spark's memory manager
+        # (32 x ~128 MB during a wide write), on top of the columnar
+        # cache and execution memory. A real cluster provisions 1-2 GB
+        # per core; 16g here gave 0.5 GB/core and the r11 sf10 (100x)
+        # rehearsal OOM'd the store write stage. 48g ~= 1.5 GB/core, the
+        # low end of a production executor profile — still under half
+        # the 128 GiB box.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         # stage-progress \r spam interleaves with stdout when streams are
         # captured combined (the bench driver's tail window) — keep program
