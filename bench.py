@@ -207,9 +207,10 @@ def _bench_store_path(spark, sf_dir, timings, errors):
 
     added = 0.0
     t0 = time.monotonic()
+    store_dir = tempfile.mkdtemp(prefix="kdb_bench_store_")
     try:
         g = gm.graph(spark, sf_dir)
-        store = BlockStore(spark, tempfile.mkdtemp(prefix="kdb_bench_store_"))
+        store = BlockStore(spark, store_dir)
         store.append_blocks(g["visible"], resequence=False)
         # edges_vis is endpoint-restricted by construction (graphmodel
         # anti-joins both endpoints against the invisible set) — bulk
@@ -221,6 +222,9 @@ def _bench_store_path(spark, sf_dir, timings, errors):
     except Exception as exc:  # noqa: BLE001
         errors["store_materialize"] = _err_tail(exc)
         timings["store_materialize"] = {"err": _err_tail(exc)}
+        import shutil as _sh
+
+        _sh.rmtree(store_dir, ignore_errors=True)
         return added
     sec = time.monotonic() - t0
     timings["store_materialize"] = round(sec, 3)
@@ -271,10 +275,17 @@ def _bench_store_path(spark, sf_dir, timings, errors):
             .select("id", "depth")
         ),
     }
-    for name, fn in gates.items():
-        med = _timed(fn, timings, errors, name)
-        if med is not None:
-            added += med
+    try:
+        for name, fn in gates.items():
+            med = _timed(fn, timings, errors, name)
+            if med is not None:
+                added += med
+    finally:
+        # the sf10 rehearsal's store copy is ~21 GB — leaked bench stores
+        # filled the disk and turned a sort spill into SPILL_OUT_OF_MEMORY
+        import shutil as _sh
+
+        _sh.rmtree(store_dir, ignore_errors=True)
     return added
 
 
@@ -300,19 +311,26 @@ def _bench_incremental_dedup(spark, sf_dir, timings, errors) -> float:
     def build():
         dd.minhash_index(base).write.mode("overwrite").parquet(idx_path)
 
-    med = _timed(build, timings, errors, "incremental_dedup_index_build", n_runs=1)
-    if med is None:
-        return total
-    total += med
-    idx = spark.read.parquet(idx_path)
-
-    def batch():
-        _force(dd.near_dup_vs_corpus(new, base, index=idx))
-
-    med = _timed(batch, timings, errors, "incremental_dedup_batch")
-    if med is not None:
+    try:
+        med = _timed(
+            build, timings, errors, "incremental_dedup_index_build", n_runs=1
+        )
+        if med is None:
+            return total
         total += med
-    return total
+        idx = spark.read.parquet(idx_path)
+
+        def batch():
+            _force(dd.near_dup_vs_corpus(new, base, index=idx))
+
+        med = _timed(batch, timings, errors, "incremental_dedup_batch")
+        if med is not None:
+            total += med
+        return total
+    finally:
+        import shutil as _sh
+
+        _sh.rmtree(idx_path, ignore_errors=True)
 
 
 def _bench_ingestion(spark, timings, errors) -> float:
@@ -399,6 +417,8 @@ def _bench_ingestion(spark, timings, errors) -> float:
                 k: sync_stats.get(k)
                 for k in ("files_changed", "files_reresolved", "files_unchanged")
             }
+    _sh.rmtree(work, ignore_errors=True)
+    _sh.rmtree(eng.store.path, ignore_errors=True)
     return added
 
 
@@ -473,6 +493,10 @@ def _bench_e2e(spark, timings, errors) -> float:
     finally:
         srv.shutdown()
         srv.server_close()
+        import shutil as _sh
+
+        _sh.rmtree(root, ignore_errors=True)
+        _sh.rmtree(eng.store.path, ignore_errors=True)
     return added
 
 

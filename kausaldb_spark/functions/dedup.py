@@ -311,25 +311,35 @@ def minhash_pairs_for(
     """MinHash-LSH near-dup pairs over an arbitrary (doc_id, text) corpus:
     shingles → signatures → banded candidates (oversized buckets dropped) →
     Jaccard ≥ num/den verify."""
-    sh = doc_shingles(corpus).persist()
-    try:
-        bands = _wide_signature_buckets(sh)
-        bands, _dropped = capped_buckets(bands, max_bucket_size)
-        a = bands.alias("a")
-        b = bands.alias("b")
-        cands = (
-            a.join(
-                b,
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.bucket") == F.col("b.bucket")),
-            )
-            .where(F.col("a.doc_id") < F.col("b.doc_id"))
-            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-            .distinct()
+    # NO persist of the exploded shingle relation (r11): at corpus scale it
+    # is orders of magnitude larger than the text (38M rows for 150 MB at
+    # the sf10 rehearsal; impossible at 100 TB) and caching it cost more
+    # than the one extra corpus scan it saves. The signature pass streams
+    # the shingles once; verification RE-SHINGLES only the candidate docs
+    # (a duplication-rate-sized sliver of the corpus — the same shape
+    # near_dup_vs_corpus documents for the incremental path).
+    bands = _wide_signature_buckets(doc_shingles(corpus))
+    bands, _dropped = capped_buckets(bands, max_bucket_size)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
         )
-        return jaccard_verify(cands, sh, num, den).localCheckpoint(eager=True)
-    finally:
-        sh.unpersist()
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .localCheckpoint(eager=True)  # candidate ids feed two prune joins
+    )
+    cand_ids = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_cand = doc_shingles(corpus.join(cand_ids, "doc_id", "leftsemi"))
+    return jaccard_verify(cands, sh_cand, num, den).localCheckpoint(eager=True)
 
 
 def minhash_near_duplicates(

@@ -97,7 +97,14 @@ def main() -> None:
     rec10 = json.loads(lines[-1])
 
     rec01 = json.load(open(os.path.join(REPO, "BENCH_LOCAL.json")))
-    rec1 = json.load(open(os.path.join(REPO, "BENCH_sf1_local.json")))
+    # prefer the newest sf1 record: bench.py writes BENCH_LOCAL_sf1.0.json,
+    # round_close records BENCH_sf1_local.json
+    sf1_paths = [
+        os.path.join(REPO, p)
+        for p in ("BENCH_LOCAL_sf1.0.json", "BENCH_sf1_local.json")
+    ]
+    sf1_paths = [p for p in sf1_paths if os.path.exists(p)]
+    rec1 = json.load(open(max(sf1_paths, key=os.path.getmtime)))
     q01, q1, q10 = rec01["queries"], rec1["queries"], rec10["queries"]
 
     rows, flags, errs = {}, [], []
