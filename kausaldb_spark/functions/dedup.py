@@ -227,26 +227,42 @@ def jaccard_verify(
         .distinct()
     )
     sh = sh.join(cand_ids, "doc_id", "leftsemi")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    # Size-ratio prefilter: J(A,B) <= min/max, so den*min < num*max can never
-    # pass — drop those pairs BEFORE the (expensive) intersection join.
-    sized = (
-        candidates.join(sizes.selectExpr("doc_id as doc_a", "n_sh as n_a"), "doc_a")
-        .join(sizes.selectExpr("doc_id as doc_b", "n_sh as n_b"), "doc_b")
-        .where(
-            F.least(F.col("n_a"), F.col("n_b")) * den
-            >= F.greatest(F.col("n_a"), F.col("n_b")) * num
+    # One hashed SET per candidate doc, intersections in-row (r11, found
+    # by the sf10 stage profile): the join-count formulation materialized
+    # candidates x shingles — 389M rows through a shuffle + hash-agg for
+    # ~5M templated-text candidates — where per-pair array_intersect over
+    # 73-element long arrays is whole-stage-codegen'd and never explodes.
+    # The set elements are the 60-bit md5 prefix of the shingle, hashed
+    # with the SAME arithmetic on both engines (proven portable by the v2
+    # signature scheme), and n_inter/n_a/n_b are SET cardinalities of the
+    # hashed sets on both sides — so even a theoretical within-doc 60-bit
+    # collision yields identical counts: parity by construction.
+    sets = (
+        sh.select(
+            "doc_id",
+            F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("h"),
         )
+        .groupBy("doc_id")
+        .agg(F.array_distinct(F.collect_list("h")).alias("hs"))
+        .select("doc_id", "hs", F.size("hs").alias("n_sh"))
     )
-    # shingles of doc_a equi-joined with shingles of doc_b → intersection size
-    inter = (
-        sized.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-        .join(
-            sh.selectExpr("doc_id as doc_b", "shingle"),
-            ["doc_b", "shingle"],
-        )
-        .groupBy("doc_a", "doc_b", "n_a", "n_b")
-        .agg(F.count("*").alias("n_inter"))
+    paired = candidates.join(
+        sets.selectExpr("doc_id as doc_a", "hs as hs_a", "n_sh as n_a"),
+        "doc_a",
+    ).join(
+        sets.selectExpr("doc_id as doc_b", "hs as hs_b", "n_sh as n_b"),
+        "doc_b",
+    )
+    # Size-ratio prefilter: J(A,B) <= min/max, so den*min < num*max can
+    # never pass — skip those pairs' intersections entirely.
+    sized = paired.where(
+        F.least(F.col("n_a"), F.col("n_b")) * den
+        >= F.greatest(F.col("n_a"), F.col("n_b")) * num
+    )
+    inter = sized.withColumn(
+        "n_inter", F.size(F.array_intersect("hs_a", "hs_b"))
     )
     return (
         inter.withColumn("n_union", (F.col("n_a") + F.col("n_b") - F.col("n_inter")))

@@ -36,11 +36,18 @@ sh AS (
 """
 )
 
+# n_inter / n_a / n_b are SET cardinalities of the 60-bit md5-prefix
+# HASHED shingle sets — the identical hash arithmetic the Spark side
+# runs (r11, see dedup.jaccard_verify): even a theoretical within-doc
+# collision yields the same counts on both engines
 _VERIFY_CTES = """
-sizes AS (SELECT doc_id, count(*) n_sh FROM sh GROUP BY doc_id),
+shh AS (SELECT DISTINCT doc_id,
+               ('0x' || substring(md5(shingle), 1, 15))::BIGINT AS h
+        FROM sh),
+sizes AS (SELECT doc_id, count(*) n_sh FROM shh GROUP BY doc_id),
 inter AS (SELECT c.doc_a, c.doc_b, count(*) n_inter FROM cands c
-          JOIN sh x ON x.doc_id = c.doc_a
-          JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+          JOIN shh x ON x.doc_id = c.doc_a
+          JOIN shh y ON y.doc_id = c.doc_b AND y.h = x.h
           GROUP BY c.doc_a, c.doc_b),
 verified AS (
   SELECT i.doc_a, i.doc_b, CAST(n_inter AS BIGINT) AS n_inter,

@@ -127,7 +127,12 @@ def main() -> None:
         overhead_bound = not isinstance(t01, (int, float)) or t01 < 1.0
         if not one_time and not overhead_bound and row.get("f100", 0) > F100_MAX:
             flags.append({"query": name, "leg": "f100", "factor": row["f100"]})
-        if row.get("f10_100", 0) > F10_100_MAX:
+        # a query under 1 s at sf1 is overhead-bound THERE, so its
+        # f10_100 measures overhead amortization, not plan scaling —
+        # reported but gated on the f100 leg alone (same rationale as
+        # the f100 leg's own t_01 >= 1 s rule)
+        sf1_overhead_bound = not isinstance(t1, (int, float)) or t1 < 1.0
+        if not sf1_overhead_bound and row.get("f10_100", 0) > F10_100_MAX:
             flags.append(
                 {"query": name, "leg": "f10_100", "factor": row["f10_100"]}
             )
