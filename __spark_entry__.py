@@ -878,6 +878,55 @@ def _q_decode_coverage(spark, sf_dir):
     return mm.decode_coverage(assets)
 
 
+def _animation_stats_sql() -> str:
+    """DuckDB twin of _q_animation_stats, generated from the single
+    ANIM_CLASSES/ANIM_PALETTE definition in sources/gif_anim.py: frame i
+    of doc d is a full-canvas fill with palette index (d*7 + i) % 8 and
+    GCE delay 2*(i+1) cs, so every stat is recomputable from the id
+    alone — while the Spark side actually LZW-decodes and composites the
+    synthesized GIF bytes (a scan-machinery bug breaks the hash)."""
+    from kausaldb_spark.sources import gif_anim as ga
+
+    fr_vals = ",\n   ".join(
+        f"({k}, {i}, {2 * (i + 1)})"
+        for k, n in enumerate(ga.ANIM_CLASSES)
+        for i in range(n)
+    )
+    pal_vals = ",\n   ".join(
+        f"({v}, {r}, {g}, {b})" for v, (r, g, b) in enumerate(ga.ANIM_PALETTE)
+    )
+    return f"""
+WITH fr AS (SELECT * FROM (VALUES
+   {fr_vals}
+  ) AS t(k, i, delay_cs)),
+pal AS (SELECT * FROM (VALUES
+   {pal_vals}
+  ) AS t(v, r, g, b)),
+base AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS k FROM documents)
+SELECT b.k,
+       CAST(count(CASE WHEN fr.i = 0 THEN 1 END) AS BIGINT) AS n_assets,
+       CAST(count(*) AS BIGINT) AS n_frame_rows,
+       CAST(sum(fr.delay_cs) AS BIGINT) AS sum_delay_cs,
+       CAST(sum(pal.r) AS BIGINT) AS sum_mean_r,
+       CAST(sum(pal.g) AS BIGINT) AS sum_mean_g,
+       CAST(sum(pal.b) AS BIGINT) AS sum_mean_b
+FROM base b
+JOIN fr ON fr.k = b.k
+JOIN pal ON pal.v = (b.doc_id * 7 + fr.i) % 8
+GROUP BY b.k"""
+
+
+def _q_animation_stats(spark, sf_dir):
+    # multi-frame GIF decode stats (r11: closes the "multi-frame tails"
+    # codec boundary): deterministic animation corpus keyed off doc_id,
+    # REAL per-frame LZW decode + GCE delays + composite means through
+    # sources/gif_anim.decode_gif_frames, aggregated per class k = id % 4
+    from kausaldb_spark.sources import gif_anim as ga
+
+    assets = ga.synthetic_anim_assets(_docs(spark, sf_dir))
+    return ga.animation_stats(assets)
+
+
 def _q_line_dedup(spark, sf_dir):
     # CCNet-style line-level boilerplate removal over the SAME planted
     # corpus the other dedup gates use (raw documents have no duplicate
@@ -1073,7 +1122,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "filter_metadata_eq": _q_filter_metadata_eq,
         "filter_compound": _q_filter_compound,
-        "filter_numeric_lexical": _q_filter_numeric_lexical,
         "find_by_name": _q_find_by_name,
         "keyword_search": _q_keyword_search,
         "callers_1hop": _q_callers_1hop,
@@ -1094,6 +1142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters": _q_near_dup_clusters,
         "binary_dedup": _q_binary_dedup,
         "decode_coverage": _q_decode_coverage,  # NEW r11 (verdict item 5)
+        "animation_stats": _q_animation_stats,  # NEW r11 (multi-frame GIF)
         "contamination": _q_contamination,
         "corpus_curation": _q_corpus_curation,
         "corpus_stats": _q_corpus_stats,
@@ -1113,6 +1162,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_topk_users": _q_events_topk_users,
         "shard_shuffle": _q_shard_shuffle,  # displaced r11 for the new
         #    decode_coverage entry (green r10 row, path unchanged)
+        "filter_numeric_lexical": _q_filter_numeric_lexical,  # displaced r11
+        #    for the new animation_stats entry (green r10 row, the filter
+        #    family keeps 4 reps in-window; path unchanged this round)
         "point_lookup": _q_point_lookup,  # 15 r10-displaced entries below
         "batch_lookup_100": _q_batch_lookup_100,  # carry a green r9 driver
         "snapshot_view": _q_snapshot_view,  # row on paths unchanged in r10
@@ -2081,6 +2133,10 @@ FROM corpus GROUP BY 1, 2 HAVING count(*) > 1""",
         # actual synthesized container bytes — a probe misclassification
         # (or a builder emitting the wrong structure) breaks this match
         "decode_coverage": _decode_coverage_sql(),
+        # same shared-definition discipline for the animation corpus: the
+        # twin recomputes frame counts/delays/means from doc_id alone; the
+        # Spark side LZW-decodes and composites the actual GIF bytes
+        "animation_stats": _animation_stats_sql(),
         "sessionize": oracles.sessionize_sql(ev.SESSION_GAP_US),
         "events_topk_users": """
 WITH counts AS (
