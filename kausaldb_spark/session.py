@@ -47,6 +47,16 @@ def get_spark(
         # low end of a production executor profile — still under half
         # the 128 GiB box.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # zstd end-to-end for a TEXT-heavy corpus: parquet writes (store
+        # copies, bucketed warehouse tables, derived fixtures) and shuffle
+        # /broadcast/checkpoint blocks compress ~2x denser than the
+        # snappy/lz4 defaults at comparable speed. At 100 TB that halves
+        # the network+disk bill of every wide stage; on this box it is
+        # what lets the sf10 (100x) bucketed-store materialization fit —
+        # its transient peak (store copy + bucket shuffle + warehouse
+        # copy, all alive at once) exceeded the disk budget under snappy.
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.io.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
         # stage-progress \r spam interleaves with stdout when streams are
         # captured combined (the bench driver's tail window) — keep program

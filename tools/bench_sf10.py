@@ -66,8 +66,41 @@ F10_100_MAX = 15.0  # 10x data on the 10x->100x leg, +50% headroom
 
 ONE_TIME = {"store_materialize", "graph_build"}
 
+# The sf10 leg runs as THREE per-family chunks, each a fresh bench.py
+# process, with a cooldown between them. Motivation (measured, r11): a
+# single 17-minute full-load invocation showed late-position queries
+# 3-6x their isolated times (gopher_repetition 192 s in-sequence vs
+# 55-59 s in three separate controlled runs; lm_perplexity 54 s vs
+# 17-18 s) with no GC/session-state explanation (a forced driver+JVM GC
+# between legs changed nothing) and zero steal at idle — consistent
+# with sustained-load throttling of the virtualized box, not with any
+# plan property. Chunking bounds each sustained-load window, the
+# cooldown lets the box recover, and a fresh JVM per family removes
+# cross-family block-manager debris. The text/dedup chunks also skip
+# the (irrelevant to them) 4-minute graph materialization via bench.py's
+# need_graph rule.
+CHUNKS = [
+    ("text", ["gopher_repetition", "lm_perplexity", "token_count_bpe",
+              "contamination", "ngram_jaccard", "duplicate_spans",
+              "simhash_band"]),
+    ("dedup", ["minhash_near_dup", "near_dup_clusters", "semantic_dedup"]),
+    ("graph-store", ["topo_sort", "store_materialize"]),
+]
+COOLDOWN_SEC = 90
+
 
 def main() -> None:
+    if "--recompute" in sys.argv:
+        # Re-evaluate the gate from the LAST sf10 run's record
+        # (BENCH_LOCAL_sf10.0.json — bench.py's by-path artifact) against
+        # the CURRENT sf0.1/sf1 records. For when a baseline leg had to be
+        # re-run (e.g. it was measured on a loaded box) but the expensive
+        # 100x leg itself is clean and unchanged.
+        rec10 = json.load(
+            open(os.path.join(REPO, "BENCH_LOCAL_sf10.0.json"))
+        )
+        _evaluate(rec10)
+        return
     if "--rebuild" in sys.argv or not os.path.exists(
         os.path.join(SF10_DIR, "documents.parquet")
     ):
@@ -78,24 +111,57 @@ def main() -> None:
             check=True, timeout=3600,
         )
 
-    env = dict(
-        os.environ,
-        SPARK_GRAFT_SF_DIR=SF10_DIR,
-        SPARK_GRAFT_BENCH_ONLY=",".join(TOP_QUERIES),
-        SPARK_GRAFT_BENCH_RUNS="1",
-    )
-    print("[bench_sf10] bench @ sf10 (single run per query) ...", flush=True)
-    p = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        env=env, capture_output=True, text=True, timeout=7200,
-    )
-    lines = [ln for ln in p.stdout.strip().splitlines() if ln.startswith("{")]
-    if not lines:
-        print(p.stdout[-2000:])
-        print(p.stderr[-2000:])
-        raise SystemExit("bench.py produced no JSON record")
-    rec10 = json.loads(lines[-1])
+    import time
 
+    artifact = os.path.join(REPO, "BENCH_LOCAL_sf10.0.json")
+    merged_queries: dict = {}
+    total = 0.0
+    for i, (label, names) in enumerate(CHUNKS):
+        if i:
+            print(f"[bench_sf10] cooldown {COOLDOWN_SEC}s ...", flush=True)
+            time.sleep(COOLDOWN_SEC)
+        # remove any prior artifact so a crashed chunk can't be scored
+        # off a stale record
+        if os.path.exists(artifact):
+            os.remove(artifact)
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_SF_DIR=SF10_DIR,
+            SPARK_GRAFT_BENCH_ONLY=",".join(names),
+            SPARK_GRAFT_BENCH_RUNS="1",
+        )
+        print(f"[bench_sf10] chunk {label}: {names} ...", flush=True)
+        p = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env, capture_output=True, text=True, timeout=7200,
+        )
+        # read the FULL by-path artifact, not the compact stdout line:
+        # the compact line elides dict-valued query entries, which
+        # includes per-query {"err": ...} records — the r11 sf10
+        # store_materialize failure passed the error gate unseen through
+        # the line-only path
+        if not os.path.exists(artifact):
+            print(p.stdout[-2000:])
+            print(p.stderr[-2000:])
+            raise SystemExit(f"chunk {label}: bench.py wrote no record")
+        rec = json.load(open(artifact))
+        merged_queries.update(rec.get("queries", {}))
+        v = rec.get("value")
+        if isinstance(v, (int, float)):
+            total += v
+    rec10 = {"queries": merged_queries, "value": round(total, 3)}
+    # persist the merged record so --recompute scores the same data
+    with open(artifact, "w") as fh:
+        json.dump(
+            {"metric": "bench_total_sf10_chunked", "value": rec10["value"],
+             "unit": "sec", "queries": merged_queries, "sf": 10.0},
+            fh, indent=1,
+        )
+        fh.write("\n")
+    _evaluate(rec10)
+
+
+def _evaluate(rec10: dict) -> None:
     rec01 = json.load(open(os.path.join(REPO, "BENCH_LOCAL.json")))
     # prefer the newest sf1 record: bench.py writes BENCH_LOCAL_sf1.0.json,
     # round_close records BENCH_sf1_local.json
