@@ -665,8 +665,14 @@ def main() -> None:
     #      from a tail window.
     try:
         # the plain BENCH_LOCAL.json name is reserved for the driver-contract
-        # scale (sf0.1) so an sf1/skew run can't clobber the round record
+        # scale (sf0.1) so an sf1/skew run can't clobber the round record;
+        # a BENCH_ONLY subset run is likewise PARTIAL by construction and
+        # must never replace the full record either (an r11 three-query
+        # drift probe silently clobbered the round record and round_close
+        # then gated on it)
         suffix = "" if out["sf"] == 0.1 else f"_sf{out['sf']}"
+        if only is not None:
+            suffix += "_partial"
         local_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                   f"BENCH_LOCAL{suffix}.json")
         with open(local_path, "w", encoding="utf-8") as fh:

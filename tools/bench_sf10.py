@@ -113,7 +113,10 @@ def main() -> None:
 
     import time
 
-    artifact = os.path.join(REPO, "BENCH_LOCAL_sf10.0.json")
+    # chunk runs are BENCH_ONLY subsets, so bench.py writes them under the
+    # _partial suffix (a partial record must never clobber a full one);
+    # the merged full record below goes to the unsuffixed name
+    artifact = os.path.join(REPO, "BENCH_LOCAL_sf10.0_partial.json")
     merged_queries: dict = {}
     total = 0.0
     for i, (label, names) in enumerate(CHUNKS):
@@ -151,7 +154,7 @@ def main() -> None:
             total += v
     rec10 = {"queries": merged_queries, "value": round(total, 3)}
     # persist the merged record so --recompute scores the same data
-    with open(artifact, "w") as fh:
+    with open(os.path.join(REPO, "BENCH_LOCAL_sf10.0.json"), "w") as fh:
         json.dump(
             {"metric": "bench_total_sf10_chunked", "value": rec10["value"],
              "unit": "sec", "queries": merged_queries, "sf": 10.0},
