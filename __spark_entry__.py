@@ -350,6 +350,14 @@ def _q_chunk_documents(spark, sf_dir):
     return tx.chunk_documents(_docs(spark, sf_dir), chunk_tokens=32, overlap=8)
 
 
+def _q_span_removal(spark, sf_dir):
+    # the transformation half of Lee-et-al. substring dedup (r11): strip
+    # every maximal duplicated >=8-token span and reassemble the
+    # survivors — detect (duplicate_spans) and remove gate together on
+    # the same planted corpus
+    return dd.remove_duplicate_spans(dd.dedup_corpus(spark, sf_dir), k=8)
+
+
 def _q_duplicate_spans(spark, sf_dir):
     # substring-level exact dedup (Lee et al. 2021 style): maximal >=8-token
     # duplicated spans over the planted-duplicates corpus
@@ -1118,7 +1126,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": _q_gopher_repetition,  # map-only rewrite r10
         "store_roundtrip": _q_store_roundtrip,  # storage-family rep (lease
         #    /HWM guard touched this round)
-        "iterate_all": _q_iterate_all,
         "sessionize": _q_sessionize,
         "filter_metadata_eq": _q_filter_metadata_eq,
         "filter_compound": _q_filter_compound,
@@ -1138,6 +1145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dup": _q_minhash_near_dup,
         "incremental_dedup": _q_incremental_dedup,
         "duplicate_spans": _q_duplicate_spans,
+        "span_removal": _q_span_removal,  # NEW r11 (Lee-et-al. remove half)
         "simhash_band": _q_simhash_band,
         "near_dup_clusters": _q_near_dup_clusters,
         "binary_dedup": _q_binary_dedup,
@@ -1165,6 +1173,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_numeric_lexical": _q_filter_numeric_lexical,  # displaced r11
         #    for the new animation_stats entry (green r10 row, the filter
         #    family keeps 4 reps in-window; path unchanged this round)
+        "iterate_all": _q_iterate_all,  # displaced r11 for the new
+        #    span_removal entry (green r10 row; store_roundtrip keeps the
+        #    storage family in-window; path unchanged this round)
         "point_lookup": _q_point_lookup,  # 15 r10-displaced entries below
         "batch_lookup_100": _q_batch_lookup_100,  # carry a green r9 driver
         "snapshot_view": _q_snapshot_view,  # row on paths unchanged in r10
@@ -1526,6 +1537,64 @@ SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
        CAST(max(pos) + 8 AS BIGINT) AS span_end,
        CAST(max(pos) + 8 - min(pos) AS BIGINT) AS span_tokens
 FROM grp GROUP BY doc_id, g""",
+        # same span machinery as duplicate_spans, then the REMOVAL: kept
+        # tokens are those covered by no span, reassembled in position
+        # order; every corpus doc emits a row (empty text_clean when the
+        # whole doc was duplicated spans)
+        "span_removal": f"""
+WITH {dd.DUCK_CORPUS},
+toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM corpus
+),
+sh AS (
+  SELECT doc_id, CAST(x['pos'] AS BIGINT) AS pos, x['shingle'] AS shingle FROM (
+    SELECT doc_id,
+           unnest([{{'pos': i - 1,
+                     'shingle': array_to_string(list_slice(t, i, i + 7), ' ')}}
+                   FOR i IN range(1, len(t) - 6)]) AS x
+    FROM toks WHERE len(t) >= 8
+  )
+),
+dup AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) >= 2),
+hits AS (SELECT doc_id, pos FROM sh WHERE shingle IN (SELECT shingle FROM dup)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 8
+              THEN 1 ELSE 0 END AS brk
+  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+grp AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS g
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e FROM grp GROUP BY doc_id, g
+),
+tk AS (
+  SELECT doc_id, CAST(x['pos'] AS BIGINT) AS pos, x['tok'] AS tok FROM (
+    SELECT doc_id,
+           unnest([{{'pos': i - 1, 'tok': t[i]}} FOR i IN range(1, len(t) + 1)]) AS x
+    FROM toks
+  )
+),
+kept AS (
+  SELECT tk.doc_id, tk.pos, tk.tok FROM tk
+  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+                    WHERE sp.doc_id = tk.doc_id
+                      AND tk.pos >= sp.s AND tk.pos < sp.e)
+),
+agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       COALESCE(a.text_clean, '') AS text_clean,
+       COALESCE(a.n_kept, 0) AS n_kept,
+       CAST(len(t.t) AS BIGINT) - COALESCE(a.n_kept, 0) AS n_removed
+FROM toks t LEFT JOIN agg a ON a.doc_id = t.doc_id""",
         "pack_offsets": r"""
 WITH base AS (
   SELECT source AS partition, doc_id,

@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "exact_dedup",
     "line_dedup",
     "duplicate_spans",
+    "span_removal",
     "term_match_topk",
     "bm25_topk_ppm",
     "source_overlap",

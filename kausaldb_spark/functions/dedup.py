@@ -383,39 +383,52 @@ def ngram_jaccard_pairs(
     (it replaces the candidate distinct) and collapses the verify-join
     input by orders of magnitude (906k -> ~20k pairs at sf0.1)."""
     corpus = dedup_corpus(spark, sf_dir)
-    sh = doc_shingles(corpus).persist()
-    try:
-        rare = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("df"))
-            .where(F.col("df") <= RARE_SHINGLE_DF)
-            .select("shingle")
+    # NO persist of the exploded shingle relation (r11, same lesson the
+    # sf10 gauntlet taught minhash_pairs_for): at corpus scale it dwarfs
+    # the text (~40M rows for 150 MB at the 100x rehearsal; impossible at
+    # 100 TB) and caching it costs more than the re-shingling map passes
+    # it saves. The df-cut and the size relation each stream the shingles
+    # once; everything downstream of the checkpointed RARE sliver never
+    # touches the full relation again, and verification re-shingles only
+    # the candidate docs (the duplication-rate-sized sliver shape
+    # near_dup_vs_corpus documents).
+    sh = doc_shingles(corpus)
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= RARE_SHINGLE_DF)
+        .select("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    rare_sh = (
+        sh.join(rare, "shingle").join(sizes, "doc_id").localCheckpoint(eager=True)
+    )
+    a = rare_sh.selectExpr("shingle", "doc_id as doc_a", "n_sh as sa")
+    b = rare_sh.selectExpr("shingle", "doc_id as doc_b", "n_sh as sb")
+    # size-ratio predicate inside the self-join (lossless w.r.t. the final
+    # Jaccard threshold) prunes the quadratic per-shingle pair blowup
+    # before the per-pair aggregation
+    cands = (
+        a.join(
+            b,
+            (a.shingle == b.shingle)
+            & (F.col("doc_a") < F.col("doc_b"))
+            & (F.least(F.col("sa"), F.col("sb")) * den
+               >= F.greatest(F.col("sa"), F.col("sb")) * num),
         )
-        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-        rare_sh = (
-            sh.join(rare, "shingle").join(sizes, "doc_id").localCheckpoint(eager=True)
-        )
-        a = rare_sh.selectExpr("shingle", "doc_id as doc_a", "n_sh as sa")
-        b = rare_sh.selectExpr("shingle", "doc_id as doc_b", "n_sh as sb")
-        # size-ratio predicate inside the self-join (lossless w.r.t. the final
-        # Jaccard threshold) prunes the quadratic per-shingle pair blowup
-        # before the per-pair aggregation
-        cands = (
-            a.join(
-                b,
-                (a.shingle == b.shingle)
-                & (F.col("doc_a") < F.col("doc_b"))
-                & (F.least(F.col("sa"), F.col("sb")) * den
-                   >= F.greatest(F.col("sa"), F.col("sb")) * num),
-            )
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count("*").alias("_n_shared_rare"))
-            .where(F.col("_n_shared_rare") >= min_shared)
-            .select("doc_a", "doc_b")
-        )
-        return jaccard_verify(cands, sh, num, den).localCheckpoint(eager=True)
-    finally:
-        sh.unpersist()
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("_n_shared_rare"))
+        .where(F.col("_n_shared_rare") >= min_shared)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)  # candidate ids feed the prune join
+    )
+    cand_ids = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_cand = doc_shingles(corpus.join(cand_ids, "doc_id", "leftsemi"))
+    return jaccard_verify(cands, sh_cand, num, den).localCheckpoint(eager=True)
 
 
 def contaminated_docs(
@@ -835,6 +848,55 @@ def duplicate_spans(
             "span_start",
             "span_end",
             (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
+        )
+    )
+
+
+def remove_duplicate_spans(
+    corpus: DataFrame, k: int = 8, min_count: int = 2
+) -> DataFrame:
+    """The transformation half of substring-level exact dedup (Lee et al.
+    2021): `duplicate_spans` DETECTS the maximal duplicated token spans;
+    this REMOVES them and reassembles the surviving tokens in order —
+    what a training-data pipeline actually writes out. Returns
+    (doc_id, text_clean, n_kept, n_removed) for EVERY corpus doc
+    (text_clean = '' when the whole document was duplicated spans;
+    whitespace is normalized to single spaces, the same token contract
+    every text op here uses).
+
+    Scale shape: the span relation is duplication-rate-sized (only docs
+    with a duplicated region appear), collected to a per-doc array
+    (bounded by doc length) and LEFT-joined back to the corpus; the keep
+    /drop decision is a per-token filter over that tiny array in
+    whole-stage codegen (one transform + filter + exists — bind-only
+    lambdas per the r10 HOF discipline). No extra shuffle beyond
+    duplicate_spans' own: the join key is doc_id and AQE broadcasts the
+    span side at realistic duplication rates."""
+    spans = duplicate_spans(corpus, k, min_count)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("spans")
+    )
+    return (
+        corpus.select("doc_id", tokens(F.col("text")).alias("t"))
+        .join(per_doc, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "t",
+            "coalesce(spans, cast(array() as"
+            " array<struct<span_start:bigint,span_end:bigint>>)) as sp",
+        )
+        .selectExpr(
+            "doc_id",
+            "filter(transform(t, (x, i) -> struct(x as x, cast(i as bigint)"
+            " as i)), p -> NOT exists(sp, r -> p.i >= r.span_start AND p.i"
+            " < r.span_end)) as keptp",
+            "cast(size(t) as bigint) as n_all",
+        )
+        .selectExpr(
+            "doc_id",
+            "array_join(transform(keptp, p -> p.x), ' ') as text_clean",
+            "cast(size(keptp) as bigint) as n_kept",
+            "cast(n_all - size(keptp) as bigint) as n_removed",
         )
     )
 

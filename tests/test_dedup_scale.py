@@ -153,6 +153,48 @@ def test_duplicate_spans_semantics(spark):
     assert spans == [(1, 0, 4), (1, 9, 13), (2, 0, 4), (2, 9, 13)]
 
 
+def test_remove_duplicate_spans_reassembly(spark):
+    """The removal half: surviving tokens reassemble in order, a fully-
+    duplicated doc comes back empty (but present), untouched docs come
+    back whole with normalized whitespace, and counts reconcile."""
+    from kausaldb_spark.functions.dedup import remove_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),       # span [0,8) -> keeps 'i j'
+            (2, "a b c d e f g h x y"),       # span [0,8) -> keeps 'x y'
+            (3, "q r s  t\tu v w z1 z2"),     # unique -> kept, ws normalized
+            (4, "m m m m m m m m m m m m"),   # fully duplicated -> empty
+            (5, ""),                          # empty doc -> one '' token
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["text_clean"], r["n_kept"], r["n_removed"])
+        for r in remove_duplicate_spans(docs, k=4).collect()
+    }
+    assert out[1] == ("i j", 2, 8)
+    assert out[2] == ("x y", 2, 8)
+    assert out[3] == ("q r s t u v w z1 z2", 9, 0)
+    assert out[4] == ("", 0, 12)
+    assert out[5] == ("", 1, 0)  # split('') is [''], never span-covered
+    assert set(out) == {1, 2, 3, 4, 5}
+    # disjoint spans: the middle unique run survives between two removals
+    docs2 = spark.createDataFrame(
+        [
+            (1, "p1 p2 p3 p4 u1 u2 u3 u4 u5 s1 s2 s3 s4"),
+            (2, "p1 p2 p3 p4 v1 v2 v3 v4 v5 s1 s2 s3 s4"),
+        ],
+        "doc_id long, text string",
+    )
+    out2 = {
+        r["doc_id"]: (r["text_clean"], r["n_kept"], r["n_removed"])
+        for r in remove_duplicate_spans(docs2, k=4).collect()
+    }
+    assert out2[1] == ("u1 u2 u3 u4 u5", 5, 8)
+    assert out2[2] == ("v1 v2 v3 v4 v5", 5, 8)
+
+
 # ---------------------------------------------------------------------------
 # incremental dedup: new batch vs corpus index
 # ---------------------------------------------------------------------------
