@@ -35,6 +35,10 @@ _SKIP = {"streaming_rollup", "streaming_sessionize", "streaming_curate"}
 _ARROW_OK = {
     "compression_ratio", "semantic_dedup", "pack_best_fit",
     "decode_coverage",
+    # r11: the animation corpus is SYNTHESIZED (mapInPandas off doc_id)
+    # and then pixel-DECODED (mapInPandas LZW + composite) — both stages
+    # are documented Arrow boundaries like decode_coverage's sniff pass
+    "animation_stats",
 }
 
 
