@@ -886,6 +886,47 @@ def _q_decode_coverage(spark, sf_dir):
     return mm.decode_coverage(assets)
 
 
+def _html_extract_sql() -> str:
+    """DuckDB twin of _q_html_extract, generated from the single
+    HTML_CLASSES table in sources/html.py: class k = doc_id % 6 fixes
+    (n_links, n_dropped_boiler, word-per-line vs one-paragraph), so every
+    expected value is recomputable from (doc_id, text) alone — while the
+    Spark side must tokenize REAL markup (entity decoding, script/comment
+    traps, attribute quoting, link-density boilerplate) to hash-match."""
+    from kausaldb_spark.sources import html as hx
+
+    vals = ",\n   ".join(
+        f"({k}, {nl}, {nd}, {'true' if wl else 'false'})"
+        for k, (nl, nd, wl) in enumerate(hx.HTML_CLASSES)
+    )
+    return f"""
+WITH cls AS (
+  SELECT * FROM (VALUES
+   {vals}
+  ) AS t(k, n_links, n_dropped, word_lines)
+), norm AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+  FROM documents
+)
+SELECT n.doc_id,
+       CASE WHEN cls.word_lines THEN array_to_string(n.w, chr(10))
+            ELSE array_to_string(n.w, ' ') END AS text_clean,
+       CAST(cls.n_links AS INT) AS n_links,
+       CAST(cls.n_dropped AS INT) AS n_dropped_boiler
+FROM norm n JOIN cls ON n.doc_id % {len(hx.HTML_CLASSES)} = cls.k"""
+
+
+def _q_html_extract(spark, sf_dir):
+    # HTML -> text extraction (the web-corpus front end): deterministic
+    # markup classes wrap the corpus text (sources/html.synth_html) and the
+    # extractor must recover exactly the class-predicted clean text, link
+    # count and boilerplate-drop count. Map-only Arrow stage, zero shuffles.
+    from kausaldb_spark.sources import html as hx
+
+    return hx.extract_html_text(hx.synthetic_html_docs(_docs(spark, sf_dir)))
+
+
 def _animation_stats_sql() -> str:
     """DuckDB twin of _q_animation_stats, generated from the single
     ANIM_CLASSES/ANIM_PALETTE definition in sources/gif_anim.py: frame i
@@ -1117,7 +1158,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash_pairs": _q_simhash_pairs,
         "fingerprint": _q_fingerprint,
-        "edge_ordering": _q_edge_ordering,
         "token_count_bpe": _q_token_count_bpe,
         "filter_targets": _q_filter_targets,
         "filter_pagination": _q_filter_pagination,
@@ -1151,6 +1191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binary_dedup": _q_binary_dedup,
         "decode_coverage": _q_decode_coverage,  # NEW r11 (verdict item 5)
         "animation_stats": _q_animation_stats,  # NEW r11 (multi-frame GIF)
+        "html_extract": _q_html_extract,  # NEW r11 (web-corpus front end)
         "contamination": _q_contamination,
         "corpus_curation": _q_corpus_curation,
         "corpus_stats": _q_corpus_stats,
@@ -1173,6 +1214,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_numeric_lexical": _q_filter_numeric_lexical,  # displaced r11
         #    for the new animation_stats entry (green r10 row, the filter
         #    family keeps 4 reps in-window; path unchanged this round)
+        "edge_ordering": _q_edge_ordering,  # displaced r11 for the new
+        #    html_extract entry (green r10 row; keyword_search/find_by_name
+        #    keep the lookup family in-window; path unchanged this round)
         "iterate_all": _q_iterate_all,  # displaced r11 for the new
         #    span_removal entry (green r10 row; store_roundtrip keeps the
         #    storage family in-window; path unchanged this round)
@@ -2206,6 +2250,11 @@ FROM corpus GROUP BY 1, 2 HAVING count(*) > 1""",
         # twin recomputes frame counts/delays/means from doc_id alone; the
         # Spark side LZW-decodes and composites the actual GIF bytes
         "animation_stats": _animation_stats_sql(),
+        # and for the HTML corpus: the twin predicts extraction results
+        # from (doc_id % 6, text) via the shared HTML_CLASSES table; the
+        # Spark side tokenizes the actual markup (entities, script traps,
+        # attribute quoting, link-density boilerplate)
+        "html_extract": _html_extract_sql(),
         "sessionize": oracles.sessionize_sql(ev.SESSION_GAP_US),
         "events_topk_users": """
 WITH counts AS (

@@ -39,6 +39,10 @@ _ARROW_OK = {
     # and then pixel-DECODED (mapInPandas LZW + composite) — both stages
     # are documented Arrow boundaries like decode_coverage's sniff pass
     "animation_stats",
+    # r11: the HTML corpus is SYNTHESIZED (mapInPandas off doc_id+text)
+    # and then TOKENIZED (mapInPandas html.parser extraction) — same
+    # documented synth+decode Arrow-boundary pair as animation_stats
+    "html_extract",
 }
 
 
