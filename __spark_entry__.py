@@ -636,6 +636,19 @@ def _q_ann_lsh(spark, sf_dir):
     return sim.lsh_bucketed_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, k=5)
 
 
+def _q_pq_recall(spark, sf_dir):
+    # recall@5 of the product-quantization/ADC path (Jegou et al. 2011) vs
+    # the exact baseline — the bytes-per-vector compression dial next to
+    # lsh_recall (buckets) and ivf_recall (probes). Codebooks are trained
+    # in-query (k-means: rows-only gate like semantic_dedup); ADC scoring
+    # itself is integer-exact and pytest-pinned against a brute-force
+    # model (tests/test_pq.py). rerank=50 exercises the
+    # shortlist-then-exact refinement, the production configuration.
+    return sim.pq_recall(
+        _emb(spark, sf_dir), ANN_QUERY_IDS, k=5, m=8, n_codes=16, rerank=50
+    )
+
+
 def _q_embedding_near_dup(spark, sf_dir):
     return sim.embedding_near_duplicates(_emb(spark, sf_dir), EMB_NEAR_DUP_MIN_DOT)
 
@@ -1246,6 +1259,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assignment": _q_split_assignment,
         "bm25_topk": _q_bm25_topk,
         "semantic_dedup": _q_semantic_dedup,
+        "pq_recall": _q_pq_recall,  # NEW r11: rows-only like semantic_dedup
+        #    (k-means training); ADC arithmetic pinned in tests/test_pq.py
         "importance_resample": _q_importance_resample,
         "bpe_vocab": _q_bpe_vocab,
         "quality_classifier": _q_quality_classifier,

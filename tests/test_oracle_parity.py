@@ -23,6 +23,10 @@ def test_every_query_has_an_oracle_or_is_declared():
         # k-means assignment is not SQL-expressible; planted-corpus
         # group/keep semantics pytest-pinned (test_similarity)
         "semantic_dedup",
+        # PQ codebook training is k-means; ADC integer arithmetic, encode
+        # assignment, rerank exactness and recall invariants are
+        # pytest-pinned (test_pq)
+        "pq_recall",
         # float DSIR log-weights + gumbel keys: pytest-pinned to 1e-9 vs a
         # brute-force model (test_text_ops), same policy as bm25/unigram LM
         "importance_resample",

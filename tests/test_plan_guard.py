@@ -43,6 +43,9 @@ _ARROW_OK = {
     # and then TOKENIZED (mapInPandas html.parser extraction) — same
     # documented synth+decode Arrow-boundary pair as animation_stats
     "html_extract",
+    # r11: PQ encode is a per-batch numpy argmin GEMM (documented Arrow
+    # boundary like semantic_dedup's); ADC scoring itself is codegen
+    "pq_recall",
 }
 
 
