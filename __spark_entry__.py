@@ -636,6 +636,14 @@ def _q_ann_lsh(spark, sf_dir):
     return sim.lsh_bucketed_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, k=5)
 
 
+def _q_hashed_features(spark, sf_dir):
+    # feature-hashing (hashing-trick) document vectorization: signed md5
+    # token hashing into d=64 dims, per-(doc, dim) signed occurrence sums,
+    # zero weights dropped in both engines. Closes the text -> embedding
+    # gap with zero training state; one (doc, dim)-keyed shuffle.
+    return sim.hashed_features(_docs(spark, sf_dir), d=64)
+
+
 def _q_pq_recall(spark, sf_dir):
     # recall@5 of the product-quantization/ADC path (Jegou et al. 2011) vs
     # the exact baseline — the bytes-per-vector compression dial next to
@@ -1170,7 +1178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash_pairs": _q_simhash_pairs,
-        "fingerprint": _q_fingerprint,
+        "hashed_features": _q_hashed_features,  # NEW r11 (hashing trick)
         "token_count_bpe": _q_token_count_bpe,
         "filter_targets": _q_filter_targets,
         "filter_pagination": _q_filter_pagination,
@@ -1230,6 +1238,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_ordering": _q_edge_ordering,  # displaced r11 for the new
         #    html_extract entry (green r10 row; keyword_search/find_by_name
         #    keep the lookup family in-window; path unchanged this round)
+        "fingerprint": _q_fingerprint,  # displaced r11 for the new
+        #    hashed_features entry (green r10 row; the text family keeps
+        #    quality_score/token_count_bpe in-window; path unchanged)
         "iterate_all": _q_iterate_all,  # displaced r11 for the new
         #    span_removal entry (green r10 row; store_roundtrip keeps the
         #    storage family in-window; path unchanged this round)
@@ -2009,6 +2020,25 @@ FROM documents""",
         "incremental_dedup": oracles.incremental_dedup_sql(),
         "ngram_jaccard": oracles.ngram_jaccard_sql(),
         "simhash_pairs": oracles.simhash_pairs_sql(),
+        # hashing-trick features: identical md5 dim/sign arithmetic in both
+        # engines (the ('0x' || substring(md5, ..))::BIGINT idiom shared
+        # with the minhash scheme); HAVING <> 0 mirrors the Spark-side
+        # cancellation drop
+        "hashed_features": r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+), hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(tok), 1, 11))::BIGINT % 64 AS INT)
+           AS dim,
+         CASE WHEN ('0x' || substring(md5(tok), 12, 1))::BIGINT % 2 = 0
+              THEN 1 ELSE -1 END AS sign
+  FROM toks
+)
+SELECT doc_id, dim, CAST(sum(sign) AS BIGINT) AS weight
+FROM hashed GROUP BY 1, 2 HAVING sum(sign) <> 0""",
         "simhash_band": oracles.simhash_band_sql(),
         "near_dup_clusters": oracles.near_dup_clusters_sql(),
         "canonical_selection": oracles.canonical_selection_sql(),

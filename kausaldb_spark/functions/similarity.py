@@ -1101,3 +1101,88 @@ def pq_topk_vs_index(
         embeddings, query_ids, k=k, book=meta, codes=codes, rerank=rerank,
         id_col=meta["id_col"], vec_col=meta["vec_col"],
     )
+
+
+# ---------------------------------------------------------------------------
+# feature-hashed document embeddings (the hashing trick, Weinberger et al.
+# 2009) — text -> vector without a vocabulary or a model
+# ---------------------------------------------------------------------------
+
+
+def hashed_features(
+    corpus: DataFrame, d: int = 64, id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, dim, weight) — sparse signed-hash document features.
+
+    Each token occurrence lands in dimension md5(token) % d with sign
+    +-1 from the next md5 nibble; per-(doc, dim) weights are the signed
+    occurrence sums (exact cancellation included, zero weights dropped —
+    in BOTH engines, so the relation is oracle-comparable). This closes
+    the text -> embedding gap with zero training state: no vocabulary
+    shuffle, no model fit, deterministic across engines — the same
+    reasons ``classify.train_quality_classifier`` uses HashingTF.
+
+    Shape at 100 TB: one scan + ONE (doc, dim)-keyed shuffle with map-side
+    combine (per-task state is the tiny live (doc, dim) histogram); d caps
+    the per-doc output at d rows regardless of document length. Pure
+    codegen — md5/conv/sum, no UDF."""
+    tok = F.explode(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    ).alias("tok")
+    h = F.md5(F.col("tok"))
+    dim = (
+        F.conv(F.substring(h, 1, 11), 16, 10).cast("bigint") % F.lit(d)
+    ).cast("int")
+    sign = F.when(
+        F.conv(F.substring(h, 12, 1), 16, 10).cast("bigint") % 2 == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    return (
+        corpus.select(F.col(id_col), tok)
+        .select(F.col(id_col), dim.alias("dim"), sign.alias("sign"))
+        .groupBy(id_col, "dim")
+        .agg(F.sum("sign").cast("bigint").alias("weight"))
+        .where(F.col("weight") != 0)
+    )
+
+
+def hashed_embeddings(
+    corpus: DataFrame, d: int = 64, id_col: str = "doc_id",
+    text_col: str = "text", normalize: bool = True,
+) -> DataFrame:
+    """(doc_id, embedding array<float>) — the dense, L2-normalized form of
+    :func:`hashed_features`, shaped to feed this module's ANN family
+    directly (dot_topk / lsh / ivf / pq all accept it via id_col/vec_col).
+    Dense assembly is a per-doc map lookup over sequence(0, d-1) — no
+    second shuffle beyond the feature aggregation; a doc whose features
+    fully cancel (or an empty doc) yields the zero vector unchanged."""
+    sparse = hashed_features(corpus, d, id_col=id_col, text_col=text_col)
+    grouped = sparse.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("dim", "weight"))
+        ).alias("_m")
+    )
+    emb = F.transform(
+        F.sequence(F.lit(0), F.lit(d - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.col("_m"), i.cast("int")), F.lit(0).cast("bigint")
+        ).cast("double"),
+    )
+    out = grouped.select(F.col(id_col), emb.alias("_e"))
+    if not normalize:
+        return out.select(
+            F.col(id_col), F.col("_e").cast("array<float>").alias("embedding")
+        )
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("_e"), F.lit(0.0), lambda acc, x: acc + x * x
+        )
+    )
+    return out.select(
+        F.col(id_col),
+        F.when(norm > 0, F.transform(F.col("_e"), lambda x: x / norm))
+        .otherwise(F.col("_e"))
+        .cast("array<float>")
+        .alias("embedding"),
+    )
