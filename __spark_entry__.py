@@ -1083,6 +1083,36 @@ def _q_streaming_curate(spark, sf_dir):
     return spark.read.parquet(out).drop("_batch_id")
 
 
+def _q_streaming_near_dup(spark, sf_dir):
+    """Streaming ingestion with near-duplicate screening driven to
+    completion: the dedup fixture corpus (which plants near-copies)
+    replayed as 3 arrival chunks; each batch dedups within itself and
+    against the persisted MinHash index of everything accepted so far.
+    Rows-only check (append order nondeterministic); the screen semantics
+    are pinned in tests/test_streaming_corpus.py."""
+    import tempfile
+
+    from kausaldb_spark.streaming import corpus as scorp
+
+    d = tempfile.mkdtemp(prefix="kdb_snd_src_")
+    out = tempfile.mkdtemp(prefix="kdb_snd_out_") + "/docs"
+    idx = tempfile.mkdtemp(prefix="kdb_snd_idx_") + "/index"
+    ck = tempfile.mkdtemp(prefix="kdb_snd_ck_")
+    (
+        dd.dedup_corpus(spark, sf_dir)
+        .select("doc_id", "text", F.lit("en").alias("lang"),
+                F.lit("s").alias("source"))
+        .repartition(3)
+        .write.mode("overwrite")
+        .json(d)
+    )
+    q = scorp.curated_append_with_near_dup(
+        scorp.stream_documents(spark, d), out, ck, idx
+    ).start()
+    q.awaitTermination(300)
+    return spark.read.parquet(out).drop("_batch_id")
+
+
 def _q_streaming_rollup(spark, sf_dir):
     """Structured Streaming windowed rollup, driven to completion with an
     availableNow trigger over a file-source replay of the events table.
@@ -1281,6 +1311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_rollup": _q_streaming_rollup,
         "streaming_sessionize": _q_streaming_sessionize,
         "streaming_curate": _q_streaming_curate,
+        "streaming_near_dup": _q_streaming_near_dup,  # NEW r11
     }
 
 

@@ -118,3 +118,83 @@ def curated_append(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def curated_append_with_near_dup(
+    stream: DataFrame, out_dir: str, checkpoint_dir: str, index_dir: str,
+    num: int = 7, den: int = 10,
+):
+    """Streaming ingestion with NEAR-duplicate screening: each micro-batch
+    is deduped within itself (MinHash pairs -> connected components, the
+    min-id member survives) and then against everything already accepted,
+    via the persisted ``dedup.minhash_index`` — so the curated store never
+    admits a near-copy, without ever re-hashing the corpus.
+
+    Steady-state cost per batch: hash the BATCH once; candidates come from
+    the band-bucket equi-join against the index (corpus-side degenerate
+    buckets capped); verification re-shingles only the candidate sliver of
+    the store. Exactly-once: both the store and the index append via
+    ``_batch_id``-partitioned dynamic overwrite, so a checkpoint replay
+    REWRITES the batch's partitions instead of doubling them. A replayed
+    batch may see a LARGER index than the original run (later batches
+    landed before the retry) — the decision is append-monotone: a replay
+    can only drop more duplicates, never admit one, and the partition
+    rewrite keeps store and index consistent with the final decision.
+
+    The index lands ``_batch_id``-partitioned for idempotency; a periodic
+    batch compaction should rewrite it partitioned by ``band`` to restore
+    bucket-join pruning — the same stream-then-compact split this module's
+    header describes for every corpus-global stage."""
+    import os
+
+    from kausaldb_spark.functions import dedup as dd
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.persist()
+        survivors = None
+        try:
+            pairs_in = dd.minhash_pairs_for(
+                batch.select("doc_id", "text"), num=num, den=den
+            )
+            drop_in = (
+                dd.components_from_pairs(spark, pairs_in)
+                .where(F.col("doc_id") != F.col("cluster_id"))
+                .select("doc_id")
+            )
+            batch_canon = batch.join(drop_in, "doc_id", "left_anti")
+            if os.path.isdir(index_dir):
+                index = spark.read.parquet(index_dir).drop("_batch_id")
+                corpus_docs = spark.read.parquet(out_dir).select(
+                    "doc_id", "text"
+                )
+                survivors = dd.filter_new_against_corpus(
+                    batch_canon, corpus_docs, index=index, num=num, den=den
+                ).persist()
+            else:
+                survivors = batch_canon.persist()
+            (
+                survivors.withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(out_dir)
+            )
+            (
+                dd.minhash_index(survivors.select("doc_id", "text"))
+                .withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(index_dir)
+            )
+        finally:
+            batch.unpersist()
+            if survivors is not None:
+                survivors.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )

@@ -16,6 +16,7 @@ def test_every_query_has_an_oracle_or_is_declared():
     # non-SQL-expressible ops may be omitted — keep the list explicit
     allowed_missing = {
         "streaming_rollup", "streaming_sessionize", "streaming_curate",
+        "streaming_near_dup",
         "dfs_preorder",
         # float BM25 scores: ranking pytest-pinned (test_text_ops) like
         # unigram LM; its integer companion term_match_topk carries the gate

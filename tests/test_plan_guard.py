@@ -27,7 +27,10 @@ _QUERIES = entry_mod.queries()
 # store/traversal ops run bounded driver loops whose intermediate jobs are
 # not captured by the final plan anyway — the sweep still covers their
 # final frame, but the stream entries are excluded outright.
-_SKIP = {"streaming_rollup", "streaming_sessionize", "streaming_curate"}
+_SKIP = {
+    "streaming_rollup", "streaming_sessionize", "streaming_curate",
+    "streaming_near_dup",
+}
 
 # ops with a documented Arrow-batched Python boundary (zlib, MLlib vector
 # assembly, per-sub-shard best-fit-decreasing greedy, binary container

@@ -185,3 +185,96 @@ def test_true_kill_midstream_then_restart_is_exactly_once(spark, tmp_path):
     a = got.select("doc_id", "text", "n_tokens", "pred_lang").orderBy("doc_id").toPandas()
     b = batch.select("doc_id", "text", "n_tokens", "pred_lang").orderBy("doc_id").toPandas()
     assert a.equals(b), "kill+restart output diverged from batch gate"
+
+
+# ---------------------------------------------------------------------------
+# streaming near-dup screening (curated_append_with_near_dup)
+# ---------------------------------------------------------------------------
+
+_BASE = (
+    "the quick brown fox jumps over the lazy dog while seven wizards "
+    "brew strong potions beneath the ancient stone bridge at midnight"
+)
+_NEAR = _BASE.replace("midnight", "noon")  # 1 word of 21 -> jaccard ~0.86
+_OTHER = (
+    "completely different subject matter entirely about spark shuffles "
+    "partitions executors stages tasks and the catalyst optimizer plans"
+)
+# differs from _OTHER in 4 spread-out words: each kills ~3 shingles, so
+# the pair sits far below the 0.7 gate (measured ~0.2) while 5/6 below
+# stay near-identical to THIS text
+_OTHER_NEAR = (
+    _OTHER.replace("plans", "trees")
+    .replace("subject", "topic")
+    .replace("shuffles", "broadcasts")
+    .replace("stages", "phases")
+)
+
+
+def _write_chunks(d, chunks):
+    os.makedirs(d, exist_ok=True)
+    for i, docs in enumerate(chunks):
+        p = os.path.join(d, f"chunk{i}.jsonl")
+        with open(p, "w") as fh:
+            for doc_id, text in docs:
+                fh.write(
+                    json.dumps(
+                        {"doc_id": doc_id, "text": text, "lang": "en",
+                         "source": "s"}
+                    )
+                    + "\n"
+                )
+        # distinct mtimes fix the file-source batch order
+        os.utime(p, (1000000 + i, 1000000 + i))
+
+
+def test_streaming_near_dup_screen(spark, tmp_path):
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "store")
+    idx = str(tmp_path / "index")
+    ck = str(tmp_path / "ck")
+    _write_chunks(
+        src,
+        [
+            [(1, _BASE), (2, _OTHER)],
+            # 3 near-dups the corpus (doc 1); 5 near-dups 4 WITHIN the batch
+            [(3, _NEAR), (4, _OTHER_NEAR), (5, _OTHER_NEAR + " extra")],
+            # 6 near-dups doc 4, which was accepted in batch 1 -> the index
+            # must have been EXTENDED by batch 1's survivors
+            [(6, _OTHER_NEAR)],
+        ],
+    )
+    stream = sc.stream_documents(spark, src)
+    _run(sc.curated_append_with_near_dup(stream, out, ck, idx))
+    kept = sorted(
+        r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()
+    )
+    # 1, 2 (first batch all unique); 4 (5 dropped within-batch as the
+    # higher id of the pair, 3 dropped vs corpus); 6 dropped vs doc 4
+    assert kept == [1, 2, 4]
+    # the index covers exactly the accepted docs
+    idx_docs = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(idx).select("doc_id").distinct().collect()
+    )
+    assert idx_docs == [1, 2, 4]
+
+
+def test_streaming_near_dup_restart_is_idempotent(spark, tmp_path):
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "store")
+    idx = str(tmp_path / "index")
+    ck = str(tmp_path / "ck")
+    _write_chunks(src, [[(1, _BASE), (2, _OTHER)], [(3, _NEAR)]])
+    stream = sc.stream_documents(spark, src)
+    _run(sc.curated_append_with_near_dup(stream, out, ck, idx))
+    first = sorted(map(tuple, spark.read.parquet(out).select("doc_id").collect()))
+    # restart on the same checkpoint with no new files: nothing replays,
+    # nothing doubles
+    _run(
+        sc.curated_append_with_near_dup(
+            sc.stream_documents(spark, src), out, ck, idx
+        )
+    )
+    again = sorted(map(tuple, spark.read.parquet(out).select("doc_id").collect()))
+    assert again == first == [(1,), (2,)]
