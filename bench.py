@@ -93,6 +93,10 @@ BENCH_QUERIES = [
     "c4_rules",
     "hybrid_rrf",
     "ann_recall",
+    "pq_recall",
+    "html_extract",
+    "decode_coverage",
+    "animation_stats",
     "pii_scan",
     "repetition_score",
     "domain_filter",
@@ -152,6 +156,12 @@ BASELINE_MEDIANS = {
     "e2e_find_cold": 1.0, "e2e_show_cold": 3.0,
     # r9-recorded baselines: LM perplexity + Gopher rules (new this round)
     "lm_perplexity": 2.12, "gopher_rules": 0.88,
+    # r11 session-3 keys, recorded at the upper of two idle-box runs:
+    # PQ/ADC recall (driver-side sampled codebook training — the 14.1 s
+    # full-MLlib-fit formulation was measured and rejected the same day),
+    # HTML extraction, codec-coverage probe, GIF animation decode
+    "pq_recall": 2.8, "html_extract": 2.0, "decode_coverage": 0.55,
+    "animation_stats": 5.5,
     # r10: map-only reformulation (in-row single-fold run maxima +
     # shifted-zip neighbor scans + incremental gram builds — zero shuffles,
     # bind-only lambdas so column pruning can never inline an array

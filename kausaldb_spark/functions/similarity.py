@@ -804,50 +804,79 @@ def semantic_dedup(
 PQ_VERSION = 1
 
 
+def _kmeans_np(X, k: int, seed: int, iters: int = 20):
+    """Seeded numpy Lloyd with k-means++ init — deterministic, vectorized
+    (the assignment step is one GEMM per iteration). Empty clusters keep
+    their previous center."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    n = len(X)
+    centers = np.empty((k, X.shape[1]), dtype=np.float64)
+    centers[0] = X[rng.randint(n)]
+    d2 = ((X - centers[0]) ** 2).sum(axis=1)
+    for j in range(1, k):
+        tot = d2.sum()
+        p = d2 / tot if tot > 0 else np.full(n, 1.0 / n)
+        centers[j] = X[rng.choice(n, p=p)]
+        d2 = np.minimum(d2, ((X - centers[j]) ** 2).sum(axis=1))
+    for _ in range(iters):
+        dists = (
+            (centers**2).sum(axis=1)[None, :] - 2.0 * (X @ centers.T)
+        )
+        assign = dists.argmin(axis=1)
+        for j in range(k):
+            pts = X[assign == j]
+            if len(pts):
+                centers[j] = pts.mean(axis=0)
+    return centers
+
+
 def pq_train(
     embeddings: DataFrame, m: int = 8, n_codes: int = 16, seed: int = 42,
     vec_col: str = "embedding", fit_sample_fraction: float | None = None,
+    max_train_rows: int = 100_000,
 ) -> dict:
     """Train per-subspace PQ codebooks: split each d-dim vector into ``m``
     contiguous subvectors of d/m dims, k-means each subspace to ``n_codes``
     centroids. Returns ``{"pq_v", "m", "n_codes", "dim", "codebooks"}``
     with codebooks[j] sorted lexicographically (code assignment is then a
-    pure function of the float values, independent of MLlib's internal
-    center order).
+    pure function of the float values alone).
 
-    100 TB shape: like :func:`_fit_kmeans` everywhere else, train on a
-    bounded seeded sample (``fit_sample_fraction``) — codebook quality
-    converges long before a full pass — then ENCODE the full corpus in one
-    scan (:func:`pq_encode`). The sampled training frame is cached once
-    and reused across the m subspace fits."""
-    from pyspark.ml.functions import array_to_vector
+    100 TB shape — and the reason training is DRIVER-side numpy: PQ
+    codebooks are standardly trained on a bounded in-memory sample (the
+    FAISS recipe), because centroid quality converges at ~10^4-10^5
+    vectors no matter the corpus size. The sample is collected ONCE
+    (``fit_sample_fraction`` + the hard ``max_train_rows`` cap: <=100k x
+    64 dims = 51 MB driver memory) and the m subspace fits are seeded
+    vectorized Lloyd — milliseconds, no per-fit job latency. The CORPUS
+    never moves: encoding is one distributed scan (:func:`pq_encode`)."""
+    import numpy as np
 
-    dim = embeddings.select(F.size(F.col(vec_col))).first()[0]
+    rows = embeddings.select(F.col(vec_col).alias("_v"))
+    if fit_sample_fraction is not None and 0 < fit_sample_fraction < 1:
+        sampled = rows.sample(fraction=fit_sample_fraction, seed=seed)
+        got = sampled.limit(max_train_rows).collect()
+        if len(got) < n_codes * 2:
+            got = rows.limit(max_train_rows).collect()
+    else:
+        got = rows.limit(max_train_rows).collect()
+    X = np.asarray([list(r["_v"]) for r in got], dtype=np.float64)
+    if X.ndim != 2 or len(X) < n_codes:
+        raise ValueError(
+            f"need >= n_codes={n_codes} training vectors, got {len(X)}"
+        )
+    dim = X.shape[1]
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
-
-    base = embeddings.select(F.col(vec_col).alias("_v"))
-    if fit_sample_fraction is not None and 0 < fit_sample_fraction < 1:
-        sampled = base.sample(fraction=fit_sample_fraction, seed=seed)
-        if sampled.count() >= n_codes * 2:
-            base = sampled
-    base = base.cache()
-    try:
-        codebooks = []
-        for j in range(m):
-            feats = base.select(
-                array_to_vector(
-                    F.slice(F.col("_v"), j * sub + 1, sub).cast("array<double>")
-                ).alias("features")
-            )
-            model = _fit_kmeans(feats, n_codes, seed, None)
-            centers = sorted(
-                [float(x) for x in c] for c in model.clusterCenters()
-            )
-            codebooks.append(centers)
-    finally:
-        base.unpersist()
+    codebooks = [
+        sorted(
+            [float(x) for x in c]
+            for c in _kmeans_np(X[:, j * sub : (j + 1) * sub], n_codes, seed + j)
+        )
+        for j in range(m)
+    ]
     return {
         "pq_v": PQ_VERSION, "m": m, "n_codes": n_codes, "dim": dim,
         "codebooks": codebooks,
