@@ -894,7 +894,7 @@ WITH cls AS (
 )
 SELECT cls.format, cls.mode, cls.decodable,
        CAST(count(*) AS BIGINT) AS n_assets
-FROM documents d JOIN cls ON d.doc_id % 10 = cls.k
+FROM documents d JOIN cls ON d.doc_id % {len(mm.FORMAT_CLASSES)} = cls.k
 GROUP BY 1, 2, 3"""
 
 

@@ -374,8 +374,10 @@ def _decode_jpeg(data: bytes):
     + successive approximation, r11). One generic scan loop accumulates
     raw zigzag coefficients per component; dequant + IDCT + upsample run
     once at the end (identical arithmetic to applying q inline, and the
-    only formulation progressive refinement permits). Arithmetic-coded,
-    lossless, hierarchical and 12-bit remain NotImplementedError."""
+    only formulation progressive refinement permits). 12-bit precision
+    decodes for SOF1/SOF2 (level shift/chroma center 2^(P-1), samples
+    scaled to the uint8 pipeline contract). Arithmetic-coded, lossless
+    and hierarchical remain NotImplementedError."""
     import struct
 
     import numpy as np
@@ -386,6 +388,7 @@ def _decode_jpeg(data: bytes):
     huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) -> table
     sof = None
     progressive = False
+    precision = 8
     dri = 0
     pos = 2
     scans: list[dict] = []
@@ -437,8 +440,13 @@ def _decode_jpeg(data: bytes):
                 i += 17 + n
         elif marker in (0xC0, 0xC1, 0xC2):  # huffman SOF
             prec, h, w, nf = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
-            if prec != 8:
+            if prec not in (8, 12):
                 raise NotImplementedError(f"JPEG {prec}-bit precision")
+            if prec == 12 and marker == 0xC0:
+                # T.81: baseline is 8-bit by definition; a 12-bit SOF0 is a
+                # malformed stream, not a codec boundary
+                raise ValueError("JPEG baseline (SOF0) with 12-bit precision")
+            precision = prec
             progressive = marker == 0xC2
             comps = []
             for c in range(nf):
@@ -622,25 +630,35 @@ def _decode_jpeg(data: bytes):
         blocks = np.zeros_like(deq)
         blocks[:, :, zz] = deq  # dezigzag to natural (row-major) order
         blocks = blocks.reshape(c["bh_pad"], c["bw_pad"], 8, 8)
+        # level shift is 2^(P-1) (T.81 A.3.1): 128 at 8-bit, 2048 at 12-bit
+        half = float(1 << (precision - 1))
         spatial = (
-            np.einsum("ux,nmuv,vy->nmxy", basis, blocks, basis) + 128.0
+            np.einsum("ux,nmuv,vy->nmxy", basis, blocks, basis) + half
         )
         p = spatial.transpose(0, 2, 1, 3).reshape(
             c["bh_pad"] * 8, c["bw_pad"] * 8
         )
         p = np.repeat(np.repeat(p, vmax // c["v"], 0), hmax // c["h"], 1)
         full.append(p[:h, :w])
+    half = float(1 << (precision - 1))
     if len(full) == 3:
         y, cb, cr = full
-        r = y + 1.402 * (cr - 128.0)
-        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-        bl = y + 1.772 * (cb - 128.0)
+        r = y + 1.402 * (cr - half)
+        g = y - 0.344136 * (cb - half) - 0.714136 * (cr - half)
+        bl = y + 1.772 * (cb - half)
         img = np.stack([r, g, bl], axis=-1)
     elif len(full) == 1:
         img = full[0][:, :, None]
     else:
         raise NotImplementedError(f"JPEG with {len(full)} components")
-    return np.clip(np.rint(img), 0, 255).astype(np.uint8)
+    maxval = (1 << precision) - 1
+    img = np.clip(np.rint(img), 0, maxval)
+    if precision > 8:
+        # pipeline contract: decoded planes are uint8; higher-precision
+        # samples scale down (floor) — the stats/resize stages downstream
+        # are defined on 8-bit planes
+        img = np.floor(img / float(1 << (precision - 8)))
+    return img.astype(np.uint8)
 
 
 # -- GIF (pure python LZW; r10) ----------------------------------------------
@@ -1139,9 +1157,13 @@ def probe_format_mode(data: bytes):
                     0xC2: "progressive",  # huffman progressive decodes (r11)
                 }[marker]
                 prec = data[i + 4] if i + 4 < len(data) else 0
-                if prec != 8:
-                    return "jpeg", f"{mode}-{prec}bit", False
-                return "jpeg", mode, True
+                if prec == 8:
+                    return "jpeg", mode, True
+                if prec == 12 and marker != 0xC0:
+                    # 12-bit SOF1/SOF2 decodes since r11 (SOF0 must be
+                    # 8-bit per T.81 — a 12-bit SOF0 is malformed)
+                    return "jpeg", f"{mode}-12bit", True
+                return "jpeg", f"{mode}-{prec}bit", False
             i += 2 + int.from_bytes(data[i + 2 : i + 4], "big")
         return "jpeg", "no-sof", False
     if data[:6] in (b"GIF87a", b"GIF89a"):
@@ -1210,6 +1232,7 @@ FORMAT_CLASSES = [
     ("bmp", "comp0-24bpp", True),
     ("bmp", "comp1-8bpp", False),
     ("unknown", None, False),
+    ("jpeg", "extended-sequential-12bit", True),  # decodes since r11
 ]
 
 
@@ -1229,13 +1252,14 @@ def synth_container(cls: int, salt: int = 0) -> bytes:
             + struct.pack(">I", 13) + b"IHDR" + ihdr + b"\x00\x00\x00\x00"
             + tail
         )
-    if k in (2, 3, 4):  # JPEG: SOF0 / SOF2 / SOFC9
-        sof_marker = {2: 0xC0, 3: 0xC2, 4: 0xC9}[k]
+    if k in (2, 3, 4, 10):  # JPEG: SOF0 / SOF2 / SOF9 / 12-bit SOF1
+        sof_marker = {2: 0xC0, 3: 0xC2, 4: 0xC9, 10: 0xC1}[k]
+        prec = 12 if k == 10 else 8
         app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
         sof = (
             bytes([0xFF, sof_marker])
             + struct.pack(">H", 11)            # length
-            + bytes([8])                        # precision
+            + bytes([prec])                     # precision
             + struct.pack(">HH", 4, 4)          # height, width
             + bytes([1, 1, 0x11, 0])            # 1 component
         )
@@ -1259,11 +1283,12 @@ def synth_container(cls: int, salt: int = 0) -> bytes:
 
 
 def synthetic_format_assets(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(asset_id, payload) with payload = synth_container(id % 10, id) —
-    the deterministic binary-corpus stand-in keyed off the documents
-    table, same discipline as the binary_dedup fixture (an oracle can
-    recompute the classification from the id alone while the Spark side
-    actually SNIFFS real container bytes)."""
+    """(asset_id, payload) with payload = synth_container(id %
+    len(FORMAT_CLASSES), id) — the deterministic binary-corpus stand-in
+    keyed off the documents table, same discipline as the binary_dedup
+    fixture (an oracle can recompute the classification from the id alone
+    while the Spark side actually SNIFFS real container bytes)."""
+    n_cls = len(FORMAT_CLASSES)
 
     def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1272,7 +1297,7 @@ def synthetic_format_assets(docs: DataFrame, id_col: str = "doc_id") -> DataFram
                 {
                     "asset_id": ids.astype("string"),
                     "payload": [
-                        synth_container(int(i) % 10, int(i)) for i in ids
+                        synth_container(int(i) % n_cls, int(i)) for i in ids
                     ],
                 }
             )

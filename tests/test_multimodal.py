@@ -378,6 +378,19 @@ _J_DC_SYMS = list(range(12))
 _J_AC_SYMS = [0x00, 0xF0] + [r << 4 for r in range(1, 15)] + [
     (r << 4) | s for r in range(16) for s in range(1, 11)
 ]
+# 12-bit precision widens the magnitude categories (T.81 F.1.2.1): DC
+# SSSS up to 15, AC SSSS up to 14 — 240 AC symbols still fit one 8-bit
+# canonical length with no all-ones code
+_J_DC_SYMS_12 = list(range(16))
+_J_AC_SYMS_12 = [0x00, 0xF0] + [r << 4 for r in range(1, 15)] + [
+    (r << 4) | s for r in range(16) for s in range(1, 15)
+]
+
+
+def _j_tables(precision):
+    if precision == 12:
+        return (_J_DC_SYMS_12, _J_AC_SYMS_12)
+    return (_J_DC_SYMS, _J_AC_SYMS)
 
 
 def _j_codes(nbits, syms):
@@ -417,11 +430,11 @@ def _j_dct_basis():
     return a
 
 
-def _j_encode_block(bw, block, pred, qnat, dc, ac):
+def _j_encode_block(bw, block, pred, qnat, dc, ac, half=128.0):
     import numpy as np
 
     a = _j_dct_basis()
-    f = a @ (block.astype(float) - 128.0) @ a.T
+    f = a @ (block.astype(float) - half) @ a.T
     fq = np.rint(f / qnat).astype(int)
     zz = [int(fq.flat[i]) for i in _JZZ]
 
@@ -454,17 +467,21 @@ def _j_encode_block(bw, block, pred, qnat, dc, ac):
     return zz[0]
 
 
-def _jpeg_encode(img, subsample=False, restart_interval=0, q=1):
-    """Baseline sequential JPEG: 4:4:4 (or 4:2:0 with `subsample`),
-    flat quant table `q` (1 = near-lossless round-trip), optional DRI."""
+def _jpeg_encode(img, subsample=False, restart_interval=0, q=1, precision=8):
+    """Sequential JPEG: 4:4:4 (or 4:2:0 with `subsample`), flat quant
+    table `q` (1 = near-lossless round-trip), optional DRI. precision=12
+    emits extended-sequential (SOF1) with 2^11 level shift and the wide
+    magnitude-category tables."""
     import struct
 
     import numpy as np
 
     h, w = img.shape[:2]
     ch = img.shape[2] if img.ndim == 3 else 1
-    dc = _j_codes(5, _J_DC_SYMS)
-    ac = _j_codes(8, _J_AC_SYMS)
+    half = float(1 << (precision - 1))
+    dsyms, asyms = _j_tables(precision)
+    dc = _j_codes(5, dsyms)
+    ac = _j_codes(8, asyms)
     qzz = bytes([q] * 64)
     qnat = np.full((8, 8), float(q))
 
@@ -472,11 +489,13 @@ def _jpeg_encode(img, subsample=False, restart_interval=0, q=1):
     out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + qzz
     sy = (2, 2) if (subsample and ch == 3) else (1, 1)
     comps = [(1, sy, 0)] + ([(2, (1, 1), 0), (3, (1, 1), 0)] if ch == 3 else [])
-    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    sof = struct.pack(">BHHB", precision, h, w, len(comps))
     for cid, (hs, vs), tq in comps:
         sof += bytes([cid, (hs << 4) | vs, tq])
-    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
-    for tc, syms, ln in ((0, _J_DC_SYMS, 5), (1, _J_AC_SYMS, 8)):
+    out += (b"\xff\xc1" if precision == 12 else b"\xff\xc0") + struct.pack(
+        ">H", 2 + len(sof)
+    ) + sof
+    for tc, syms, ln in ((0, dsyms, 5), (1, asyms, 8)):
         bits = [0] * 16
         bits[ln - 1] = len(syms)
         payload = bytes([tc << 4]) + bytes(bits) + bytes(syms)
@@ -493,8 +512,8 @@ def _jpeg_encode(img, subsample=False, restart_interval=0, q=1):
     if ch == 3:
         rgb = img.astype(float)
         y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
-        cb = 128.0 - 0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2]
-        cr = 128.0 + 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2]
+        cb = half - 0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2]
+        cr = half + 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2]
         planes = [y, cb, cr]
     else:
         planes = [img.reshape(h, w).astype(float)]
@@ -530,7 +549,9 @@ def _jpeg_encode(img, subsample=False, restart_interval=0, q=1):
             for b in range(vs * hs):
                 by, bx = my * vs + b // hs, mx * hs + b % hs
                 blk = prepped[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
-                preds[ci] = _j_encode_block(bw, blk, preds[ci], qnat, dc, ac)
+                preds[ci] = _j_encode_block(
+                    bw, blk, preds[ci], qnat, dc, ac, half
+                )
     bw.flush()
     out += bw.out + b"\xff\xd9"
     return bytes(out)
@@ -608,12 +629,19 @@ def test_jpeg_error_contract():
     # headerless blob (SOI then garbage) -> ValueError
     with _pytest.raises(ValueError):
         decode_pixels(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
-    # 12-bit precision -> NotImplementedError
+    # 12-bit SOF0 is MALFORMED (T.81: baseline is 8-bit by definition) —
+    # ValueError, not a codec boundary; 12-bit SOF1/SOF2 decode since r11
     twelve = bytearray(data)
     sof_at = twelve.index(b"\xff\xc0")
     twelve[sof_at + 4] = 12
-    with _pytest.raises(NotImplementedError):
+    with _pytest.raises(ValueError):
         decode_pixels(bytes(twelve))
+    # 14-bit precision stays outside the boundary
+    fourteen = bytearray(data)
+    fourteen[sof_at + 1] = 0xC1
+    fourteen[sof_at + 4] = 14
+    with _pytest.raises(NotImplementedError):
+        decode_pixels(bytes(fourteen))
 
 
 # -- GIF pins (r10): independent LZW-compressing encoder ----------------------
@@ -909,18 +937,19 @@ def test_decode_coverage_stage(spark):
     asset is accounted for."""
     from kausaldb_spark.sources import multimodal as mm
 
-    rows = [(str(i), mm.synth_container(i % 10, i)) for i in range(40)]
+    n_cls = len(mm.FORMAT_CLASSES)
+    rows = [(str(i), mm.synth_container(i % n_cls, i)) for i in range(4 * n_cls)]
     assets = spark.createDataFrame(rows, "asset_id string, payload binary")
     got = {
         (r["format"], r["mode"], r["decodable"]): r["n_assets"]
         for r in mm.decode_coverage(assets).collect()
     }
-    assert sum(got.values()) == 40  # every asset classified exactly once
+    assert sum(got.values()) == 4 * n_cls  # every asset classified once
     for k, (fmt, mode, ok) in enumerate(mm.FORMAT_CLASSES):
         assert got[(fmt, mode, ok)] == 4
     n_dec = sum(n for (f, m, ok), n in got.items() if ok)
-    assert n_dec == 24  # 6 of 10 classes are inside the boundary (r11:
-    # huffman progressive moved inside)
+    assert n_dec == 28  # 7 of 11 classes are inside the boundary (r11:
+    # huffman progressive AND 12-bit extended-sequential moved inside)
 
 
 # -- progressive JPEG pins (r11): independent multi-scan encoder --------------
@@ -1023,7 +1052,7 @@ def _j_ac_refine_block(state, band, ah, al, ac, bw):
 
 
 def _jpeg_encode_progressive(img, q=1, subsample=False, script=None,
-                             restart_interval=0):
+                             restart_interval=0, precision=8):
     """SOF2 progressive encoder. Default script: DC first at Al=1 for all
     components (interleaved), DC refinement, then per-component AC band
     scans at Al=1 (split bands for component 0) and AC refinements to
@@ -1035,8 +1064,10 @@ def _jpeg_encode_progressive(img, q=1, subsample=False, script=None,
 
     h, w = img.shape[:2]
     ch = img.shape[2] if img.ndim == 3 else 1
-    dc = _j_codes(5, _J_DC_SYMS)
-    ac = _j_codes(8, _J_AC_SYMS)
+    half = float(1 << (precision - 1))
+    dsyms, asyms = _j_tables(precision)
+    dc = _j_codes(5, dsyms)
+    ac = _j_codes(8, asyms)
     qnat = np.full((8, 8), float(q))
     a = _j_dct_basis()
 
@@ -1048,8 +1079,8 @@ def _jpeg_encode_progressive(img, q=1, subsample=False, script=None,
     if ch == 3:
         rgb = img.astype(float)
         y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
-        cb = 128.0 - 0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2]
-        cr = 128.0 + 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2]
+        cb = half - 0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2]
+        cr = half + 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2]
         planes = [y, cb, cr]
     else:
         planes = [img.reshape(h, w).astype(float)]
@@ -1072,7 +1103,7 @@ def _jpeg_encode_progressive(img, q=1, subsample=False, script=None,
             row = []
             for bx in range(bwid):
                 blk = p[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
-                f = a @ (blk - 128.0) @ a.T
+                f = a @ (blk - half) @ a.T
                 fq = np.rint(f / qnat).astype(int)
                 row.append([int(fq.flat[i]) for i in _JZZ])
             arr.append(row)
@@ -1095,11 +1126,11 @@ def _jpeg_encode_progressive(img, q=1, subsample=False, script=None,
 
     out = bytearray(b"\xff\xd8")
     out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([q] * 64)
-    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    sof = struct.pack(">BHHB", precision, h, w, len(comps))
     for cid, (hs, vs), tq in comps:
         sof += bytes([cid, (hs << 4) | vs, tq])
     out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
-    for tc, syms, ln in ((0, _J_DC_SYMS, 5), (1, _J_AC_SYMS, 8)):
+    for tc, syms, ln in ((0, dsyms, 5), (1, asyms, 8)):
         bits = [0] * 16
         bits[ln - 1] = len(syms)
         payload = bytes([tc << 4]) + bytes(bits) + bytes(syms)
@@ -1282,3 +1313,74 @@ if _HAVE_HYP:
             )
         )
         assert np.array_equal(got, base)
+
+
+# -- 12-bit precision (SOF1 extended-sequential + SOF2 progressive) ----------
+
+
+def _rand_img12(h, w, ch, seed):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 4096, size=(h, w, ch)).astype("uint16")
+
+
+def test_jpeg_12bit_sequential_roundtrip_gray():
+    import numpy as np
+
+    from kausaldb_spark.sources.multimodal import decode_pixels, probe_format_mode
+
+    img = _rand_img12(13, 11, 1, seed=31)
+    data = _jpeg_encode(img, precision=12)
+    assert probe_format_mode(data) == (
+        "jpeg", "extended-sequential-12bit", True
+    )
+    got = decode_pixels(data)
+    assert got.shape == (13, 11, 1) and got.dtype == np.uint8
+    # flat q=1: error in the 12-bit domain <= ~4, so the uint8-scaled
+    # planes (floor(v/16)) differ by at most 1
+    want = (img >> 4).astype(int)
+    assert int(np.abs(got.astype(int) - want).max()) <= 1
+
+
+def test_jpeg_12bit_sequential_roundtrip_rgb():
+    import numpy as np
+
+    from kausaldb_spark.sources.multimodal import decode_pixels
+
+    img = _rand_img12(16, 9, 3, seed=32)
+    got = decode_pixels(_jpeg_encode(img, precision=12))
+    assert got.shape == (16, 9, 3)
+    # two 12-bit color conversions add a little more rounding than gray
+    want = (img >> 4).astype(int)
+    assert int(np.abs(got.astype(int) - want).max()) <= 2
+
+
+def test_jpeg_12bit_progressive_equals_sequential():
+    import numpy as np
+
+    from kausaldb_spark.sources.multimodal import decode_pixels, probe_format_mode
+
+    img = _rand_img12(13, 11, 3, seed=33)
+    prog = _jpeg_encode_progressive(img, precision=12)
+    assert probe_format_mode(prog) == ("jpeg", "progressive-12bit", True)
+    got = decode_pixels(prog)
+    base = decode_pixels(_jpeg_encode(img, precision=12))
+    # the entropy layer is lossless, so progressive must match the
+    # sequential encoding of the same image EXACTLY
+    assert np.array_equal(got, base)
+
+
+def test_jpeg_12bit_with_restarts_and_subsampling():
+    import numpy as np
+
+    from kausaldb_spark.sources.multimodal import decode_pixels
+
+    img = _rand_img12(20, 18, 3, seed=34)
+    got = decode_pixels(_jpeg_encode(img, precision=12, subsample=True,
+                                     restart_interval=2))
+    assert got.shape == (20, 18, 3)
+    base = decode_pixels(_jpeg_encode(img, precision=12, subsample=True))
+    # restart segmentation changes DC prediction resets only; with the
+    # same subsampling the decoded planes agree exactly
+    assert np.array_equal(got, base)
