@@ -216,7 +216,7 @@ _JPEG_ZIGZAG = [
 ]
 
 _JPEG_SOF_UNSUPPORTED = {
-    0xC3: "lossless", 0xC5: "differential sequential",
+    0xC5: "differential sequential",
     0xC6: "differential progressive", 0xC7: "differential lossless",
     0xC9: "arithmetic sequential", 0xCA: "arithmetic progressive",
     0xCB: "arithmetic lossless", 0xCD: "differential arithmetic seq",
@@ -401,10 +401,12 @@ def _decode_jpeg(data: bytes):
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # standalone
             pos += 2
             continue
+        if marker == 0xC3:  # lossless (SOF3): its own scan machinery
+            return _decode_jpeg_lossless(data)
         if marker in _JPEG_SOF_UNSUPPORTED:
             raise NotImplementedError(
                 f"JPEG {_JPEG_SOF_UNSUPPORTED[marker]} (SOF {marker:#x}) "
-                "not decoded here — huffman baseline/progressive only"
+                "not decoded here — huffman baseline/progressive/lossless only"
             )
         if pos + 4 > len(data):
             break
@@ -659,6 +661,177 @@ def _decode_jpeg(data: bytes):
         # are defined on 8-bit planes
         img = np.floor(img / float(1 << (precision - 8)))
     return img.astype(np.uint8)
+
+
+def _decode_jpeg_lossless(data: bytes):
+    """Lossless JPEG (SOF3, T.81 Annex H): per-sample Huffman-coded
+    prediction differences — no DCT, no quantization, bit-exact.
+
+    Implemented surface: precisions 2..16, predictors 1..7, point
+    transform Pt, interleaved and per-component scans, restart intervals;
+    sampling factors must all be 1x1 (subsampled lossless is essentially
+    unused and stays NotImplementedError). Prediction per H.1.2.1: the
+    first sample of a scan (and of each restart interval) predicts from
+    2^(P-Pt-1); the rest of the first line from the left neighbor; first
+    column from the above neighbor; everywhere else the selected
+    predictor. Reconstruction is modulo 2^16.
+
+    Components are returned as-is (3-component lossless is stored RGB —
+    Annex H defines no color transform); samples land on the uint8
+    pipeline contract by shifting (P - 8) bits (or up-shifting when
+    P < 8), same convention as the 12-bit DCT path."""
+    import struct
+
+    import numpy as np
+
+    huff: dict[tuple[int, int], dict] = {}
+    sof = None
+    dri = 0
+    pos = 2
+    planes: list | None = None
+    prec = 8
+    pt_used = 0
+    while pos + 2 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if pos + 4 > len(data):
+            break
+        (seg_len,) = struct.unpack(">H", data[pos + 2:pos + 4])
+        seg = data[pos + 4:pos + 2 + seg_len]
+        if marker == 0xC4:
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                bits = list(seg[i + 1:i + 17])
+                n = sum(bits)
+                vals = list(seg[i + 17:i + 17 + n])
+                if len(vals) < n:
+                    raise ValueError("truncated DHT")
+                huff[(tc, th)] = _jpeg_build_huff(bits, vals)
+                i += 17 + n
+        elif marker == 0xC3:
+            prec, h, w, nf = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if not 2 <= prec <= 16:
+                raise ValueError(f"JPEG lossless precision {prec}")
+            comps = []
+            for c in range(nf):
+                cid, hv, _tq = seg[6 + 3 * c:9 + 3 * c]
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "subsampled lossless JPEG not decoded here"
+                    )
+                comps.append({"id": cid, "ci": c})
+            if h == 0 or w == 0:
+                raise ValueError("JPEG zero dimension")
+            sof = {"h": h, "w": w, "comps": comps}
+            planes = [np.zeros((h, w), dtype=np.int64) for _ in comps]
+        elif marker == 0xDD:
+            (dri,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:
+            if sof is None or planes is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            by_id = {c["id"]: c for c in sof["comps"]}
+            scomps = []
+            for c in range(ns):
+                cs, tdta = seg[1 + 2 * c:3 + 2 * c]
+                if cs not in by_id:
+                    raise ValueError(f"JPEG scan references unknown comp {cs}")
+                scomps.append({**by_id[cs], "td": tdta >> 4})
+            sel = seg[1 + 2 * ns]          # Ss = predictor selector
+            pt = seg[3 + 2 * ns] & 15      # Al = point transform
+            if not 1 <= sel <= 7:
+                raise ValueError(f"JPEG lossless predictor {sel}")
+            for c in scomps:
+                if (0, c["td"]) not in huff:
+                    raise ValueError("JPEG missing huffman table")
+            pt_used = pt
+            h, w = sof["h"], sof["w"]
+            default = 1 << (prec - pt - 1)
+
+            chunks: list[bytearray] = [bytearray()]
+            i = pos + 2 + seg_len
+            while i < len(data):
+                b = data[i]
+                if b == 0xFF:
+                    m = data[i + 1] if i + 1 < len(data) else 0xD9
+                    if m == 0x00:
+                        chunks[-1].append(0xFF)
+                        i += 2
+                        continue
+                    if 0xD0 <= m <= 0xD7:
+                        chunks.append(bytearray())
+                        i += 2
+                        continue
+                    break
+                chunks[-1].append(b)
+                i += 1
+
+            br = _JpegBits(chunks[0])
+            chunk_i = 0
+            fresh = True  # next sample per comp predicts from `default`
+            mask = (1 << 16) - 1
+
+            def pred_of(plane, y, x):
+                if y == 0:
+                    return int(plane[0, x - 1])  # first line: left
+                if x == 0:
+                    return int(plane[y - 1, 0])  # first column: above
+                a = int(plane[y, x - 1])
+                b = int(plane[y - 1, x])
+                cc = int(plane[y - 1, x - 1])
+                if sel == 1:
+                    return a
+                if sel == 2:
+                    return b
+                if sel == 3:
+                    return cc
+                if sel == 4:
+                    return a + b - cc
+                if sel == 5:
+                    return a + ((b - cc) >> 1)
+                if sel == 6:
+                    return b + ((a - cc) >> 1)
+                return (a + b) >> 1  # sel == 7
+
+            n_mcu = h * w
+            for mcu in range(n_mcu):
+                if dri and mcu and mcu % dri == 0:
+                    chunk_i += 1
+                    if chunk_i >= len(chunks):
+                        raise ValueError("JPEG missing restart marker")
+                    br = _JpegBits(chunks[chunk_i])
+                    fresh = True
+                y, x = divmod(mcu, w)
+                for c in scomps:
+                    t = _jpeg_huff_decode(br, huff[(0, c["td"])])
+                    if t > 16:
+                        raise ValueError("JPEG lossless SSSS > 16")
+                    diff = 32768 if t == 16 else _jpeg_extend(br.receive(t), t)
+                    plane = planes[c["ci"]]
+                    pred = default if fresh else pred_of(plane, y, x)
+                    plane[y, x] = (pred + diff) & mask
+                fresh = False
+            pos = i
+            continue
+        pos += 2 + seg_len
+    if sof is None or planes is None:
+        raise ValueError("JPEG without SOF/SOS")
+    # undo the point transform, then land on the uint8 contract
+    out = np.stack(planes, axis=-1) << pt_used
+    maxval = (1 << prec) - 1
+    out = np.clip(out, 0, maxval)
+    if prec > 8:
+        out = out >> (prec - 8)
+    elif prec < 8:
+        out = out << (8 - prec)
+    return out.astype(np.uint8)
 
 
 # -- GIF (pure python LZW; r10) ----------------------------------------------
@@ -1151,6 +1324,23 @@ def probe_format_mode(data: bytes):
                         _JPEG_SOF_UNSUPPORTED[marker].replace(" ", "-"),
                         False,
                     )
+                if marker == 0xC3:  # lossless decodes since r11 (1x1 only)
+                    prec = data[i + 4] if i + 4 < len(data) else 0
+                    nf = data[i + 9] if i + 9 < len(data) else 0
+                    hvs = [
+                        data[i + 11 + 3 * c]
+                        for c in range(nf)
+                        if i + 11 + 3 * c < len(data)
+                    ]
+                    ok = (
+                        2 <= prec <= 16
+                        and len(hvs) == nf
+                        and all(hv == 0x11 for hv in hvs)
+                    )
+                    mode = "lossless" if prec == 8 else f"lossless-{prec}bit"
+                    if not all(hv == 0x11 for hv in hvs):
+                        mode += "-subsampled"
+                    return "jpeg", mode, ok
                 mode = {
                     0xC0: "baseline",
                     0xC1: "extended-sequential",
@@ -1233,6 +1423,7 @@ FORMAT_CLASSES = [
     ("bmp", "comp1-8bpp", False),
     ("unknown", None, False),
     ("jpeg", "extended-sequential-12bit", True),  # decodes since r11
+    ("jpeg", "lossless", True),                   # decodes since r11
 ]
 
 
@@ -1252,8 +1443,8 @@ def synth_container(cls: int, salt: int = 0) -> bytes:
             + struct.pack(">I", 13) + b"IHDR" + ihdr + b"\x00\x00\x00\x00"
             + tail
         )
-    if k in (2, 3, 4, 10):  # JPEG: SOF0 / SOF2 / SOF9 / 12-bit SOF1
-        sof_marker = {2: 0xC0, 3: 0xC2, 4: 0xC9, 10: 0xC1}[k]
+    if k in (2, 3, 4, 10, 11):  # JPEG: SOF0/SOF2/SOF9/12-bit SOF1/SOF3
+        sof_marker = {2: 0xC0, 3: 0xC2, 4: 0xC9, 10: 0xC1, 11: 0xC3}[k]
         prec = 12 if k == 10 else 8
         app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
         sof = (

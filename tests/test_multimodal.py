@@ -948,8 +948,9 @@ def test_decode_coverage_stage(spark):
     for k, (fmt, mode, ok) in enumerate(mm.FORMAT_CLASSES):
         assert got[(fmt, mode, ok)] == 4
     n_dec = sum(n for (f, m, ok), n in got.items() if ok)
-    assert n_dec == 28  # 7 of 11 classes are inside the boundary (r11:
-    # huffman progressive AND 12-bit extended-sequential moved inside)
+    assert n_dec == 32  # 8 of 12 classes are inside the boundary (r11:
+    # huffman progressive, 12-bit extended-sequential AND lossless all
+    # moved inside)
 
 
 # -- progressive JPEG pins (r11): independent multi-scan encoder --------------
@@ -1384,3 +1385,175 @@ def test_jpeg_12bit_with_restarts_and_subsampling():
     # restart segmentation changes DC prediction resets only; with the
     # same subsampling the decoded planes agree exactly
     assert np.array_equal(got, base)
+
+
+# -- lossless JPEG pins (r11): independent SOF3 encoder -----------------------
+# Same discipline as the other encoders: built from T.81 Annex H text,
+# sharing NO code with the decoder. Lossless means the round-trips below
+# assert EXACT equality (after the documented uint8 scaling for P > 8).
+
+_J_DC_SYMS_LL = list(range(17))  # lossless SSSS reaches 16 (diff = +32768)
+
+
+def _jpeg_encode_lossless(img, predictor=4, precision=8, pt=0,
+                          restart_interval=0):
+    import struct
+
+    h, w = img.shape[:2]
+    ch = img.shape[2] if img.ndim == 3 else 1
+    dc = _j_codes(5, _J_DC_SYMS_LL)
+
+    out = bytearray(b"\xff\xd8")
+    sof = struct.pack(">BHHB", precision, h, w, ch)
+    for cid in range(1, ch + 1):
+        sof += bytes([cid, 0x11, 0])
+    out += b"\xff\xc3" + struct.pack(">H", 2 + len(sof)) + sof
+    bits = [0] * 16
+    bits[4] = len(_J_DC_SYMS_LL)
+    payload = bytes([0x00]) + bytes(bits) + bytes(_J_DC_SYMS_LL)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    sos = bytes([ch])
+    for cid in range(1, ch + 1):
+        sos += bytes([cid, 0x00])
+    sos += bytes([predictor, 0, pt])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    planes = [
+        (img[..., c].astype(int) >> pt) for c in range(ch)
+    ] if img.ndim == 3 else [(img.astype(int) >> pt)]
+    default = 1 << (precision - pt - 1)
+
+    def pred_of(p, y, x):
+        if y == 0:
+            return int(p[0, x - 1])
+        if x == 0:
+            return int(p[y - 1, 0])
+        a, b, c = int(p[y, x - 1]), int(p[y - 1, x]), int(p[y - 1, x - 1])
+        return {
+            1: a, 2: b, 3: c, 4: a + b - c,
+            5: a + ((b - c) >> 1), 6: b + ((a - c) >> 1), 7: (a + b) >> 1,
+        }[predictor]
+
+    bw = _JBitWriter()
+    rst = 0
+    fresh = True
+    for mcu in range(h * w):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            bw.flush()
+            out += bw.out
+            bw = _JBitWriter()
+            out += bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+            fresh = True
+        y, x = divmod(mcu, w)
+        for p in planes:
+            pred = default if fresh else pred_of(p, y, x)
+            d = (int(p[y, x]) - pred) & 0xFFFF
+            if d > 0x8000:
+                d -= 0x10000  # signed representative in (-32768, 32768]
+            if d == 0x8000:
+                bw.put(*dc[16])  # SSSS=16: diff = +32768, no extra bits
+                continue
+            t = int(abs(d)).bit_length()
+            bw.put(*dc[t])
+            if t:
+                bw.put(t, d if d >= 0 else d + (1 << t) - 1)
+        fresh = False
+    bw.flush()
+    out += bw.out + b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_lossless_exact_roundtrip_all_predictors():
+    import numpy as np
+
+    from kausaldb_spark.sources.multimodal import decode_pixels, probe_format_mode
+
+    img = _rand_img(9, 7, 3, seed=41)
+    for sel in range(1, 8):
+        data = _jpeg_encode_lossless(img, predictor=sel)
+        if sel == 1:
+            assert probe_format_mode(data) == ("jpeg", "lossless", True)
+        got = decode_pixels(data)
+        assert got.shape == (9, 7, 3)
+        assert np.array_equal(got, img), f"predictor {sel}"
+
+
+def test_jpeg_lossless_16bit_and_point_transform():
+    import numpy as np
+
+    from kausaldb_spark.sources.multimodal import decode_pixels, probe_format_mode
+
+    rng = np.random.RandomState(43)
+    img16 = rng.randint(0, 1 << 16, size=(8, 6, 1)).astype("uint32")
+    data = _jpeg_encode_lossless(img16, precision=16)
+    assert probe_format_mode(data) == ("jpeg", "lossless-16bit", True)
+    got = decode_pixels(data)
+    assert np.array_equal(got[..., 0], (img16[..., 0] >> 8).astype("uint8"))
+    # point transform: coded samples are img >> pt, reconstruction
+    # re-shifts — exact at 8-bit up to the pt-masked low bits
+    img = _rand_img(6, 5, 1, seed=44)
+    got = decode_pixels(_jpeg_encode_lossless(img, pt=2))
+    assert np.array_equal(got[..., 0], (img[..., 0] >> 2) << 2)
+
+
+def test_jpeg_lossless_restarts_and_gray():
+    import numpy as np
+
+    from kausaldb_spark.sources.multimodal import decode_pixels
+
+    img = _rand_img(11, 13, 1, seed=45)
+    got = decode_pixels(_jpeg_encode_lossless(img, predictor=7,
+                                              restart_interval=5))
+    assert np.array_equal(got, img)
+
+
+def test_jpeg_lossless_subsampled_is_boundary():
+    import pytest as _pytest
+
+    from kausaldb_spark.sources.multimodal import decode_pixels, probe_format_mode
+
+    data = bytearray(_jpeg_encode_lossless(_rand_img(8, 8, 3, seed=46)))
+    sof_at = data.index(b"\xff\xc3")
+    data[sof_at + 11] = 0x22  # first component 2x2 sampling
+    assert probe_format_mode(bytes(data)) == (
+        "jpeg", "lossless-subsampled", False
+    )
+    with _pytest.raises(NotImplementedError):
+        decode_pixels(bytes(data))
+
+
+try:
+    from hypothesis import given as _ll_given, settings as _ll_settings
+    from hypothesis import strategies as _ll_st
+
+    @_ll_settings(max_examples=25, deadline=None)
+    @_ll_given(
+        h=_ll_st.integers(1, 12), w=_ll_st.integers(1, 12),
+        ch=_ll_st.sampled_from([1, 3]),
+        sel=_ll_st.integers(1, 7),
+        precision=_ll_st.sampled_from([8, 12, 16]),
+        pt=_ll_st.sampled_from([0, 1]),
+        dri=_ll_st.sampled_from([0, 3]),
+        seed=_ll_st.integers(0, 999),
+    )
+    def test_jpeg_lossless_roundtrip_hypothesis(h, w, ch, sel, precision,
+                                                pt, dri, seed):
+        import numpy as np
+
+        from kausaldb_spark.sources.multimodal import decode_pixels
+
+        rng = np.random.RandomState(seed)
+        img = rng.randint(0, 1 << precision, size=(h, w, ch)).astype("uint32")
+        got = decode_pixels(
+            _jpeg_encode_lossless(img, predictor=sel, precision=precision,
+                                  pt=pt, restart_interval=dri)
+        )
+        want = (img >> pt) << pt
+        if precision > 8:
+            want = want >> (precision - 8)
+        assert np.array_equal(got, want.astype("uint8"))
+except ImportError:  # pragma: no cover
+    pass
