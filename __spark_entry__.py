@@ -636,6 +636,43 @@ def _q_ann_lsh(spark, sf_dir):
     return sim.lsh_bucketed_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, k=5)
 
 
+_URL_MESSY_SPARK = None  # built in _q_url_canonicalize
+
+
+def _q_url_canonicalize(spark, sf_dir):
+    # re-crawl dedup key: deterministic MESSY urls injected from doc fields
+    # (identically in the oracle SQL), canonicalized by text.canonical_url —
+    # the hash gate cross-validates scheme/host case, userinfo drop,
+    # default-port strip, fragment drop, empty-path rule, tracking-param
+    # drop and bytewise query sort between engines. Pure codegen.
+    docs = _docs(spark, sf_dir)
+    messy = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("HTTPS://User@WWW."), F.upper("source"),
+                F.lit(".Example.COM:443/Pg/"), F.col("lang"),
+                F.lit("?utm_source=x&b=2&a=1&&gclid=9#frag"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit("http://"), F.col("source"),
+                F.lit(".site.org:80?z=1&y=2"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("http://"), F.col("source"), F.lit(".org:8080/A/B#x")
+            )
+        )
+    )
+    return docs.select(
+        "doc_id", tx.canonical_url(messy).alias("url_canon")
+    )
+
+
 def _q_hashed_features(spark, sf_dir):
     # feature-hashing (hashing-trick) document vectorization: signed md5
     # token hashing into d=64 dims, per-(doc, dim) signed occurrence sums,
@@ -1211,7 +1248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard": _q_ngram_jaccard,
-        "simhash_pairs": _q_simhash_pairs,
+        "url_canonicalize": _q_url_canonicalize,  # NEW r11 (re-crawl key)
         "hashed_features": _q_hashed_features,  # NEW r11 (hashing trick)
         "token_count_bpe": _q_token_count_bpe,
         "filter_targets": _q_filter_targets,
@@ -1275,6 +1312,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,  # displaced r11 for the new
         #    hashed_features entry (green r10 row; the text family keeps
         #    quality_score/token_count_bpe in-window; path unchanged)
+        "simhash_pairs": _q_simhash_pairs,  # displaced r11 for the new
+        #    url_canonicalize entry (green r10 row; simhash_band keeps the
+        #    simhash family in-window; path unchanged this round)
         "iterate_all": _q_iterate_all,  # displaced r11 for the new
         #    span_removal entry (green r10 row; store_roundtrip keeps the
         #    storage family in-window; path unchanged this round)
@@ -2055,6 +2095,58 @@ FROM documents""",
         "incremental_dedup": oracles.incremental_dedup_sql(),
         "ngram_jaccard": oracles.ngram_jaccard_sql(),
         "simhash_pairs": oracles.simhash_pairs_sql(),
+        # URL canonicalization: the SAME messy-url injection and the SAME
+        # canonicalization chain re-expressed in ANSI SQL — the hash gate
+        # cross-validates every rule (case, userinfo, default port,
+        # fragment, empty path, tracking-param drop, bytewise param sort)
+        "url_canonicalize": r"""
+WITH m AS (
+  SELECT doc_id,
+    CASE CAST(doc_id % 3 AS INT)
+      WHEN 0 THEN 'HTTPS://User@WWW.' || upper(source)
+                  || '.Example.COM:443/Pg/' || lang
+                  || '?utm_source=x&b=2&a=1&&gclid=9#frag'
+      WHEN 1 THEN 'http://' || source || '.site.org:80?z=1&y=2'
+      ELSE 'http://' || source || '.org:8080/A/B#x'
+    END AS url
+  FROM documents
+), parts AS (
+  SELECT doc_id,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    regexp_replace(
+      regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#.*$', ''
+    ) AS rest
+  FROM m
+), p2 AS (
+  SELECT doc_id, scheme,
+    lower(regexp_replace(regexp_extract(rest, '^([^/?]*)', 1),
+                         '^[^@]*@', '')) AS host0,
+    regexp_replace(rest, '^[^/?]*', '') AS pathq
+  FROM parts
+), p3 AS (
+  SELECT doc_id, scheme,
+    CASE WHEN scheme = 'http' AND host0 LIKE '%:80'
+           THEN regexp_replace(host0, ':80$', '')
+         WHEN scheme = 'https' AND host0 LIKE '%:443'
+           THEN regexp_replace(host0, ':443$', '')
+         ELSE host0 END AS host,
+    CASE WHEN regexp_extract(pathq, '^([^?]*)', 1) = '' THEN '/'
+         ELSE regexp_extract(pathq, '^([^?]*)', 1) END AS path,
+    regexp_extract(pathq, '\?(.*)$', 1) AS query
+  FROM p2
+), p4 AS (
+  SELECT doc_id, scheme, host, path,
+    array_to_string(
+      list_sort(list_filter(string_split(query, '&'),
+        x -> x <> '' AND NOT starts_with(x, 'utm_')
+             AND NOT starts_with(x, 'fbclid')
+             AND NOT starts_with(x, 'gclid'))), '&') AS q2
+  FROM p3
+)
+SELECT doc_id,
+       scheme || '://' || host || path
+       || CASE WHEN q2 <> '' THEN '?' || q2 ELSE '' END AS url_canon
+FROM p4""",
         # hashing-trick features: identical md5 dim/sign arithmetic in both
         # engines (the ('0x' || substring(md5, ..))::BIGINT idiom shared
         # with the minhash scheme); HAVING <> 0 mirrors the Spark-side

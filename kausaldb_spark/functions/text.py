@@ -2054,3 +2054,69 @@ def shard_and_shuffle(
         id_col, "shard",
         (F.row_number().over(w) - 1).cast("bigint").alias("pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (r11): the re-crawl dedup key
+# ---------------------------------------------------------------------------
+
+#: query parameters that never change page identity (tracking noise); the
+#: standard crawler-dedup strip list
+URL_TRACKING_PARAM_PREFIXES = ("utm_", "fbclid", "gclid")
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of an absolute http(s) URL — the key a crawler
+    pipeline dedups re-crawls on (two spellings of one page must collapse
+    BEFORE content dedup ever sees them):
+
+      1. scheme and host lowercased; userinfo dropped;
+      2. default port stripped (:80 for http, :443 for https);
+      3. fragment dropped;
+      4. empty path becomes "/" (path otherwise untouched — aggressive
+         path rewriting changes identity on real sites);
+      5. query parameters sorted bytewise, empty and tracking parameters
+         (URL_TRACKING_PARAM_PREFIXES) dropped; an emptied query loses
+         its "?".
+
+    Pure codegen (regexp/split/array_sort/concat — Java∩RE2 regex subset
+    like every text op here), so it canonicalizes at scan throughput; the
+    identical chain is expressible in ANSI SQL, which the url_canonicalize
+    driver entry hash-gates cross-engine."""
+    scheme = F.lower(
+        F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    )
+    rest = F.regexp_replace(
+        F.regexp_replace(url, r"^[A-Za-z][A-Za-z0-9+.-]*://", ""),
+        r"#.*$",
+        "",
+    )
+    hostport = F.regexp_extract(rest, r"^([^/?]*)", 1)
+    host = F.lower(F.regexp_replace(hostport, r"^[^@]*@", ""))
+    host = F.when(
+        (scheme == "http") & host.endswith(":80"),
+        F.regexp_replace(host, r":80$", ""),
+    ).when(
+        (scheme == "https") & host.endswith(":443"),
+        F.regexp_replace(host, r":443$", ""),
+    ).otherwise(host)
+    pathq = F.regexp_replace(rest, r"^[^/?]*", "")
+    path = F.regexp_extract(pathq, r"^([^?]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(pathq, r"\?(.*)$", 1)
+    drop = F.array(*[F.lit(p) for p in URL_TRACKING_PARAM_PREFIXES])
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "")
+            & ~F.exists(drop, lambda d: p.startswith(d)),
+        )
+    )
+    q2 = F.array_join(params, "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(q2 != "", F.concat(F.lit("?"), q2)).otherwise(F.lit("")),
+    )
