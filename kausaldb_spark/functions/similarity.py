@@ -850,7 +850,13 @@ def pq_train(
     (``fit_sample_fraction`` + the hard ``max_train_rows`` cap: <=100k x
     64 dims = 51 MB driver memory) and the m subspace fits are seeded
     vectorized Lloyd — milliseconds, no per-fit job latency. The CORPUS
-    never moves: encoding is one distributed scan (:func:`pq_encode`)."""
+    never moves: encoding is one distributed scan (:func:`pq_encode`).
+
+    Determinism: exact for a fixed data layout (the seeded sample and the
+    ``limit`` row choice depend on partition order, like MLlib's own
+    sampled fits); codebooks are centroids, so layout changes perturb
+    them only marginally — persist the index (:func:`pq_index`) when
+    bit-identical codes must survive a re-partition."""
     import numpy as np
 
     rows = embeddings.select(F.col(vec_col).alias("_v"))
@@ -905,6 +911,10 @@ def pq_encode(
 
     def batch_fn(batches):
         for pdf in batches:
+            if len(pdf) == 0:  # Arrow may deliver empty batches
+                yield pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                    "codes": pd.Series(dtype="object")})
+                continue
             X = np.asarray(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
