@@ -636,9 +636,6 @@ def _q_ann_lsh(spark, sf_dir):
     return sim.lsh_bucketed_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, k=5)
 
 
-_URL_MESSY_SPARK = None  # built in _q_url_canonicalize
-
-
 def _q_url_canonicalize(spark, sf_dir):
     # re-crawl dedup key: deterministic MESSY urls injected from doc fields
     # (identically in the oracle SQL), canonicalized by text.canonical_url —

