@@ -670,6 +670,30 @@ def _q_url_canonicalize(spark, sf_dir):
     )
 
 
+def _q_corpus_diff(spark, sf_dir):
+    # snapshot diff between two crawl versions (sources/corpus.py): the
+    # old snapshot is derived deterministically from the documents table
+    # (identically in the oracle) — %5 ids absent from old -> added, %7
+    # texts mutated -> changed, ghost rows -> removed, rest unchanged.
+    # Each side reduces to (id, md5) at the scan; ONE slim full-outer join.
+    from kausaldb_spark.sources import corpus as cp
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    old_base = docs.where(F.col("doc_id") % 5 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" MUT"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    ghosts = docs.where(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+        F.lit("ghost").alias("text"),
+    )
+    return cp.diff_documents(old_base.unionByName(ghosts), docs)
+
+
 def _q_hashed_features(spark, sf_dir):
     # feature-hashing (hashing-trick) document vectorization: signed md5
     # token hashing into d=64 dims, per-(doc, dim) signed occurrence sums,
@@ -1283,7 +1307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": _q_html_extract,  # NEW r11 (web-corpus front end)
         "contamination": _q_contamination,
         "corpus_curation": _q_corpus_curation,
-        "corpus_stats": _q_corpus_stats,
+        "corpus_diff": _q_corpus_diff,  # NEW r11 (incremental-crawl diff)
         "stratified_sample": _q_stratified_sample,
         "ann_recall": _q_ann_recall,
         "lm_perplexity": _q_lm_perplexity,
@@ -1312,6 +1336,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,  # displaced r11 for the new
         #    url_canonicalize entry (green r10 row; simhash_band keeps the
         #    simhash family in-window; path unchanged this round)
+        "corpus_stats": _q_corpus_stats,  # displaced r11 for the new
+        #    corpus_diff entry (green r10 row; curation/report/stratified
+        #    keep the corpus family in-window; path unchanged this round)
         "iterate_all": _q_iterate_all,  # displaced r11 for the new
         #    span_removal entry (green r10 row; store_roundtrip keeps the
         #    storage family in-window; path unchanged this round)
@@ -2092,6 +2119,23 @@ FROM documents""",
         "incremental_dedup": oracles.incremental_dedup_sql(),
         "ngram_jaccard": oracles.ngram_jaccard_sql(),
         "simhash_pairs": oracles.simhash_pairs_sql(),
+        # snapshot diff: the same deterministic old-snapshot derivation in
+        # ANSI SQL; md5-hash compare, never text compare
+        "corpus_diff": """
+WITH old AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' MUT' ELSE text END AS text
+  FROM documents WHERE doc_id % 5 <> 0
+  UNION ALL
+  SELECT doc_id + 10000000, 'ghost' FROM documents WHERE doc_id % 11 = 0
+), o AS (SELECT doc_id, md5(text) AS h FROM old),
+n AS (SELECT doc_id, md5(text) AS h FROM documents)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.h = n.h THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""",
         # URL canonicalization: the SAME messy-url injection and the SAME
         # canonicalization chain re-expressed in ANSI SQL — the hash gate
         # cross-validates every rule (case, userinfo, default port,

@@ -195,3 +195,34 @@ def write_jsonl_documents(df: DataFrame, path: str, n_files: int | None = None) 
     if n_files:
         out = out.coalesce(int(n_files))
     out.write.mode("overwrite").json(path)
+
+
+def diff_documents(
+    old: DataFrame, new: DataFrame, id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot diff between two corpus versions — the first question an
+    incremental crawl pipeline asks (what arrived, what vanished, what
+    changed) before deciding how much downstream work to re-run.
+
+    Output: (doc_id, status) with status in {added, removed, changed,
+    unchanged}; 'changed' compares md5(text), never the text itself.
+
+    100 TB shape: each side reduces to (id, content-hash) AT THE SCAN
+    (text never shuffles), then ONE full-outer equi-join on the id —
+    shuffle volume is two slim hash relations regardless of document
+    size. The status expression is pure codegen."""
+    o = old.select(
+        F.col(id_col).alias("_id"), F.md5(F.col(text_col)).alias("_ho")
+    )
+    n = new.select(
+        F.col(id_col).alias("_id"), F.md5(F.col(text_col)).alias("_hn")
+    )
+    j = o.join(n, "_id", "full_outer")
+    status = (
+        F.when(F.col("_ho").isNull(), F.lit("added"))
+        .when(F.col("_hn").isNull(), F.lit("removed"))
+        .when(F.col("_ho") == F.col("_hn"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(F.col("_id").alias(id_col), status.alias("status"))

@@ -145,3 +145,32 @@ def test_conform_rejects_non_numeric_ids(spark):
     # and dropping the id column falls back to synthesized content ids
     synth = corpus.conform(bad.drop("doc_id"))
     assert synth.where(synth.doc_id.isNull()).count() == 0
+
+
+def test_diff_documents_statuses(spark):
+    from kausaldb_spark.sources import corpus as cp
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "before"), (3, "gone")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "after"), (4, "fresh")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["status"] for r in cp.diff_documents(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_diff_documents_join_carries_hashes_not_text(spark):
+    from kausaldb_spark.sources import corpus as cp
+
+    old = spark.createDataFrame([(1, "aaa")], "doc_id long, text string")
+    new = spark.createDataFrame([(1, "aaa")], "doc_id long, text string")
+    df = cp.diff_documents(old, new)
+    # the join's OUTPUT schema carries only id + the two md5 columns — the
+    # raw text reduces to a hash before the join (the 100 TB contract in
+    # the docstring); output columns are the public shape
+    assert df.columns == ["doc_id", "status"]
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "md5(" in plan and "FullOuter" in plan
