@@ -59,6 +59,8 @@ TOP_QUERIES = [
     "contamination",
     "token_count_bpe",
     "store_materialize",  # pulls the whole store leg (bucketed gates too)
+    "html_extract",  # r11 s3: Python-CPU map-only crawl front end
+    "pq_recall",     # r11 s3: sampled-codebook ANN (size-independent train)
 ]
 
 F100_MAX = 100.0   # proportional-to-volume ceiling for >=1 s queries
@@ -82,8 +84,14 @@ ONE_TIME = {"store_materialize", "graph_build"}
 CHUNKS = [
     ("text", ["gopher_repetition", "lm_perplexity", "token_count_bpe",
               "contamination", "ngram_jaccard", "duplicate_spans",
-              "simhash_band"]),
-    ("dedup", ["minhash_near_dup", "near_dup_clusters", "semantic_dedup"]),
+              "simhash_band",
+              # r11 session 3: the crawl front end is Python-CPU map-only —
+              # exactly the shape that must prove flat-per-byte at 100x
+              "html_extract"]),
+    ("dedup", ["minhash_near_dup", "near_dup_clusters", "semantic_dedup",
+               # r11 session 3: sampled-codebook training must stay
+               # corpus-size-independent; encode+ADC ride the scan
+               "pq_recall"]),
     ("graph-store", ["topo_sort", "store_materialize"]),
 ]
 COOLDOWN_SEC = 90
