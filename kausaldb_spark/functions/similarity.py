@@ -1193,14 +1193,30 @@ def hashed_embeddings(
     """(doc_id, embedding array<float>) — the dense, L2-normalized form of
     :func:`hashed_features`, shaped to feed this module's ANN family
     directly (dot_topk / lsh / ivf / pq all accept it via id_col/vec_col).
-    Dense assembly is a per-doc map lookup over sequence(0, d-1) — no
-    second shuffle beyond the feature aggregation; a doc whose features
-    fully cancel (or an empty doc) yields the zero vector unchanged."""
+    Dense assembly is a per-doc map lookup over sequence(0, d-1); a doc
+    whose features fully cancel (or an empty doc) yields the zero vector —
+    ``hashed_features`` drops its rows, so the dense side is left-joined
+    back to ``corpus``'s id column (a slim id-only join; at scale AQE
+    broadcasts whichever side is the sliver) so every input doc stays
+    addressable by the ANN consumers instead of silently vanishing. The
+    zero vector survives normalization unchanged (norm 0 branch below)."""
     sparse = hashed_features(corpus, d, id_col=id_col, text_col=text_col)
-    grouped = sparse.groupBy(id_col).agg(
-        F.map_from_entries(
-            F.collect_list(F.struct("dim", "weight"))
-        ).alias("_m")
+    grouped = corpus.select(id_col).join(
+        sparse.groupBy(id_col).agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("dim", "weight"))
+            ).alias("_m")
+        ),
+        id_col,
+        "left",
+    ).withColumn(
+        "_m",
+        F.coalesce(
+            F.col("_m"),
+            F.map_from_entries(
+                F.array().cast("array<struct<dim:int,weight:bigint>>")
+            ),
+        ),
     )
     emb = F.transform(
         F.sequence(F.lit(0), F.lit(d - 1)),

@@ -120,10 +120,12 @@ class _Extractor(HTMLParser):
             self._flush_line()
 
     def handle_startendtag(self, tag, attrs):
-        # <br/> and friends: same boundary semantics as a start tag
+        # <br/> and friends: same boundary semantics as a start tag. A
+        # self-closing suppress tag (<script/>, XHTML-style) is an EMPTY
+        # element: close it immediately, or the unmatched _suppress
+        # increment would silently swallow the rest of the document.
         self.handle_starttag(tag, attrs)
-        if tag not in _SUPPRESS:
-            self.handle_endtag(tag)
+        self.handle_endtag(tag)
 
     def handle_endtag(self, tag):
         if tag in _SUPPRESS:

@@ -145,56 +145,84 @@ def curated_append_with_near_dup(
     batch compaction should rewrite it partitioned by ``band`` to restore
     bucket-join pruning — the same stream-then-compact split this module's
     header describes for every corpus-global stage."""
-    import os
-
-    from kausaldb_spark.functions import dedup as dd
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        batch = batch_df.persist()
-        survivors = None
-        try:
-            pairs_in = dd.minhash_pairs_for(
-                batch.select("doc_id", "text"), num=num, den=den
-            )
-            drop_in = (
-                dd.components_from_pairs(spark, pairs_in)
-                .where(F.col("doc_id") != F.col("cluster_id"))
-                .select("doc_id")
-            )
-            batch_canon = batch.join(drop_in, "doc_id", "left_anti")
-            if os.path.isdir(index_dir):
-                index = spark.read.parquet(index_dir).drop("_batch_id")
-                corpus_docs = spark.read.parquet(out_dir).select(
-                    "doc_id", "text"
-                )
-                survivors = dd.filter_new_against_corpus(
-                    batch_canon, corpus_docs, index=index, num=num, den=den
-                ).persist()
-            else:
-                survivors = batch_canon.persist()
-            (
-                survivors.withColumn("_batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("_batch_id")
-                .parquet(out_dir)
-            )
-            (
-                dd.minhash_index(survivors.select("doc_id", "text"))
-                .withColumn("_batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("_batch_id")
-                .parquet(index_dir)
-            )
-        finally:
-            batch.unpersist()
-            if survivors is not None:
-                survivors.unpersist()
+        near_dup_write_batch(
+            batch_df, batch_id, out_dir, index_dir, num=num, den=den
+        )
 
     return (
         stream.writeStream.foreachBatch(write_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def near_dup_write_batch(
+    batch_df: DataFrame, batch_id: int, out_dir: str, index_dir: str,
+    num: int = 7, den: int = 10,
+) -> None:
+    """One micro-batch of :func:`curated_append_with_near_dup`, exposed at
+    module level so the crash-window replay (a foreachBatch retry after a
+    kill between the store write and the index write) is directly
+    testable — the test calls this twice with the same ``batch_id``."""
+    import os
+
+    from kausaldb_spark.functions import dedup as dd
+
+    spark = batch_df.sparkSession
+    batch = batch_df.persist()
+    survivors = None
+    try:
+        pairs_in = dd.minhash_pairs_for(
+            batch.select("doc_id", "text"), num=num, den=den
+        )
+        drop_in = (
+            dd.components_from_pairs(spark, pairs_in)
+            .where(F.col("doc_id") != F.col("cluster_id"))
+            .select("doc_id")
+        )
+        batch_canon = batch.join(drop_in, "doc_id", "left_anti")
+        if os.path.isdir(index_dir):
+            # Replay safety: on a foreachBatch replay the store/index
+            # already hold THIS batch's partition from the crashed
+            # attempt; reading it back would make every doc self-match
+            # (violating near_dup_vs_corpus's no-id-collision contract)
+            # and drop the whole batch. Excluding _batch_id == batch_id
+            # makes the replay a genuine recompute, and the partition
+            # rewrite below restores store/index consistency even if the
+            # first attempt crashed between the two writes.
+            index = (
+                spark.read.parquet(index_dir)
+                .where(F.col("_batch_id") != F.lit(batch_id))
+                .drop("_batch_id")
+            )
+            corpus_docs = (
+                spark.read.parquet(out_dir)
+                .where(F.col("_batch_id") != F.lit(batch_id))
+                .select("doc_id", "text")
+            )
+            survivors = dd.filter_new_against_corpus(
+                batch_canon, corpus_docs, index=index, num=num, den=den
+            ).persist()
+        else:
+            survivors = batch_canon.persist()
+        (
+            survivors.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out_dir)
+        )
+        (
+            dd.minhash_index(survivors.select("doc_id", "text"))
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(index_dir)
+        )
+    finally:
+        batch.unpersist()
+        if survivors is not None:
+            survivors.unpersist()

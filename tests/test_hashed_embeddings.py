@@ -75,3 +75,27 @@ def test_determinism(spark, docs):
     a = sorted(map(tuple, sm.hashed_features(docs, d=16).collect()))
     b = sorted(map(tuple, sm.hashed_features(docs, d=16).collect()))
     assert a == b
+
+
+def test_fully_cancelled_doc_yields_zero_vector(spark):
+    """r11 ADVICE: hashed_features drops weight-0 rows, so a doc whose
+    features fully cancel has no sparse rows — the dense side must still
+    emit it (left-joined back to the corpus ids) as the zero vector, or
+    the doc silently vanishes from every ANN consumer. 'ak' and 'an'
+    land in the same dim of d=8 with opposite md5 signs."""
+    docs = spark.createDataFrame(
+        [(1, "ak an"), (2, "alpha beta")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: list(r["embedding"])
+        for r in sm.hashed_embeddings(docs, d=8).collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[1] == [0.0] * 8        # cancelled -> zero vector, kept
+    assert any(v != 0.0 for v in out[2])
+    # unnormalized path keeps the same contract
+    raw = {
+        r["doc_id"]: list(r["embedding"])
+        for r in sm.hashed_embeddings(docs, d=8, normalize=False).collect()
+    }
+    assert raw[1] == [0.0] * 8

@@ -156,3 +156,16 @@ def test_extract_links_spark(spark):
         "https://nav9.example.com/3",
     ]
     assert 4 not in by_doc
+
+
+def test_self_closing_suppress_tag_does_not_swallow_document():
+    """r11 ADVICE: an XHTML-style <script src=.../> must be treated as an
+    EMPTY element — before the fix the unmatched _suppress increment
+    silently dropped all text after it."""
+    r = _x('<p>before</p><script src="x.js"/><p>after</p>')
+    assert r["text_clean"] == "before\nafter"
+    r2 = _x("<p>a</p><template/><noscript/><style/><p>b</p>")
+    assert r2["text_clean"] == "a\nb"
+    # a real (paired) script is still suppressed afterwards
+    r3 = _x('<script src="x.js"/><script>var a = "<p>t</p>";</script><p>ok</p>')
+    assert r3["text_clean"] == "ok"

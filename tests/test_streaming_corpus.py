@@ -278,3 +278,55 @@ def test_streaming_near_dup_restart_is_idempotent(spark, tmp_path):
     )
     again = sorted(map(tuple, spark.read.parquet(out).select("doc_id").collect()))
     assert again == first == [(1,), (2,)]
+
+
+def test_near_dup_replay_after_kill_between_store_and_index_writes(
+    spark, tmp_path
+):
+    """r11 ADVICE (medium): a foreachBatch replay after a kill BETWEEN the
+    store write and the index write. The crashed attempt left the batch's
+    partition in the store but not in the index; before the fix the replay
+    read that partition back as 'corpus', every batch doc self-matched (an
+    id collision against itself), survivors came back empty and the empty
+    dynamic overwrite rewrote nothing — the accepted docs were permanently
+    missing from the index and future near-copies were admitted. The fix
+    excludes the current batch_id when reading back state, so the replay
+    genuinely recomputes and the partition rewrite restores consistency."""
+    import shutil
+
+    out = str(tmp_path / "store")
+    idx = str(tmp_path / "index")
+
+    def mkbatch(docs):
+        return spark.createDataFrame(
+            [(i, t, "en", "s") for i, t in docs], sc.DOC_STREAM_SCHEMA
+        )
+
+    # batch 0 lands cleanly
+    sc.near_dup_write_batch(mkbatch([(1, _BASE), (2, _OTHER)]), 0, out, idx)
+    # batch 1: doc 3 near-dups the corpus (doc 1), doc 4 is novel
+    b1 = mkbatch([(3, _NEAR), (4, _OTHER_NEAR)])
+    sc.near_dup_write_batch(b1, 1, out, idx)
+    # simulate the kill window: the index write of batch 1 never happened
+    shutil.rmtree(os.path.join(idx, "_batch_id=1"))
+    assert sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(idx).select("doc_id").distinct().collect()
+    ) == [1, 2]
+    # checkpoint recovery replays batch 1 with the SAME batch id
+    sc.near_dup_write_batch(b1, 1, out, idx)
+    kept = sorted(
+        r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()
+    )
+    assert kept == [1, 2, 4], "replay must recompute, not self-match-drop"
+    idx_docs = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(idx).select("doc_id").distinct().collect()
+    )
+    assert idx_docs == [1, 2, 4], "index must be restored by the replay"
+    # and a later near-copy of doc 4 is still screened out
+    sc.near_dup_write_batch(mkbatch([(6, _OTHER_NEAR)]), 2, out, idx)
+    kept2 = sorted(
+        r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()
+    )
+    assert kept2 == [1, 2, 4]
