@@ -1241,37 +1241,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (dfs_preorder + the two streaming ops — not SQL-expressible; their
     behavior is pytest-asserted in tests/).
 
-    Round-11 rotation (closes the rotation debt — the r10 verdict's item
-    2): the final five oracle-backed tail entries whose last driver row
-    was r7/r8 (normalize_text, mixture_weights, domain_filter,
-    length_quantiles, source_mix) rotate INTO the sample window; displaced
-    to the tail are five entries with a green r10 driver row on code paths
-    unchanged in r11 (events_funnel, cohort_retention, sliding_rollup,
-    events_quantiles, events_topk_users — the events family keeps
-    sessionize in-window as its rep). After this round EVERY oracle-backed
-    registry entry has a driver row from r9-r11. As always,
+    Round-12 rotation (the r11 verdict's item 2 — the REAL rotation debt,
+    which r11's notes understated): the eight oracle-backed entries whose
+    last green driver row was r5 (token_count, split_assignment,
+    repetition_score) or r8 (ann_topk, ann_lsh, embedding_near_dup,
+    pii_scan, pack_offsets) rotate INTO the sample window. Displaced to
+    the tail are eight entries with a green r11 driver row on code paths
+    unchanged in r12 (normalize_text, mixture_weights, domain_filter,
+    length_quantiles, source_mix, exact_dedup, pack_sequences,
+    token_count_bpe — each family keeps at least one in-window rep, noted
+    per entry below). After this round every oracle-backed registry entry
+    has a driver row from r9-r12. As always,
     tests/test_oracle_parity.py still hash-checks every oracle-backed
     entry on every pytest run with the identical DuckDB harness; window
     position only affects which entries get a per-round driver row.
-    Rotation history: r10 rotated 15 in (the 14-entry r7/r8 tail +
-    quality_score) / 15 r9-green out; gopher_repetition re-gated its r10
-    map-only rewrite in-window.
+    Rotation history: r10 rotated 15 in / 15 out; r11 rotated the r7/r8
+    five in plus seven new entries.
     """
     return {
-        # -- rotated INTO the driver sample this round (last gated r7/r8;
-        #    the final five of the r8 tail — rotation debt hits zero) --
-        "normalize_text": _q_normalize_text,
-        "mixture_weights": _q_mixture_weights,
-        "domain_filter": _q_domain_filter,
-        "length_quantiles": _q_length_quantiles,
-        "source_mix": _q_source_mix,
-        # -- r10-rotated entries retained in-window --
-        "pack_sequences": _q_pack_sequences,
-        "exact_dedup": _q_exact_dedup,
+        # -- rotated INTO the driver sample this round (the 8-entry stale
+        #    set the r11 verdict named: last gated r5/r8) --
+        "token_count": _q_token_count,
+        "split_assignment": _q_split_assignment,
+        "repetition_score": _q_repetition_score,
+        "ann_topk": _q_ann_topk,
+        "ann_lsh": _q_ann_lsh,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "pii_scan": _q_pii_scan,
+        "pack_offsets": _q_pack_offsets,
+        # -- retained in-window --
         "ngram_jaccard": _q_ngram_jaccard,
-        "url_canonicalize": _q_url_canonicalize,  # NEW r11 (re-crawl key)
-        "hashed_features": _q_hashed_features,  # NEW r11 (hashing trick)
-        "token_count_bpe": _q_token_count_bpe,
+        "url_canonicalize": _q_url_canonicalize,
+        "hashed_features": _q_hashed_features,
         "filter_targets": _q_filter_targets,
         "filter_pagination": _q_filter_pagination,
         "quality_score": _q_quality_score,  # r9 bench watch item
@@ -1317,6 +1318,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tail (position > 50: outside the driver sample; the oracle-
         #    backed entries here are still hash-gated by the local parity
         #    suite, the rows-only ones are pytest-gated) --
+        "normalize_text": _q_normalize_text,  # displaced r12: green r11
+        "mixture_weights": _q_mixture_weights,  # rows, paths unchanged this
+        "domain_filter": _q_domain_filter,  # round (quality_score +
+        "length_quantiles": _q_length_quantiles,  # repetition_score keep the
+        "source_mix": _q_source_mix,  # text/mixture families in-window)
+        "exact_dedup": _q_exact_dedup,  # displaced r12 (minhash/clusters/
+        #    spans/binary keep the dedup family in-window; path unchanged)
+        "pack_sequences": _q_pack_sequences,  # displaced r12 (pack_offsets
+        #    rotates in as the packing-family rep; path unchanged)
+        "token_count_bpe": _q_token_count_bpe,  # displaced r12 (token_count
+        #    rotates in; quality_score stays; path unchanged)
         "events_funnel": _q_events_funnel,  # displaced r11: green r10 rows
         "cohort_retention": _q_cohort_retention,  # on paths unchanged this
         "sliding_rollup": _q_sliding_rollup,  # round (events family keeps
@@ -1357,15 +1369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_selection": _q_canonical_selection,
         "chunk_documents": _q_chunk_documents,
         "lang_id": _q_lang_id,
-        # -- longer-tail (green r8 or earlier; parity-gated every run) --
-        "pack_offsets": _q_pack_offsets,
-        "ann_topk": _q_ann_topk,
-        "ann_lsh": _q_ann_lsh,
-        "embedding_near_dup": _q_embedding_near_dup,
-        "pii_scan": _q_pii_scan,
-        "repetition_score": _q_repetition_score,
-        "token_count": _q_token_count,
-        "split_assignment": _q_split_assignment,
+        # -- longer-tail (parity-gated every run) --
         "bm25_topk": _q_bm25_topk,
         "semantic_dedup": _q_semantic_dedup,
         "pq_recall": _q_pq_recall,  # NEW r11: rows-only like semantic_dedup
