@@ -1380,26 +1380,79 @@ COVERAGE_SCHEMA = StructType(
 )
 
 
+def probe_assets(
+    assets: DataFrame,
+    keep_cols: tuple = (),
+    payload_col: str = "payload",
+) -> DataFrame:
+    """(keep_cols..., format, mode, decodable) — header-sniff every asset,
+    carrying the named metadata columns (source, shard, asset_id, ...)
+    through the Arrow stage so coverage can be ATTRIBUTED, not just
+    totalled. Payload bytes never leave the map stage: downstream sees
+    only the tiny classification tuple plus the keys. This is the shared
+    sniff pass under :func:`decode_coverage` (global totals) and the
+    per-source coverage columns in the curation composition report."""
+    keep = list(keep_cols)
+    in_schema = dict(
+        (f.name, f.dataType.simpleString()) for f in assets.schema.fields
+    )
+    out_schema = ", ".join(
+        [f"{c} {in_schema[c]}" for c in keep]
+        + ["format string", "mode string", "decodable boolean"]
+    )
+
+    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                probe_format_mode(bytes(p) if p is not None else b"")
+                for p in pdf[payload_col]
+            ]
+            out = pd.DataFrame(rows, columns=["format", "mode", "decodable"])
+            for c in reversed(keep):
+                out.insert(0, c, pdf[c].reset_index(drop=True))
+            yield out
+
+    return assets.select(*keep, payload_col).mapInPandas(batch_fn, out_schema)
+
+
 def decode_coverage(assets: DataFrame) -> DataFrame:
     """Per-(format, mode) decode coverage of a binary corpus:
     (format, mode, decodable, n_assets) — the corpus_report companion for
     binary modalities. One Arrow mapInPandas header-sniff pass (no pixel
     decode, no payload shuffle: the groupBy key is the tiny classification
     tuple), then a map-side-combined count."""
-
-    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = [
-                probe_format_mode(bytes(p) if p is not None else b"")
-                for p in pdf["payload"]
-            ]
-            yield pd.DataFrame(rows, columns=["format", "mode", "decodable"])
-
     return (
-        assets.select("payload")
-        .mapInPandas(batch_fn, COVERAGE_SCHEMA)
+        probe_assets(assets)
         .groupBy("format", "mode", "decodable")
         .agg(F.count("*").cast("bigint").alias("n_assets"))
+    )
+
+
+def decode_coverage_by(
+    assets: DataFrame, keys: tuple = ("source",), payload_col: str = "payload"
+) -> DataFrame:
+    """Per-key decode coverage rollup for the composition report:
+    (keys..., n_assets_decodable, decode_by_format) where decode_by_format
+    is a deterministic comma-joined 'format=n_decodable/n_total' string
+    sorted by format — string-typed so both engines of the oracle gate
+    hash it identically. Plan: one sniff map stage, one (keys, format)
+    keyed shuffle with map-side combine, one per-key string fold — no
+    payload ever shuffles."""
+    keys = list(keys)
+    probed = probe_assets(assets, keep_cols=tuple(keys), payload_col=payload_col)
+    by_fmt = probed.groupBy(*keys, "format").agg(
+        F.count("*").cast("bigint").alias("_n"),
+        F.sum(F.col("decodable").cast("int")).cast("bigint").alias("_d"),
+    )
+    fmt_str = F.concat(
+        F.col("format"), F.lit("="),
+        F.col("_d").cast("string"), F.lit("/"), F.col("_n").cast("string"),
+    )
+    return by_fmt.select(*keys, fmt_str.alias("_s"), "_d").groupBy(*keys).agg(
+        F.sum("_d").cast("bigint").alias("n_assets_decodable"),
+        F.concat_ws(",", F.sort_array(F.collect_list("_s"))).alias(
+            "decode_by_format"
+        ),
     )
 
 
@@ -1473,18 +1526,30 @@ def synth_container(cls: int, salt: int = 0) -> bytes:
     return b"\x00NOTAFORMAT" + tail  # class 9: unknown container
 
 
-def synthetic_format_assets(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(asset_id, payload) with payload = synth_container(id %
+def synthetic_format_assets(
+    docs: DataFrame, id_col: str = "doc_id", keep_cols: tuple = ()
+) -> DataFrame:
+    """(asset_id, payload, keep_cols...) with payload = synth_container(id %
     len(FORMAT_CLASSES), id) — the deterministic binary-corpus stand-in
     keyed off the documents table, same discipline as the binary_dedup
     fixture (an oracle can recompute the classification from the id alone
-    while the Spark side actually SNIFFS real container bytes)."""
+    while the Spark side actually SNIFFS real container bytes).
+    ``keep_cols`` carries document metadata (source, lang, ...) onto the
+    assets so per-source coverage attribution needs no join back."""
     n_cls = len(FORMAT_CLASSES)
+    keep = list(keep_cols)
+    in_schema = dict(
+        (f.name, f.dataType.simpleString()) for f in docs.schema.fields
+    )
+    out_schema = ", ".join(
+        ["asset_id string", "payload binary"]
+        + [f"{c} {in_schema[c]}" for c in keep]
+    )
 
     def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf[id_col].astype("int64")
-            yield pd.DataFrame(
+            out = pd.DataFrame(
                 {
                     "asset_id": ids.astype("string"),
                     "payload": [
@@ -1492,10 +1557,11 @@ def synthetic_format_assets(docs: DataFrame, id_col: str = "doc_id") -> DataFram
                     ],
                 }
             )
+            for c in keep:
+                out[c] = pdf[c].reset_index(drop=True)
+            yield out
 
-    return docs.select(id_col).mapInPandas(
-        batch_fn, "asset_id string, payload binary"
-    )
+    return docs.select(id_col, *keep).mapInPandas(batch_fn, out_schema)
 
 
 def content_address(

@@ -49,6 +49,11 @@ _ARROW_OK = {
     # r11: PQ encode is a per-batch numpy argmin GEMM (documented Arrow
     # boundary like semantic_dedup's); ADC scoring itself is codegen
     "pq_recall",
+    # r12: the composition report carries per-(source, format) decode
+    # coverage — the same documented synth+sniff Arrow-boundary pair as
+    # decode_coverage (multimodal.synthetic_format_assets + probe_assets);
+    # payload bytes never leave the map stage
+    "corpus_report",
 }
 
 
