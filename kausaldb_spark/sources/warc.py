@@ -175,15 +175,16 @@ _RECORD_SCHEMA = (
 )
 
 
-def read_warc_records(
-    spark: SparkSession, path: str, types: tuple = ("response",)
+def parse_warc_files(
+    files: DataFrame, types: tuple = ("response",)
 ) -> DataFrame:
     """(warc_file, record_id, warc_type, target_uri, warc_date,
     content_type, payload, error) — one row per WARC record of a kept
     type, plus at most one error row per structurally corrupt file
-    (records parsed before the corruption point are kept).
-
-    ``binaryFile`` scan -> one Arrow ``mapInPandas`` parse stage; map-only.
+    (records parsed before the corruption point are kept). ``files`` is
+    (path string, content binary) — a ``binaryFile`` scan in production
+    (see :func:`read_warc_records`) or a synthesized segment relation in
+    the oracle fixture. One Arrow ``mapInPandas`` parse stage; map-only.
     """
     keep = {t.lower() for t in types} if types else None
 
@@ -221,11 +222,20 @@ def read_warc_records(
                 ],
             )
 
-    return (
-        spark.read.format("binaryFile")
-        .load(path)
-        .select("path", "content")
-        .mapInPandas(batch_fn, _RECORD_SCHEMA)
+    return files.select("path", "content").mapInPandas(
+        batch_fn, _RECORD_SCHEMA
+    )
+
+
+def read_warc_records(
+    spark: SparkSession, path: str, types: tuple = ("response",)
+) -> DataFrame:
+    """The production entry point: ``binaryFile`` scan (parallelism = one
+    task per segment file, the CommonCrawl layout) ->
+    :func:`parse_warc_files`."""
+    return parse_warc_files(
+        spark.read.format("binaryFile").load(path).select("path", "content"),
+        types=types,
     )
 
 
@@ -280,15 +290,25 @@ def warc_http_responses(records: DataFrame) -> DataFrame:
 def warc_to_documents(
     spark: SparkSession, path: str, charset: str = "utf-8"
 ) -> DataFrame:
-    """The full crawl chain: WARC segments -> 200-status ``text/html``
-    responses -> ``sources/html`` extraction -> canonical documents schema
-    (content-addressed doc ids, source = target host, lang left to the
-    downstream ``lang_id`` stage). One scan, map-only until the caller's
-    first aggregation; write the result to parquet and analyze THAT."""
+    """The full crawl chain from a segment directory: ``binaryFile`` scan
+    -> :func:`documents_from_warc_files`. Write the result to parquet and
+    analyze THAT — the WARC scan is ingest-once."""
+    return documents_from_warc_files(
+        spark.read.format("binaryFile").load(path).select("path", "content"),
+        charset=charset,
+    )
+
+
+def documents_from_warc_files(files: DataFrame, charset: str = "utf-8") -> DataFrame:
+    """The full crawl chain over a (path, content) relation: WARC records
+    -> 200-status ``text/html`` responses -> ``sources/html`` extraction ->
+    canonical documents schema (content-addressed doc ids, source = target
+    host, lang left to the downstream ``lang_id`` stage). Map-only until
+    the caller's first aggregation."""
     from kausaldb_spark.sources import corpus as cp
     from kausaldb_spark.sources import html as hx
 
-    http = warc_http_responses(read_warc_records(spark, path))
+    http = warc_http_responses(parse_warc_files(files))
     pages = (
         http.where(F.col("error").isNull())
         .where(F.col("http_status") == 200)
@@ -322,3 +342,121 @@ def warc_to_documents(
         ).alias("source"),
     )
     return cp.conform(docs, id_col=None, lang_col=None, source_col="source")
+
+
+# ---------------------------------------------------------------------------
+# deterministic synthetic WARC corpus (oracle fixture — same discipline as
+# html.synthetic_html_docs / multimodal.synthetic_format_assets: the DuckDB
+# twin predicts the LOGICAL ingest result from (doc_id, text, source)
+# alone, while the Spark side must decode real gzip members, real chunked
+# HTTP and real markup to hash-match)
+# ---------------------------------------------------------------------------
+
+_WARC_DATE = "2026-01-01T00:00:00Z"
+N_WARC_SEGMENTS = 16
+
+
+def _http_response_bytes(body: bytes, content_type: str, status: int = 200,
+                         chunked: bool = False) -> bytes:
+    reason = {200: "OK", 404: "Not Found"}.get(status, "X")
+    head = [f"HTTP/1.1 {status} {reason}".encode(),
+            b"Content-Type: " + content_type.encode()]
+    if chunked:
+        head.append(b"Transfer-Encoding: chunked")
+        chunks, pos = [], 0
+        while pos < len(body):
+            part = body[pos : pos + 13]
+            chunks.append(f"{len(part):x}".encode() + _CRLF + part + _CRLF)
+            pos += 13
+        chunks.append(b"0" + _CRLF + _CRLF)
+        payload = b"".join(chunks)
+    else:
+        head.append(f"Content-Length: {len(body)}".encode())
+        payload = body
+    return _CRLF.join(head) + _CRLF + _CRLF + payload
+
+
+def _warc_record_bytes(warc_type: str, content: bytes, *,
+                       record_id: str, target_uri: str = "") -> bytes:
+    hdr = [b"WARC/1.0",
+           b"WARC-Type: " + warc_type.encode(),
+           b"WARC-Record-ID: <" + record_id.encode() + b">",
+           b"WARC-Date: " + _WARC_DATE.encode()]
+    if target_uri:
+        hdr.append(b"WARC-Target-URI: " + target_uri.encode())
+    if warc_type == "response":
+        hdr.append(b"Content-Type: application/http; msgtype=response")
+    hdr.append(f"Content-Length: {len(content)}".encode())
+    return _CRLF.join(hdr) + _CRLF + _CRLF + content + _CRLF + _CRLF
+
+
+def synth_warc_segment(rows, gzip_members: bool) -> bytes:
+    """One structurally-real WARC segment from [(doc_id, source, html)]:
+    a warcinfo record, one response per doc (chunked transfer when
+    doc_id % 3 == 0), plus two trap responses the ingest filter must drop
+    (a 404 and a text/plain 200). ``gzip_members`` emits the CommonCrawl
+    one-gzip-member-per-record concatenation."""
+    import gzip as _gz
+
+    recs = [_warc_record_bytes(
+        "warcinfo", b"software: synthetic-fixture\r\n",
+        record_id="urn:uuid:info",
+    )]
+    for doc_id, source, html in rows:
+        body = html.encode("utf-8")
+        recs.append(_warc_record_bytes(
+            "response",
+            _http_response_bytes(body, "text/html; charset=utf-8",
+                                 chunked=(doc_id % 3 == 0)),
+            record_id=f"urn:uuid:doc-{doc_id}",
+            target_uri=f"https://{source}.example.org/doc/{doc_id}",
+        ))
+    recs.append(_warc_record_bytes(
+        "response", _http_response_bytes(b"gone", "text/html", status=404),
+        record_id="urn:uuid:trap-404",
+        target_uri="https://trap.example.org/404",
+    ))
+    recs.append(_warc_record_bytes(
+        "response", _http_response_bytes(b"robots: none", "text/plain"),
+        record_id="urn:uuid:trap-plain",
+        target_uri="https://trap.example.org/robots.txt",
+    ))
+    if gzip_members:
+        return b"".join(
+            _gz.compress(r, compresslevel=1, mtime=0) for r in recs
+        )
+    return b"".join(recs)
+
+
+def synthetic_warc_files(docs: DataFrame,
+                         n_segments: int = N_WARC_SEGMENTS) -> DataFrame:
+    """(path, content) — the documents table packed into ``n_segments``
+    WARC segment blobs (segment = doc_id % n, even segments gzip-membered,
+    odd segments plain), each response body the ``html.synth_html`` markup
+    of the doc. ONE keyed shuffle to co-locate each segment's docs (fixture
+    scale; a real crawl arrives already segmented on disk)."""
+    from kausaldb_spark.sources import html as hx
+
+    n_cls = len(hx.HTML_CLASSES)
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        seg = int(pdf["_seg"].iloc[0])
+        rows = sorted(
+            (int(i), str(s), hx.synth_html(int(i) % n_cls, int(i), str(t)))
+            for i, s, t in zip(pdf["doc_id"], pdf["source"], pdf["text"])
+        )
+        blob = synth_warc_segment(
+            [(i, s, h) for i, s, h in rows], gzip_members=(seg % 2 == 0)
+        )
+        ext = "warc.gz" if seg % 2 == 0 else "warc"
+        return pd.DataFrame(
+            {"path": [f"synthetic://crawl/segment-{seg:05d}.{ext}"],
+             "content": [blob]}
+        )
+
+    return (
+        docs.select("doc_id", "source", "text")
+        .withColumn("_seg", (F.col("doc_id") % n_segments).cast("int"))
+        .groupBy("_seg")
+        .applyInPandas(build, "path string, content binary")
+    )

@@ -54,6 +54,11 @@ _ARROW_OK = {
     # decode_coverage (multimodal.synthetic_format_assets + probe_assets);
     # payload bytes never leave the map stage
     "corpus_report",
+    # r12: end-to-end crawl chain — segment synthesis (applyInPandas) +
+    # the documented WARC-parse / HTTP-split / HTML-extract Arrow stages
+    # (sources/warc.py, sources/html.py); all non-SQL-expressible decode
+    # work, per-row error isolated
+    "warc_ingest",
 }
 
 

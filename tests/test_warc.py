@@ -200,3 +200,39 @@ def test_host_regex_matches_pure_twin(spark):
         ).collect()
     ]
     assert got == [wc._host_of(u) for u in uris]
+
+
+def test_synthetic_segments_roundtrip_and_traps_dropped(spark):
+    """The warc_ingest fixture writer: segments parse through the real
+    chain, trap records (warcinfo / 404 / text-plain) are dropped, chunked
+    and gzip-member variants decode to the same logical result."""
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta", "en", "srca"),   # seg 0 (gz), chunked (0%3==0)
+            (1, "gamma delta", "en", "srcb"),  # seg 1 (plain)
+            (16, "epsilon", "en", "srca"),     # seg 0 (gz), plain CL
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    files = wc.synthetic_warc_files(docs, n_segments=16)
+    fl = {r["path"]: bytes(r["content"]) for r in files.collect()}
+    assert set(fl) == {
+        "synthetic://crawl/segment-00000.warc.gz",
+        "synthetic://crawl/segment-00001.warc",
+    }
+    assert fl["synthetic://crawl/segment-00000.warc.gz"][:2] == b"\x1f\x8b"
+    # every record (incl. traps) parses; the ingest chain keeps only docs
+    all_recs = list(
+        wc.iter_warc_records(fl["synthetic://crawl/segment-00000.warc.gz"])
+    )
+    assert len(all_recs) == 5  # warcinfo + 2 docs + 404 + text/plain traps
+    out = {
+        r["source"]: r
+        for r in wc.documents_from_warc_files(files).collect()
+    }
+    assert set(out) == {"srca.example.org", "srcb.example.org"}
+    texts = sorted(
+        r["text"] for r in wc.documents_from_warc_files(files).collect()
+    )
+    # class k = doc_id % 6: 0 -> bare <p>, 1 -> script traps, 4 -> word/li
+    assert texts == ["alpha beta", "epsilon", "gamma delta"]
