@@ -177,19 +177,33 @@ def extract_text(html: str) -> dict:
 
 
 def extract_html_text(
-    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id",
+    keep_cols: tuple = (),
 ) -> DataFrame:
-    """(id, text_clean, n_links, n_dropped_boiler) — the extraction stage.
+    """(id, keep_cols..., text_clean, n_links, n_dropped_boiler) — the
+    extraction stage.
 
     One Arrow ``mapInPandas`` pass, map-only: no shuffle, no join; the
-    stage fuses onto the source scan. Per-row failures cannot occur by
-    construction (the tokenizer is tolerant), so there is no error column.
-    """
+    stage fuses onto the source scan. ``keep_cols`` carries metadata
+    (target_uri, crawl date, ...) THROUGH the stage so a consumer never
+    has to self-join back to the pre-extraction frame — on a crawl-scale
+    input that join would re-run the whole upstream parse chain. Per-row
+    failures cannot occur by construction (the tokenizer is tolerant), so
+    there is no error column."""
+    keep = list(keep_cols)
+    in_schema = dict(
+        (f.name, f.dataType.simpleString()) for f in df.schema.fields
+    )
+    out_schema = ", ".join(
+        [f"{id_col} long"]
+        + [f"{c} {in_schema[c]}" for c in keep]
+        + ["text_clean string", "n_links int", "n_dropped_boiler int"]
+    )
 
     def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = [extract_text(h) for h in pdf[html_col].astype("string")]
-            yield pd.DataFrame(
+            out = pd.DataFrame(
                 {
                     id_col: pdf[id_col].astype("int64"),
                     "text_clean": pd.Series(
@@ -203,11 +217,12 @@ def extract_html_text(
                     ),
                 }
             )
+            for i, c in enumerate(keep):
+                out.insert(i + 1, c, pdf[c].reset_index(drop=True))
+            yield out
 
-    return df.select(id_col, html_col).mapInPandas(
-        batch_fn,
-        f"{id_col} long, text_clean string, n_links int, "
-        "n_dropped_boiler int",
+    return df.select(id_col, *keep, html_col).mapInPandas(
+        batch_fn, out_schema
     )
 
 

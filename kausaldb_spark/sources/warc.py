@@ -314,11 +314,11 @@ def documents_from_warc_files(files: DataFrame, charset: str = "utf-8") -> DataF
         .where(F.col("http_status") == 200)
         .where(F.lower(F.col("http_content_type")).contains("text/html"))
         .select(
-            # transient join key: extract_html_text needs a bigint id, and
-            # this frame is referenced twice (extraction + uri join-back),
-            # so the key must be DETERMINISTIC across re-evaluations —
-            # xxhash64, never monotonically_increasing_id. The PERSISTED
-            # id below is the content-address from conform().
+            # transient key: extract_html_text's id contract is a bigint
+            # column; the PERSISTED id is the content-address from
+            # conform(). target_uri rides THROUGH the extraction stage
+            # (keep_cols) — a join-back to this frame would re-run the
+            # whole WARC parse chain a second time, a 2x scan at 100 TB.
             F.xxhash64("warc_file", "record_id", "target_uri").alias(
                 "doc_id"
             ),
@@ -326,9 +326,7 @@ def documents_from_warc_files(files: DataFrame, charset: str = "utf-8") -> DataF
             "target_uri",
         )
     )
-    extracted = hx.extract_html_text(pages).join(
-        pages.select("doc_id", "target_uri"), "doc_id"
-    )
+    extracted = hx.extract_html_text(pages, keep_cols=("target_uri",))
     # host extraction stays JVM-side (regex in codegen, no UDF); its pure
     # twin _host_of is what the unit tests pin the regex against
     docs = extracted.select(
