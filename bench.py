@@ -685,8 +685,14 @@ def main() -> None:
         suffix = "" if out["sf"] == 0.1 else f"_sf{out['sf']}"
         if only is not None:
             suffix += "_partial"
-        local_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                  f"BENCH_LOCAL{suffix}.json")
+        # r11 verdict item 8: per-run artifacts live under bench_records/
+        # — ONE canonical path per record that every gate reads, so a
+        # stale root-level copy can never shadow a fresh one again
+        rec_dir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_records"
+        )
+        os.makedirs(rec_dir, exist_ok=True)
+        local_path = os.path.join(rec_dir, f"BENCH_LOCAL{suffix}.json")
         with open(local_path, "w", encoding="utf-8") as fh:
             json.dump({**out, "errors": errors}, fh, indent=1)
             fh.write("\n")

@@ -42,6 +42,7 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+RECORDS = os.path.join(REPO, "bench_records")
 SF10_DIR = os.path.join(REPO, ".sf10")
 
 # the top-expensive operator set the r10 verdict names, plus the worst
@@ -105,7 +106,7 @@ def main() -> None:
         # re-run (e.g. it was measured on a loaded box) but the expensive
         # 100x leg itself is clean and unchanged.
         rec10 = json.load(
-            open(os.path.join(REPO, "BENCH_LOCAL_sf10.0.json"))
+            open(os.path.join(RECORDS, "BENCH_LOCAL_sf10.0.json"))
         )
         _evaluate(rec10)
         return
@@ -124,7 +125,7 @@ def main() -> None:
     # chunk runs are BENCH_ONLY subsets, so bench.py writes them under the
     # _partial suffix (a partial record must never clobber a full one);
     # the merged full record below goes to the unsuffixed name
-    artifact = os.path.join(REPO, "BENCH_LOCAL_sf10.0_partial.json")
+    artifact = os.path.join(RECORDS, "BENCH_LOCAL_sf10.0_partial.json")
     merged_queries: dict = {}
     total = 0.0
     for i, (label, names) in enumerate(CHUNKS):
@@ -162,7 +163,7 @@ def main() -> None:
             total += v
     rec10 = {"queries": merged_queries, "value": round(total, 3)}
     # persist the merged record so --recompute scores the same data
-    with open(os.path.join(REPO, "BENCH_LOCAL_sf10.0.json"), "w") as fh:
+    with open(os.path.join(RECORDS, "BENCH_LOCAL_sf10.0.json"), "w") as fh:
         json.dump(
             {"metric": "bench_total_sf10_chunked", "value": rec10["value"],
              "unit": "sec", "queries": merged_queries, "sf": 10.0},
@@ -173,11 +174,11 @@ def main() -> None:
 
 
 def _evaluate(rec10: dict) -> None:
-    rec01 = json.load(open(os.path.join(REPO, "BENCH_LOCAL.json")))
+    rec01 = json.load(open(os.path.join(RECORDS, "BENCH_LOCAL.json")))
     # prefer the newest sf1 record: bench.py writes BENCH_LOCAL_sf1.0.json,
     # round_close records BENCH_sf1_local.json
     sf1_paths = [
-        os.path.join(REPO, p)
+        os.path.join(RECORDS, p)
         for p in ("BENCH_LOCAL_sf1.0.json", "BENCH_sf1_local.json")
     ]
     sf1_paths = [p for p in sf1_paths if os.path.exists(p)]
@@ -233,7 +234,8 @@ def _evaluate(rec10: dict) -> None:
             "store_bucketed_join_exchange_free"
         ),
     }
-    with open(os.path.join(REPO, "BENCH_sf10.json"), "w") as fh:
+    os.makedirs(RECORDS, exist_ok=True)
+    with open(os.path.join(RECORDS, "BENCH_sf10.json"), "w") as fh:
         json.dump(out, fh, indent=1)
         fh.write("\n")
     print(json.dumps(out, indent=1))

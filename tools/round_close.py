@@ -35,6 +35,9 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# r11 verdict item 8: every per-run bench artifact lives under ONE
+# canonical path in bench_records/ — the gates read exactly these
+RECORDS = os.path.join(REPO, "bench_records")
 
 # observed 10x-data factor ceiling for queries >= 1 s at sf0.1: linear
 # scaling with noise headroom (the sf1 gauntlets have run at <= ~4x for
@@ -98,7 +101,8 @@ def _run_bench(sf_dir: str, out_name: str) -> dict:
     )
     line = [ln for ln in p.stdout.strip().splitlines() if ln.startswith("{")][-1]
     rec = json.loads(line)
-    with open(os.path.join(REPO, out_name), "w") as fh:
+    os.makedirs(RECORDS, exist_ok=True)
+    with open(os.path.join(RECORDS, out_name), "w") as fh:
         json.dump(rec, fh, indent=1)
     return rec
 
@@ -158,8 +162,8 @@ def main() -> None:
     box = _box_state()
 
     # -- 1. sf0.1 ----------------------------------------------------------
-    if "--skip-sf01" in argv and os.path.exists(f"{REPO}/BENCH_LOCAL.json"):
-        rec01 = json.load(open(f"{REPO}/BENCH_LOCAL.json"))
+    if "--skip-sf01" in argv and os.path.exists(f"{RECORDS}/BENCH_LOCAL.json"):
+        rec01 = json.load(open(f"{RECORDS}/BENCH_LOCAL.json"))
     else:
         print("[round_close] bench @ sf0.1 ...", flush=True)
         rec01 = _run_bench("/root/testdata/sf0.1", "BENCH_LOCAL.json")
@@ -179,8 +183,8 @@ def main() -> None:
 
     # -- 2+3. sf1 ----------------------------------------------------------
     sf1_dir = os.path.join(REPO, ".sf1")
-    if "--skip-sf1" in argv and os.path.exists(f"{REPO}/BENCH_sf1_local.json"):
-        rec1 = json.load(open(f"{REPO}/BENCH_sf1_local.json"))
+    if "--skip-sf1" in argv and os.path.exists(f"{RECORDS}/BENCH_sf1_local.json"):
+        rec1 = json.load(open(f"{RECORDS}/BENCH_sf1_local.json"))
     else:
         if not os.path.exists(os.path.join(sf1_dir, "documents.parquet")):
             print("[round_close] building .sf1 ...", flush=True)
@@ -265,8 +269,8 @@ def main() -> None:
     }
 
     # -- 4. skew -----------------------------------------------------------
-    if "--skip-skew" in argv and os.path.exists(f"{REPO}/BENCH_skew_local.json"):
-        recs = json.load(open(f"{REPO}/BENCH_skew_local.json"))
+    if "--skip-skew" in argv and os.path.exists(f"{RECORDS}/BENCH_skew_local.json"):
+        recs = json.load(open(f"{RECORDS}/BENCH_skew_local.json"))
     else:
         print("[round_close] skew gauntlet ...", flush=True)
         p = subprocess.run(
@@ -289,7 +293,7 @@ def main() -> None:
     # the 100x gauntlet is expensive (~35 min); round_close consumes its
     # record when present (run tools/bench_sf10.py to refresh), gating on
     # its own verdict. --with-sf10 forces a fresh run.
-    sf10_path = os.path.join(REPO, "BENCH_sf10.json")
+    sf10_path = os.path.join(RECORDS, "BENCH_sf10.json")
     if "--with-sf10" in argv:
         subprocess.run(
             [sys.executable, os.path.join(REPO, "tools", "bench_sf10.py")],
