@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "pq_recall",
     "hashed_features",
     "html_extract",
+    "warc_ingest",
     "decode_coverage",
     "animation_stats",
     "pii_scan",
@@ -163,6 +164,10 @@ BASELINE_MEDIANS = {
     # HTML extraction, codec-coverage probe, GIF animation decode
     "pq_recall": 2.8, "html_extract": 2.0, "decode_coverage": 0.55,
     "animation_stats": 5.5, "hashed_features": 1.1,
+    # r12: end-to-end crawl ingest (synthesized segments -> gzip member
+    # decode -> WARC parse -> HTTP split -> HTML extraction -> conform),
+    # single-pass plan; recorded median-of-5 on a quiet box (2.23)
+    "warc_ingest": 2.3,
     # r10: map-only reformulation (in-row single-fold run maxima +
     # shifted-zip neighbor scans + incremental gram builds — zero shuffles,
     # bind-only lambdas so column pruning can never inline an array
