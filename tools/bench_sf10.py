@@ -62,6 +62,11 @@ TOP_QUERIES = [
     "store_materialize",  # pulls the whole store leg (bucketed gates too)
     "html_extract",  # r11 s3: Python-CPU map-only crawl front end
     "pq_recall",     # r11 s3: sampled-codebook ANN (size-independent train)
+    # r12 (verdict item 1): the full session-3 set joins the 100x record
+    "hashed_features",   # one keyed shuffle w/ map-side combine
+    "animation_stats",   # Python-CPU LZW decode + composite, map-only
+    "decode_coverage",   # header-sniff map-only
+    "warc_ingest",       # end-to-end crawl chain (new r12)
 ]
 
 F100_MAX = 100.0   # proportional-to-volume ceiling for >=1 s queries
@@ -88,11 +93,13 @@ CHUNKS = [
               "simhash_band",
               # r11 session 3: the crawl front end is Python-CPU map-only —
               # exactly the shape that must prove flat-per-byte at 100x
-              "html_extract"]),
+              "html_extract",
+              # r12: the rest of the session-3 set + the e2e crawl chain
+              "animation_stats", "decode_coverage", "warc_ingest"]),
     ("dedup", ["minhash_near_dup", "near_dup_clusters", "semantic_dedup",
                # r11 session 3: sampled-codebook training must stay
                # corpus-size-independent; encode+ADC ride the scan
-               "pq_recall"]),
+               "pq_recall", "hashed_features"]),
     ("graph-store", ["topo_sort", "store_materialize"]),
 ]
 COOLDOWN_SEC = 90
