@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from kausaldb_spark import graphmodel as gm
 from kausaldb_spark import oracles
 from kausaldb_spark.functions import dedup as dd
+from kausaldb_spark.functions import linkgraph as lg_mod
 from kausaldb_spark.functions import similarity as sim
 from kausaldb_spark.functions import text as tx
 from kausaldb_spark.operators import filtering as flt
@@ -1103,6 +1104,70 @@ SELECT ('0x' || substr(md5(source || chr(31) || text), 1, 14))::BIGINT
 FROM pred"""
 
 
+def _synth_links(spark, sf_dir):
+    # the link relation of the synthetic HTML corpus: Spark must parse the
+    # real markup (sources/html.extract_links over synth_html) — the twin
+    # predicts the links from the class taxonomy (class 3 = nav0/1/2 +
+    # footer nav9; class 5 = f{doc_id}; others none)
+    from kausaldb_spark.sources import html as hx
+
+    return hx.extract_links(hx.synthetic_html_docs(_docs(spark, sf_dir)))
+
+
+#: the twin's prediction of the synth_html link structure — pinned against
+#: the real extractor class-by-class in tests/test_linkgraph.py
+_LINKS_CTE = """
+links AS (
+  SELECT doc_id, lower(source || '.example.org') AS src_host,
+         'nav' || j || '.example.com' AS dst_host,
+         CASE j WHEN 0 THEN 'Home' WHEN 1 THEN 'About'
+                WHEN 2 THEN 'Contact' ELSE 'Privacy' END AS anchor_text
+  FROM documents, (VALUES (0), (1), (2), (9)) t(j)
+  WHERE doc_id % 6 = 3
+  UNION ALL
+  SELECT doc_id, lower(source || '.example.org'),
+         'f' || doc_id || '.example.com', 'ref'
+  FROM documents WHERE doc_id % 6 = 5
+)"""
+
+
+def _q_link_graph(spark, sf_dir):
+    # host-level weighted link graph off the crawl (the web-curation
+    # quality-prior input): real markup parse -> host extraction (the
+    # WARC-pinned regex) -> one keyed count
+    from kausaldb_spark.functions import linkgraph as lg
+
+    edges = lg.link_edges(
+        _synth_links(spark, sf_dir),
+        _docs(spark, sf_dir),
+        host_suffix=".example.org",
+    )
+    return lg.link_graph(edges)
+
+
+def _q_anchor_topk(spark, sf_dir):
+    # per-destination-host top anchor terms (the classic external page
+    # description): tokenize anchors -> (host, term) count -> bounded
+    # per-host window over the reduced relation
+    from kausaldb_spark.functions import linkgraph as lg
+
+    return lg.anchor_terms_topk(_synth_links(spark, sf_dir), k=3)
+
+
+def _q_link_pagerank(spark, sf_dir):
+    # fixed-iteration damped PageRank in bigint ppm — bit-exact across
+    # engines (the DuckDB twin runs the IDENTICAL integer recursion as a
+    # recursive CTE). Host-level centrality = the corpus quality prior.
+    from kausaldb_spark.functions import linkgraph as lg
+
+    edges = lg.link_edges(
+        _synth_links(spark, sf_dir),
+        _docs(spark, sf_dir),
+        host_suffix=".example.org",
+    )
+    return lg.pagerank(edges, n_iter=5)
+
+
 def _q_warc_ingest(spark, sf_dir):
     # the end-to-end crawl front door (r11 verdict item 5): documents
     # packed into deterministic WARC segments (gzip-membered and plain,
@@ -1377,12 +1442,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "pii_scan": _q_pii_scan,
         "pack_offsets": _q_pack_offsets,
+        # -- NEW r12: link-graph curation family --
+        "link_graph": _q_link_graph,
+        "anchor_topk": _q_anchor_topk,
+        "link_pagerank": _q_link_pagerank,
         # -- retained in-window --
-        "url_canonicalize": _q_url_canonicalize,
         "hashed_features": _q_hashed_features,
         "filter_targets": _q_filter_targets,
         "filter_pagination": _q_filter_pagination,
-        "quality_score": _q_quality_score,  # r9 bench watch item
         # -- kept in-window: code changed this round, or per-family reps --
         "gopher_repetition": _q_gopher_repetition,  # map-only rewrite r10
         "store_roundtrip": _q_store_roundtrip,  # storage-family rep (lease
@@ -1417,8 +1484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest": _q_warc_ingest,  # NEW r12: end-to-end crawl chain
         "contamination": _q_contamination,
         "corpus_curation": _q_corpus_curation,
-        "corpus_diff": _q_corpus_diff,  # NEW r11 (incremental-crawl diff)
-        "stratified_sample": _q_stratified_sample,
+        "corpus_diff": _q_corpus_diff,
         "ann_recall": _q_ann_recall,
         "lm_perplexity": _q_lm_perplexity,
         "gopher_rules": _q_gopher_rules,
@@ -1441,6 +1507,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,  # displaced r12 for the new
         #    warc_ingest entry (green r11 row; minhash/clusters/spans keep
         #    the near-dup family in-window; path unchanged this round)
+        "url_canonicalize": _q_url_canonicalize,  # displaced r12 for the
+        #    link-graph family (green r11 row; path unchanged this round)
+        "quality_score": _q_quality_score,  # displaced r12 (green r11 row;
+        #    the text family keeps token_count/repetition_score in-window)
+        "stratified_sample": _q_stratified_sample,  # displaced r12 (green
+        #    r11 row; curation/report/diff keep the corpus family)
         "events_funnel": _q_events_funnel,  # displaced r11: green r10 rows
         "cohort_retention": _q_cohort_retention,  # on paths unchanged this
         "sliding_rollup": _q_sliding_rollup,  # round (events family keeps
@@ -2580,6 +2652,53 @@ FROM corpus GROUP BY 1, 2 HAVING count(*) > 1""",
         # attribute quoting, link-density boilerplate)
         "html_extract": _html_extract_sql(),
         "warc_ingest": _warc_ingest_sql(),
+        "link_graph": f"""
+WITH {_LINKS_CTE.strip()}
+SELECT src_host, dst_host, count(*)::BIGINT AS n_links
+FROM links GROUP BY 1, 2""",
+        "anchor_topk": f"""
+WITH {_LINKS_CTE.strip()},
+terms AS (
+  SELECT dst_host,
+         unnest(list_filter(
+           string_split_regex(trim(lower(anchor_text)), '\\s+'),
+           x -> x <> ''
+         )) AS term
+  FROM links
+), counts AS (
+  SELECT dst_host, term, count(*)::BIGINT AS n_anchors
+  FROM terms GROUP BY 1, 2
+)
+SELECT dst_host, term, n_anchors,
+       CAST(row_number() OVER (
+         PARTITION BY dst_host ORDER BY n_anchors DESC, term
+       ) AS INT) AS rank
+FROM counts QUALIFY rank <= 3""",
+        "link_pagerank": f"""
+WITH RECURSIVE {_LINKS_CTE.strip()},
+e AS (SELECT DISTINCT src_host AS src, dst_host AS dst FROM links),
+nodes AS (
+  SELECT DISTINCT h FROM (SELECT src AS h FROM e UNION SELECT dst FROM e)
+),
+outdeg AS (SELECT src, count(*)::BIGINT AS d FROM e GROUP BY src),
+pr AS (
+  SELECT h AS node, {lg_mod.PR_INIT_PPM}::BIGINT AS r, 0 AS it FROM nodes
+  UNION ALL
+  SELECT n.h,
+         ({lg_mod.PR_BASE_PPM} +
+          ({lg_mod.PR_DAMP_NUM} * COALESCE(s.m, 0)) // {lg_mod.PR_DAMP_DEN}
+         )::BIGINT,
+         p.it + 1
+  FROM nodes n
+  CROSS JOIN (SELECT DISTINCT it FROM pr WHERE it < 5) p
+  LEFT JOIN (
+    SELECT e.dst, sum(pp.r // o.d)::BIGINT AS m
+    FROM e JOIN pr pp ON pp.node = e.src
+    JOIN outdeg o ON o.src = e.src
+    GROUP BY e.dst
+  ) s ON s.dst = n.h
+)
+SELECT node AS host, r AS rank_ppm FROM pr WHERE it = 5""",
         "sessionize": oracles.sessionize_sql(ev.SESSION_GAP_US),
         "events_topk_users": """
 WITH counts AS (

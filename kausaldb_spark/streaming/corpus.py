@@ -122,7 +122,7 @@ def curated_append(
 
 def curated_append_with_near_dup(
     stream: DataFrame, out_dir: str, checkpoint_dir: str, index_dir: str,
-    num: int = 7, den: int = 10,
+    num: int = 7, den: int = 10, base_dir: str | None = None,
 ):
     """Streaming ingestion with NEAR-duplicate screening: each micro-batch
     is deduped within itself (MinHash pairs -> connected components, the
@@ -148,7 +148,8 @@ def curated_append_with_near_dup(
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         near_dup_write_batch(
-            batch_df, batch_id, out_dir, index_dir, num=num, den=den
+            batch_df, batch_id, out_dir, index_dir, num=num, den=den,
+            base_dir=base_dir,
         )
 
     return (
@@ -160,7 +161,7 @@ def curated_append_with_near_dup(
 
 def near_dup_write_batch(
     batch_df: DataFrame, batch_id: int, out_dir: str, index_dir: str,
-    num: int = 7, den: int = 10,
+    num: int = 7, den: int = 10, base_dir: str | None = None,
 ) -> None:
     """One micro-batch of :func:`curated_append_with_near_dup`, exposed at
     module level so the crash-window replay (a foreachBatch retry after a
@@ -183,20 +184,19 @@ def near_dup_write_batch(
             .select("doc_id")
         )
         batch_canon = batch.join(drop_in, "doc_id", "left_anti")
-        if os.path.isdir(index_dir):
-            # Replay safety: on a foreachBatch replay the store/index
-            # already hold THIS batch's partition from the crashed
-            # attempt; reading it back would make every doc self-match
-            # (violating near_dup_vs_corpus's no-id-collision contract)
-            # and drop the whole batch. Excluding _batch_id == batch_id
-            # makes the replay a genuine recompute, and the partition
-            # rewrite below restores store/index consistency even if the
-            # first attempt crashed between the two writes.
-            index = (
-                spark.read.parquet(index_dir)
-                .where(F.col("_batch_id") != F.lit(batch_id))
-                .drop("_batch_id")
-            )
+        # Replay safety: on a foreachBatch replay the store/index already
+        # hold THIS batch's partition from the crashed attempt; reading it
+        # back would make every doc self-match (violating
+        # near_dup_vs_corpus's no-id-collision contract) and drop the
+        # whole batch. Excluding _batch_id == batch_id makes the replay a
+        # genuine recompute, and the partition rewrite below restores
+        # store/index consistency even if the first attempt crashed
+        # between the two writes. The index itself is the BASE + DELTA
+        # union (see compact_minhash_index).
+        index = read_minhash_index(
+            spark, index_dir, base_dir=base_dir, exclude_batch_id=batch_id
+        )
+        if index is not None:
             corpus_docs = (
                 spark.read.parquet(out_dir)
                 .where(F.col("_batch_id") != F.lit(batch_id))
@@ -226,3 +226,92 @@ def near_dup_write_batch(
         batch.unpersist()
         if survivors is not None:
             survivors.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# stream-then-compact: the periodic batch pass over the streamed-in index
+# (the split this module's header describes — streaming appends land
+# _batch_id-partitioned for replay idempotency; compaction folds them into
+# a band-partitioned BASE whose layout restores bucket-join pruning)
+# ---------------------------------------------------------------------------
+
+
+def read_minhash_index(
+    spark: SparkSession,
+    index_dir: str,
+    base_dir: str | None = None,
+    exclude_batch_id: int | None = None,
+) -> DataFrame | None:
+    """The dedup index as one relation: compacted BASE (band-partitioned)
+    unioned with the streamed DELTA (_batch_id-partitioned). Returns None
+    when neither exists yet (first batch of a fresh pipeline).
+    ``exclude_batch_id`` implements the foreachBatch replay-safety rule:
+    a retried batch must not see its own crashed-attempt partition."""
+    import os
+
+    cols = ["doc_id", "band", "bucket", "sig_v"]
+    parts = []
+    if base_dir and os.path.isdir(base_dir):
+        parts.append(spark.read.parquet(base_dir).select(*cols))
+    if os.path.isdir(index_dir):
+        d = spark.read.parquet(index_dir)
+        if exclude_batch_id is not None and "_batch_id" in d.columns:
+            d = d.where(F.col("_batch_id") != F.lit(exclude_batch_id))
+        parts.append(d.select(*cols))
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def compact_minhash_index(
+    spark: SparkSession, index_dir: str, base_dir: str
+) -> int:
+    """Fold the streamed delta index (and any previous base) into a fresh
+    band-partitioned base — the compaction half of stream-then-compact.
+    The streamed layout is partitioned by ``_batch_id`` (what dynamic
+    partition overwrite needs for exactly-once replays) which defeats the
+    band-bucket join pruning the batch dedup path relies on; the base
+    restores it. Refuses a mixed-``sig_v`` index loudly (folding two
+    signature schemes would silently miss every cross-scheme duplicate).
+
+    Local-FS swap discipline: write to ``<base>.compacting``, rename over
+    the old base, then clear the delta dir. On an object store, write a
+    new versioned prefix and flip a manifest pointer instead — rename is
+    not atomic there (same caveat as ``sinks.write_sharded``).
+
+    Returns the compacted row count."""
+    import os
+    import shutil
+
+    idx = read_minhash_index(spark, index_dir, base_dir)
+    if idx is None:
+        raise FileNotFoundError(
+            f"no index to compact at {index_dir!r} / {base_dir!r}"
+        )
+    versions = [r[0] for r in idx.select("sig_v").distinct().collect()]
+    if len(versions) != 1:
+        raise ValueError(
+            f"mixed sig_v in index: {sorted(versions)} — rebuild with one "
+            "signature scheme before compacting"
+        )
+    tmp = base_dir.rstrip("/") + ".compacting"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        idx.repartition("band", "bucket")
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(tmp)
+    )
+    n = spark.read.parquet(tmp).count()
+    old = base_dir.rstrip("/") + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.isdir(base_dir):
+        os.rename(base_dir, old)
+    os.rename(tmp, base_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.isdir(index_dir):
+        shutil.rmtree(index_dir)
+    return n

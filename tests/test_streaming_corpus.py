@@ -330,3 +330,82 @@ def test_near_dup_replay_after_kill_between_store_and_index_writes(
         r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()
     )
     assert kept2 == [1, 2, 4]
+
+
+def test_index_compaction_preserves_decisions_and_prunes_layout(
+    spark, tmp_path
+):
+    """stream-then-compact (the module header's contract, implemented
+    r12): folding the _batch_id-partitioned delta index into the
+    band-partitioned base must (a) preserve the row multiset, (b) produce
+    a band-partitioned directory layout (bucket-join pruning restored),
+    (c) leave subsequent streamed batches making IDENTICAL admit
+    decisions through the base+delta reader."""
+    out = str(tmp_path / "store")
+    idx = str(tmp_path / "index")
+    base = str(tmp_path / "index_base")
+
+    def mkbatch(docs):
+        return spark.createDataFrame(
+            [(i, t, "en", "s") for i, t in docs], sc.DOC_STREAM_SCHEMA
+        )
+
+    sc.near_dup_write_batch(
+        mkbatch([(1, _BASE), (2, _OTHER)]), 0, out, idx, base_dir=base
+    )
+    before = sorted(
+        map(tuple, spark.read.parquet(idx).drop("_batch_id").collect())
+    )
+    n = sc.compact_minhash_index(spark, idx, base)
+    assert n == len(before)
+    assert not os.path.isdir(idx)  # delta cleared
+    # band-partitioned layout on disk
+    assert any(d.startswith("band=") for d in os.listdir(base))
+    after = sorted(map(tuple, spark.read.parquet(base).select(
+        "doc_id", "band", "bucket", "sig_v").collect()))
+    assert after == before
+    # next batch: 3 near-dups doc 1 (must be caught via the BASE), 4 novel
+    sc.near_dup_write_batch(
+        mkbatch([(3, _NEAR), (4, _OTHER_NEAR)]), 1, out, idx, base_dir=base
+    )
+    kept = sorted(
+        r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()
+    )
+    assert kept == [1, 2, 4]
+    # second compaction folds base + new delta
+    n2 = sc.compact_minhash_index(spark, idx, base)
+    docs_in_base = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(base).select("doc_id").distinct().collect()
+    )
+    assert docs_in_base == [1, 2, 4] and n2 > n
+    # doc 6 near-dups doc 4 purely via the compacted base (no delta dir)
+    sc.near_dup_write_batch(
+        mkbatch([(6, _OTHER_NEAR)]), 2, out, idx, base_dir=base
+    )
+    kept2 = sorted(
+        r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()
+    )
+    assert kept2 == [1, 2, 4]
+
+
+def test_index_compaction_refuses_mixed_sig_v(spark, tmp_path):
+    idx = str(tmp_path / "index")
+    good = spark.createDataFrame(
+        [(1, 0, "b0", 2, 0)],
+        "doc_id long, band int, bucket string, sig_v int, _batch_id int",
+    )
+    bad = spark.createDataFrame(
+        [(2, 0, "b1", 1, 1)],
+        "doc_id long, band int, bucket string, sig_v int, _batch_id int",
+    )
+    good.unionByName(bad).write.partitionBy("_batch_id").parquet(idx)
+    with pytest.raises(ValueError, match="mixed sig_v"):
+        sc.compact_minhash_index(spark, idx, str(tmp_path / "base"))
+
+
+def test_compaction_missing_everything_raises(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        sc.compact_minhash_index(
+            spark, str(tmp_path / "nope"), str(tmp_path / "nope_base")
+        )
