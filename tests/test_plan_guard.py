@@ -59,6 +59,11 @@ _ARROW_OK = {
     # (sources/warc.py, sources/html.py); all non-SQL-expressible decode
     # work, per-row error isolated
     "warc_ingest",
+    # r12: the link-graph family parses REAL markup for its link relation
+    # (html synth + extract_links — the same documented synth+parse Arrow
+    # pair as html_extract); everything downstream of the slim
+    # (doc_id, url, anchor) relation is pure codegen
+    "link_graph", "anchor_topk", "link_pagerank",
 }
 
 
