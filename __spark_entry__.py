@@ -1168,6 +1168,100 @@ def _q_link_pagerank(spark, sf_dir):
     return lg.pagerank(edges, n_iter=5)
 
 
+#: robots fixture rule texts, keyed by host class = int(source[3:]) % 3.
+#: Class 0 exercises group selection (an otherbot group the crawler must
+#: NOT pick), longest-match (Allow /private/ok over Disallow /private)
+#: and the wildcard+$ rule; class 1 has NO robots.txt (left-join miss ->
+#: allowed); class 2 is a bare star group.
+ROBOTS_UA = "kausalbot/2.1"
+ROBOTS_FULL = (
+    "# synthetic robots fixture\n"
+    "User-agent: otherbot\nDisallow: /\n\n"
+    "User-agent: kausalbot\n"
+    "Disallow: /private\n"
+    "Allow: /private/ok\n"
+    "Disallow: /*.pdf$\n"
+)
+ROBOTS_STAR = "User-agent: *\nDisallow: /files\n"
+
+#: path class = doc_id % 4 -> (path template, allowed under FULL,
+#: allowed under STAR); class-1 hosts allow everything
+ROBOTS_PATHS = [
+    ("/private/doc", False, True),
+    ("/public/doc", True, True),
+    ("/files/doc", False, False),   # FULL: /*.pdf$; STAR: /files prefix
+    ("/private/ok/doc", True, True),
+]
+
+
+def _q_robots_filter(spark, sf_dir):
+    # RFC 9309 robots gate over the crawl frontier: Spark parses REAL
+    # robots.txt text (group selection, longest-match, wildcard, $) and
+    # applies the decision in pure codegen (broadcast rules + regexp
+    # filter + struct max); the twin predicts allow/deny from the class
+    # tables alone, so a parser or matcher defect breaks the hash.
+    from kausaldb_spark.sources import robots as rb
+
+    docs = _docs(spark, sf_dir)
+    path = F.concat(
+        F.element_at(
+            F.array(*[F.lit(p) for p, _fa, _sa in ROBOTS_PATHS]),
+            (F.col("doc_id") % 4 + 1).cast("int"),
+        ),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 4 == 2, F.lit(".pdf")).otherwise(F.lit("")),
+    )
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.lower(F.col("source")),
+            F.lit(".example.org"), path,
+        ).alias("url"),
+    )
+    cls = F.substring(F.col("source"), 4, 10).cast("int") % 3
+    hosts = (
+        docs.select("source").distinct()
+        .select(
+            F.concat(F.lower(F.col("source")), F.lit(".example.org")).alias(
+                "host"
+            ),
+            F.when(cls == 0, F.lit(ROBOTS_FULL))
+            .when(cls == 2, F.lit(ROBOTS_STAR))
+            .alias("content"),
+        )
+        .where(F.col("content").isNotNull())  # class 1: no robots.txt
+    )
+    rules = rb.robots_rules(hosts, ROBOTS_UA)
+    return rb.filter_urls_by_robots(urls, rules, keep_denied=True).select(
+        "doc_id", "url", "robots_allowed"
+    )
+
+
+def _robots_filter_sql() -> str:
+    path_case = " ".join(
+        f"WHEN {k} THEN '{p}' || doc_id || '{'.pdf' if k == 2 else ''}'"
+        for k, (p, _fa, _sa) in enumerate(ROBOTS_PATHS)
+    )
+    full_case = " ".join(
+        f"WHEN {k} THEN {str(fa).lower()}"
+        for k, (_p, fa, _sa) in enumerate(ROBOTS_PATHS)
+    )
+    star_case = " ".join(
+        f"WHEN {k} THEN {str(sa).lower()}"
+        for k, (_p, _fa, sa) in enumerate(ROBOTS_PATHS)
+    )
+    return f"""
+SELECT doc_id,
+       'https://' || lower(source) || '.example.org' ||
+         (CASE (doc_id % 4) {path_case} END) AS url,
+       CASE (CAST(substr(source, 4) AS INT) % 3)
+         WHEN 0 THEN (CASE (doc_id % 4) {full_case} END)
+         WHEN 1 THEN true
+         ELSE (CASE (doc_id % 4) {star_case} END)
+       END AS robots_allowed
+FROM documents"""
+
+
 def _q_warc_ingest(spark, sf_dir):
     # the end-to-end crawl front door (r11 verdict item 5): documents
     # packed into deterministic WARC segments (gzip-membered and plain,
@@ -1446,8 +1540,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_graph": _q_link_graph,
         "anchor_topk": _q_anchor_topk,
         "link_pagerank": _q_link_pagerank,
+        "robots_filter": _q_robots_filter,
         # -- retained in-window --
-        "hashed_features": _q_hashed_features,
         "filter_targets": _q_filter_targets,
         "filter_pagination": _q_filter_pagination,
         # -- kept in-window: code changed this round, or per-family reps --
@@ -1513,6 +1607,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    the text family keeps token_count/repetition_score in-window)
         "stratified_sample": _q_stratified_sample,  # displaced r12 (green
         #    r11 row; curation/report/diff keep the corpus family)
+        "hashed_features": _q_hashed_features,  # displaced r12 for the new
+        #    robots_filter entry (green r11 row; path unchanged this round)
         "events_funnel": _q_events_funnel,  # displaced r11: green r10 rows
         "cohort_retention": _q_cohort_retention,  # on paths unchanged this
         "sliding_rollup": _q_sliding_rollup,  # round (events family keeps
@@ -2652,6 +2748,7 @@ FROM corpus GROUP BY 1, 2 HAVING count(*) > 1""",
         # attribute quoting, link-density boilerplate)
         "html_extract": _html_extract_sql(),
         "warc_ingest": _warc_ingest_sql(),
+        "robots_filter": _robots_filter_sql(),
         "link_graph": f"""
 WITH {_LINKS_CTE.strip()}
 SELECT src_host, dst_host, count(*)::BIGINT AS n_links

@@ -64,6 +64,10 @@ _ARROW_OK = {
     # pair as html_extract); everything downstream of the slim
     # (doc_id, url, anchor) relation is pure codegen
     "link_graph", "anchor_topk", "link_pagerank",
+    # r12: robots.txt parsing is a map-only Arrow stage over the TINY
+    # per-host robots corpus (the broadcast side); the per-URL decision
+    # itself is pure codegen (regexp filter + struct max)
+    "robots_filter",
 }
 
 

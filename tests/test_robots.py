@@ -1,0 +1,92 @@
+"""RFC 9309 robots.txt gate (sources/robots.py). The driver entry
+(`robots_filter`) hash-gates the corpus-wide decision; these pin the
+parser/matcher contract on crafted rule sets — including the cases the
+class fixture can't reach — and the codegen gate against the pure twin."""
+
+import pytest
+
+from kausaldb_spark.sources import robots as rb
+
+FULL = (
+    "# comment\n"
+    "User-agent: otherbot\nDisallow: /\n\n"
+    "User-agent: mybot\nUser-agent: twinbot\n"
+    "Disallow: /private\n"
+    "Allow: /private/ok\n"
+    "Disallow: /*.pdf$\n"
+    "Allow: /\n"
+)
+
+
+def _dec(txt, ua, path):
+    return rb.robots_decision(rb.parse_robots_txt(txt, ua), path)
+
+
+def test_group_selection_longest_token_and_fallback():
+    # product token 'mybot/1.0' matches the mybot group, not otherbot/*
+    assert _dec(FULL, "MyBot/1.0", "/anything") is True
+    # shared group: the second UA line joins the same block
+    assert _dec(FULL, "twinbot", "/private/x") is False
+    # unknown bot falls back to * (absent here -> allowed)
+    assert _dec(FULL, "randombot", "/private/x") is True
+    star = FULL + "\nUser-agent: *\nDisallow: /\n"
+    assert _dec(star, "randombot", "/private/x") is False
+
+
+def test_longest_match_wildcard_and_anchor():
+    ua = "mybot"
+    assert _dec(FULL, ua, "/private/doc") is False      # /private (8) > / (1)
+    assert _dec(FULL, ua, "/private/ok/doc") is True    # 11 > 8
+    assert _dec(FULL, ua, "/files/a.pdf") is False      # /*.pdf$ matches
+    assert _dec(FULL, ua, "/files/a.pdfx") is True      # $ anchor holds
+    assert _dec(FULL, ua, "/") is True
+
+
+def test_tie_resolves_to_allow_and_empty_disallow():
+    tie = "User-agent: *\nAllow: /dir\nDisallow: /dir\n"
+    assert _dec(tie, "x", "/dir/a") is True
+    nothing = "User-agent: *\nDisallow:\n"
+    assert _dec(nothing, "x", "/anything") is True
+
+
+def test_no_rules_allows_and_regex_specials_are_literal():
+    assert rb.robots_decision([], "/x") is True
+    # regex metacharacters in a rule path must match literally
+    lit = "User-agent: *\nDisallow: /a(b)+c\n"
+    assert _dec(lit, "x", "/a(b)+c/d") is False
+    assert _dec(lit, "x", "/abbc/d") is True  # would match if treated as regex
+
+
+def test_spark_gate_matches_pure_twin(spark):
+    """The codegen decision (broadcast rules + regexp filter + struct max)
+    must agree with robots_decision on every (host, path) combination,
+    including the no-robots host."""
+    hosts = spark.createDataFrame(
+        [("a.example.org", FULL)], "host string, content string"
+    )
+    rules = rb.robots_rules(hosts, "mybot")
+    paths = [
+        "/private/doc", "/private/ok/doc", "/files/a.pdf", "/files/a.pdfx",
+        "/", "/public/x",
+    ]
+    urls = spark.createDataFrame(
+        [(i, f"https://a.example.org{p}") for i, p in enumerate(paths)]
+        + [(99, "https://norobots.example.org/private/doc")],
+        "doc_id long, url string",
+    )
+    got = {
+        r["doc_id"]: r["robots_allowed"]
+        for r in rb.filter_urls_by_robots(urls, rules, keep_denied=True)
+        .collect()
+    }
+    parsed = rb.parse_robots_txt(FULL, "mybot")
+    for i, p in enumerate(paths):
+        assert got[i] == rb.robots_decision(parsed, p), p
+    assert got[99] is True  # no robots.txt -> allowed
+    # drop mode removes exactly the denied rows
+    kept = sorted(
+        r["doc_id"]
+        for r in rb.filter_urls_by_robots(urls, rules).collect()
+    )
+    assert kept == sorted(i for i, p in enumerate(paths)
+                          if rb.robots_decision(parsed, p)) + [99]
