@@ -97,6 +97,8 @@ BENCH_QUERIES = [
     "hashed_features",
     "html_extract",
     "warc_ingest",
+    "link_pagerank",
+    "robots_filter",
     "decode_coverage",
     "animation_stats",
     "pii_scan",
@@ -168,6 +170,10 @@ BASELINE_MEDIANS = {
     # decode -> WARC parse -> HTTP split -> HTML extraction -> conform),
     # single-pass plan; recorded median-of-5 on a quiet box (2.23)
     "warc_ingest": 2.3,
+    # r12: link-graph PageRank (5 integer-ppm iterations over the markup
+    # link relation) and the robots codegen gate — quiet median-of-5
+    # (3.46 / 0.57)
+    "link_pagerank": 3.5, "robots_filter": 0.6,
     # r10: map-only reformulation (in-row single-fold run maxima +
     # shifted-zip neighbor scans + incremental gram builds — zero shuffles,
     # bind-only lambdas so column pruning can never inline an array
