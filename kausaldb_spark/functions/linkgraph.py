@@ -107,10 +107,21 @@ def pagerank(edges: DataFrame, n_iter: int = 5) -> DataFrame:
     """(host, rank_ppm) — damped PageRank after exactly ``n_iter``
     synchronous iterations, in bigint ppm arithmetic (see module header).
     Parallel edges collapse first (DISTINCT) so multiplicity doesn't skew
-    out-degree; every node appearing as src or dst participates."""
+    out-degree; every node appearing as src or dst participates.
+
+    The deduped edge relation is PERSISTED for the computation: it is
+    consumed by every iteration (plus the node/out-degree derivations),
+    and without the cache each iteration would re-evaluate the edge
+    lineage — for a crawl-derived graph that is a full corpus re-parse
+    per iteration. The cached relation is slim (two host strings per
+    edge); it stays cached for the session (the caller can
+    ``.unpersist()`` it via the DataFrame lineage if the session is
+    long-lived — the bench/driver sessions are per-run)."""
+    from pyspark import StorageLevel
+
     e = edges.select(
         F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
-    ).distinct()
+    ).distinct().persist(StorageLevel.MEMORY_AND_DISK)
     nodes = (
         e.select(F.col("src").alias("host"))
         .unionByName(e.select(F.col("dst").alias("host")))

@@ -100,6 +100,9 @@ SF1_MEDIANS = {
     # pair mass LINEAR in N (N*target/2: measured 1.65M at 7 auto bits),
     # taking over past the ~128k-vector crossover.
     "embedding_near_dup": 3.4,
+    # r12: link PageRank at sf1 (quiet median-of-3; 10x factor 1.5 — the
+    # five iteration joins amortize, edges persisted once)
+    "link_pagerank": 5.8,
 }
 
 
