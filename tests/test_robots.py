@@ -90,3 +90,43 @@ def test_spark_gate_matches_pure_twin(spark):
     )
     assert kept == sorted(i for i, p in enumerate(paths)
                           if rb.robots_decision(parsed, p)) + [99]
+
+
+def test_rule_regex_java_python_equivalence(spark):
+    """The compiled rule regex is evaluated by PYTHON re in the pure twin
+    and by JAVA regex in the codegen gate — a single escaping divergence
+    silently flips decisions. Sweep rule paths over every metacharacter
+    robots paths can contain and assert both engines agree on match/no."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    import re as _re
+
+    alphabet = "ab/.*$+?()[]{}|^\\-_%0"
+    rules = st.text(alphabet, min_size=1, max_size=8).map(lambda s: "/" + s)
+    paths = st.text(alphabet, min_size=0, max_size=10).map(lambda s: "/" + s)
+
+    cases = []
+
+    @settings(max_examples=60, deadline=None)
+    @given(rule=rules, path=paths)
+    def collect(rule, path):
+        rx = rb._rule_regex(rule)
+        cases.append((rx, path, bool(_re.match(rx, path))))
+
+    collect()
+    df = spark.createDataFrame(
+        [(rx, p) for rx, p, _m in cases], "rx string, p string"
+    )
+    from pyspark.sql import functions as F
+
+    got = [
+        r["m"]
+        for r in df.select(F.regexp_like("p", F.col("rx")).alias("m"))
+        .collect()
+    ]
+    # java regexp_like is unanchored 'find'; _rule_regex anchors with ^
+    # so find == match — require exact agreement with python
+    want = [m for _rx, _p, m in cases]
+    assert got == want, [
+        (c, g) for c, g in zip(cases, got) if c[2] != g
+    ][:5]

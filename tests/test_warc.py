@@ -236,3 +236,51 @@ def test_synthetic_segments_roundtrip_and_traps_dropped(spark):
     )
     # class k = doc_id % 6: 0 -> bare <p>, 1 -> script traps, 4 -> word/li
     assert texts == ["alpha beta", "epsilon", "gamma delta"]
+
+
+def test_synth_segment_roundtrip_hypothesis():
+    """Property: any batch of (doc_id, source, html) rows — including
+    html bodies containing CRLF runs, 0xFF bytes after encoding, gzip
+    magic lookalikes, and empty strings — survives synth_warc_segment ->
+    iter_warc_records -> split_http_response EXACTLY, in both framings
+    (plain and gzip-membered), chunked and content-length alike."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    body_alphabet = st.text(
+        ["a", "b", " ", "\r", "\n", "\x1f", "\x8b", "é", "ÿ", "<", ">"],
+        max_size=40,
+    )
+    rows_st = st.lists(
+        st.tuples(st.integers(0, 10**6), st.sampled_from(["s1", "s2"]),
+                  body_alphabet),
+        min_size=0, max_size=5,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(rows=rows_st, gz=st.booleans())
+    def check(rows, gz):
+        # distinct ids keep the expected map unambiguous
+        rows = [(i * 7 + k, s, h) for k, (i, s, h) in enumerate(rows)]
+        blob = wc.synth_warc_segment(rows, gzip_members=gz)
+        got = {}
+        n_other = 0
+        for rec in wc.iter_warc_records(blob):
+            h = rec["headers"]
+            if h.get("warc-type") != "response":
+                n_other += 1
+                continue
+            resp = wc.split_http_response(rec["content"])
+            if resp["status"] != 200:
+                continue
+            if "text/html" not in resp["headers"].get("content-type", ""):
+                continue
+            uri = h["warc-target-uri"]
+            got[uri] = resp["body"].decode("utf-8")
+        assert n_other == 1  # the warcinfo record
+        want = {
+            f"https://{s}.example.org/doc/{i}": h for i, s, h in rows
+        }
+        assert got == want
+
+    check()
