@@ -67,6 +67,8 @@ TOP_QUERIES = [
     "animation_stats",   # Python-CPU LZW decode + composite, map-only
     "decode_coverage",   # header-sniff map-only
     "warc_ingest",       # end-to-end crawl chain (new r12)
+    "link_pagerank",     # iterative joins over the persisted edge sliver
+    "robots_filter",     # broadcast rules + codegen regexp gate
 ]
 
 F100_MAX = 100.0   # proportional-to-volume ceiling for >=1 s queries
@@ -95,7 +97,8 @@ CHUNKS = [
               # exactly the shape that must prove flat-per-byte at 100x
               "html_extract",
               # r12: the rest of the session-3 set + the e2e crawl chain
-              "animation_stats", "decode_coverage", "warc_ingest"]),
+              "animation_stats", "decode_coverage", "warc_ingest",
+              "link_pagerank", "robots_filter"]),
     ("dedup", ["minhash_near_dup", "near_dup_clusters", "semantic_dedup",
                # r11 session 3: sampled-codebook training must stay
                # corpus-size-independent; encode+ADC ride the scan
