@@ -1262,6 +1262,35 @@ SELECT doc_id,
 FROM documents"""
 
 
+def _q_crawl_frontier(spark, sf_dir):
+    # the "what do we fetch next" composition: outlinks -> canonical ->
+    # robots gate (nav9 disallows all) -> minus already-fetched (the
+    # even-id f pages) -> per-host politeness cap of 5 in deterministic
+    # canonical-url order. Spark parses real markup + real robots text;
+    # the twin predicts the whole batch from the class tables.
+    from kausaldb_spark.sources import frontier as fr
+    from kausaldb_spark.sources import robots as rb
+
+    docs = _docs(spark, sf_dir)
+    fetched = docs.where(
+        (F.col("doc_id") % 6 == 5) & (F.col("doc_id") % 2 == 0)
+    ).select(
+        F.concat(
+            F.lit("https://f"), F.col("doc_id").cast("string"),
+            F.lit(".example.com/x"),
+        ).alias("url")
+    )
+    hosts = spark.createDataFrame(
+        [("nav9.example.com", "User-agent: *\nDisallow: /\n")],
+        "host string, content string",
+    )
+    rules = rb.robots_rules(hosts, ROBOTS_UA)
+    return fr.crawl_frontier(
+        _synth_links(spark, sf_dir), fetched=fetched, rules=rules,
+        per_host_cap=5,
+    )
+
+
 def _q_warc_ingest(spark, sf_dir):
     # the end-to-end crawl front door (r11 verdict item 5): documents
     # packed into deterministic WARC segments (gzip-membered and plain,
@@ -1541,6 +1570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_topk": _q_anchor_topk,
         "link_pagerank": _q_link_pagerank,
         "robots_filter": _q_robots_filter,
+        "crawl_frontier": _q_crawl_frontier,
         # -- retained in-window --
         "filter_targets": _q_filter_targets,
         "filter_pagination": _q_filter_pagination,
@@ -1570,7 +1600,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_removal": _q_span_removal,  # NEW r11 (Lee-et-al. remove half)
         "simhash_band": _q_simhash_band,
         "near_dup_clusters": _q_near_dup_clusters,
-        "binary_dedup": _q_binary_dedup,
         "decode_coverage": _q_decode_coverage,  # NEW r11 (verdict item 5)
         "animation_stats": _q_animation_stats,  # NEW r11 (multi-frame GIF)
         "html_extract": _q_html_extract,  # re-gate r12: self-closing
@@ -1609,6 +1638,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    r11 row; curation/report/diff keep the corpus family)
         "hashed_features": _q_hashed_features,  # displaced r12 for the new
         #    robots_filter entry (green r11 row; path unchanged this round)
+        "binary_dedup": _q_binary_dedup,  # displaced r12 for the new
+        #    crawl_frontier entry (green r11 row; the binary family keeps
+        #    decode_coverage/animation_stats in-window; path unchanged)
         "events_funnel": _q_events_funnel,  # displaced r11: green r10 rows
         "cohort_retention": _q_cohort_retention,  # on paths unchanged this
         "sliding_rollup": _q_sliding_rollup,  # round (events family keeps
@@ -2749,6 +2781,20 @@ FROM corpus GROUP BY 1, 2 HAVING count(*) > 1""",
         "html_extract": _html_extract_sql(),
         "warc_ingest": _warc_ingest_sql(),
         "robots_filter": _robots_filter_sql(),
+        "crawl_frontier": """
+WITH cand AS (
+  SELECT 'https://nav' || j || '.example.com/' || doc_id AS url,
+         'nav' || j || '.example.com' AS host
+  FROM documents, (VALUES (0), (1), (2)) t(j) WHERE doc_id % 6 = 3
+  UNION ALL
+  SELECT 'https://f' || doc_id || '.example.com/x',
+         'f' || doc_id || '.example.com'
+  FROM documents WHERE doc_id % 6 = 5 AND doc_id % 2 = 1
+)
+SELECT url, host,
+       CAST(row_number() OVER (PARTITION BY host ORDER BY url) AS INT)
+         AS slot
+FROM cand QUALIFY slot <= 5""",
         "link_graph": f"""
 WITH {_LINKS_CTE.strip()}
 SELECT src_host, dst_host, count(*)::BIGINT AS n_links

@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "warc_ingest",
     "link_pagerank",
     "robots_filter",
+    "crawl_frontier",
     "decode_coverage",
     "animation_stats",
     "pii_scan",
@@ -174,6 +175,9 @@ BASELINE_MEDIANS = {
     # link relation) and the robots codegen gate — quiet median-of-5
     # (3.46 / 0.57)
     "link_pagerank": 3.5, "robots_filter": 0.6,
+    # r12: frontier assembly (canonicalize -> robots -> anti-join fetched
+    # -> per-host cap) — quiet median-of-5 (2.55)
+    "crawl_frontier": 2.6,
     # r10: map-only reformulation (in-row single-fold run maxima +
     # shifted-zip neighbor scans + incremental gram builds — zero shuffles,
     # bind-only lambdas so column pruning can never inline an array

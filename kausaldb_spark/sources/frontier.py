@@ -1,0 +1,66 @@
+"""Crawl-frontier assembly — "what do we fetch next".
+
+The discovery half of an incremental crawl: take the outlinks the last
+batch's pages surfaced (``sources.html.extract_links``), reduce them to a
+deterministic, polite, deduplicated fetch list. Composes the gated
+primitives end-to-end:
+
+    outlinks ──canonical_url──▶ distinct candidates
+             ──filter_urls_by_robots──▶ admissible
+             ──anti-join fetched──▶ novel
+             ──per-host cap──▶ the next batch
+
+Scale shape: canonicalization is pure codegen at scan throughput; the
+candidate set reduces by DISTINCT before anything touches it (one keyed
+shuffle of slim url strings); the robots gate broadcasts; the fetched
+anti-join is url-keyed (both sides canonical, so it prunes); the per-host
+politeness cap is a bounded window over the already-reduced relation —
+per-host state is ``per_host_cap`` rows. Nothing here scales with corpus
+TEXT, only with the link relation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kausaldb_spark.functions import text as tx
+from kausaldb_spark.functions.linkgraph import host_of
+
+
+def crawl_frontier(
+    links: DataFrame,
+    fetched: DataFrame | None = None,
+    rules: DataFrame | None = None,
+    per_host_cap: int = 100,
+    url_col: str = "url",
+) -> DataFrame:
+    """(url, host, slot) — the next crawl batch. ``url`` is canonical;
+    ``slot`` (1-based, <= ``per_host_cap``) is the url's deterministic
+    position within its host (ordered by canonical url, so two engines —
+    and two runs — produce the identical batch). ``fetched`` is any
+    relation with ``url_col`` (canonicalized here too, so spelling
+    variants of an already-fetched page can't re-enter the frontier);
+    ``rules`` is a :func:`kausaldb_spark.sources.robots.robots_rules`
+    relation."""
+    cand = (
+        links.select(tx.canonical_url(F.col(url_col)).alias("url"))
+        .where(F.col("url").rlike(r"^https?://"))
+        .distinct()
+    )
+    if rules is not None:
+        from kausaldb_spark.sources.robots import filter_urls_by_robots
+
+        cand = filter_urls_by_robots(cand, rules)
+    if fetched is not None:
+        seen = fetched.select(
+            tx.canonical_url(F.col(url_col)).alias("url")
+        ).distinct()
+        cand = cand.join(seen, "url", "left_anti")
+    with_host = cand.select("url", host_of(F.col("url")).alias("host"))
+    w = Window.partitionBy("host").orderBy("url")
+    return (
+        with_host.withColumn("slot", F.row_number().over(w).cast("int"))
+        .where(F.col("slot") <= per_host_cap)
+    )

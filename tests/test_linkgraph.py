@@ -129,3 +129,46 @@ def test_link_graph_counts_multiplicity(spark):
         for r in lg.link_graph(edges).collect()
     }
     assert got == {("a", "b"): 2, ("a", "c"): 1}
+
+
+def test_crawl_frontier_composition(spark):
+    """canonicalize -> robots -> anti-join fetched -> per-host cap, on a
+    crafted relation exercising every gate at once (the driver entry
+    hash-gates the corpus-wide composition)."""
+    from kausaldb_spark.sources import frontier as fr
+    from kausaldb_spark.sources import robots as rb
+
+    links = spark.createDataFrame(
+        [
+            # spelling variants of ONE page (port + fragment + tracking)
+            (1, "https://A.example.com:443/p?utm_source=x#frag", "t"),
+            (2, "https://a.example.com/p", "t"),
+            (3, "https://a.example.com/q", "t"),
+            (4, "https://a.example.com/r", "t"),
+            (5, "https://blocked.example.com/x", "t"),
+            (6, "https://seen.example.com/old?utm_y=1", "t"),
+            (7, "ftp://not-http.example.com/x", "t"),
+        ],
+        "doc_id long, url string, anchor_text string",
+    )
+    fetched = spark.createDataFrame(
+        [("https://SEEN.example.com/old",)], "url string"
+    )
+    hosts = spark.createDataFrame(
+        [("blocked.example.com", "User-agent: *\nDisallow: /\n")],
+        "host string, content string",
+    )
+    rules = rb.robots_rules(hosts, "bot")
+    got = sorted(
+        (r["url"], r["host"], r["slot"])
+        for r in fr.crawl_frontier(
+            links, fetched=fetched, rules=rules, per_host_cap=2
+        ).collect()
+    )
+    # a.example.com: variants collapse to /p, then /q, /r -> cap 2 keeps
+    # /p, /q; blocked host robots-denied; seen url (canonicalized on BOTH
+    # sides) anti-joined; ftp excluded
+    assert got == [
+        ("https://a.example.com/p", "a.example.com", 1),
+        ("https://a.example.com/q", "a.example.com", 2),
+    ]

@@ -68,6 +68,10 @@ _ARROW_OK = {
     # per-host robots corpus (the broadcast side); the per-URL decision
     # itself is pure codegen (regexp filter + struct max)
     "robots_filter",
+    # r12: the frontier composes the link extraction (markup parse Arrow
+    # stage) with the robots parse; everything after the slim url
+    # relation is codegen
+    "crawl_frontier",
 }
 
 
