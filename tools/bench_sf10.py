@@ -69,6 +69,7 @@ TOP_QUERIES = [
     "warc_ingest",       # end-to-end crawl chain (new r12)
     "link_pagerank",     # iterative joins over the persisted edge sliver
     "robots_filter",     # broadcast rules + codegen regexp gate
+    "crawl_frontier",    # canonical -> robots -> anti-join -> host cap
 ]
 
 F100_MAX = 100.0   # proportional-to-volume ceiling for >=1 s queries
@@ -98,7 +99,7 @@ CHUNKS = [
               "html_extract",
               # r12: the rest of the session-3 set + the e2e crawl chain
               "animation_stats", "decode_coverage", "warc_ingest",
-              "link_pagerank", "robots_filter"]),
+              "link_pagerank", "robots_filter", "crawl_frontier"]),
     ("dedup", ["minhash_near_dup", "near_dup_clusters", "semantic_dedup",
                # r11 session 3: sampled-codebook training must stay
                # corpus-size-independent; encode+ADC ride the scan
