@@ -35,6 +35,7 @@ def crawl_frontier(
     rules: DataFrame | None = None,
     per_host_cap: int = 100,
     url_col: str = "url",
+    n_salts: int = 32,
 ) -> DataFrame:
     """(url, host, slot) — the next crawl batch. ``url`` is canonical;
     ``slot`` (1-based, <= ``per_host_cap``) is the url's deterministic
@@ -43,7 +44,15 @@ def crawl_frontier(
     relation with ``url_col`` (canonicalized here too, so spelling
     variants of an already-fetched page can't re-enter the frontier);
     ``rules`` is a :func:`kausaldb_spark.sources.robots.robots_rules`
-    relation."""
+    relation.
+
+    The politeness cap is the exact salted TWO-PHASE top-k (the
+    stratified_sample pattern): a mega-host with 10^8 discovered urls
+    must never funnel through one window sort task — phase 1 caps each
+    (host, crc32(url) % n_salts) slice, phase 2 re-ranks the
+    <= n_salts * cap survivors per host exactly. Row-identical to the
+    single-window form (the global per-host top-k is a subset of the
+    union of per-salt top-ks)."""
     cand = (
         links.select(tx.canonical_url(F.col(url_col)).alias("url"))
         .where(F.col("url").rlike(r"^https?://"))
@@ -58,9 +67,17 @@ def crawl_frontier(
             tx.canonical_url(F.col(url_col)).alias("url")
         ).distinct()
         cand = cand.join(seen, "url", "left_anti")
-    with_host = cand.select("url", host_of(F.col("url")).alias("host"))
-    w = Window.partitionBy("host").orderBy("url")
+    with_host = cand.select(
+        "url", host_of(F.col("url")).alias("host")
+    ).withColumn("_salt", F.crc32(F.col("url")) % n_salts)
+    w_local = Window.partitionBy("host", "_salt").orderBy("url")
+    survivors = (
+        with_host.withColumn("_lrnk", F.row_number().over(w_local))
+        .where(F.col("_lrnk") <= per_host_cap)
+    )
+    w_exact = Window.partitionBy("host").orderBy("url")
     return (
-        with_host.withColumn("slot", F.row_number().over(w).cast("int"))
+        survivors.withColumn("slot", F.row_number().over(w_exact).cast("int"))
         .where(F.col("slot") <= per_host_cap)
+        .select("url", "host", "slot")
     )
