@@ -1018,7 +1018,7 @@ FROM base JOIN cov USING (source, lang)"""
 def _q_decode_coverage(spark, sf_dir):
     # codec-boundary share (r10 verdict item 5): per-(format, mode) decode
     # coverage over a deterministic binary corpus — ten structurally REAL
-    # container classes keyed off doc_id % 10 (multimodal.FORMAT_CLASSES),
+    # container classes keyed off doc_id % n_classes (FORMAT_CLASSES),
     # header-sniffed by the actual probe (a misclassified container breaks
     # the oracle match). This is the number that tells you what fraction
     # of a real corpus the progressive-JPEG/interlace/RLE boundary loses.
@@ -2765,7 +2765,7 @@ SELECT lower(sha256(text)) AS sha256,
        CAST(count(*) AS BIGINT) AS n_assets,
        CAST(min(doc_id) AS BIGINT) AS keep_id
 FROM corpus GROUP BY 1, 2 HAVING count(*) > 1""",
-        # the oracle recomputes the classification from doc_id % 10 via the
+        # the oracle recomputes the classification from doc_id % n_classes via the
         # shared FORMAT_CLASSES taxonomy; the Spark side header-sniffs the
         # actual synthesized container bytes — a probe misclassification
         # (or a builder emitting the wrong structure) breaks this match

@@ -13,8 +13,10 @@ containers, straight off the public specs with no codec library: PNG (r7:
 chunk walk → IDAT inflate → per-scanline unfilter incl. Paeth), BMP (r7:
 BITMAPINFOHEADER, bottom-up padded rows, BGR(A)→RGB(A)), baseline
 sequential JPEG (r10: huffman + dequant + IDCT in numpy), and GIF first
-frame (r10: variable-width LZW). The remaining boundary — progressive/
-arithmetic JPEG, 12-bit, unknown containers — stays behind an explicit
+frame (r10: variable-width LZW); r11 added huffman-progressive, 12-bit and
+lossless JPEG, r12 the arithmetic-coded DCT modes (SOF9/SOFA via
+jpeg_arith's QM coder). The remaining boundary — arithmetic-lossless and
+hierarchical JPEG, unknown containers — stays behind an explicit
 NotImplementedError; each decoder is pinned against an INDEPENDENT
 test-side encoder. The deterministic fake decoder remains the default for
 the synthetic-asset plumbing tests.
@@ -197,10 +199,11 @@ def _decode_bmp(data: bytes):
 
 # -- baseline JPEG (pure numpy; r10, closing most of the codec boundary) ----
 # ITU-T T.81 baseline sequential DCT, straight off the public spec: marker
-# walk -> DQT/DHT/SOF0/SOS/DRI, canonical Huffman entropy decode with
+# walk -> DQT/DHT/DAC/SOF/SOS/DRI, canonical Huffman entropy decode with
 # restart-interval chunking, dequantize + dezigzag, 8x8 matrix IDCT, chroma
-# upsample (integer replication), YCbCr->RGB. Progressive (SOF2),
-# arithmetic (SOF9+), hierarchical and 12-bit remain NotImplementedError;
+# upsample (integer replication), YCbCr->RGB. Progressive (SOF2, r11) and
+# the arithmetic-coded twins (SOF9/SOFA, r12 via jpeg_arith's QM coder)
+# decode too; arithmetic lossless and hierarchical remain NotImplementedError;
 # every malformed-stream path normalizes to ValueError per decode_pixels'
 # error contract. Pinned in tests/test_multimodal.py against an
 # INDEPENDENT minimal encoder (forward DCT + canonical tables), the same
@@ -218,7 +221,6 @@ _JPEG_ZIGZAG = [
 _JPEG_SOF_UNSUPPORTED = {
     0xC5: "differential sequential",
     0xC6: "differential progressive", 0xC7: "differential lossless",
-    0xC9: "arithmetic sequential", 0xCA: "arithmetic progressive",
     0xCB: "arithmetic lossless", 0xCD: "differential arithmetic seq",
     0xCE: "differential arithmetic prog", 0xCF: "differential arithmetic ll",
 }
@@ -369,18 +371,23 @@ def _jpeg_refine_ac(br, coef, ss, se, al, eobrun, ac_t) -> int:
 
 
 def _decode_jpeg(data: bytes):
-    """Huffman JPEG decode — baseline sequential (SOF0/1, interleaved or
-    multi-scan non-interleaved) AND progressive (SOF2: spectral selection
-    + successive approximation, r11). One generic scan loop accumulates
-    raw zigzag coefficients per component; dequant + IDCT + upsample run
-    once at the end (identical arithmetic to applying q inline, and the
-    only formulation progressive refinement permits). 12-bit precision
-    decodes for SOF1/SOF2 (level shift/chroma center 2^(P-1), samples
-    scaled to the uint8 pipeline contract). Arithmetic-coded, lossless
-    and hierarchical remain NotImplementedError."""
+    """JPEG DCT decode — baseline sequential (SOF0/1, interleaved or
+    multi-scan non-interleaved), progressive (SOF2: spectral selection
+    + successive approximation, r11), AND the arithmetic-coded twins
+    (SOF9 sequential / SOFA progressive, r12: QM coder + Annex F
+    statistical models in :mod:`jpeg_arith`, DAC conditioning). One
+    generic scan loop accumulates raw zigzag coefficients per component;
+    dequant + IDCT + upsample run once at the end (identical arithmetic
+    to applying q inline, and the only formulation progressive
+    refinement permits). 12-bit precision decodes for SOF1/SOF2/SOF9/
+    SOFA (level shift/chroma center 2^(P-1), samples scaled to the uint8
+    pipeline contract). Arithmetic lossless and the hierarchical
+    (differential) family remain NotImplementedError."""
     import struct
 
     import numpy as np
+
+    from . import jpeg_arith as ja
 
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
@@ -388,6 +395,9 @@ def _decode_jpeg(data: bytes):
     huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) -> table
     sof = None
     progressive = False
+    arithmetic = False
+    dc_cond: dict[int, tuple] = {}  # DAC DC conditioning: tb -> (L, U)
+    ac_cond: dict[int, int] = {}    # DAC AC conditioning: tb -> Kx
     precision = 8
     dri = 0
     pos = 2
@@ -440,7 +450,9 @@ def _decode_jpeg(data: bytes):
                     raise ValueError("truncated DHT")
                 huff[(tc, th)] = _jpeg_build_huff(bits, vals)
                 i += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2):  # huffman SOF
+        elif marker == 0xCC:  # DAC: arithmetic conditioning (mid-file ok)
+            ja.parse_dac(seg, dc_cond, ac_cond)
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):  # DCT SOF
             prec, h, w, nf = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec not in (8, 12):
                 raise NotImplementedError(f"JPEG {prec}-bit precision")
@@ -449,7 +461,8 @@ def _decode_jpeg(data: bytes):
                 # malformed stream, not a codec boundary
                 raise ValueError("JPEG baseline (SOF0) with 12-bit precision")
             precision = prec
-            progressive = marker == 0xC2
+            progressive = marker in (0xC2, 0xCA)
+            arithmetic = marker in (0xC9, 0xCA)
             comps = []
             for c in range(nf):
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
@@ -512,6 +525,7 @@ def _decode_jpeg(data: bytes):
                     "comps": scan_comps, "ss": ss, "se": se,
                     "ah": ahal >> 4, "al": ahal & 15, "dri": dri,
                     "tables": dict(huff), "chunks": chunks,
+                    "dc_cond": dict(dc_cond), "ac_cond": dict(ac_cond),
                 }
             )
             pos = i
@@ -545,11 +559,12 @@ def _decode_jpeg(data: bytes):
             raise ValueError("JPEG bad spectral selection")
         need_dc = ss == 0 and ah == 0
         need_ac = se > 0
-        for c in scomps:
-            if need_dc and (0, c["td"]) not in tables:
-                raise ValueError("JPEG missing huffman table")
-            if need_ac and (1, c["ta"]) not in tables:
-                raise ValueError("JPEG missing huffman table")
+        if not arithmetic:
+            for c in scomps:
+                if need_dc and (0, c["td"]) not in tables:
+                    raise ValueError("JPEG missing huffman table")
+                if need_ac and (1, c["ta"]) not in tables:
+                    raise ValueError("JPEG missing huffman table")
         interleaved = len(scomps) > 1
         if interleaved:
             n_units = mcux * mcuy
@@ -562,6 +577,45 @@ def _decode_jpeg(data: bytes):
         eobrun = 0
         chunk_i = 0
         br = _JpegBits(sc["chunks"][0])
+
+        # arithmetic-scan state: statistics reset at scan start and at
+        # every restart (F.1.4.4); conditioning comes from the DAC values
+        # in effect at this scan's SOS
+        def _fresh_arith():
+            return (
+                ja.QmDecoder(sc["chunks"][chunk_i]),
+                {c["td"]: ja.new_dc_stats() for c in scomps},
+                {c["ta"]: ja.new_ac_stats() for c in scomps},
+                {c["ci"]: 0 for c in scomps},
+            )
+
+        if arithmetic:
+            qm, dc_st, ac_st, dc_ctx = _fresh_arith()
+            fixed = ja.new_fixed_bin()
+
+        def decode_unit_arith(coef, c):
+            lo, up = sc["dc_cond"].get(c["td"], (0, 1))
+            kx = sc["ac_cond"].get(c["ta"], 5)
+            if not progressive:
+                diff, dc_ctx[c["ci"]] = ja.decode_dc_diff(
+                    qm, dc_st[c["td"]], dc_ctx[c["ci"]], lo, up
+                )
+                preds[c["ci"]] += diff
+                coef[0] = preds[c["ci"]]
+                ja.decode_ac_band(qm, ac_st[c["ta"]], kx, coef, 1, 63, 0, fixed)
+            elif ss == 0:
+                if ah == 0:  # DC first: diffs on the point-transformed scale
+                    diff, dc_ctx[c["ci"]] = ja.decode_dc_diff(
+                        qm, dc_st[c["td"]], dc_ctx[c["ci"]], lo, up
+                    )
+                    preds[c["ci"]] += diff
+                    coef[0] = preds[c["ci"]] << al
+                elif qm.decode(fixed, 0):  # DC refinement: one fixed-bin bit
+                    coef[0] |= 1 << al
+            elif ah == 0:
+                ja.decode_ac_band(qm, ac_st[c["ta"]], kx, coef, ss, se, al, fixed)
+            else:
+                ja.decode_ac_refine(qm, ac_st[c["ta"]], coef, ss, se, al, fixed)
 
         def decode_unit(coef, c):
             nonlocal eobrun
@@ -600,25 +654,29 @@ def _decode_jpeg(data: bytes):
                     br, coef, ss, se, al, eobrun, tables[(1, c["ta"])]
                 )
 
+        unit_fn = decode_unit_arith if arithmetic else decode_unit
         for unit in range(n_units):
             if sc["dri"] and unit and unit % sc["dri"] == 0:
                 chunk_i += 1
                 if chunk_i >= len(sc["chunks"]):
                     raise ValueError("JPEG missing restart marker")
-                br = _JpegBits(sc["chunks"][chunk_i])
                 preds = {c["ci"]: 0 for c in scomps}
                 eobrun = 0
+                if arithmetic:
+                    qm, dc_st, ac_st, dc_ctx = _fresh_arith()
+                else:
+                    br = _JpegBits(sc["chunks"][chunk_i])
             if interleaved:
                 my, mx = divmod(unit, mcux)
                 for c in scomps:
                     for b in range(c["v"] * c["h"]):
                         by = my * c["v"] + b // c["h"]
                         bx = mx * c["h"] + b % c["h"]
-                        decode_unit(coefs[c["ci"]][by, bx], c)
+                        unit_fn(coefs[c["ci"]][by, bx], c)
             else:
                 c = scomps[0]
                 by, bx = divmod(unit, c["bw"])
-                decode_unit(coefs[c["ci"]][by, bx], c)
+                unit_fn(coefs[c["ci"]][by, bx], c)
 
     # dequant + dezigzag + IDCT, vectorized over every block of each plane
     basis = _jpeg_dct_basis()
@@ -974,8 +1032,9 @@ def decode_pixels(data: bytes):
     PNG (zlib inflate + unfilter), BMP (uncompressed), baseline sequential
     JPEG (pure-numpy huffman + dequant + IDCT, r10), and GIF first frame
     (pure-python variable-width LZW, r10). Returns an (h, w, channels)
-    uint8 ndarray. Progressive/arithmetic JPEG remains the documented
-    NotImplementedError boundary.
+    uint8 ndarray. Arithmetic-lossless/hierarchical JPEG remains the
+    documented NotImplementedError boundary (progressive, 12-bit, lossless
+    and arithmetic-DCT JPEG all decode as of r11/r12).
 
     Error contract: raises ONLY ValueError (malformed/corrupt/truncated
     payload) or NotImplementedError (format outside the codec boundary).
@@ -1289,8 +1348,10 @@ def probe_format_mode(data: bytes):
       png   depth{d}-ctype{t}[-interlaced]   decodable iff d=8, no
                                              interlace, ctype in {0,2,4,6}
       jpeg  baseline / extended-sequential
-            / progressive (huffman, r11)     decodable (8-bit precision)
-            arithmetic-* / lossless / differential-* /
+            / progressive (huffman, r11)
+            / arithmetic-sequential
+            / arithmetic-progressive (r12)   decodable (8/12-bit precision)
+            arithmetic-lossless / lossless-subsampled / differential-* /
             *-{p}bit / no-sof                not decodable
       gif   single-frame / multi-frame       decodable (decode_pixels
                                              composites the FIRST frame;
@@ -1345,13 +1406,16 @@ def probe_format_mode(data: bytes):
                     0xC0: "baseline",
                     0xC1: "extended-sequential",
                     0xC2: "progressive",  # huffman progressive decodes (r11)
+                    0xC9: "arithmetic-sequential",   # QM decode (r12)
+                    0xCA: "arithmetic-progressive",  # QM decode (r12)
                 }[marker]
                 prec = data[i + 4] if i + 4 < len(data) else 0
                 if prec == 8:
                     return "jpeg", mode, True
                 if prec == 12 and marker != 0xC0:
-                    # 12-bit SOF1/SOF2 decodes since r11 (SOF0 must be
-                    # 8-bit per T.81 — a 12-bit SOF0 is malformed)
+                    # 12-bit SOF1/SOF2/SOF9/SOFA decode since r11/r12
+                    # (SOF0 must be 8-bit per T.81 — a 12-bit SOF0 is
+                    # malformed)
                     return "jpeg", f"{mode}-12bit", True
                 return "jpeg", f"{mode}-{prec}bit", False
             i += 2 + int.from_bytes(data[i + 2 : i + 4], "big")
@@ -1469,7 +1533,7 @@ FORMAT_CLASSES = [
     ("png", "depth16-ctype2", False),
     ("jpeg", "baseline", True),
     ("jpeg", "progressive", True),  # huffman progressive decodes since r11
-    ("jpeg", "arithmetic-sequential", False),
+    ("jpeg", "arithmetic-sequential", True),  # QM decode since r12
     ("gif", "single-frame", True),
     ("gif", "multi-frame", True),
     ("bmp", "comp0-24bpp", True),
@@ -1477,6 +1541,7 @@ FORMAT_CLASSES = [
     ("unknown", None, False),
     ("jpeg", "extended-sequential-12bit", True),  # decodes since r11
     ("jpeg", "lossless", True),                   # decodes since r11
+    ("jpeg", "arithmetic-progressive", True),     # QM decode since r12
 ]
 
 
@@ -1496,8 +1561,9 @@ def synth_container(cls: int, salt: int = 0) -> bytes:
             + struct.pack(">I", 13) + b"IHDR" + ihdr + b"\x00\x00\x00\x00"
             + tail
         )
-    if k in (2, 3, 4, 10, 11):  # JPEG: SOF0/SOF2/SOF9/12-bit SOF1/SOF3
-        sof_marker = {2: 0xC0, 3: 0xC2, 4: 0xC9, 10: 0xC1, 11: 0xC3}[k]
+    if k in (2, 3, 4, 10, 11, 12):  # JPEG: SOF0/2/9/12-bit SOF1/SOF3/SOFA
+        sof_marker = {2: 0xC0, 3: 0xC2, 4: 0xC9, 10: 0xC1, 11: 0xC3,
+                      12: 0xCA}[k]
         prec = 12 if k == 10 else 8
         app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
         sof = (

@@ -614,11 +614,21 @@ def test_jpeg_error_contract():
     # truncated entropy stream -> ValueError (never a crash)
     with _pytest.raises(ValueError):
         decode_pixels(data[: len(data) - 6])
-    # arithmetic-coded SOF -> explicit NotImplementedError boundary
-    arith = bytearray(data)
-    arith[arith.index(b"\xff\xc0") + 1] = 0xC9
+    # hierarchical (differential) SOF -> explicit NotImplementedError
+    # boundary (arithmetic-DCT SOF9/SOFA decode since r12 — a huffman
+    # stream relabeled SOF9 is now CORRUPTION territory, not boundary:
+    # it must never raise NotImplementedError; garbage-decode or
+    # ValueError are both inside the per-row isolation contract)
+    diff_sof = bytearray(data)
+    diff_sof[diff_sof.index(b"\xff\xc0") + 1] = 0xCD
     with _pytest.raises(NotImplementedError):
-        decode_pixels(bytes(arith))
+        decode_pixels(bytes(diff_sof))
+    relabeled = bytearray(data)
+    relabeled[relabeled.index(b"\xff\xc0") + 1] = 0xC9
+    try:
+        decode_pixels(bytes(relabeled))
+    except ValueError:
+        pass
     # SOF2 flag on a baseline full-band scan header (Ss=0, Se=63) is an
     # invalid progressive stream, not a boundary: ValueError (r11 —
     # progressive itself now decodes)
@@ -948,9 +958,9 @@ def test_decode_coverage_stage(spark):
     for k, (fmt, mode, ok) in enumerate(mm.FORMAT_CLASSES):
         assert got[(fmt, mode, ok)] == 4
     n_dec = sum(n for (f, m, ok), n in got.items() if ok)
-    assert n_dec == 32  # 8 of 12 classes are inside the boundary (r11:
-    # huffman progressive, 12-bit extended-sequential AND lossless all
-    # moved inside)
+    assert n_dec == 40  # 10 of 13 classes are inside the boundary (r11:
+    # huffman progressive, 12-bit extended-sequential AND lossless moved
+    # inside; r12: both arithmetic-DCT classes moved inside)
 
 
 # -- progressive JPEG pins (r11): independent multi-scan encoder --------------
