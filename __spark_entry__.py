@@ -1355,6 +1355,66 @@ def _q_animation_stats(spark, sf_dir):
     return ga.animation_stats(assets)
 
 
+def _audio_stats_sql() -> str:
+    """DuckDB twin of _q_audio_stats, generated from the single
+    AUDIO_CLASSES definition and its closed-form waveforms in
+    sources/audio.py (A(d) = 100 + d*31 % 29000 square wave, N(d) frames,
+    SR(d) rate): every header field and exact-integer sample statistic is
+    recomputable from the id alone — while the Spark side chunk-walks and
+    sample-decodes REAL container bytes (a RIFF-walk, bit-unpack or
+    normalization bug breaks the hash)."""
+    from kausaldb_spark.sources import audio as au
+
+    cls_vals = ",\n   ".join(
+        f"({k}, '{f}', " + (f"'{m}'" if m is not None else "NULL") + ")"
+        for k, (f, m, _ok) in enumerate(au.AUDIO_CLASSES)
+    )
+    return f"""
+WITH cls AS (SELECT * FROM (VALUES
+   {cls_vals}
+  ) AS t(k, format, mode)),
+base AS (
+  SELECT doc_id, CAST(doc_id % {len(au.AUDIO_CLASSES)} AS INT) AS k,
+         100 + (doc_id * 31) % 29000 AS a,
+         16 + (doc_id % 7) * 8 AS n,
+         8000 + (doc_id % 4) * 4000 AS sr,
+         (doc_id % 100) * 256 AS c8
+  FROM documents
+)
+SELECT CAST(b.doc_id AS VARCHAR) AS asset_id,
+       c.format, c.mode,
+       CAST(CASE WHEN b.k = 9 THEN NULL
+                 WHEN b.k = 7 THEN 44100 ELSE b.sr END AS BIGINT)
+         AS sample_rate,
+       CAST(CASE WHEN b.k = 9 THEN NULL
+                 WHEN b.k IN (1, 6, 8) THEN 2 ELSE 1 END AS BIGINT)
+         AS channels,
+       CAST(CASE WHEN b.k <= 4 THEN b.n END AS BIGINT) AS n_frames,
+       CAST(CASE WHEN b.k <= 4 THEN b.n * 1000 // b.sr END AS BIGINT)
+         AS duration_ms,
+       CAST(CASE WHEN b.k IN (0, 1, 3, 4) THEN b.a
+                 WHEN b.k = 2 THEN b.c8 END AS BIGINT) AS peak16,
+       CAST(CASE WHEN b.k IN (0, 3, 4) THEN b.n * b.a * b.a
+                 WHEN b.k = 1 THEN b.n * (b.a * b.a + (b.a // 2) * (b.a // 2))
+                 WHEN b.k = 2 THEN b.n * b.c8 * b.c8 END AS BIGINT)
+         AS sum_sq16,
+       CASE WHEN b.k = 9 THEN 'undecodable container' END AS err
+FROM base b JOIN cls c ON c.k = b.k"""
+
+
+def _q_audio_stats(spark, sf_dir):
+    # real audio modality (r12): deterministic audio corpus keyed off
+    # doc_id — REAL RIFF chunk-walk + PCM/float sample decode (8/16/24-bit
+    # and IEEE float, normalized to one 16-bit integer scale) for the
+    # decodable classes, REAL header probes (FLAC STREAMINFO bit-unpack,
+    # MP3 frame-header tables, Ogg/Vorbis id header) for the boundary
+    # classes. Exact-integer peak/sum-of-squares per asset.
+    from kausaldb_spark.sources import audio as au
+
+    assets = au.synthetic_audio_assets(_docs(spark, sf_dir))
+    return au.audio_stats(assets)
+
+
 def _q_line_dedup(spark, sf_dir):
     # CCNet-style line-level boilerplate removal over the SAME planted
     # corpus the other dedup gates use (raw documents have no duplicate
@@ -1602,6 +1662,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters": _q_near_dup_clusters,
         "decode_coverage": _q_decode_coverage,  # NEW r11 (verdict item 5)
         "animation_stats": _q_animation_stats,  # NEW r11 (multi-frame GIF)
+        "audio_stats": _q_audio_stats,  # NEW r12: real audio modality
+        #    (RIFF/WAV PCM decode + FLAC/MP3/OGG header probes)
         "html_extract": _q_html_extract,  # re-gate r12: self-closing
         #    suppress-tag fix touched the extractor this round
         "warc_ingest": _q_warc_ingest,  # NEW r12: end-to-end crawl chain
@@ -1612,10 +1674,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": _q_lm_perplexity,
         "gopher_rules": _q_gopher_rules,
         "c4_rules": _q_c4_rules,
-        "hybrid_rrf": _q_hybrid_rrf,
         # -- tail (position > 50: outside the driver sample; the oracle-
         #    backed entries here are still hash-gated by the local parity
         #    suite, the rows-only ones are pytest-gated) --
+        "hybrid_rrf": _q_hybrid_rrf,  # displaced r12 for the new
+        #    audio_stats entry (green r11 row; term_match_topk keeps the
+        #    retrieval family in-window; path unchanged this round)
         "normalize_text": _q_normalize_text,  # displaced r12: green r11
         "mixture_weights": _q_mixture_weights,  # rows, paths unchanged this
         "domain_filter": _q_domain_filter,  # round (quality_score +
@@ -2774,6 +2838,11 @@ FROM corpus GROUP BY 1, 2 HAVING count(*) > 1""",
         # twin recomputes frame counts/delays/means from doc_id alone; the
         # Spark side LZW-decodes and composites the actual GIF bytes
         "animation_stats": _animation_stats_sql(),
+        # and for the audio corpus: the twin recomputes header fields and
+        # exact-integer sample statistics from doc_id's closed forms; the
+        # Spark side chunk-walks real RIFF/FLAC/MP3/Ogg bytes and decodes
+        # PCM/float samples on the normalized 16-bit scale
+        "audio_stats": _audio_stats_sql(),
         # and for the HTML corpus: the twin predicts extraction results
         # from (doc_id % 6, text) via the shared HTML_CLASSES table; the
         # Spark side tokenizes the actual markup (entities, script traps,

@@ -72,6 +72,11 @@ _ARROW_OK = {
     # stage) with the robots parse; everything after the slim url
     # relation is codegen
     "crawl_frontier",
+    # r12: the audio corpus is SYNTHESIZED (mapInPandas off doc_id) and
+    # then container-parsed + PCM-decoded (mapInPandas RIFF walk / FLAC
+    # bit-unpack / sample stats) — the same documented synth+decode
+    # Arrow-boundary pair as animation_stats
+    "audio_stats",
 }
 
 
