@@ -1415,6 +1415,56 @@ def _q_audio_stats(spark, sf_dir):
     return au.audio_stats(assets)
 
 
+def _video_probe_sql() -> str:
+    """DuckDB twin of _q_video_probe, generated from the single
+    VIDEO_CLASSES definition and its closed forms in sources/video.py
+    (W/H/DUR/audio-track-count all functions of doc_id): the twin
+    recomputes every field from the id while the Spark side walks REAL
+    ISO-BMFF boxes (incl. the version-1 64-bit mvhd path), nested AVI
+    LISTs and EBML vints — a size-arithmetic bug breaks the hash."""
+    from kausaldb_spark.sources import video as vi
+
+    cls_vals = ",\n   ".join(
+        f"({k}, '{f}', " + (f"'{m}'" if m is not None else "NULL") + ")"
+        for k, (f, m) in enumerate(vi.VIDEO_CLASSES)
+    )
+    return f"""
+WITH cls AS (SELECT * FROM (VALUES
+   {cls_vals}
+  ) AS t(k, format, mode)),
+base AS (
+  SELECT doc_id, CAST(doc_id % {len(vi.VIDEO_CLASSES)} AS INT) AS k,
+         16 * (4 + doc_id % 60) AS w,
+         16 * (3 + doc_id % 40) AS h,
+         500 + (doc_id * 37) % 60000 AS dur
+  FROM documents
+)
+SELECT CAST(b.doc_id AS VARCHAR) AS asset_id,
+       c.format, c.mode,
+       CAST(CASE WHEN b.k <= 2 THEN b.w END AS BIGINT) AS width,
+       CAST(CASE WHEN b.k <= 2 THEN b.h END AS BIGINT) AS height,
+       CAST(CASE WHEN b.k <= 2 THEN b.dur END AS BIGINT) AS duration_ms,
+       CAST(CASE WHEN b.k <= 2 THEN 1 WHEN b.k = 5 THEN 0 END AS BIGINT)
+         AS n_video_tracks,
+       CAST(CASE WHEN b.k <= 1 THEN b.doc_id % 3
+                 WHEN b.k IN (2, 5) THEN 0 END AS BIGINT) AS n_audio_tracks
+FROM base b JOIN cls c ON c.k = b.k"""
+
+
+def _q_video_probe(spark, sf_dir):
+    # video container classification (r12): deterministic video corpus
+    # keyed off doc_id — REAL ISO-BMFF/MP4 box walk (ftyp brand, v0/v1
+    # mvhd duration, per-trak tkhd dims + hdlr types), AVI nested-LIST
+    # RIFF down to avih, Matroska/WebM EBML vint walk to the DocType.
+    # Frame decode stays the documented codec boundary; classification,
+    # dimensions, duration and track counts are the real pre-filter a
+    # 100 TB video corpus needs before any codec runs.
+    from kausaldb_spark.sources import video as vi
+
+    assets = vi.synthetic_video_assets(_docs(spark, sf_dir))
+    return vi.video_probe_stats(assets)
+
+
 def _q_line_dedup(spark, sf_dir):
     # CCNet-style line-level boilerplate removal over the SAME planted
     # corpus the other dedup gates use (raw documents have no duplicate
@@ -1664,6 +1714,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "animation_stats": _q_animation_stats,  # NEW r11 (multi-frame GIF)
         "audio_stats": _q_audio_stats,  # NEW r12: real audio modality
         #    (RIFF/WAV PCM decode + FLAC/MP3/OGG header probes)
+        "video_probe": _q_video_probe,  # NEW r12: video container probes
+        #    (ISO-BMFF box walk, AVI nested-LIST RIFF, Matroska EBML)
         "html_extract": _q_html_extract,  # re-gate r12: self-closing
         #    suppress-tag fix touched the extractor this round
         "warc_ingest": _q_warc_ingest,  # NEW r12: end-to-end crawl chain
@@ -1673,13 +1725,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": _q_ann_recall,
         "lm_perplexity": _q_lm_perplexity,
         "gopher_rules": _q_gopher_rules,
-        "c4_rules": _q_c4_rules,
         # -- tail (position > 50: outside the driver sample; the oracle-
         #    backed entries here are still hash-gated by the local parity
         #    suite, the rows-only ones are pytest-gated) --
         "hybrid_rrf": _q_hybrid_rrf,  # displaced r12 for the new
         #    audio_stats entry (green r11 row; term_match_topk keeps the
         #    retrieval family in-window; path unchanged this round)
+        "c4_rules": _q_c4_rules,  # displaced r12 for the new video_probe
+        #    entry (green r11 row; lm_perplexity/gopher_rules keep the
+        #    text-rules family in-window; path unchanged this round)
         "normalize_text": _q_normalize_text,  # displaced r12: green r11
         "mixture_weights": _q_mixture_weights,  # rows, paths unchanged this
         "domain_filter": _q_domain_filter,  # round (quality_score +
@@ -2843,6 +2897,10 @@ FROM corpus GROUP BY 1, 2 HAVING count(*) > 1""",
         # Spark side chunk-walks real RIFF/FLAC/MP3/Ogg bytes and decodes
         # PCM/float samples on the normalized 16-bit scale
         "audio_stats": _audio_stats_sql(),
+        # and for the video corpus: the twin recomputes classification,
+        # dimensions, duration and track counts from doc_id's closed
+        # forms; the Spark side walks real ISO-BMFF/AVI/EBML structures
+        "video_probe": _video_probe_sql(),
         # and for the HTML corpus: the twin predicts extraction results
         # from (doc_id % 6, text) via the shared HTML_CLASSES table; the
         # Spark side tokenizes the actual markup (entities, script traps,

@@ -102,6 +102,8 @@ BENCH_QUERIES = [
     "crawl_frontier",
     "decode_coverage",
     "animation_stats",
+    "audio_stats",
+    "video_probe",
     "pii_scan",
     "repetition_score",
     "domain_filter",

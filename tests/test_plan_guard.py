@@ -77,6 +77,10 @@ _ARROW_OK = {
     # bit-unpack / sample stats) — the same documented synth+decode
     # Arrow-boundary pair as animation_stats
     "audio_stats",
+    # r12: video container classification — synth (mapInPandas off doc_id)
+    # + ISO-BMFF/AVI/EBML header walk (mapInPandas); probe-only, no codec,
+    # payload never shuffles
+    "video_probe",
 }
 
 
