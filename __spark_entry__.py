@@ -1465,6 +1465,75 @@ def _q_video_probe(spark, sf_dir):
     return vi.video_probe_stats(assets)
 
 
+def _image_near_dup_sql() -> str:
+    """DuckDB twin of _q_image_near_dup. The fixture CONSTRUCTS each image
+    so its 63-bit perceptual hash equals the md5(str(base_id)) bit pattern
+    (with <=2 XOR flips for the planted id%10==1 partners) — so the twin
+    recomputes every signature from id arithmetic ALONE and replicates the
+    banded-candidate union + bit_count verify, while the Spark side must
+    BMP-decode real pixels, area-mean pool, DCT, mean-threshold and band
+    (any error in that chain breaks the hash). Same oracle discipline as
+    simhash_band_sql."""
+    from kausaldb_spark.sources import multimodal as mm
+
+    nb = mm.PHASH_BITS
+
+    def band_expr(b: int) -> str:
+        terms = []
+        for jb in range(16):
+            j = 16 * b + jb
+            if j >= nb:
+                break
+            nib, sh = j // 4 + 1, j % 4
+            raw = (
+                f"(((strpos('0123456789abcdef', substr(hx, {nib}, 1)) - 1)"
+                f" >> {sh}) & 1)"
+            )
+            bit = (
+                f"xor(xor({raw}, CASE WHEN f1 = {j} THEN 1 ELSE 0 END),"
+                f" CASE WHEN f2 = {j} THEN 1 ELSE 0 END)"
+            )
+            terms.append(f"({bit}) * {1 << jb}")
+        return "CAST(" + " + ".join(terms) + " AS INT)"
+
+    band_cols = ", ".join(f"{band_expr(b)} AS b{b}" for b in range(4))
+    hamming = " + ".join(f"bit_count(xor(sa.b{b}, sb.b{b}))" for b in range(4))
+    per_band = "\nUNION\n".join(
+        f"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sigs a JOIN sigs b ON a.b{b} = b.b{b} AND a.doc_id < b.doc_id
+    WHERE a.b{b} IN (SELECT b{b} FROM sigs GROUP BY b{b}
+                     HAVING count(*) <= 100000)"""
+        for b in range(4)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         md5(CAST(CASE WHEN doc_id % 10 = 1 THEN doc_id - 1
+                       ELSE doc_id END AS VARCHAR)) AS hx,
+         CASE WHEN doc_id % 10 = 1 THEN (doc_id * 7) % {nb} ELSE -1 END AS f1,
+         CASE WHEN doc_id % 10 = 1 THEN (doc_id * 13) % {nb} ELSE -1 END AS f2
+  FROM documents),
+sigs AS (SELECT doc_id, {band_cols} FROM base),
+cand AS ({per_band})
+SELECT c.doc_a, c.doc_b, CAST({hamming} AS INT) AS hamming
+FROM cand c JOIN sigs sa ON sa.doc_id = c.doc_a
+            JOIN sigs sb ON sb.doc_id = c.doc_b
+WHERE {hamming} <= {mm.MAX_PHASH_HAMMING}"""
+
+
+def _q_image_near_dup(spark, sf_dir):
+    # perceptual-hash image near-dup (r12): REAL pixel decode -> Rec.601
+    # gray -> 32x32 area-mean pool -> 2-D DCT -> mean-threshold 63-bit
+    # signature -> banded candidates -> bit_count verify. The fixture
+    # plants id%10==1 partners at <=2 bit flips; the twin recomputes the
+    # signature from md5 id arithmetic (the image was CONSTRUCTED to hash
+    # to exactly that pattern).
+    from kausaldb_spark.sources import multimodal as mm
+
+    assets = mm.synthetic_phash_assets(_docs(spark, sf_dir))
+    return mm.phash_near_dup(mm.image_phash_bands(assets))
+
+
 def _q_line_dedup(spark, sf_dir):
     # CCNet-style line-level boilerplate removal over the SAME planted
     # corpus the other dedup gates use (raw documents have no duplicate
@@ -1716,6 +1785,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    (RIFF/WAV PCM decode + FLAC/MP3/OGG header probes)
         "video_probe": _q_video_probe,  # NEW r12: video container probes
         #    (ISO-BMFF box walk, AVI nested-LIST RIFF, Matroska EBML)
+        "image_near_dup": _q_image_near_dup,  # NEW r12: perceptual-hash
+        #    (DCT pHash) near-dup over really-decoded pixels
         "html_extract": _q_html_extract,  # re-gate r12: self-closing
         #    suppress-tag fix touched the extractor this round
         "warc_ingest": _q_warc_ingest,  # NEW r12: end-to-end crawl chain
@@ -1724,7 +1795,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_diff": _q_corpus_diff,
         "ann_recall": _q_ann_recall,
         "lm_perplexity": _q_lm_perplexity,
-        "gopher_rules": _q_gopher_rules,
         # -- tail (position > 50: outside the driver sample; the oracle-
         #    backed entries here are still hash-gated by the local parity
         #    suite, the rows-only ones are pytest-gated) --
@@ -1734,6 +1804,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_rules": _q_c4_rules,  # displaced r12 for the new video_probe
         #    entry (green r11 row; lm_perplexity/gopher_rules keep the
         #    text-rules family in-window; path unchanged this round)
+        "gopher_rules": _q_gopher_rules,  # displaced r12 for the new
+        #    image_near_dup entry (green r11 row; lm_perplexity +
+        #    gopher_repetition keep the family in-window; path unchanged)
         "normalize_text": _q_normalize_text,  # displaced r12: green r11
         "mixture_weights": _q_mixture_weights,  # rows, paths unchanged this
         "domain_filter": _q_domain_filter,  # round (quality_score +
@@ -2901,6 +2974,11 @@ FROM corpus GROUP BY 1, 2 HAVING count(*) > 1""",
         # dimensions, duration and track counts from doc_id's closed
         # forms; the Spark side walks real ISO-BMFF/AVI/EBML structures
         "video_probe": _video_probe_sql(),
+        # and for the perceptual-hash corpus: the fixture images were
+        # CONSTRUCTED to hash to md5(base_id) bit patterns, so the twin
+        # recomputes signatures from id arithmetic and replicates the
+        # banded union + bit_count verify; Spark decodes real pixels
+        "image_near_dup": _image_near_dup_sql(),
         # and for the HTML corpus: the twin predicts extraction results
         # from (doc_id % 6, text) via the shared HTML_CLASSES table; the
         # Spark side tokenizes the actual markup (entities, script traps,

@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "animation_stats",
     "audio_stats",
     "video_probe",
+    "image_near_dup",
     "pii_scan",
     "repetition_score",
     "domain_filter",

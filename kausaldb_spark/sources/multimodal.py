@@ -1661,3 +1661,232 @@ def exact_binary_duplicates(
         )
         .where(F.col("n_assets") > 1)
     )
+
+
+# -- perceptual-hash image near-dup (r12) -------------------------------------
+# The CV half of near-dup curation: images that are visually identical but
+# byte-different (re-encodes, resizes, metadata strips) collapse under a
+# 63-bit DCT perceptual hash. Pipeline: REAL pixel decode -> integer
+# Rec.601 grayscale -> area-mean pool to 32x32 -> orthonormal 2-D DCT ->
+# mean-threshold the 8x8 low-frequency block (DC excluded) -> 63-bit
+# signature in 4 bands -> banded equi-join candidates (pigeonhole: hamming
+# <= 3 implies one band equal) -> bit_count verify in pure codegen. The
+# expensive part (decode+DCT) is map-only Arrow work; the join shuffles
+# 16-bit band keys, never pixels. Mean-threshold (not median) is the
+# published pHash variant whose bit pattern is analytically determined by
+# the coefficient signs — which is what makes the fixture's oracle
+# possible (see synthetic_phash_assets).
+
+PHASH_BITS = 63            # 8x8 low-frequency block minus DC
+PHASH_AMP = 20.0           # fixture coefficient amplitude (see margin note)
+N_PHASH_BANDS = 4          # 16+16+16+15 bits
+MAX_PHASH_HAMMING = 3      # bands-1: banding guarantees recall at <= 3
+
+
+def _dct32_basis():
+    import numpy as np
+
+    b = np.zeros((32, 32))
+    for u in range(32):
+        cu = np.sqrt(1.0 / 32.0) if u == 0 else np.sqrt(2.0 / 32.0)
+        for x in range(32):
+            b[u, x] = cu * np.cos((2 * x + 1) * u * np.pi / 64.0)
+    return b
+
+
+def phash63(img) -> list:
+    """63-bit perceptual hash of a decoded (h, w[, ch]) uint8 image as a
+    list of N_PHASH_BANDS ints (16/16/16/15 bits, LSB-first within each
+    band). Grayscale via integer Rec.601; pooling is exact area-mean over
+    a 32x32 grid (np.add.reduceat on both axes, so any size >= 32 works);
+    threshold is the mean of the 63 non-DC low-band coefficients."""
+    import numpy as np
+
+    a = np.asarray(img, dtype=np.int64)
+    if a.ndim == 3:
+        if a.shape[2] >= 3:
+            g = (299 * a[..., 0] + 587 * a[..., 1] + 114 * a[..., 2]) // 1000
+        else:
+            g = a[..., 0]
+    else:
+        g = a
+    h, w = g.shape
+    if h < 32 or w < 32:
+        raise ValueError(f"image too small for phash ({h}x{w})")
+    gf = g.astype(np.float64)
+    ye = (np.arange(32) * h) // 32
+    xe = (np.arange(32) * w) // 32
+    pooled = np.add.reduceat(np.add.reduceat(gf, ye, axis=0), xe, axis=1)
+    ylen = np.diff(np.append(ye, h)).astype(np.float64)
+    xlen = np.diff(np.append(xe, w)).astype(np.float64)
+    pooled /= ylen[:, None] * xlen[None, :]
+    basis = _dct32_basis()
+    coef = basis @ pooled @ basis.T
+    vals = coef[:8, :8].flatten()[1:]  # raster order, DC excluded
+    bits = vals > vals.mean()
+    bands = []
+    for b in range(N_PHASH_BANDS):
+        v = 0
+        for jb in range(16):
+            j = 16 * b + jb
+            if j < PHASH_BITS and bits[j]:
+                v |= 1 << jb
+        bands.append(v)
+    return bands
+
+
+def image_phash_bands(assets: DataFrame, id_col: str = "asset_id",
+                      payload_col: str = "payload") -> DataFrame:
+    """(asset_id, b0..b3, err): decode + hash stage, Arrow-batched and
+    per-row isolated (undecodable assets carry err and null bands — they
+    simply never join)."""
+
+    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    bands = phash63(
+                        decode_pixels(bytes(payload) if payload is not None else b"")
+                    )
+                    rows.append((str(aid), *bands, None))
+                except (ValueError, NotImplementedError) as exc:
+                    rows.append((str(aid), None, None, None, None,
+                                 f"{type(exc).__name__}: {exc}"))
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "b0", "b1", "b2", "b3", "err"]
+            )
+
+    return assets.select(id_col, payload_col).mapInPandas(
+        batch_fn,
+        "asset_id string, b0 int, b1 int, b2 int, b3 int, err string",
+    )
+
+
+def phash_near_dup(bands: DataFrame, max_hamming: int = MAX_PHASH_HAMMING,
+                   max_bucket: int = 100_000) -> DataFrame:
+    """(doc_a, doc_b, hamming) pairs with signature hamming <= max_hamming,
+    ids compared numerically. Same banded shape as simhash_band_pairs: 4
+    per-band equi-joins within bucket-capped 16-bit band values — never an
+    all-pairs comparison; verify is bit_count codegen over the band ints."""
+    from ..functions.dedup import capped_buckets
+
+    all_bands = [f"b{b}" for b in range(N_PHASH_BANDS)]
+    sigs = (
+        bands.where(F.col("err").isNull())
+        .select(F.col("asset_id").cast("bigint").alias("doc_id"), *all_bands)
+    )
+    cands = None
+    for b in range(N_PHASH_BANDS):
+        col = f"b{b}"
+        banded, _dropped = capped_buckets(sigs, max_bucket, keys=(col,))
+        a = banded.select(
+            F.col(col).alias("_bv"), F.col("doc_id").alias("doc_a"),
+            *[F.col(n).alias(f"a_{n}") for n in all_bands],
+        )
+        c = banded.select(
+            F.col(col).alias("_bv"), F.col("doc_id").alias("doc_b"),
+            *[F.col(n).alias(f"c_{n}") for n in all_bands],
+        )
+        p = (
+            a.join(c, "_bv")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select(
+                "doc_a", "doc_b",
+                *[f"a_{n}" for n in all_bands], *[f"c_{n}" for n in all_bands],
+            )
+        )
+        cands = p if cands is None else cands.unionByName(p)
+    hamming = None
+    for n in all_bands:
+        h = F.bit_count(F.col(f"a_{n}").bitwiseXOR(F.col(f"c_{n}")))
+        hamming = h if hamming is None else hamming + h
+    return (
+        cands.distinct()
+        .withColumn("hamming", hamming.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# --- deterministic phash-image synthesis (the image_near_dup fixture) -------
+# Each doc's 63-bit signature is CHOSEN from md5(str(base_id)) (bit j =
+# bit (j%4) of hex nibble (j//4)), then an image is CONSTRUCTED whose
+# phash equals it: the 32x32 IDCT of the 8x8 coefficient grid holding
+# +-PHASH_AMP per chosen bit (DC carries the 128 gray mean), pixel-
+# replicated to 64x64 and BMP-encoded. Mean-pooling 2x inverts the
+# replication exactly; the DCT recovers the coefficients up to uint8
+# rounding noise (|eps| << amplitude, verified by a margin test), and the
+# mean threshold sits strictly between +A and -A whenever the bit count
+# is in [1, 62] — so phash63(decode(synth)) == the md5 pattern, which a
+# SQL twin can recompute. Docs with id % 10 == 1 reuse id-1's pattern
+# with <= 2 deterministic bit flips: the PLANTED near-dup pairs.
+
+def phash_fixture_bits(doc_id: int) -> list:
+    """The 63 signature bits the fixture plants for doc_id."""
+    import hashlib
+
+    base = doc_id - 1 if doc_id % 10 == 1 else doc_id
+    hx = hashlib.md5(str(base).encode()).hexdigest()
+    bits = [(int(hx[j // 4], 16) >> (j % 4)) & 1 for j in range(PHASH_BITS)]
+    if doc_id % 10 == 1:
+        # XOR semantics (not set): if the two positions coincide the flips
+        # cancel — exactly what the SQL twin's per-bit XOR computes
+        bits[(doc_id * 7) % PHASH_BITS] ^= 1
+        bits[(doc_id * 13) % PHASH_BITS] ^= 1
+    return bits
+
+
+def _phash_fixture_image(bits) -> "object":
+    import numpy as np
+
+    coef = np.zeros((32, 32))
+    coef[0, 0] = 128.0 * 32.0  # orthonormal DC of a 128-mean 32x32 image
+    for j, bit in enumerate(bits):
+        u, v = divmod(j + 1, 8)
+        coef[u, v] = PHASH_AMP if bit else -PHASH_AMP
+    basis = _dct32_basis()
+    img = basis.T @ coef @ basis
+    out = np.rint(img)
+    if out.min() < 0 or out.max() > 255:
+        raise ValueError("phash fixture image clipped — amplitude too high")
+    return out.astype(np.uint8)
+
+
+def _bmp_gray64(img32) -> bytes:
+    """2x pixel-replicate a 32x32 gray image and encode as a 24-bit BMP
+    (bottom-up rows; 64*3 bytes/row is already 4-aligned)."""
+    import struct as _struct
+
+    import numpy as np
+
+    g = np.repeat(np.repeat(np.asarray(img32, np.uint8), 2, 0), 2, 1)
+    rows = b"".join(
+        bytes(int(v) for v in np.repeat(g[y], 3)) for y in range(63, -1, -1)
+    )
+    info = _struct.pack("<IiiHHIIiiII", 40, 64, 64, 1, 24, 0, len(rows), 0, 0, 0, 0)
+    return b"BM" + _struct.pack("<IHHI", 54 + len(rows), 0, 0, 54) + info + rows
+
+
+def synthetic_phash_assets(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(asset_id, payload): the deterministic perceptual-hash image corpus
+    keyed off the documents table."""
+
+    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids.astype("string"),
+                    "payload": [
+                        _bmp_gray64(
+                            _phash_fixture_image(phash_fixture_bits(int(i)))
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    return docs.select(id_col).mapInPandas(
+        batch_fn, "asset_id string, payload binary"
+    )

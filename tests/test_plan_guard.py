@@ -81,6 +81,10 @@ _ARROW_OK = {
     # + ISO-BMFF/AVI/EBML header walk (mapInPandas); probe-only, no codec,
     # payload never shuffles
     "video_probe",
+    # r12: perceptual-hash near-dup — image synth (mapInPandas off doc_id)
+    # + decode/DCT/threshold hash stage (mapInPandas); the candidate join
+    # and hamming verify downstream are pure codegen on 16-bit band ints
+    "image_near_dup",
 }
 
 
