@@ -219,8 +219,7 @@ _JPEG_ZIGZAG = [
 ]
 
 _JPEG_SOF_UNSUPPORTED = {
-    0xC5: "differential sequential",
-    0xC6: "differential progressive", 0xC7: "differential lossless",
+    0xC7: "differential lossless",
     0xCB: "arithmetic lossless", 0xCD: "differential arithmetic seq",
     0xCE: "differential arithmetic prog", 0xCF: "differential arithmetic ll",
 }
@@ -396,12 +395,33 @@ def _decode_jpeg(data: bytes):
     sof = None
     progressive = False
     arithmetic = False
+    differential = False
+    hier = False                 # DHP seen: hierarchical stream
+    pending_exp = (0, 0)         # EXP flags awaiting the next frame
+    frames: list[dict] = []      # closed frames (hierarchical pyramid)
     dc_cond: dict[int, tuple] = {}  # DAC DC conditioning: tb -> (L, U)
     ac_cond: dict[int, int] = {}    # DAC AC conditioning: tb -> Kx
     precision = 8
     dri = 0
     pos = 2
     scans: list[dict] = []
+
+    cur_exp = (0, 0)  # EXP flags bound to the OPEN frame
+
+    def _close_frame():
+        nonlocal sof, scans, progressive, arithmetic, differential
+        if sof is not None:
+            if not scans:
+                raise ValueError("JPEG frame without scans")
+            frames.append(
+                {
+                    "sof": sof, "scans": scans, "progressive": progressive,
+                    "arithmetic": arithmetic, "differential": differential,
+                    "exp": cur_exp,
+                }
+            )
+        sof, scans = None, []
+
     while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
@@ -412,11 +432,16 @@ def _decode_jpeg(data: bytes):
             pos += 2
             continue
         if marker == 0xC3:  # lossless (SOF3): its own scan machinery
+            if hier:
+                raise NotImplementedError(
+                    "hierarchical lossless JPEG not decoded here"
+                )
             return _decode_jpeg_lossless(data)
         if marker in _JPEG_SOF_UNSUPPORTED:
             raise NotImplementedError(
                 f"JPEG {_JPEG_SOF_UNSUPPORTED[marker]} (SOF {marker:#x}) "
-                "not decoded here — huffman baseline/progressive/lossless only"
+                "not decoded here — huffman DCT (incl. hierarchical) and "
+                "arithmetic DCT only"
             )
         if pos + 4 > len(data):
             break
@@ -452,7 +477,15 @@ def _decode_jpeg(data: bytes):
                 i += 17 + n
         elif marker == 0xCC:  # DAC: arithmetic conditioning (mid-file ok)
             ja.parse_dac(seg, dc_cond, ac_cond)
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):  # DCT SOF
+        elif marker == 0xDE:  # DHP: hierarchical progression (SOF syntax)
+            hier = True
+        elif marker == 0xDF:  # EXP: expand reference before next frame
+            if not hier:
+                raise ValueError("JPEG EXP outside a hierarchical stream")
+            pending_exp = (seg[0] >> 4, seg[0] & 15)
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA, 0xC5, 0xC6):  # DCT SOF
+            _close_frame()
+            cur_exp, pending_exp = pending_exp, (0, 0)
             prec, h, w, nf = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec not in (8, 12):
                 raise NotImplementedError(f"JPEG {prec}-bit precision")
@@ -461,8 +494,11 @@ def _decode_jpeg(data: bytes):
                 # malformed stream, not a codec boundary
                 raise ValueError("JPEG baseline (SOF0) with 12-bit precision")
             precision = prec
-            progressive = marker in (0xC2, 0xCA)
+            progressive = marker in (0xC2, 0xCA, 0xC6)
             arithmetic = marker in (0xC9, 0xCA)
+            differential = marker in (0xC5, 0xC6)
+            if differential and not hier:
+                raise ValueError("JPEG differential frame without DHP")
             comps = []
             for c in range(nf):
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
@@ -531,21 +567,177 @@ def _decode_jpeg(data: bytes):
             pos = i
             continue
         pos += 2 + seg_len
-    if sof is None or not scans:
+    _close_frame()
+    if not frames:
         raise ValueError("JPEG without SOF/SOS")
 
-    h, w = sof["h"], sof["w"]
-    if h == 0 or w == 0:
-        raise ValueError("JPEG zero dimension")
-    comps = sof["comps"]
+    refs: dict[int, "np.ndarray"] = {}  # hierarchical: comp id -> int plane
+    maxval = (1 << precision) - 1
+    for fr_i, fr in enumerate(frames):
+        sof = fr["sof"]
+        scans = fr["scans"]
+        progressive = fr["progressive"]
+        arithmetic = fr["arithmetic"]
+        differential = fr["differential"]
+        if fr_i == 0 and differential:
+            raise ValueError("JPEG first hierarchical frame is differential")
+        if fr_i > 0 and not differential:
+            raise ValueError("JPEG non-differential frame after the first")
+
+        h, w = sof["h"], sof["w"]
+        if h == 0 or w == 0:
+            raise ValueError("JPEG zero dimension")
+        comps = sof["comps"]
+        hmax = max(c["h"] for c in comps)
+        vmax = max(c["v"] for c in comps)
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+        coefs = [
+            np.zeros((c["bh_pad"], c["bw_pad"], 64), dtype=np.int64)
+            for c in comps
+        ]
+
+        _jpeg_decode_scans(scans, coefs, comps, progressive, arithmetic,
+                           differential, mcux, mcuy)
+
+        # dequant + dezigzag + IDCT, vectorized per plane; differential
+        # frames carry NO level shift (they code a residual around 0)
+        basis = _jpeg_dct_basis()
+        zz = np.asarray(_JPEG_ZIGZAG)
+        half = float(1 << (precision - 1))
+        planes = []
+        for ci, c in enumerate(comps):
+            if c["tq"] not in qt:
+                raise ValueError(f"JPEG missing quant table {c['tq']}")
+            q = qt[c["tq"]]
+            deq = coefs[ci].astype(np.float64) * q[None, None, :]
+            blocks = np.zeros_like(deq)
+            blocks[:, :, zz] = deq  # dezigzag to natural order
+            blocks = blocks.reshape(c["bh_pad"], c["bw_pad"], 8, 8)
+            spatial = np.einsum("ux,nmuv,vy->nmxy", basis, blocks, basis)
+            if not differential:
+                spatial = spatial + half  # level shift (T.81 A.3.1)
+            planes.append(
+                spatial.transpose(0, 2, 1, 3).reshape(
+                    c["bh_pad"] * 8, c["bw_pad"] * 8
+                )
+            )
+
+        if not hier:
+            # single-frame path: upsample padded planes to the frame grid,
+            # color transform once at the end (unchanged r10/r11 behavior)
+            full = []
+            for c, p in zip(comps, planes):
+                p = np.repeat(np.repeat(p, vmax // c["v"], 0), hmax // c["h"], 1)
+                full.append(p[:h, :w])
+            return _jpeg_color_out(full, precision)
+
+        # hierarchical assembly (T.81 Annex J): per-component integer
+        # references at COMPONENT resolution; EXP doubles a reference
+        # before a differential frame; each frame's output clamps to the
+        # sample range and becomes the new reference
+        eh, ev = fr["exp"]
+        if (eh or ev) and not differential:
+            raise ValueError("JPEG EXP before a non-differential frame")
+        for c, p in zip(comps, planes):
+            cw = -(-w * c["h"] // hmax)
+            chh = -(-h * c["v"] // vmax)
+            p = p[:chh, :cw]
+            if differential:
+                if c["id"] not in refs:
+                    raise ValueError(
+                        f"JPEG differential frame for unseen comp {c['id']}"
+                    )
+                ref = refs[c["id"]]
+                if eh or ev:
+                    ref = _jpeg_expand(ref, eh, ev)
+                if ref.shape != p.shape:
+                    # EXP emits 2x grids; the frame header is authoritative
+                    ref = _jpeg_fit(ref, chh, cw)
+                out = np.clip(np.rint(ref.astype(np.float64) + p), 0, maxval)
+            else:
+                out = np.clip(np.rint(p), 0, maxval)
+            refs[c["id"]] = out.astype(np.int32)
+
+    # final hierarchical output: the LAST frame defines geometry
+    last = frames[-1]["sof"]
+    h, w = last["h"], last["w"]
+    comps = last["comps"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    coefs = [
-        np.zeros((c["bh_pad"], c["bw_pad"], 64), dtype=np.int64)
-        for c in comps
-    ]
+    full = []
+    for c in comps:
+        p = refs[c["id"]].astype(np.float64)
+        p = np.repeat(np.repeat(p, vmax // c["v"], 0), hmax // c["h"], 1)
+        full.append(_jpeg_fit(p, h, w))
+    return _jpeg_color_out(full, precision)
+
+
+def _jpeg_expand(p, eh: int, ev: int):
+    """Reference-component expansion (T.81 J.1.1.2): output even samples
+    copy the input, odd samples interpolate ((a + b + 1) >> 1) with edge
+    replication; horizontal then vertical when both flags are set."""
+    import numpy as np
+
+    if eh:
+        nxt = np.concatenate([p[:, 1:], p[:, -1:]], axis=1)
+        out = np.empty((p.shape[0], 2 * p.shape[1]), dtype=p.dtype)
+        out[:, 0::2] = p
+        out[:, 1::2] = (p + nxt + 1) >> 1
+        p = out
+    if ev:
+        nxt = np.concatenate([p[1:, :], p[-1:, :]], axis=0)
+        out = np.empty((2 * p.shape[0], p.shape[1]), dtype=p.dtype)
+        out[0::2, :] = p
+        out[1::2, :] = (p + nxt + 1) >> 1
+        p = out
+    return p
+
+
+def _jpeg_fit(p, h: int, w: int):
+    """Crop/edge-replicate a plane to exactly (h, w)."""
+    import numpy as np
+
+    if p.shape[0] < h:
+        p = np.concatenate([p, np.repeat(p[-1:, :], h - p.shape[0], 0)], 0)
+    if p.shape[1] < w:
+        p = np.concatenate([p, np.repeat(p[:, -1:], w - p.shape[1], 1)], 1)
+    return p[:h, :w]
+
+
+def _jpeg_color_out(full, precision: int):
+    """Shared output stage: YCbCr->RGB (3 comps) or grayscale, clip to the
+    sample range, scale >8-bit precisions onto the uint8 contract."""
+    import numpy as np
+
+    half = float(1 << (precision - 1))
+    if len(full) == 3:
+        y, cb, cr = full
+        r = y + 1.402 * (cr - half)
+        g = y - 0.344136 * (cb - half) - 0.714136 * (cr - half)
+        bl = y + 1.772 * (cb - half)
+        img = np.stack([r, g, bl], axis=-1)
+    elif len(full) == 1:
+        img = full[0][:, :, None]
+    else:
+        raise NotImplementedError(f"JPEG with {len(full)} components")
+    maxval = (1 << precision) - 1
+    img = np.clip(np.rint(img), 0, maxval)
+    if precision > 8:
+        # pipeline contract: decoded planes are uint8; higher-precision
+        # samples scale down (floor) — the stats/resize stages downstream
+        # are defined on 8-bit planes
+        img = np.floor(img / float(1 << (precision - 8)))
+    return img.astype(np.uint8)
+
+
+def _jpeg_decode_scans(scans, coefs, comps, progressive, arithmetic,
+                       differential, mcux, mcuy):
+    """Entropy-decode every scan of ONE frame into the zigzag coefficient
+    accumulators (shared by sequential/progressive, huffman/arithmetic,
+    and differential frames — the latter code DC with PRED = 0 per block
+    and no inter-block chaining, T.81 F.2.1.3.1)."""
+    from . import jpeg_arith as ja
 
     for sc in scans:
         scomps = sc["comps"]
@@ -622,7 +814,10 @@ def _decode_jpeg(data: bytes):
             if not progressive:
                 dc_t, ac_t = tables[(0, c["td"])], tables[(1, c["ta"])]
                 t = _jpeg_huff_decode(br, dc_t)
-                preds[c["ci"]] += _jpeg_extend(br.receive(t), t)
+                if differential:  # PRED = 0 per block (T.81 F.2.1.3.1)
+                    preds[c["ci"]] = _jpeg_extend(br.receive(t), t)
+                else:
+                    preds[c["ci"]] += _jpeg_extend(br.receive(t), t)
                 coef[0] = preds[c["ci"]]
                 k = 1
                 while k < 64:
@@ -641,7 +836,10 @@ def _decode_jpeg(data: bytes):
             elif ss == 0:
                 if ah == 0:  # DC first
                     t = _jpeg_huff_decode(br, tables[(0, c["td"])])
-                    preds[c["ci"]] += _jpeg_extend(br.receive(t), t)
+                    if differential:  # PRED = 0 per block
+                        preds[c["ci"]] = _jpeg_extend(br.receive(t), t)
+                    else:
+                        preds[c["ci"]] += _jpeg_extend(br.receive(t), t)
                     coef[0] = preds[c["ci"]] << al
                 elif br.bit():  # DC refinement: one correction bit
                     coef[0] |= 1 << al
@@ -677,48 +875,6 @@ def _decode_jpeg(data: bytes):
                 c = scomps[0]
                 by, bx = divmod(unit, c["bw"])
                 unit_fn(coefs[c["ci"]][by, bx], c)
-
-    # dequant + dezigzag + IDCT, vectorized over every block of each plane
-    basis = _jpeg_dct_basis()
-    zz = np.asarray(_JPEG_ZIGZAG)
-    full = []
-    for ci, c in enumerate(comps):
-        if c["tq"] not in qt:
-            raise ValueError(f"JPEG missing quant table {c['tq']}")
-        q = qt[c["tq"]]
-        deq = coefs[ci].astype(np.float64) * q[None, None, :]
-        blocks = np.zeros_like(deq)
-        blocks[:, :, zz] = deq  # dezigzag to natural (row-major) order
-        blocks = blocks.reshape(c["bh_pad"], c["bw_pad"], 8, 8)
-        # level shift is 2^(P-1) (T.81 A.3.1): 128 at 8-bit, 2048 at 12-bit
-        half = float(1 << (precision - 1))
-        spatial = (
-            np.einsum("ux,nmuv,vy->nmxy", basis, blocks, basis) + half
-        )
-        p = spatial.transpose(0, 2, 1, 3).reshape(
-            c["bh_pad"] * 8, c["bw_pad"] * 8
-        )
-        p = np.repeat(np.repeat(p, vmax // c["v"], 0), hmax // c["h"], 1)
-        full.append(p[:h, :w])
-    half = float(1 << (precision - 1))
-    if len(full) == 3:
-        y, cb, cr = full
-        r = y + 1.402 * (cr - half)
-        g = y - 0.344136 * (cb - half) - 0.714136 * (cr - half)
-        bl = y + 1.772 * (cb - half)
-        img = np.stack([r, g, bl], axis=-1)
-    elif len(full) == 1:
-        img = full[0][:, :, None]
-    else:
-        raise NotImplementedError(f"JPEG with {len(full)} components")
-    maxval = (1 << precision) - 1
-    img = np.clip(np.rint(img), 0, maxval)
-    if precision > 8:
-        # pipeline contract: decoded planes are uint8; higher-precision
-        # samples scale down (floor) — the stats/resize stages downstream
-        # are defined on 8-bit planes
-        img = np.floor(img / float(1 << (precision - 8)))
-    return img.astype(np.uint8)
 
 
 def _decode_jpeg_lossless(data: bytes):
@@ -1370,6 +1526,7 @@ def probe_format_mode(data: bytes):
         return "png", mode, ok
     if data[:3] == b"\xff\xd8\xff":
         i = 2
+        dhp = False
         while i + 4 <= len(data):
             if data[i] != 0xFF:
                 i += 1
@@ -1378,7 +1535,18 @@ def probe_format_mode(data: bytes):
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 i += 2
                 continue
+            if marker == 0xDE:  # DHP: hierarchical stream
+                dhp = True
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if dhp:
+                    # hierarchical (r12): decodable when the first frame is
+                    # a supported huffman/arithmetic DCT type (differential
+                    # DCT frames decode; differential lossless/arithmetic
+                    # stay the boundary and fail per-row at decode)
+                    ok = marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA)
+                    prec = data[i + 4] if i + 4 < len(data) else 0
+                    ok = ok and prec in (8, 12)
+                    return "jpeg", "hierarchical", ok
                 if marker in _JPEG_SOF_UNSUPPORTED:
                     return (
                         "jpeg",
@@ -1542,6 +1710,7 @@ FORMAT_CLASSES = [
     ("jpeg", "extended-sequential-12bit", True),  # decodes since r11
     ("jpeg", "lossless", True),                   # decodes since r11
     ("jpeg", "arithmetic-progressive", True),     # QM decode since r12
+    ("jpeg", "hierarchical", True),               # DHP/EXP/SOF5-6 since r12
 ]
 
 
@@ -1561,9 +1730,9 @@ def synth_container(cls: int, salt: int = 0) -> bytes:
             + struct.pack(">I", 13) + b"IHDR" + ihdr + b"\x00\x00\x00\x00"
             + tail
         )
-    if k in (2, 3, 4, 10, 11, 12):  # JPEG: SOF0/2/9/12-bit SOF1/SOF3/SOFA
+    if k in (2, 3, 4, 10, 11, 12, 13):  # JPEG SOF variants (13: DHP+SOF0)
         sof_marker = {2: 0xC0, 3: 0xC2, 4: 0xC9, 10: 0xC1, 11: 0xC3,
-                      12: 0xCA}[k]
+                      12: 0xCA, 13: 0xC0}[k]
         prec = 12 if k == 10 else 8
         app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
         sof = (
@@ -1573,7 +1742,13 @@ def synth_container(cls: int, salt: int = 0) -> bytes:
             + struct.pack(">HH", 4, 4)          # height, width
             + bytes([1, 1, 0x11, 0])            # 1 component
         )
-        return b"\xff\xd8" + app0 + sof + tail + b"\xff\xd9"
+        dhp = b""
+        if k == 13:  # hierarchical: DHP (SOF syntax) precedes the frames
+            dhp = (
+                b"\xff\xde" + struct.pack(">H", 11) + bytes([prec])
+                + struct.pack(">HH", 4, 4) + bytes([1, 1, 0x11, 0])
+            )
+        return b"\xff\xd8" + app0 + dhp + sof + tail + b"\xff\xd9"
     if k in (5, 6):  # GIF: 1 vs 2 image descriptors
         hdr = b"GIF89a" + struct.pack("<HH", 4, 4) + bytes([0x80, 0, 0])
         gct = b"\x00\x00\x00\xff\xff\xff"  # 2-entry global table

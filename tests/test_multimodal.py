@@ -958,9 +958,9 @@ def test_decode_coverage_stage(spark):
     for k, (fmt, mode, ok) in enumerate(mm.FORMAT_CLASSES):
         assert got[(fmt, mode, ok)] == 4
     n_dec = sum(n for (f, m, ok), n in got.items() if ok)
-    assert n_dec == 40  # 10 of 13 classes are inside the boundary (r11:
+    assert n_dec == 44  # 11 of 14 classes are inside the boundary (r11:
     # huffman progressive, 12-bit extended-sequential AND lossless moved
-    # inside; r12: both arithmetic-DCT classes moved inside)
+    # inside; r12: both arithmetic-DCT classes AND hierarchical moved in)
 
 
 # -- progressive JPEG pins (r11): independent multi-scan encoder --------------

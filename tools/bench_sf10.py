@@ -99,8 +99,13 @@ CHUNKS = [
               "html_extract",
               # r12: the rest of the session-3 set + the e2e crawl chain
               "animation_stats", "decode_coverage", "warc_ingest",
-              "link_pagerank", "robots_filter", "crawl_frontier"]),
+              "link_pagerank", "robots_filter", "crawl_frontier",
+              # r12 session 4: the three new modality ops — all map-only
+              # Arrow decode/probe shapes that must stay flat-per-byte
+              "audio_stats", "video_probe"]),
     ("dedup", ["minhash_near_dup", "near_dup_clusters", "semantic_dedup",
+               # r12 session 4: banded perceptual-hash join at 100x volume
+               "image_near_dup",
                # r11 session 3: sampled-codebook training must stay
                # corpus-size-independent; encode+ADC ride the scan
                "pq_recall", "hashed_features"]),
