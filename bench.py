@@ -181,6 +181,12 @@ BASELINE_MEDIANS = {
     # r12: frontier assembly (canonicalize -> robots -> anti-join fetched
     # -> per-host cap) — quiet median-of-5 (2.55)
     "crawl_frontier": 2.6,
+    # r12 session 4/5: the three modality ops — quiet idle-box medians
+    # (audio_stats median-of-5 0.80; video_probe median-of-5 0.54;
+    # image_near_dup median-of-5 4.34 after the signature localCheckpoint
+    # fix — without it the decode+hash lineage re-executed per band join,
+    # the simhash lesson relearned at 100x: 260 s -> 88 s at sf10)
+    "audio_stats": 0.8, "video_probe": 0.55, "image_near_dup": 4.4,
     # r10: map-only reformulation (in-row single-fold run maxima +
     # shifted-zip neighbor scans + incremental gram builds — zero shuffles,
     # bind-only lambdas so column pruning can never inline an array

@@ -1858,15 +1858,23 @@ N_PHASH_BANDS = 4          # 16+16+16+15 bits
 MAX_PHASH_HAMMING = 3      # bands-1: banding guarantees recall at <= 3
 
 
-def _dct32_basis():
-    import numpy as np
+_DCT32_CACHE = None
 
-    b = np.zeros((32, 32))
-    for u in range(32):
-        cu = np.sqrt(1.0 / 32.0) if u == 0 else np.sqrt(2.0 / 32.0)
-        for x in range(32):
-            b[u, x] = cu * np.cos((2 * x + 1) * u * np.pi / 64.0)
-    return b
+
+def _dct32_basis():
+    # cached: the hash stage calls this per image and the Python cos loop
+    # would otherwise dominate the whole mapInPandas batch
+    global _DCT32_CACHE
+    if _DCT32_CACHE is None:
+        import numpy as np
+
+        b = np.zeros((32, 32))
+        for u in range(32):
+            cu = np.sqrt(1.0 / 32.0) if u == 0 else np.sqrt(2.0 / 32.0)
+            for x in range(32):
+                b[u, x] = cu * np.cos((2 * x + 1) * u * np.pi / 64.0)
+        _DCT32_CACHE = b
+    return _DCT32_CACHE
 
 
 def phash63(img) -> list:
@@ -1950,6 +1958,11 @@ def phash_near_dup(bands: DataFrame, max_hamming: int = MAX_PHASH_HAMMING,
     sigs = (
         bands.where(F.col("err").isNull())
         .select(F.col("asset_id").cast("bigint").alias("doc_id"), *all_bands)
+        # one decode+hash pass feeds all 4 band joins: without this the
+        # expensive Python stage re-executes per join (the simhash lesson,
+        # dedup.py:699 — and at 100 TB you persist the 20-byte signatures,
+        # never the pixels)
+        .localCheckpoint(eager=True)
     )
     cands = None
     for b in range(N_PHASH_BANDS):
@@ -2036,9 +2049,8 @@ def _bmp_gray64(img32) -> bytes:
     import numpy as np
 
     g = np.repeat(np.repeat(np.asarray(img32, np.uint8), 2, 0), 2, 1)
-    rows = b"".join(
-        bytes(int(v) for v in np.repeat(g[y], 3)) for y in range(63, -1, -1)
-    )
+    # bottom-up rows, 3 identical channels per pixel — one vectorized copy
+    rows = np.repeat(g[::-1].reshape(64, 64, 1), 3, axis=2).tobytes()
     info = _struct.pack("<IiiHHIIiiII", 40, 64, 64, 1, 24, 0, len(rows), 0, 0, 0, 0)
     return b"BM" + _struct.pack("<IHHI", 54 + len(rows), 0, 0, 54) + info + rows
 

@@ -100,6 +100,13 @@ SF1_MEDIANS = {
     # pair mass LINEAR in N (N*target/2: measured 1.65M at 7 auto bits),
     # taking over past the ~128k-vector crossover.
     "embedding_near_dup": 3.4,
+    # r12 session 4/5: the three new modality ops (quiet single runs on
+    # the idle box; image_near_dup after the localCheckpoint fix). Scale
+    # ladder receipts: audio 0.80->4.11->5.34 (f100 6.7), video 0.54->
+    # 0.77->0.97 (f100 1.8), phash 4.34->6.08->88.3 (f10_100 14.5 — the
+    # 16-bit-band candidate mass is quadratic-until-cap, the documented
+    # LSH contract; at 100 TB the band width scales with corpus size)
+    "audio_stats": 4.1, "video_probe": 0.8, "image_near_dup": 6.1,
     # r12: link PageRank at sf1 (quiet median-of-3; 10x factor 1.5 — the
     # five iteration joins amortize, edges persisted once)
     "link_pagerank": 5.8,
