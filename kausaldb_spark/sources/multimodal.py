@@ -98,36 +98,38 @@ def synthetic_assets(spark: SparkSession, n: int = 64) -> DataFrame:
     )
 
 
-def _png_unfilter(raw: bytes, w: int, h: int, ch: int):
-    """Undo PNG scanline filters 0-4 (spec §9: None/Sub/Up/Average/Paeth).
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> bytes:
+    """Undo PNG scanline filters 0-4 (spec §9: None/Sub/Up/Average/Paeth)
+    over ``h`` scanlines of ``stride`` bytes each. ``bpp`` is the filter
+    delta unit in bytes — max(1, channels*depth//8) per §9 — so sub-byte
+    depths filter at 1-byte offsets regardless of samples-per-byte.
     Sequential by nature — each byte depends on already-reconstructed
     left/up neighbors — so this is a plain loop over the scanlines."""
-    import numpy as np
-
-    stride = w * ch
     out = bytearray()
     prev = bytearray(stride)
     pos = 0
     for _y in range(h):
+        if pos + 1 + stride > len(raw):
+            raise ValueError("PNG pixel data truncated")
         f = raw[pos]
         pos += 1
         cur = bytearray(raw[pos:pos + stride])
         pos += stride
         if f == 1:  # Sub
-            for i in range(ch, stride):
-                cur[i] = (cur[i] + cur[i - ch]) & 0xFF
+            for i in range(bpp, stride):
+                cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
         elif f == 2:  # Up
             for i in range(stride):
                 cur[i] = (cur[i] + prev[i]) & 0xFF
         elif f == 3:  # Average
             for i in range(stride):
-                a = cur[i - ch] if i >= ch else 0
+                a = cur[i - bpp] if i >= bpp else 0
                 cur[i] = (cur[i] + ((a + prev[i]) >> 1)) & 0xFF
         elif f == 4:  # Paeth
             for i in range(stride):
-                a = cur[i - ch] if i >= ch else 0
+                a = cur[i - bpp] if i >= bpp else 0
                 b = prev[i]
-                c = prev[i - ch] if i >= ch else 0
+                c = prev[i - bpp] if i >= bpp else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
@@ -136,14 +138,56 @@ def _png_unfilter(raw: bytes, w: int, h: int, ch: int):
             raise ValueError(f"bad PNG filter type {f}")
         out += cur
         prev = cur
-    return np.frombuffer(bytes(out), np.uint8).reshape(h, w, ch)
+    return bytes(out)
+
+
+def _png_expand(lines: bytes, pw: int, ph: int, stride: int, ch: int,
+                depth: int):
+    """Unfiltered scanline bytes -> (ph, pw, ch) sample array at SOURCE
+    precision (uint16 holds every depth; palette indices / gray levels
+    stay raw — scaling happens once at the end of _decode_png)."""
+    import numpy as np
+
+    arr = np.frombuffer(lines, np.uint8).reshape(ph, stride)
+    if depth == 8:
+        return arr[:, : pw * ch].reshape(ph, pw, ch).astype(np.uint16)
+    if depth == 16:
+        a = arr[:, : pw * ch * 2].astype(np.uint16).reshape(ph, pw * ch, 2)
+        return ((a[..., 0] << 8) | a[..., 1]).reshape(ph, pw, ch)
+    # depth 1/2/4: always single-channel (gray or palette index)
+    bits = np.unpackbits(arr, axis=1)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
+    samples = (
+        bits[:, : pw * depth].reshape(ph, pw, depth) * weights
+    ).sum(axis=2, dtype=np.uint16)
+    return samples.reshape(ph, pw, 1)
+
+
+# Adam7 pass grid: (x0, y0, dx, dy) per spec §8.2. A pass whose sub-image
+# is empty for this geometry contributes ZERO bytes (not even filter bytes).
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+# depth validity per color type, spec §11.2.2.
+_PNG_VALID_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                     4: (8, 16), 6: (8, 16)}
 
 
 def _decode_png(data: bytes):
+    """Full PNG static-image decode (spec-complete as of r12): all five
+    color types, bit depths 1/2/4/8/16, PLTE palette indirection, tRNS
+    transparency (palette alpha AND gray/RGB color-key), and Adam7
+    interlace. Output contract: uint8 (h, w, ch); 16-bit samples reduce
+    to their high-order byte (v >> 8); sub-byte gray levels scale by
+    exact bit replication (v * 255 // (2^d - 1)); a tRNS chunk adds an
+    alpha channel (palette: per-index alpha; gray/RGB: 0 where the pixel
+    equals the key at SOURCE precision, opaque otherwise)."""
     import struct
     import zlib
 
-    pos, ihdr, idat = 8, None, b""
+    import numpy as np
+
+    pos, ihdr, idat, plte, trns = 8, None, b"", None, None
     while pos + 8 <= len(data):
         (ln,) = struct.unpack(">I", data[pos:pos + 4])
         typ = data[pos + 4:pos + 8]
@@ -153,20 +197,122 @@ def _decode_png(data: bytes):
             ihdr = struct.unpack(">IIBBBBB", chunk)
         elif typ == b"IDAT":
             idat += chunk
+        elif typ == b"PLTE":
+            plte = chunk
+        elif typ == b"tRNS":
+            trns = chunk
         elif typ == b"IEND":
             break
     if ihdr is None:
         raise ValueError("PNG without IHDR")
-    w, h, depth, ctype, _comp, _filt, interlace = ihdr
-    if depth != 8 or interlace != 0:
-        raise NotImplementedError(
-            f"PNG bit depth {depth}/interlace {interlace}: only 8-bit "
-            "non-interlaced is decoded here"
-        )
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
-    if channels is None:  # 3 = palette — needs PLTE indirection
-        raise NotImplementedError(f"PNG color type {ctype} not decoded here")
-    return _png_unfilter(zlib.decompress(idat), w, h, channels)
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise ValueError(f"bad PNG compression/filter method {comp}/{filt}")
+    if depth not in _PNG_VALID_DEPTHS.get(ctype, ()):
+        raise ValueError(f"invalid PNG depth/ctype combo {depth}/{ctype}")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad PNG interlace method {interlace}")
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    raw = zlib.decompress(idat)
+    bpp = max(1, ch * depth // 8)
+
+    def stride_of(width: int) -> int:
+        return (width * ch * depth + 7) // 8
+
+    if interlace == 0:
+        st = stride_of(w)
+        img = _png_expand(_png_unfilter(raw, h, st, bpp), w, h, st, ch, depth)
+    else:
+        img = np.zeros((h, w, ch), np.uint16)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            st = stride_of(pw)
+            need = ph * (1 + st)
+            lines = _png_unfilter(raw[off:off + need], ph, st, bpp)
+            off += need
+            img[y0::dy, x0::dx] = _png_expand(lines, pw, ph, st, ch, depth)
+
+    if ctype == 3:
+        if plte is None or len(plte) % 3 or not plte:
+            raise ValueError("palette PNG without a well-formed PLTE")
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        idxs = img[..., 0]
+        if int(idxs.max(initial=0)) >= len(pal):
+            raise ValueError("PNG palette index out of range")
+        rgb = pal[idxs]
+        if trns is not None:
+            if len(trns) > len(pal):
+                raise ValueError("PNG tRNS longer than palette")
+            alpha = np.full(len(pal), 255, np.uint8)
+            alpha[: len(trns)] = np.frombuffer(trns, np.uint8)
+            return np.ascontiguousarray(np.dstack([rgb, alpha[idxs]]))
+        return np.ascontiguousarray(rgb)
+
+    if trns is not None:
+        if ctype in (4, 6):  # spec §11.3.2: tRNS forbidden with an alpha channel
+            raise ValueError("PNG tRNS with alpha-bearing color type")
+        key = np.frombuffer(trns, ">u2")
+        if len(key) != ch:
+            raise ValueError("PNG tRNS arity does not match color type")
+        match = np.all(img == key.astype(np.uint16), axis=2)
+        alpha = np.where(match, 0, (1 << depth) - 1).astype(np.uint16)
+        img = np.dstack([img, alpha])
+
+    if depth == 16:
+        out = (img >> 8).astype(np.uint8)
+    elif depth == 8:
+        out = img.astype(np.uint8)
+    else:
+        out = (img * 255 // ((1 << depth) - 1)).astype(np.uint8)
+    return np.ascontiguousarray(out)
+
+
+def _bmp_rle8(buf: bytes, w: int, h: int):
+    """BI_RLE8 decode (Windows BMP spec): encoded runs (count, index),
+    escapes 00 00=EOL, 00 01=EOB, 00 02=delta(dx,dy), 00 n>=3=absolute
+    run padded to a word boundary. Rows are stored bottom-up (RLE BMPs
+    are always bottom-up); returns the index raster in STORAGE order —
+    the caller flips. Malformed streams (runs crossing the row edge,
+    writes past the raster) normalize to ValueError per the
+    decode_pixels error contract."""
+    import numpy as np
+
+    out = np.zeros((h, w), np.uint8)
+    x = y = i = 0
+    while i < len(buf):
+        if i + 2 > len(buf):
+            raise ValueError("BMP RLE8 stream truncated")
+        n, v = buf[i], buf[i + 1]
+        i += 2
+        if n > 0:  # encoded run
+            if y >= h or x + n > w:
+                raise ValueError("BMP RLE8 run outside raster")
+            out[y, x:x + n] = v
+            x += n
+        elif v == 0:  # end of line
+            x, y = 0, y + 1
+        elif v == 1:  # end of bitmap
+            return out
+        elif v == 2:  # delta
+            if i + 2 > len(buf):
+                raise ValueError("BMP RLE8 delta truncated")
+            x, y = x + buf[i], y + buf[i + 1]
+            i += 2
+            if x > w or y > h:
+                raise ValueError("BMP RLE8 delta outside raster")
+        else:  # absolute run of v literal indices, word-padded
+            if i + v > len(buf):
+                raise ValueError("BMP RLE8 absolute run truncated")
+            if y >= h or x + v > w:
+                raise ValueError("BMP RLE8 absolute run outside raster")
+            out[y, x:x + v] = np.frombuffer(buf[i:i + v], np.uint8)
+            x += v
+            i += v + (v & 1)
+    return out  # tolerated: stream ended without an explicit EOB
 
 
 def _decode_bmp(data: bytes):
@@ -175,13 +321,42 @@ def _decode_bmp(data: bytes):
     import numpy as np
 
     (data_off,) = struct.unpack("<I", data[10:14])
+    (hdr_size,) = struct.unpack("<I", data[14:18])
     w, h = struct.unpack("<ii", data[18:26])
     (bpp,) = struct.unpack("<H", data[28:30])
     (compression,) = struct.unpack("<I", data[30:34])
+    if bpp == 8 and compression in (0, 1):
+        # palette BMP (r12): BGRX color table after the info header;
+        # BI_RLE8 streams decode via _bmp_rle8.
+        (clr_used,) = (
+            struct.unpack("<I", data[46:50]) if len(data) >= 50 else (0,)
+        )
+        n_pal = clr_used or 256
+        pal_off = 14 + hdr_size
+        pal_raw = np.frombuffer(data[pal_off:pal_off + n_pal * 4], np.uint8)
+        if len(pal_raw) < n_pal * 4:
+            raise ValueError("BMP color table truncated")
+        pal = pal_raw.reshape(-1, 4)[:, [2, 1, 0]]  # BGRX -> RGB
+        if compression == 1:
+            if h < 0:
+                raise ValueError("BMP RLE8 must be bottom-up")
+            idx = _bmp_rle8(data[data_off:], w, h)[::-1]
+        else:
+            bottom_up = h > 0
+            h = abs(h)
+            stride = (w + 3) & ~3
+            rows = [
+                np.frombuffer(data[data_off + y * stride:][:w], np.uint8)
+                for y in range(h)
+            ]
+            if any(len(r) < w for r in rows):
+                raise ValueError("BMP pixel data truncated")
+            idx = np.stack(rows[::-1] if bottom_up else rows)
+        return np.ascontiguousarray(pal[idx])
     if compression != 0 or bpp not in (24, 32):
         raise NotImplementedError(
-            f"BMP compression {compression}/bpp {bpp}: only uncompressed "
-            "24/32-bit is decoded here"
+            f"BMP compression {compression}/bpp {bpp}: uncompressed "
+            "24/32-bit, palette 8-bit and RLE8 are decoded here"
         )
     ch = bpp // 8
     bottom_up = h > 0
@@ -203,7 +378,8 @@ def _decode_bmp(data: bytes):
 # restart-interval chunking, dequantize + dezigzag, 8x8 matrix IDCT, chroma
 # upsample (integer replication), YCbCr->RGB. Progressive (SOF2, r11) and
 # the arithmetic-coded twins (SOF9/SOFA, r12 via jpeg_arith's QM coder)
-# decode too; arithmetic lossless and hierarchical remain NotImplementedError;
+# decode too, as do hierarchical DHP/EXP pyramids (r12); arithmetic
+# lossless and the differential-lossless family remain NotImplementedError;
 # every malformed-stream path normalizes to ValueError per decode_pixels'
 # error contract. Pinned in tests/test_multimodal.py against an
 # INDEPENDENT minimal encoder (forward DCT + canonical tables), the same
@@ -1501,8 +1677,11 @@ def probe_format_mode(data: bytes):
     measures the FORMAT boundary, not corruption). The mode taxonomy
     mirrors the decoders' own NotImplementedError conditions:
 
-      png   depth{d}-ctype{t}[-interlaced]   decodable iff d=8, no
-                                             interlace, ctype in {0,2,4,6}
+      png   depth{d}-ctype{t}[-interlaced]   decodable iff (d, t) is a
+                                             spec-valid combo (§11.2.2) —
+                                             the full static-PNG surface
+                                             incl. palette, 1/2/4/16-bit
+                                             and Adam7 decodes since r12
       jpeg  baseline / extended-sequential
             / progressive (huffman, r11)
             / arithmetic-sequential
@@ -1512,7 +1691,9 @@ def probe_format_mode(data: bytes):
       gif   single-frame / multi-frame       decodable (decode_pixels
                                              composites the FIRST frame;
                                              later frames are the boundary)
-      bmp   comp{c}-{b}bpp                   decodable iff c=0, b in 24/32
+      bmp   comp{c}-{b}bpp                   decodable iff c=0 with b in
+                                             8/24/32, or c=1 (RLE8) with
+                                             b=8
       unknown                                not decodable
 
     At 100 TB this is the number that tells you whether the progressive-
@@ -1522,7 +1703,7 @@ def probe_format_mode(data: bytes):
     if len(data) >= 29 and data[:8] == b"\x89PNG\r\n\x1a\n" and data[12:16] == b"IHDR":
         depth, ctype, interlace = data[24], data[25], data[28]
         mode = f"depth{depth}-ctype{ctype}" + ("-interlaced" if interlace else "")
-        ok = depth == 8 and interlace == 0 and ctype in (0, 2, 4, 6)
+        ok = depth in _PNG_VALID_DEPTHS.get(ctype, ()) and interlace in (0, 1)
         return "png", mode, ok
     if data[:3] == b"\xff\xd8\xff":
         i = 2
@@ -1599,7 +1780,8 @@ def probe_format_mode(data: bytes):
     if len(data) >= 34 and data[:2] == b"BM":
         bpp = int.from_bytes(data[28:30], "little")
         comp = int.from_bytes(data[30:34], "little")
-        return "bmp", f"comp{comp}-{bpp}bpp", comp == 0 and bpp in (24, 32)
+        ok = (comp == 0 and bpp in (8, 24, 32)) or (comp == 1 and bpp == 8)
+        return "bmp", f"comp{comp}-{bpp}bpp", ok
     return "unknown", None, False
 
 
@@ -1689,7 +1871,7 @@ def decode_coverage_by(
 
 
 # --- deterministic format-corpus synthesis (the decode_coverage fixture) --
-# Ten structurally REAL minimal containers, one per class k = id % 10,
+# Structurally REAL minimal containers, one per class k = id % n_classes,
 # spanning the codec boundary from both sides. The builders emit honest
 # header walks (the probe actually parses them — a misclassification
 # breaks the oracle), with junk entropy/pixel data (coverage never
@@ -1698,19 +1880,22 @@ def decode_coverage_by(
 FORMAT_CLASSES = [
     # (format, mode, decodable) — MUST match probe_format_mode's taxonomy
     ("png", "depth8-ctype2", True),
-    ("png", "depth16-ctype2", False),
+    ("png", "depth16-ctype2", True),  # 16-bit decodes since r12 (high byte)
     ("jpeg", "baseline", True),
     ("jpeg", "progressive", True),  # huffman progressive decodes since r11
     ("jpeg", "arithmetic-sequential", True),  # QM decode since r12
     ("gif", "single-frame", True),
     ("gif", "multi-frame", True),
     ("bmp", "comp0-24bpp", True),
-    ("bmp", "comp1-8bpp", False),
+    ("bmp", "comp1-8bpp", True),    # RLE8 + palette decode since r12
     ("unknown", None, False),
     ("jpeg", "extended-sequential-12bit", True),  # decodes since r11
     ("jpeg", "lossless", True),                   # decodes since r11
     ("jpeg", "arithmetic-progressive", True),     # QM decode since r12
     ("jpeg", "hierarchical", True),               # DHP/EXP/SOF5-6 since r12
+    ("png", "depth4-ctype3", True),               # palette PNG since r12
+    ("png", "depth8-ctype2-interlaced", True),    # Adam7 since r12
+    ("jpeg", "arithmetic-lossless", False),       # no mainstream decoder
 ]
 
 
@@ -1722,17 +1907,27 @@ def synth_container(cls: int, salt: int = 0) -> bytes:
 
     tail = hashlib.md5(f"{cls}:{salt}".encode()).digest()
     k = cls % len(FORMAT_CLASSES)
-    if k in (0, 1):  # PNG, depth 8 vs 16
-        depth = 8 if k == 0 else 16
-        ihdr = struct.pack(">IIBBBBB", 4, 4, depth, 2, 0, 0, 0)
+    if k in (0, 1, 14, 15):  # PNG: depth8/16 truecolor, depth4 palette,
+        # interlaced truecolor
+        depth, ctype, ilace = {
+            0: (8, 2, 0), 1: (16, 2, 0), 14: (4, 3, 0), 15: (8, 2, 1),
+        }[k]
+        ihdr = struct.pack(">IIBBBBB", 4, 4, depth, ctype, 0, 0, ilace)
+        plte = (
+            struct.pack(">I", 6) + b"PLTE" + b"\x00\x00\x00\xff\xff\xff"
+            + b"\x00\x00\x00\x00"
+            if ctype == 3
+            else b""
+        )
         return (
             b"\x89PNG\r\n\x1a\n"
             + struct.pack(">I", 13) + b"IHDR" + ihdr + b"\x00\x00\x00\x00"
-            + tail
+            + plte + tail
         )
-    if k in (2, 3, 4, 10, 11, 12, 13):  # JPEG SOF variants (13: DHP+SOF0)
+    if k in (2, 3, 4, 10, 11, 12, 13, 16):  # JPEG SOF variants
+        # (13: DHP+SOF0 hierarchical; 16: SOF11 arithmetic lossless)
         sof_marker = {2: 0xC0, 3: 0xC2, 4: 0xC9, 10: 0xC1, 11: 0xC3,
-                      12: 0xCA, 13: 0xC0}[k]
+                      12: 0xCA, 13: 0xC0, 16: 0xCB}[k]
         prec = 12 if k == 10 else 8
         app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
         sof = (

@@ -958,9 +958,13 @@ def test_decode_coverage_stage(spark):
     for k, (fmt, mode, ok) in enumerate(mm.FORMAT_CLASSES):
         assert got[(fmt, mode, ok)] == 4
     n_dec = sum(n for (f, m, ok), n in got.items() if ok)
-    assert n_dec == 44  # 11 of 14 classes are inside the boundary (r11:
-    # huffman progressive, 12-bit extended-sequential AND lossless moved
-    # inside; r12: both arithmetic-DCT classes AND hierarchical moved in)
+    # 15 of 17 classes are inside the boundary (r11: huffman progressive,
+    # 12-bit extended-sequential AND lossless moved inside; r12: both
+    # arithmetic-DCT classes, hierarchical, 16-bit/palette/interlaced PNG
+    # and RLE8 BMP moved in — only 'unknown' and arithmetic-lossless JPEG
+    # remain outside)
+    assert n_dec == 4 * sum(1 for (_f, _m, ok) in mm.FORMAT_CLASSES if ok)
+    assert sum(1 for (_f, _m, ok) in mm.FORMAT_CLASSES if not ok) == 2
 
 
 # -- progressive JPEG pins (r11): independent multi-scan encoder --------------
@@ -1565,5 +1569,540 @@ try:
         if precision > 8:
             want = want >> (precision - 8)
         assert np.array_equal(got, want.astype("uint8"))
+except ImportError:  # pragma: no cover
+    pass
+
+
+# ---------------------------------------------------------------------------
+# full-PNG closure (r12): palette / sub-byte / 16-bit / tRNS / Adam7, and
+# palette+RLE8 BMP. Independent encoders follow, same discipline as
+# _png_encode/_bmp_encode: forward filters + bit packing + Adam7 pass split
+# written from the spec, so the decoder is exercised against the spec, not
+# against itself. The expected-output model (_png_expected) restates the
+# decode CONTRACT (16-bit -> high byte, sub-byte gray -> bit replication,
+# tRNS -> alpha); the entropy/filter/interlace machinery is what the pins
+# verify, since a single wrong reconstructed byte corrupts every later
+# Paeth/Sub prediction.
+# ---------------------------------------------------------------------------
+
+
+def _png_chunk2(typ, data):
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data)) + typ + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def _png_pack_rows(sub, depth):
+    """(ph, pw, ch) source-precision samples -> packed scanline bytes,
+    sub-byte samples big-endian within each byte, rows byte-padded."""
+    import struct
+
+    h, w, ch = sub.shape
+    rows = []
+    for y in range(h):
+        flat = sub[y].reshape(-1)
+        if depth == 8:
+            rows.append(bytes(int(v) & 0xFF for v in flat))
+        elif depth == 16:
+            rows.append(b"".join(struct.pack(">H", int(v)) for v in flat))
+        else:
+            bits = "".join(format(int(v), f"0{depth}b") for v in flat)
+            bits += "0" * (-len(bits) % 8)
+            rows.append(
+                bytes(int(bits[i:i + 8], 2) for i in range(0, len(bits), 8))
+            )
+    return rows
+
+
+def _png_filter_rows(rows, bpp, filters):
+    """Forward PNG filters over one (sub-)image's packed scanlines."""
+    out = bytearray()
+    prev = bytes(len(rows[0]))
+    for y, cur in enumerate(rows):
+        f = filters[y % len(filters)]
+        out.append(f)
+        for i in range(len(cur)):
+            a = cur[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out.append((cur[i] - pred) & 0xFF)
+        prev = cur
+    return out
+
+
+_ADAM7_T = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _png_encode_full(samples, ctype, depth, filters=(0,), interlace=0,
+                     plte=None, trns=None):
+    """Independent spec-following PNG writer covering the full static
+    surface: any valid depth/ctype, optional PLTE/tRNS, Adam7 interlace
+    (forward pass split; empty passes contribute zero bytes)."""
+    import struct
+    import zlib
+
+    h, w, ch = samples.shape
+    bpp = max(1, ch * depth // 8)
+    raw = bytearray()
+    if interlace == 0:
+        raw += _png_filter_rows(_png_pack_rows(samples, depth), bpp, filters)
+    else:
+        for x0, y0, dx, dy in _ADAM7_T:
+            sub = samples[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            raw += _png_filter_rows(_png_pack_rows(sub, depth), bpp, filters)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk2(b"IHDR", ihdr)
+    if plte is not None:
+        out += _png_chunk2(b"PLTE", bytes(v for rgb in plte for v in rgb))
+    if trns is not None:
+        out += _png_chunk2(b"tRNS", trns)
+    out += _png_chunk2(b"IDAT", zlib.compress(bytes(raw)))
+    return out + _png_chunk2(b"IEND", b"")
+
+
+def _png_expected(samples, ctype, depth, plte=None, trns=None):
+    """The decode contract, restated independently: palette indirection,
+    tRNS alpha, 16-bit high-byte reduction, sub-byte bit replication."""
+    import numpy as np
+
+    if ctype == 3:
+        pal = np.array(plte, np.uint8)
+        idx = samples[..., 0]
+        rgb = pal[idx]
+        if trns is not None:
+            alpha = np.full(len(pal), 255, np.uint8)
+            alpha[: len(trns)] = np.frombuffer(trns, np.uint8)
+            return np.dstack([rgb, alpha[idx]])
+        return rgb
+    img = samples.astype(np.int64)
+    if trns is not None:
+        key = np.frombuffer(trns, ">u2").astype(np.int64)
+        match = np.all(img == key, axis=2)
+        img = np.dstack([img, np.where(match, 0, (1 << depth) - 1)])
+    if depth == 16:
+        return (img >> 8).astype(np.uint8)
+    if depth == 8:
+        return img.astype(np.uint8)
+    return (img * 255 // ((1 << depth) - 1)).astype(np.uint8)
+
+
+_PNG_CH = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _rand_samples(h, w, ctype, depth, seed, n_pal=None):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    hi = n_pal if ctype == 3 else (1 << depth)
+    return rng.randint(0, hi, size=(h, w, _PNG_CH[ctype])).astype("int64")
+
+
+def test_png_palette_decode_all_depths_with_and_without_trns():
+    import numpy as np
+
+    from kausaldb_spark.sources.multimodal import decode_pixels
+
+    for depth in (1, 2, 4, 8):
+        n_pal = min(1 << depth, 16)
+        pal = [((i * 13) % 256, (i * 57) % 256, (i * 201) % 256)
+               for i in range(n_pal)]
+        img = _rand_samples(7, 5, 3, depth, seed=depth, n_pal=n_pal)
+        for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+            data = _png_encode_full(img, 3, depth, filters, plte=pal)
+            assert np.array_equal(
+                decode_pixels(data), _png_expected(img, 3, depth, plte=pal)
+            ), (depth, filters)
+        # partial tRNS: first half of the palette gets explicit alphas,
+        # the rest defaults opaque
+        trns = bytes((i * 39) % 256 for i in range(n_pal // 2 + 1))
+        data = _png_encode_full(img, 3, depth, [4], plte=pal, trns=trns)
+        got = decode_pixels(data)
+        want = _png_expected(img, 3, depth, plte=pal, trns=trns)
+        assert got.shape[2] == 4 and np.array_equal(got, want), depth
+
+
+def test_png_gray_sub_byte_depths_scale_by_bit_replication():
+    import numpy as np
+
+    from kausaldb_spark.sources.multimodal import decode_pixels
+
+    for depth in (1, 2, 4):
+        img = _rand_samples(6, 9, 0, depth, seed=10 + depth)
+        for filters in ([0], [2], [0, 1, 2, 3, 4]):
+            data = _png_encode_full(img, 0, depth, filters)
+            got = decode_pixels(data)
+            assert np.array_equal(got, _png_expected(img, 0, depth)), (
+                depth, filters)
+        # exact replication endpoints: 0 -> 0, max -> 255
+        lo_hi = np.array([[[0], [(1 << depth) - 1]]], "int64")
+        got = decode_pixels(_png_encode_full(lo_hi, 0, depth, [0]))
+        assert got[0, 0, 0] == 0 and got[0, 1, 0] == 255
+
+
+def test_png_16bit_all_color_types_reduce_to_high_byte():
+    import numpy as np
+
+    from kausaldb_spark.sources.multimodal import decode_pixels
+
+    for ctype in (0, 2, 4, 6):
+        img = _rand_samples(5, 4, ctype, 16, seed=20 + ctype)
+        for filters in ([0], [1], [3], [0, 4, 2, 1, 3]):
+            data = _png_encode_full(img, ctype, 16, filters)
+            got = decode_pixels(data)
+            assert np.array_equal(got, _png_expected(img, ctype, 16)), (
+                ctype, filters)
+
+
+def test_png_trns_color_key_gray_and_rgb():
+    import struct
+
+    import numpy as np
+
+    from kausaldb_spark.sources.multimodal import decode_pixels
+
+    # gray 8-bit: key = 77
+    img = np.full((3, 3, 1), 50, "int64")
+    img[1, 1, 0] = 77
+    data = _png_encode_full(img, 0, 8, [0], trns=struct.pack(">H", 77))
+    got = decode_pixels(data)
+    assert got.shape == (3, 3, 2)
+    assert got[1, 1, 1] == 0 and got[0, 0, 1] == 255
+    # rgb 16-bit: key matches at SOURCE precision — a pixel equal in high
+    # byte only must stay opaque
+    key = (0x1234, 0x5678, 0x9ABC)
+    img = np.zeros((2, 3, 3), "int64")
+    img[0, 1] = key
+    img[1, 2] = (0x1235, 0x5678, 0x9ABC)  # high bytes equal, low differ
+    data = _png_encode_full(
+        img, 2, 16, [2], trns=struct.pack(">HHH", *key))
+    got = decode_pixels(data)
+    assert got[0, 1, 3] == 0
+    assert got[1, 2, 3] == 255  # source-precision comparison
+    assert got[0, 0, 3] == 255
+    # gray 4-bit key
+    img = np.array([[[3], [9]]], "int64")
+    data = _png_encode_full(img, 0, 4, [0], trns=struct.pack(">H", 9))
+    got = decode_pixels(data)
+    assert got[0, 1, 1] == 0 and got[0, 0, 1] == 255 and got[0, 0, 0] == 51
+
+
+def test_png_adam7_interlace_geometry_sweep():
+    """Adam7 across geometries that exercise empty passes (w or h < the
+    pass origin), single-pixel images, and non-multiples of 8 — each must
+    equal the same image encoded non-interlaced."""
+    import numpy as np
+
+    from kausaldb_spark.sources.multimodal import decode_pixels
+
+    for (h, w) in ((1, 1), (1, 4), (4, 1), (2, 3), (5, 7), (8, 8),
+                   (9, 10), (3, 16), (16, 3), (13, 13)):
+        img = _rand_samples(h, w, 2, 8, seed=h * 100 + w)
+        for filters in ([0], [4], [0, 1, 2, 3, 4]):
+            data = _png_encode_full(img, 2, 8, filters, interlace=1)
+            got = decode_pixels(data)
+            assert np.array_equal(got, _png_expected(img, 2, 8)), (
+                h, w, filters)
+
+
+def test_png_adam7_sub_byte_and_16bit_and_palette():
+    import numpy as np
+
+    from kausaldb_spark.sources.multimodal import decode_pixels
+
+    # 2-bit palette interlaced: pass strides are fractional bytes
+    pal = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    img = _rand_samples(11, 6, 3, 2, seed=3, n_pal=4)
+    data = _png_encode_full(img, 3, 2, [0, 1], interlace=1, plte=pal)
+    assert np.array_equal(
+        decode_pixels(data), _png_expected(img, 3, 2, plte=pal))
+    # 1-bit gray interlaced
+    img = _rand_samples(9, 14, 0, 1, seed=4)
+    data = _png_encode_full(img, 0, 1, [0, 2], interlace=1)
+    assert np.array_equal(decode_pixels(data), _png_expected(img, 0, 1))
+    # 16-bit RGBA interlaced with every filter
+    img = _rand_samples(10, 9, 6, 16, seed=5)
+    data = _png_encode_full(img, 6, 16, [0, 1, 2, 3, 4], interlace=1)
+    assert np.array_equal(decode_pixels(data), _png_expected(img, 6, 16))
+
+
+def test_png_malformed_combos_raise_valueerror():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from kausaldb_spark.sources.multimodal import decode_pixels
+
+    img = np.zeros((2, 2, 3), "int64")
+    # spec-invalid depth/ctype combos are malformed, not a boundary
+    for ctype, depth in ((2, 4), (3, 16), (6, 4), (0, 3)):
+        shaped = np.zeros((2, 2, _PNG_CH.get(ctype, 1)), "int64")
+        data = _png_encode_full(shaped, ctype, 8, [0])
+        # patch IHDR depth byte (offset 8+8 = start of IHDR data; depth at +8)
+        data = data[:24] + bytes([depth]) + data[25:]
+        with pytest.raises(ValueError):
+            decode_pixels(data)
+    # interlace method 2 is malformed
+    data = _png_encode_full(img, 2, 8, [0])
+    data = data[:28] + b"\x02" + data[29:]
+    with pytest.raises(ValueError):
+        decode_pixels(data)
+    # palette PNG without PLTE
+    data = _png_encode_full(np.zeros((2, 2, 1), "int64"), 3, 8, [0])
+    with pytest.raises(ValueError):
+        decode_pixels(data)
+    # palette index past PLTE end
+    data = _png_encode_full(
+        np.full((2, 2, 1), 3, "int64"), 3, 8, [0], plte=[(1, 2, 3)] * 2)
+    with pytest.raises(ValueError):
+        decode_pixels(data)
+    # tRNS on an alpha-bearing color type
+    data = _png_encode_full(
+        np.zeros((2, 2, 4), "int64"), 6, 8, [0],
+        trns=struct.pack(">HHHH", 0, 0, 0, 0))
+    with pytest.raises(ValueError):
+        decode_pixels(data)
+    # truncated interlaced stream: drop the last pass's bytes
+    img = _rand_samples(8, 8, 2, 8, seed=6)
+    full = _png_encode_full(img, 2, 8, [0], interlace=1)
+    import zlib
+    raw = zlib.decompress(full[full.index(b"IDAT") + 4:full.index(b"IEND") - 8])
+    cut = zlib.compress(raw[: len(raw) - 10])
+    data = (
+        full[: full.index(b"IDAT") - 4]
+        + _png_chunk2(b"IDAT", cut) + _png_chunk2(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        decode_pixels(data)
+
+
+def _bmp_rle8_encode_rows(idx):
+    """Independent BI_RLE8 writer: encoded runs per bottom-up row, EOL
+    after every row, EOB at the end. Runs longer than 255 chunk."""
+    h, w = idx.shape
+    out = bytearray()
+    for y in range(h - 1, -1, -1):
+        x = 0
+        while x < w:
+            v = int(idx[y, x])
+            n = 1
+            while x + n < w and int(idx[y, x + n]) == v and n < 255:
+                n += 1
+            out += bytes([n, v])
+            x += n
+        out += b"\x00\x00"  # EOL
+    out += b"\x00\x01"  # EOB
+    return bytes(out)
+
+
+def _bmp_encode_pal8(idx, pal, compression=0):
+    """Independent palette-BMP writer: BGRX color table, bottom-up rows,
+    4-byte row padding (uncompressed) or a BI_RLE8 stream."""
+    import struct
+
+    h, w = idx.shape
+    table = b"".join(bytes([b, g, r, 0]) for (r, g, b) in pal)
+    if compression == 0:
+        stride = (w + 3) & ~3
+        px = b"".join(
+            bytes(bytearray(int(v) for v in idx[y])) + b"\x00" * (stride - w)
+            for y in range(h - 1, -1, -1)
+        )
+    else:
+        px = _bmp_rle8_encode_rows(idx)
+    data_off = 14 + 40 + len(table)
+    return (
+        b"BM" + struct.pack("<IHHI", data_off + len(px), 0, 0, data_off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, compression,
+                      len(px), 2835, 2835, len(pal), 0)
+        + table + px
+    )
+
+
+def test_bmp_palette_8bit_uncompressed_and_rle8():
+    import numpy as np
+
+    from kausaldb_spark.sources.multimodal import decode_pixels
+
+    rng = np.random.RandomState(42)
+    pal = [((i * 31) % 256, (i * 7) % 256, (i * 143) % 256) for i in range(40)]
+    # runs of varying length so RLE exercises both long and single runs;
+    # w=5 exercises the 4-byte pad on the uncompressed path
+    idx = rng.randint(0, 40, size=(6, 5)).astype("uint8")
+    idx[2, :] = 7  # full-row run
+    want = np.array(pal, np.uint8)[idx]
+    got = decode_pixels(_bmp_encode_pal8(idx, pal, compression=0))
+    assert np.array_equal(got, want)
+    got = decode_pixels(_bmp_encode_pal8(idx, pal, compression=1))
+    assert np.array_equal(got, want)
+    # wide run chunking (>255)
+    idx = np.full((2, 300), 3, "uint8")
+    want = np.array(pal, np.uint8)[idx]
+    got = decode_pixels(_bmp_encode_pal8(idx, pal, compression=1))
+    assert np.array_equal(got, want)
+
+
+def test_bmp_rle8_absolute_and_delta_modes():
+    """Hand-built RLE8 stream: absolute run (word-padded), delta skip
+    (skipped cells stay palette[0]), early EOB."""
+    import struct
+
+    import numpy as np
+
+    from kausaldb_spark.sources.multimodal import decode_pixels
+
+    pal = [(i, 2 * i % 256, 3 * i % 256) for i in range(8)]
+    w, h = 6, 3
+    # bottom row (y=2 in image coords): absolute run of 3 (1,2,3), padded
+    # then encoded run 3x5; middle row: delta right 2, then run 2x4;
+    # top row: run 1x6 then EOB
+    stream = (
+        b"\x00\x03" + bytes([1, 2, 3]) + b"\x00"  # absolute, word pad
+        + b"\x03\x05"
+        + b"\x00\x00"                              # EOL
+        + b"\x00\x02" + bytes([2, 0])              # delta: x += 2
+        + b"\x02\x04"
+        + b"\x00\x00"                              # EOL
+        + b"\x06\x01"
+        + b"\x00\x01"                              # EOB
+    )
+    table = b"".join(bytes([b, g, r, 0]) for (r, g, b) in pal)
+    data_off = 14 + 40 + len(table)
+    data = (
+        b"BM" + struct.pack("<IHHI", data_off + len(stream), 0, 0, data_off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 1,
+                      len(stream), 0, 0, len(pal), 0)
+        + table + stream
+    )
+    got = decode_pixels(data)
+    palarr = np.array(pal, np.uint8)
+    want_idx = np.array(
+        [[1, 1, 1, 1, 1, 1],
+         [0, 0, 4, 4, 0, 0],
+         [1, 2, 3, 5, 5, 5]], "uint8")
+    assert np.array_equal(got, palarr[want_idx])
+
+
+def test_bmp_rle8_malformed_raises_valueerror():
+    import numpy as np
+    import pytest
+
+    from kausaldb_spark.sources.multimodal import decode_pixels
+
+    pal = [(0, 0, 0)] * 4
+    idx = np.zeros((2, 4), "uint8")
+    good = _bmp_encode_pal8(idx, pal, compression=1)
+    # run crossing the row edge
+    bad = bytearray(good)
+    stream_at = len(good) - len(_bmp_rle8_encode_rows(idx))
+    bad[stream_at] = 200  # first run length now exceeds w=4
+    with pytest.raises(ValueError):
+        decode_pixels(bytes(bad))
+    # truncated color table
+    with pytest.raises(ValueError):
+        decode_pixels(good[: 14 + 40 + 8])
+
+
+def test_probe_format_mode_full_png_bmp_closure():
+    """The probe's decodable flag must agree with the widened decoder on
+    real encoder output for every newly closed mode."""
+    import struct
+
+    import numpy as np
+
+    from kausaldb_spark.sources.multimodal import probe_format_mode
+
+    img16 = _rand_samples(4, 4, 2, 16, seed=1)
+    assert probe_format_mode(_png_encode_full(img16, 2, 16, [0])) == (
+        "png", "depth16-ctype2", True)
+    pal = [(0, 0, 0), (255, 255, 255)]
+    img1 = _rand_samples(4, 4, 3, 1, seed=2, n_pal=2)
+    assert probe_format_mode(_png_encode_full(img1, 3, 1, [0], plte=pal)) == (
+        "png", "depth1-ctype3", True)
+    imgi = _rand_samples(9, 9, 2, 8, seed=3)
+    assert probe_format_mode(
+        _png_encode_full(imgi, 2, 8, [0], interlace=1)) == (
+        "png", "depth8-ctype2-interlaced", True)
+    # spec-invalid combo probes NOT decodable
+    data = _png_encode_full(imgi, 2, 8, [0])
+    data = data[:24] + b"\x04" + data[25:]  # depth 4 / ctype 2
+    assert probe_format_mode(data) == ("png", "depth4-ctype2", False)
+    idx = np.zeros((2, 2), "uint8")
+    assert probe_format_mode(_bmp_encode_pal8(idx, [(1, 2, 3)])) == (
+        "bmp", "comp0-8bpp", True)
+    assert probe_format_mode(_bmp_encode_pal8(idx, [(1, 2, 3)], 1)) == (
+        "bmp", "comp1-8bpp", True)
+
+
+try:
+    from hypothesis import given as _png_given, settings as _png_settings
+    from hypothesis import strategies as _png_st
+
+    _PNG_COMBOS = [
+        (ctype, depth)
+        for ctype, depths in ((0, (1, 2, 4, 8, 16)), (2, (8, 16)),
+                              (3, (1, 2, 4, 8)), (4, (8, 16)), (6, (8, 16)))
+        for depth in depths
+    ]
+
+    @_png_settings(max_examples=40, deadline=None)
+    @_png_given(
+        combo=_png_st.sampled_from(_PNG_COMBOS),
+        h=_png_st.integers(1, 12),
+        w=_png_st.integers(1, 12),
+        interlace=_png_st.integers(0, 1),
+        filters=_png_st.lists(_png_st.integers(0, 4), min_size=1, max_size=5),
+        use_trns=_png_st.booleans(),
+        seed=_png_st.integers(0, 9999),
+    )
+    def test_png_full_surface_roundtrip_hypothesis(
+            combo, h, w, interlace, filters, use_trns, seed):
+        import struct
+
+        import numpy as np
+
+        from kausaldb_spark.sources.multimodal import decode_pixels
+
+        ctype, depth = combo
+        n_pal = min(1 << depth, 13)
+        img = _rand_samples(h, w, ctype, depth, seed=seed, n_pal=n_pal)
+        plte = (
+            [((i * 11) % 256, (i * 59) % 256, (i * 233) % 256)
+             for i in range(n_pal)]
+            if ctype == 3 else None
+        )
+        trns = None
+        if use_trns:
+            if ctype == 3:
+                trns = bytes((i * 43) % 256 for i in range(n_pal - 1))
+            elif ctype in (0, 2):
+                ch = _PNG_CH[ctype]
+                key = tuple(int(img[0, 0, c]) for c in range(ch))
+                trns = struct.pack(f">{ch}H", *key)
+        data = _png_encode_full(
+            img, ctype, depth, filters, interlace=interlace,
+            plte=plte, trns=trns)
+        got = decode_pixels(data)
+        want = _png_expected(img, ctype, depth, plte=plte, trns=trns)
+        assert got.shape == want.shape and np.array_equal(got, want)
 except ImportError:  # pragma: no cover
     pass
