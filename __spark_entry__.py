@@ -1465,6 +1465,58 @@ def _q_video_probe(spark, sf_dir):
     return vi.video_probe_stats(assets)
 
 
+def _pdf_extract_sql() -> str:
+    """DuckDB twin of _q_pdf_extract, generated from the single
+    PDF_CLASSES definition and the pdf_fixture_line closed form in
+    sources/pdf.py: the twin rebuilds every page's text by string
+    concatenation from doc_id alone, while the Spark side must REALLY
+    inflate FlateDecode streams, expand the PDF-1.5 ObjStm, walk the
+    Kids page tree, run the TJ/hex-string/octal-escape show machine and
+    concatenate /Contents arrays to reproduce the same bytes — a parser
+    bug anywhere breaks the hash."""
+    from kausaldb_spark.sources import pdf as pf
+
+    n_cls = len(pf.PDF_CLASSES)
+
+    def text_expr(n_pages: int) -> str:
+        parts = []
+        for p in range(n_pages):
+            for ln in range(3):
+                parts.append(
+                    f"'doc ' || doc_id || ' page {p} line {ln} tok' || "
+                    f"((doc_id * 7 + {p * 3 + ln}) % 97)"
+                )
+        return " || chr(10) || ".join(parts)
+
+    return f"""
+WITH base AS (
+  SELECT doc_id, CAST(doc_id % {n_cls} AS INT) AS k FROM documents
+)
+SELECT CAST(doc_id AS VARCHAR) AS asset_id,
+       CASE WHEN k = 2 THEN '1.5' ELSE '1.4' END AS version,
+       CAST(CASE WHEN k = 6 THEN 0 WHEN k = 1 THEN 2 ELSE 1 END AS INT)
+         AS n_pages,
+       (k = 5) AS encrypted,
+       CASE WHEN k = 1 THEN {text_expr(2)}
+            WHEN k IN (0, 2, 3, 4) THEN {text_expr(1)} END AS text,
+       CASE WHEN k = 5 THEN 'encrypted'
+            WHEN k = 6 THEN 'no-pages' END AS err
+FROM base"""
+
+
+def _q_pdf_extract(spark, sf_dir):
+    # PDF text front door (r12): deterministic PDF corpus keyed off
+    # doc_id — REAL object-scan parse (tokenizer for dicts/arrays/names/
+    # literal+hex strings/refs), FlateDecode + ASCIIHex filter chains,
+    # ObjStm expansion, page-tree walk, and the content-stream text
+    # machine (Tj / TJ with kerning + hex elements / ' / Td line breaks).
+    # Encryption classifies (never decrypts); damaged docs isolate per-row.
+    from kausaldb_spark.sources import pdf as pf
+
+    assets = pf.synthetic_pdf_assets(_docs(spark, sf_dir))
+    return pf.pdf_text_stats(assets)
+
+
 def _image_near_dup_sql() -> str:
     """DuckDB twin of _q_image_near_dup. The fixture CONSTRUCTS each image
     so its 63-bit perceptual hash equals the md5(str(base_id)) bit pattern
@@ -1785,6 +1837,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    (RIFF/WAV PCM decode + FLAC/MP3/OGG header probes)
         "video_probe": _q_video_probe,  # NEW r12: video container probes
         #    (ISO-BMFF box walk, AVI nested-LIST RIFF, Matroska EBML)
+        "pdf_extract": _q_pdf_extract,  # NEW r12: PDF text front door
+        #    (object scan + ObjStm expansion + filter chains + page-tree
+        #    walk + Tj/TJ/' content-stream text machine)
         "image_near_dup": _q_image_near_dup,  # NEW r12: perceptual-hash
         #    (DCT pHash) near-dup over really-decoded pixels
         "html_extract": _q_html_extract,  # re-gate r12: self-closing
@@ -1792,12 +1847,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest": _q_warc_ingest,  # NEW r12: end-to-end crawl chain
         "contamination": _q_contamination,
         "corpus_curation": _q_corpus_curation,
-        "corpus_diff": _q_corpus_diff,
         "ann_recall": _q_ann_recall,
         "lm_perplexity": _q_lm_perplexity,
         # -- tail (position > 50: outside the driver sample; the oracle-
         #    backed entries here are still hash-gated by the local parity
         #    suite, the rows-only ones are pytest-gated) --
+        "corpus_diff": _q_corpus_diff,  # displaced r12 for the new
+        #    pdf_extract entry (green r11 row; corpus_report +
+        #    corpus_curation keep the corpus family in-window; path
+        #    unchanged this round)
         "hybrid_rrf": _q_hybrid_rrf,  # displaced r12 for the new
         #    audio_stats entry (green r11 row; term_match_topk keeps the
         #    retrieval family in-window; path unchanged this round)
@@ -2974,6 +3032,10 @@ FROM corpus GROUP BY 1, 2 HAVING count(*) > 1""",
         # dimensions, duration and track counts from doc_id's closed
         # forms; the Spark side walks real ISO-BMFF/AVI/EBML structures
         "video_probe": _video_probe_sql(),
+        # and for the PDF corpus: the twin rebuilds every page's text by
+        # string concatenation from doc_id's closed forms; the Spark side
+        # parses real PDF bytes (flate streams, ObjStm, page tree, TJ)
+        "pdf_extract": _pdf_extract_sql(),
         # and for the perceptual-hash corpus: the fixture images were
         # CONSTRUCTED to hash to md5(base_id) bit patterns, so the twin
         # recomputes signatures from id arithmetic and replicates the

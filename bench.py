@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "animation_stats",
     "audio_stats",
     "video_probe",
+    "pdf_extract",
     "image_near_dup",
     "pii_scan",
     "repetition_score",
@@ -187,6 +188,9 @@ BASELINE_MEDIANS = {
     # fix — without it the decode+hash lineage re-executed per band join,
     # the simhash lesson relearned at 100x: 260 s -> 88 s at sf10)
     "audio_stats": 0.8, "video_probe": 0.55, "image_near_dup": 4.4,
+    # r12 session 6: PDF text extraction (object scan + flate + ObjStm +
+    # page tree + TJ machine) — quiet median-of-5 (1.55)
+    "pdf_extract": 1.6,
     # r10: map-only reformulation (in-row single-fold run maxima +
     # shifted-zip neighbor scans + incremental gram builds — zero shuffles,
     # bind-only lambdas so column pruning can never inline an array

@@ -85,6 +85,10 @@ _ARROW_OK = {
     # + decode/DCT/threshold hash stage (mapInPandas); the candidate join
     # and hamming verify downstream are pure codegen on 16-bit band ints
     "image_near_dup",
+    # r12: PDF text extraction — pdf synth (mapInPandas off doc_id) +
+    # object-parse/inflate/extract stage (mapInPandas); the same
+    # documented synth+decode Arrow-boundary pair as audio_stats, map-only
+    "pdf_extract",
 }
 
 
