@@ -63,6 +63,9 @@ MAP_ONLY_LINEAR = {
     "quality_score", "lang_id", "compression_ratio", "token_count",
     "token_count_bpe", "repetition_score", "normalize_text", "pii_scan",
     "domain_filter",
+    # r12 session 6: PDF extraction is synth + parse mapInPandas, no
+    # shuffle (the stats tuple never aggregates)
+    "pdf_extract",
 }
 
 # sf1 medians recorded r10 (quiet box, .sf1 = deterministic 10x of sf0.1)
@@ -107,6 +110,9 @@ SF1_MEDIANS = {
     # 16-bit-band candidate mass is quadratic-until-cap, the documented
     # LSH contract; at 100 TB the band width scales with corpus size)
     "audio_stats": 4.1, "video_probe": 0.8, "image_near_dup": 6.1,
+    # r12 session 6: PDF extraction at sf1 (quiet median-of-3; 10x factor
+    # 2.3 — map-only Arrow parse amortizes like the other modality ops)
+    "pdf_extract": 3.5,
     # r12: link PageRank at sf1 (quiet median-of-3; 10x factor 1.5 — the
     # five iteration joins amortize, edges persisted once)
     "link_pagerank": 5.8,
