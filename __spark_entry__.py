@@ -1498,7 +1498,7 @@ SELECT CAST(doc_id AS VARCHAR) AS asset_id,
          AS n_pages,
        (k = 5) AS encrypted,
        CASE WHEN k = 1 THEN {text_expr(2)}
-            WHEN k IN (0, 2, 3, 4) THEN {text_expr(1)} END AS text,
+            WHEN k IN (0, 2, 3, 4, 7) THEN {text_expr(1)} END AS text,
        CASE WHEN k = 5 THEN 'encrypted'
             WHEN k = 6 THEN 'no-pages' END AS err
 FROM base"""

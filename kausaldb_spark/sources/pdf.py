@@ -24,12 +24,16 @@ as the image/audio stack (`multimodal.py` / `audio.py`):
   operators accumulate, Td(ty!=0) / TD(ty!=0) / T* / ' / " break lines,
   inline images (BI..EI) are skipped, and form XObjects (/Do) recurse
   through the page's /Resources with a depth cap.
-- Honest boundaries, stated: string bytes decode as Latin-1 (correct for
-  the ASCII range of the standard simple-font encodings; no ToUnicode /
-  CMap mapping, so composite-font text may come out as raw code bytes);
-  no kerning-to-space inference in TJ; encrypted documents CLASSIFY as
-  encrypted (n_pages still real — the object graph is plaintext) and
-  never decrypt.
+- Fonts: the Tf operator tracks the current font through /Resources
+  /Font; a font with a /ToUnicode CMap (the overwhelming composite-font
+  case in modern PDFs — Identity-H Type0) decodes its code units through
+  it (codespacerange width, bfchar, bfrange incl. array destinations).
+  Honest boundaries, stated: fonts WITHOUT ToUnicode decode as Latin-1
+  bytes (correct for the ASCII range of the standard simple-font
+  encodings; no built-in-encoding /Differences tables, no predefined
+  CMap registry); no kerning-to-space inference in TJ; encrypted
+  documents CLASSIFY as encrypted (n_pages still real — the object graph
+  is plaintext) and never decrypt.
 - ``PDF_CLASSES`` / ``synth_pdf`` / ``synthetic_pdf_assets`` — the
   deterministic fixture corpus keyed off doc_id, same discipline as
   FORMAT_CLASSES: the DuckDB twin predicts every page's text from the
@@ -523,6 +527,112 @@ class PdfDocument:
         return b"\n".join(parts)
 
 
+# --- ToUnicode CMaps ---------------------------------------------------------
+
+_CMAP_HEX_RE = re.compile(rb"<([0-9A-Fa-f]*)>")
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(
+    rb"beginbfrange(.*?)endbfrange", re.S)
+_CODESPACE_RE = re.compile(
+    rb"begincodespacerange(.*?)endcodespacerange", re.S)
+
+
+def _utf16be(hx: bytes) -> str:
+    b = bytes.fromhex(hx.decode("ascii"))
+    if len(b) % 2:  # tolerate odd dst (single-byte scalar)
+        return chr(b[0]) if b else ""
+    return b.decode("utf-16-be", "replace")
+
+
+def parse_tounicode(data: bytes):
+    """A /ToUnicode CMap (PDF 1.7 §9.10.3): returns (code_width_bytes,
+    {code -> str}). Covers codespacerange (code width), bfchar pairs and
+    bfrange with both scalar-increment and array destinations."""
+    width = 0
+    m = _CODESPACE_RE.search(data)
+    if m:
+        hexes = _CMAP_HEX_RE.findall(m.group(1))
+        if hexes:
+            width = max(1, len(hexes[0]) // 2)
+    if not width:
+        # tolerate CMaps without a codespacerange: infer the code width
+        # from the first bfchar/bfrange SOURCE code
+        for sec_re in (_BFCHAR_RE, _BFRANGE_RE):
+            sm = sec_re.search(data)
+            if sm:
+                hexes = _CMAP_HEX_RE.findall(sm.group(1))
+                if hexes:
+                    width = max(1, len(hexes[0]) // 2)
+                    break
+        width = width or 1
+    mapping: dict[int, str] = {}
+    for sec in _BFCHAR_RE.findall(data):
+        hexes = _CMAP_HEX_RE.findall(sec)
+        for i in range(0, len(hexes) - 1, 2):
+            mapping[int(hexes[i], 16)] = _utf16be(hexes[i + 1])
+    for sec in _BFRANGE_RE.findall(data):
+        pos = 0
+        while True:
+            mlo = _CMAP_HEX_RE.search(sec, pos)
+            if not mlo:
+                break
+            mhi = _CMAP_HEX_RE.search(sec, mlo.end())
+            if not mhi:
+                break
+            lo, hi = int(mlo.group(1), 16), int(mhi.group(1), 16)
+            pos = mhi.end()
+            pos = len(sec) - len(sec[pos:].lstrip())
+            if sec[pos:pos + 1] == b"[":  # array destination
+                end = sec.find(b"]", pos)
+                dsts = _CMAP_HEX_RE.findall(sec[pos:end])
+                for off, d in enumerate(dsts):
+                    if lo + off <= hi:
+                        mapping[lo + off] = _utf16be(d)
+                pos = end + 1
+            else:
+                mdst = _CMAP_HEX_RE.search(sec, pos)
+                if not mdst:
+                    break
+                base = mdst.group(1)
+                base_int = int(base, 16) if base else 0
+                nb = max(2, len(base) // 2)
+                for c in range(lo, hi + 1):
+                    mapping[c] = _utf16be(
+                        (base_int + c - lo).to_bytes(nb, "big").hex().encode()
+                    )
+                pos = mdst.end()
+    return width, mapping
+
+
+class _FontMap(NamedTuple):
+    width: int
+    mapping: dict  # code -> str; None mapping = simple Latin-1 font
+
+
+_LATIN1_FONT = _FontMap(1, None)
+
+
+def _font_text(s, font: _FontMap) -> str:
+    """Decode show-operator string bytes under the current font: split
+    into code units of the CMap's width and map each; codes without a
+    mapping fall back to their Latin-1 bytes (the simple-font contract)."""
+    if not isinstance(s, (bytes, bytearray)):
+        return ""
+    if font.mapping is None:
+        return s.decode("latin-1")
+    w = font.width
+    out = []
+    for i in range(0, len(s) - w + 1, w):
+        code = int.from_bytes(s[i:i + w], "big")
+        got = font.mapping.get(code)
+        out.append(got if got is not None
+                   else s[i:i + w].decode("latin-1"))
+    rem = len(s) % w
+    if rem:
+        out.append(s[len(s) - rem:].decode("latin-1"))
+    return "".join(out)
+
+
 # --- content-stream text machine --------------------------------------------
 
 _OP_RE = re.compile(rb"[A-Za-z'\"][A-Za-z0-9*'\"]*")
@@ -563,12 +673,34 @@ def _content_tokens(buf: bytes):
         yield ("op", op)
 
 
-def _pdf_str(b) -> str:
-    return b.decode("latin-1") if isinstance(b, (bytes, bytearray)) else ""
+def _font_of(doc: PdfDocument, resources, name) -> _FontMap:
+    """Resolve /Resources /Font /<name>; a font carrying a /ToUnicode
+    CMap stream decodes through it (composite/Type0 text), anything else
+    is the simple Latin-1 byte contract. Parsed CMaps cache per stream
+    object on the document."""
+    res = doc.resolve(resources) or {}
+    fonts = doc.resolve(res.get("Font")) or {}
+    ref = fonts.get(str(name)) if isinstance(fonts, dict) else None
+    fobj = doc.resolve(ref)
+    if not isinstance(fobj, dict):
+        return _LATIN1_FONT
+    num = doc._stream_num_of(fobj.get("ToUnicode"))
+    if num is None:
+        return _LATIN1_FONT
+    cache = getattr(doc, "_cmap_cache", None)
+    if cache is None:
+        cache = doc._cmap_cache = {}
+    if num not in cache:
+        try:
+            cache[num] = _FontMap(*parse_tounicode(doc.stream_data(num)))
+        except (ValueError, NotImplementedError, zlib.error):
+            cache[num] = _LATIN1_FONT
+    return cache[num]
 
 
 def _extract_text_lines(doc: PdfDocument, content: bytes, resources,
-                        depth: int = 0) -> list[str]:
+                        depth: int = 0,
+                        font: _FontMap = _LATIN1_FONT) -> list[str]:
     lines: list[str] = []
     cur: list[str] = []
     stack: list = []
@@ -585,20 +717,23 @@ def _extract_text_lines(doc: PdfDocument, content: bytes, resources,
         op = tok
         if op in ("Tj",):
             if stack:
-                cur.append(_pdf_str(stack[-1]))
+                cur.append(_font_text(stack[-1], font))
         elif op == "'":
             flush()
             if stack:
-                cur.append(_pdf_str(stack[-1]))
+                cur.append(_font_text(stack[-1], font))
         elif op == '"':
             flush()
             if stack:
-                cur.append(_pdf_str(stack[-1]))
+                cur.append(_font_text(stack[-1], font))
         elif op == "TJ":
             if stack and isinstance(stack[-1], list):
                 for el in stack[-1]:
                     if isinstance(el, (bytes, bytearray)):
-                        cur.append(_pdf_str(el))
+                        cur.append(_font_text(el, font))
+        elif op == "Tf":
+            if len(stack) >= 2 and isinstance(stack[-2], PdfName):
+                font = _font_of(doc, resources, stack[-2])
         elif op in ("Td", "TD"):
             ty = stack[-1] if stack else 0
             if isinstance(ty, (int, float)) and ty != 0:
@@ -619,8 +754,12 @@ def _extract_text_lines(doc: PdfDocument, content: bytes, resources,
                     except (ValueError, NotImplementedError, zlib.error):
                         body = b""
                     flush()
+                    # Do wraps the form in an implicit gsave/grestore
+                    # (spec §8.10.1): the form inherits the current font
+                    # but its own Tf changes do not leak back
                     lines.extend(_extract_text_lines(
-                        doc, body, xo.get("Resources", resources), depth + 1))
+                        doc, body, xo.get("Resources", resources),
+                        depth + 1, font))
         stack.clear()
     flush()
     return lines
@@ -704,7 +843,35 @@ PDF_CLASSES = [
     ("multistream", 1, "1.4"),  # /Contents array; 2nd stream hex+flate chain
     ("encrypted", 1, "1.4"),    # /Encrypt in trailer: classify, no text
     ("damaged", 0, "1.4"),      # header + junk: no page objects
+    ("type0", 1, "1.4"),        # 2-byte Type0 codes through a ToUnicode CMap
 ]
+
+# Type0 fixture encoding: code = ord(char) + 0x100, so a decoder that
+# skips the CMap (or splits at 1-byte width) CANNOT reproduce the text.
+_TYPE0_OFF = 0x100
+
+
+def _type0_cmap() -> bytes:
+    return (
+        "/CIDInit /ProcSet findresource begin\n"
+        "begincmap\n"
+        "1 begincodespacerange <0000> <ffff> endcodespacerange\n"
+        f"1 beginbfrange <{_TYPE0_OFF + 0x20:04x}> <{_TYPE0_OFF + 0x7e:04x}> "
+        "<0020> endbfrange\n"
+        "endcmap end\n"
+    ).encode("latin-1")
+
+
+def _content_type0(doc_id: int, page: int) -> bytes:
+    lines = _fixture_page_lines(doc_id, page)
+    shows = []
+    for ln_text in lines:
+        codes = "".join(f"{ord(ch) + _TYPE0_OFF:04x}" for ch in ln_text)
+        shows.append(f"<{codes}> Tj")
+    return (
+        f"BT /F9 12 Tf 72 720 Td {shows[0]} 0 -14 Td {shows[1]} "
+        f"T* {shows[2]} ET"
+    ).encode("latin-1")
 
 
 def pdf_fixture_line(doc_id: int, page: int, line: int) -> str:
@@ -846,6 +1013,19 @@ def synth_pdf(cls: int, doc_id: int) -> bytes:
             (4, _stream_obj("", c1)),
             (5, _stream_obj(
                 "/Filter [/ASCIIHexDecode /FlateDecode]", c2_enc)),
+        ]
+        return _pdf_assemble(version, objs)
+    if mode == "type0":
+        cmap = _type0_cmap()
+        objs = [
+            (1, cat),
+            (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+            (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+                b"/Resources << /Font << /F9 5 0 R >> >> >>"),
+            (4, _stream_obj("", _content_type0(doc_id, 0))),
+            (5, b"<< /Type /Font /Subtype /Type0 /BaseFont /Synth-Ident "
+                b"/Encoding /Identity-H /ToUnicode 6 0 R >>"),
+            (6, _stream_obj("/Filter /FlateDecode", zlib.compress(cmap))),
         ]
         return _pdf_assemble(version, objs)
     # encrypted: real object graph + /Encrypt in the trailer

@@ -324,3 +324,87 @@ def test_synth_classes_match_closed_form():
                 for p in range(n_pages) for ln in range(3)
             )
             assert r["text"] == want and r["version"] == version, (k, did)
+
+
+# --- ToUnicode CMaps (composite fonts) ---------------------------------------
+
+def test_parse_tounicode_bfchar_bfrange_and_array_dst():
+    cmap = (
+        b"begincodespacerange <0000> <FFFF> endcodespacerange\n"
+        b"2 beginbfchar <0001> <0041> <0002> <00420043> endbfchar\n"
+        b"1 beginbfrange <0010> <0012> <0061> endbfrange\n"
+        b"1 beginbfrange <0020> <0022> [<0058> <0059005A> <005A>] endbfrange\n"
+    )
+    width, mapping = P.parse_tounicode(cmap)
+    assert width == 2
+    assert mapping[1] == "A" and mapping[2] == "BC"
+    assert mapping[0x10] == "a" and mapping[0x12] == "c"
+    assert mapping[0x20] == "X" and mapping[0x21] == "YZ"
+    assert mapping[0x22] == "Z"
+
+
+def test_font_text_width_split_and_fallback():
+    font = P._FontMap(2, {0x0141: "A", 0x0142: "B"})
+    assert P._font_text(b"\x01\x41\x01\x42", font) == "AB"
+    # unmapped code falls back to its latin-1 bytes
+    assert P._font_text(b"\x01\x41\x00Q", font) == "A\x00Q"
+    # trailing odd byte survives as latin-1
+    assert P._font_text(b"\x01\x41Z", font) == "AZ"
+
+
+def test_type0_font_with_tounicode_in_document():
+    cmap = (
+        b"begincodespacerange <0000> <FFFF> endcodespacerange\n"
+        b"1 beginbfrange <0120> <017E> <0020> endbfrange\n"
+    )
+    text = "Hi CMap!"
+    codes = "".join(f"{ord(c) + 0x100:04x}" for c in text)
+    body = (
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Contents 4 0 R /Resources "
+        b"<< /Font << /Fx 5 0 R /Fplain 7 0 R >> >> >> endobj\n"
+        + _content_obj(
+            4,
+            (f"BT /Fx 10 Tf 0 700 Td <{codes}> Tj "
+             f"/Fplain 10 Tf 0 -14 Td (latin line) Tj ET").encode())
+        + b"5 0 obj << /Type /Font /Subtype /Type0 /Encoding /Identity-H "
+          b"/ToUnicode 6 0 R >> endobj\n"
+        + _content_obj(6, cmap)
+        + b"7 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> "
+          b"endobj\n"
+    )
+    r = P.extract_pdf_text(_wrap(body))
+    # Tf switches mid-page: CMap font then simple font; a decoder that
+    # ignored the CMap would emit the raw 2-byte code units instead
+    assert r["text"] == "Hi CMap!\nlatin line"
+
+
+def test_form_xobject_inherits_font_but_does_not_leak_changes():
+    cmap = b"1 beginbfchar <0041> <0058> endbfchar\n"  # 'A' code -> 'X'
+    form = b"BT 0 1 Td <0041> Tj ET"  # uses the INHERITED CMap font
+    body = (
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Contents 4 0 R /Resources "
+        b"<< /Font << /Fc 5 0 R >> /XObject << /Fm 7 0 R >> >> >> endobj\n"
+        + _content_obj(
+            4, b"BT /Fc 10 Tf 0 700 Td <0041> Tj ET /Fm Do "
+               b"BT 0 1 Td <0041> Tj ET")
+        + b"5 0 obj << /Type /Font /Subtype /Type0 /ToUnicode 6 0 R >> "
+          b"endobj\n"
+        + _content_obj(6, cmap)
+        + _content_obj(7, form, extra=b"/Subtype /Form")
+    )
+    r = P.extract_pdf_text(_wrap(body))
+    assert r["text"] == "X\nX\nX"
+
+
+def test_synth_type0_class_applies_cmap():
+    data = P.synth_pdf(7, 42)
+    r = P.extract_pdf_text(data)
+    assert r["text"].startswith("doc 42 page 0 line 0")
+    # the raw content stream contains NO ascii text — only 2-byte codes
+    doc = P.PdfDocument(data)
+    content = doc.content_bytes(doc.pages()[0])
+    assert b"doc 42" not in content
