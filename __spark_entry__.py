@@ -1504,6 +1504,47 @@ SELECT CAST(doc_id AS VARCHAR) AS asset_id,
 FROM base"""
 
 
+def _jsonl_ingest_sql() -> str:
+    """DuckDB twin of _q_jsonl_ingest, generated against the six line
+    classes in sources/jsonl.py: the twin predicts every conformance
+    outcome from the documents row alone, while the Spark side must
+    round-trip REAL JSON bytes through Jackson — to_json escaping,
+    reordered/unknown fields, PERMISSIVE type-mismatch nulling (quoted
+    n_chars), whitespace tolerance and mid-string truncation."""
+    from kausaldb_spark.sources.jsonl import N_JSONL_CLASSES as n_cls
+
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, lang, source, n_chars,
+         CAST(doc_id % {n_cls} AS INT) AS k
+  FROM documents
+)
+SELECT doc_id AS line_no,
+       CASE WHEN k = 4 THEN NULL ELSE doc_id END AS doc_id,
+       CASE WHEN k IN (3, 4) THEN NULL ELSE text END AS text,
+       CASE WHEN k = 4 THEN NULL ELSE lang END AS lang,
+       CASE WHEN k = 4 THEN NULL ELSE source END AS source,
+       CAST(CASE WHEN k = 4 THEN NULL
+                 WHEN k = 5 THEN length(text)
+                 ELSE n_chars END AS BIGINT) AS n_chars,
+       CASE WHEN k = 3 THEN 'missing-text'
+            WHEN k = 4 THEN 'malformed-json' END AS err
+FROM base"""
+
+
+def _q_jsonl_ingest(spark, sf_dir):
+    # JSONL corpus front door (r12): six line classes synthesized in pure
+    # codegen off the documents table (compact / reordered+unknown-field /
+    # whitespace / missing-text / truncated / quoted-number), parsed by
+    # ONE from_json expression with the PERMISSIVE corrupt-record
+    # quarantine — per-line error isolation at scan throughput, the
+    # contract a 100 TB crawled-JSONL heap requires.
+    from kausaldb_spark.sources import jsonl as jl
+
+    lines = jl.synthetic_jsonl_lines(_docs(spark, sf_dir))
+    return jl.parse_jsonl(lines, keep_cols=("line_no",))
+
+
 def _q_pdf_extract(spark, sf_dir):
     # PDF text front door (r12): deterministic PDF corpus keyed off
     # doc_id — REAL object-scan parse (tokenizer for dicts/arrays/names/
@@ -1840,6 +1881,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_extract": _q_pdf_extract,  # NEW r12: PDF text front door
         #    (object scan + ObjStm expansion + filter chains + page-tree
         #    walk + Tj/TJ/' content-stream text machine)
+        "jsonl_ingest": _q_jsonl_ingest,  # NEW r12: JSONL front door —
+        #    one from_json codegen expression, PERMISSIVE quarantine,
+        #    conformance taxonomy (see sources/jsonl.py)
         "image_near_dup": _q_image_near_dup,  # NEW r12: perceptual-hash
         #    (DCT pHash) near-dup over really-decoded pixels
         "html_extract": _q_html_extract,  # re-gate r12: self-closing
@@ -1847,7 +1891,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest": _q_warc_ingest,  # NEW r12: end-to-end crawl chain
         "contamination": _q_contamination,
         "corpus_curation": _q_corpus_curation,
-        "ann_recall": _q_ann_recall,
         "lm_perplexity": _q_lm_perplexity,
         # -- tail (position > 50: outside the driver sample; the oracle-
         #    backed entries here are still hash-gated by the local parity
@@ -1856,6 +1899,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    pdf_extract entry (green r11 row; corpus_report +
         #    corpus_curation keep the corpus family in-window; path
         #    unchanged this round)
+        "ann_recall": _q_ann_recall,  # displaced r12 for the new
+        #    jsonl_ingest entry (green r11 row; ann_topk/ann_lsh/
+        #    embedding_near_dup rotated in-window this round keep the ANN
+        #    family gated; path unchanged this round)
         "hybrid_rrf": _q_hybrid_rrf,  # displaced r12 for the new
         #    audio_stats entry (green r11 row; term_match_topk keeps the
         #    retrieval family in-window; path unchanged this round)
@@ -3036,6 +3083,9 @@ FROM corpus GROUP BY 1, 2 HAVING count(*) > 1""",
         # string concatenation from doc_id's closed forms; the Spark side
         # parses real PDF bytes (flate streams, ObjStm, page tree, TJ)
         "pdf_extract": _pdf_extract_sql(),
+        # and for the JSONL corpus: the twin predicts conformance outcomes
+        # from the documents row; Spark round-trips real JSON bytes
+        "jsonl_ingest": _jsonl_ingest_sql(),
         # and for the perceptual-hash corpus: the fixture images were
         # CONSTRUCTED to hash to md5(base_id) bit patterns, so the twin
         # recomputes signatures from id arithmetic and replicates the

@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "audio_stats",
     "video_probe",
     "pdf_extract",
+    "jsonl_ingest",
     "image_near_dup",
     "pii_scan",
     "repetition_score",
@@ -189,8 +190,9 @@ BASELINE_MEDIANS = {
     # the simhash lesson relearned at 100x: 260 s -> 88 s at sf10)
     "audio_stats": 0.8, "video_probe": 0.55, "image_near_dup": 4.4,
     # r12 session 6: PDF text extraction (object scan + flate + ObjStm +
-    # page tree + TJ machine) — quiet median-of-5 (1.55)
-    "pdf_extract": 1.6,
+    # page tree + TJ machine) — quiet median-of-5 (1.55); JSONL ingest is
+    # one from_json codegen expression (median-of-5 0.70)
+    "pdf_extract": 1.6, "jsonl_ingest": 0.7,
     # r10: map-only reformulation (in-row single-fold run maxima +
     # shifted-zip neighbor scans + incremental gram builds — zero shuffles,
     # bind-only lambdas so column pruning can never inline an array

@@ -516,14 +516,21 @@ class PdfDocument:
     def content_bytes(self, page: dict) -> bytes:
         """Decoded /Contents of a page, array elements concatenated with a
         separating newline (spec: contents split across streams form one
-        logical stream)."""
+        logical stream). A page with NO /Contents key is a legal empty
+        page; a /Contents reference whose stream is missing or was dropped
+        as truncated is damage and raises (silently extracting an empty
+        document from a cut-off file would poison a curation corpus)."""
         contents = page.get("Contents")
+        if contents is None:
+            return b""
         refs = contents if isinstance(contents, list) else [contents]
         parts = []
         for r in refs:
             num = self._stream_num_of(r)
-            if num is not None:
-                parts.append(self.stream_data(num))
+            if num is None:
+                raise ValueError(
+                    "page /Contents stream missing or truncated")
+            parts.append(self.stream_data(num))
         return b"\n".join(parts)
 
 

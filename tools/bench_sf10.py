@@ -103,8 +103,9 @@ CHUNKS = [
               # r12 session 4: the three new modality ops — all map-only
               # Arrow decode/probe shapes that must stay flat-per-byte
               "audio_stats", "video_probe",
-              # r12 session 6: PDF text extraction — map-only Arrow parse
-              "pdf_extract"]),
+              # r12 session 6: PDF text extraction — map-only Arrow parse;
+              # JSONL ingest — pure-codegen from_json at scan throughput
+              "pdf_extract", "jsonl_ingest"]),
     ("dedup", ["minhash_near_dup", "near_dup_clusters", "semantic_dedup",
                # r12 session 4: banded perceptual-hash join at 100x volume
                "image_near_dup",

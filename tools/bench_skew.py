@@ -645,6 +645,61 @@ def main() -> None:
 
     run("image_giant_payload", image_giant_leg)
 
+    # direct leg 9 (r12 session 6): the PDF stage under a giant document —
+    # one ~multi-MB flate content stream (per-task memory = one document)
+    # and a mid-stream truncation that must isolate per-row
+    def pdf_giant_leg():
+        import zlib as _z
+
+        from kausaldb_spark.sources import pdf as pf
+
+        n_lines = 200_000
+        body_lines = " ".join(
+            f"(giant line {i}) Tj T*" for i in range(n_lines)
+        )
+        content = f"BT /F1 9 Tf 72 720 Td {body_lines} ET".encode()
+        payload = _z.compress(content)
+        objs = [
+            (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+            (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+            (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
+            (4, pf._stream_obj("/Filter /FlateDecode", payload)),
+        ]
+        giant = pf._pdf_assemble("1.4", objs)
+        # corrupt giant: cut the flate stream mid-way (decode must fail,
+        # not hang or kill the task)
+        cut = giant[: len(giant) // 2]
+        rows = [(str(d), pf.synth_pdf(d % len(pf.PDF_CLASSES), d))
+                for d in range(8)]
+        rows.append(("giant", giant))
+        rows.append(("corrupt_giant", cut))
+        df = spark.createDataFrame(rows, "asset_id string, payload binary")
+        got = {r["asset_id"]: r for r in pf.pdf_text_stats(df).collect()}
+        text = got["giant"]["text"] or ""
+        lines = text.split("\n")
+        caps["pdf_giant_lines_ok"] = (
+            got["giant"]["n_pages"] == 1
+            and len(lines) == n_lines
+            and lines[0] == "giant line 0"
+            and lines[-1] == f"giant line {n_lines - 1}"
+        )
+        n_err_expected = 1 + sum(  # corrupt_giant + the fixture's own
+            1 for d in range(8)    # encrypted/damaged classes
+            if pf.PDF_CLASSES[d % len(pf.PDF_CLASSES)][0]
+            in ("encrypted", "damaged")
+        )
+        caps["pdf_giant_corrupt_isolated"] = (
+            got["corrupt_giant"]["err"] is not None
+            and sum(1 for r in got.values() if r["err"] is not None)
+            == n_err_expected
+        )
+        sizes = sorted(len(p) for _a, p in rows)
+        caps["pdf_giant_volume_ratio"] = round(
+            sizes[-1] / statistics.median(sizes), 1
+        )
+
+    run("pdf_giant_payload", pdf_giant_leg)
+
     spark.stop()
 
     strag = straggler_report(eventlog_dir, windows)
@@ -688,6 +743,7 @@ def main() -> None:
     for leg, cap in (
         ("audio_giant_payload", "audio_giant_volume_ratio"),
         ("image_giant_payload", "image_giant_volume_ratio"),
+        ("pdf_giant_payload", "pdf_giant_volume_ratio"),
     ):
         vr = caps.get(cap)
         if not vr:
@@ -746,6 +802,8 @@ def main() -> None:
             and caps.get("audio_giant_corrupt_isolated") is True
             and caps.get("image_giant_hashed") is True
             and caps.get("image_giant_corrupt_isolated") is True
+            and caps.get("pdf_giant_lines_ok") is True
+            and caps.get("pdf_giant_corrupt_isolated") is True
             and not strag["flagged_over_4x"]
         ),
     }

@@ -111,8 +111,10 @@ SF1_MEDIANS = {
     # LSH contract; at 100 TB the band width scales with corpus size)
     "audio_stats": 4.1, "video_probe": 0.8, "image_near_dup": 6.1,
     # r12 session 6: PDF extraction at sf1 (quiet median-of-3; 10x factor
-    # 2.3 — map-only Arrow parse amortizes like the other modality ops)
-    "pdf_extract": 3.5,
+    # 2.3 — map-only Arrow parse amortizes like the other modality ops);
+    # JSONL ingest at sf1 (quiet median-of-3; 10x factor 1.1 — from_json
+    # codegen rides the scan)
+    "pdf_extract": 3.5, "jsonl_ingest": 0.8,
     # r12: link PageRank at sf1 (quiet median-of-3; 10x factor 1.5 — the
     # five iteration joins amortize, edges persisted once)
     "link_pagerank": 5.8,
