@@ -1504,6 +1504,71 @@ SELECT CAST(doc_id AS VARCHAR) AS asset_id,
 FROM base"""
 
 
+def _exif_stats_sql() -> str:
+    """DuckDB twin of _q_exif_stats, generated against the EXIF_CLASSES
+    closed forms in sources/exif.py: the twin recomputes every field
+    (make/model/orientation strings, the datetime format, pixel dims, and
+    GPS micro-degrees in EXACT integer arithmetic over the rational
+    encoding) from doc_id alone, while the Spark side walks REAL APP1/
+    TIFF IFD bytes in BOTH byte orders with both inline and offset
+    values — an endianness or offset bug breaks the hash."""
+    from kausaldb_spark.sources.exif import EXIF_CLASSES
+
+    n_cls = len(EXIF_CLASSES)
+    # micro-degrees: ((d*3600 + m*60 + s) * 100 * 1000000 + 180000)
+    # // 360000 — same integer rounding as _gps_udeg for the fixture's
+    # (d/1, m/1, s*100/100) rational encoding
+    lat = ("((doc_id % 90) * 3600 + (doc_id % 60) * 60 + (doc_id * 7) % 60)"
+           " * 100")
+    lon = ("((doc_id % 180) * 3600 + ((doc_id * 3) % 60) * 60 +"
+           " (doc_id * 11) % 60) * 100")
+    return f"""
+WITH base AS (
+  SELECT doc_id, CAST(doc_id % {n_cls} AS INT) AS k FROM documents
+)
+SELECT CAST(doc_id AS VARCHAR) AS asset_id,
+       CASE WHEN k = 4 THEN false ELSE (k != 0) END AS has_exif,
+       CASE WHEN k = 1 THEN 'maker' || CAST(doc_id % 7 AS VARCHAR)
+            WHEN k = 2 THEN 'cam' || CAST(doc_id % 5 AS VARCHAR)
+       END AS make,
+       CASE WHEN k = 1 THEN 'model' || CAST(doc_id % 13 AS VARCHAR)
+       END AS model,
+       CAST(CASE WHEN k = 1 THEN 1 + doc_id % 8 END AS INT) AS orientation,
+       CASE WHEN k = 2 THEN
+         '20' || lpad(CAST(10 + doc_id % 15 AS VARCHAR), 2, '0') || ':'
+         || lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0') || ':'
+         || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') || ' 12:00:00'
+       END AS dt_original,
+       CAST(CASE WHEN k = 2 THEN 16 * (1 + doc_id % 100) END AS BIGINT)
+         AS width,
+       CAST(CASE WHEN k = 2 THEN 16 * (1 + doc_id % 80) END AS BIGINT)
+         AS height,
+       CAST(CASE WHEN k = 3 THEN
+         (CASE WHEN doc_id % 2 = 1 THEN -1 ELSE 1 END)
+         * (({lat}) * 1000000 + 180000) // 360000
+       END AS BIGINT) AS gps_lat_udeg,
+       CAST(CASE WHEN k = 3 THEN
+         (CASE WHEN doc_id % 3 = 0 THEN -1 ELSE 1 END)
+         * (({lon}) * 1000000 + 180000) // 360000
+       END AS BIGINT) AS gps_lon_udeg,
+       CASE WHEN k = 4 THEN 'ValueError: EXIF IFD offset past end'
+       END AS err
+FROM base"""
+
+
+def _q_exif_stats(spark, sf_dir):
+    # EXIF provenance extraction (r12): deterministic JPEG+APP1 corpus
+    # keyed off doc_id — REAL TIFF IFD walk (II and MM byte orders, Exif
+    # and GPS sub-IFD pointers, inline vs offset-addressed values,
+    # RATIONAL GPS reduced to exact integer micro-degrees). Absence of
+    # EXIF is a value (has_exif=false); corrupt structures isolate
+    # per-row.
+    from kausaldb_spark.sources import exif as ex
+
+    assets = ex.synthetic_exif_assets(_docs(spark, sf_dir))
+    return ex.exif_stats(assets)
+
+
 def _jsonl_ingest_sql() -> str:
     """DuckDB twin of _q_jsonl_ingest, generated against the six line
     classes in sources/jsonl.py: the twin predicts every conformance
@@ -1867,7 +1932,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- dedup / text / similarity pipeline --
         "term_match_topk": _q_term_match_topk,
         "minhash_near_dup": _q_minhash_near_dup,
-        "incremental_dedup": _q_incremental_dedup,
         "duplicate_spans": _q_duplicate_spans,
         "span_removal": _q_span_removal,  # NEW r11 (Lee-et-al. remove half)
         "simhash_band": _q_simhash_band,
@@ -1881,6 +1945,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_extract": _q_pdf_extract,  # NEW r12: PDF text front door
         #    (object scan + ObjStm expansion + filter chains + page-tree
         #    walk + Tj/TJ/' content-stream text machine)
+        "exif_stats": _q_exif_stats,  # NEW r12: EXIF provenance
+        #    (TIFF IFD walk, both byte orders, GPS micro-degrees)
         "jsonl_ingest": _q_jsonl_ingest,  # NEW r12: JSONL front door —
         #    one from_json codegen expression, PERMISSIVE quarantine,
         #    conformance taxonomy (see sources/jsonl.py)
@@ -1903,6 +1969,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    jsonl_ingest entry (green r11 row; ann_topk/ann_lsh/
         #    embedding_near_dup rotated in-window this round keep the ANN
         #    family gated; path unchanged this round)
+        "incremental_dedup": _q_incremental_dedup,  # displaced r12 for
+        #    the new exif_stats entry (green r11 row; minhash/clusters/
+        #    spans/simhash keep the dedup family in-window; path
+        #    unchanged this round)
         "hybrid_rrf": _q_hybrid_rrf,  # displaced r12 for the new
         #    audio_stats entry (green r11 row; term_match_topk keeps the
         #    retrieval family in-window; path unchanged this round)
@@ -3086,6 +3156,10 @@ FROM corpus GROUP BY 1, 2 HAVING count(*) > 1""",
         # and for the JSONL corpus: the twin predicts conformance outcomes
         # from the documents row; Spark round-trips real JSON bytes
         "jsonl_ingest": _jsonl_ingest_sql(),
+        # and for the EXIF corpus: the twin recomputes provenance fields
+        # (incl. GPS micro-degrees in exact integer arithmetic) from
+        # doc_id; Spark walks real APP1/TIFF IFD bytes in both endians
+        "exif_stats": _exif_stats_sql(),
         # and for the perceptual-hash corpus: the fixture images were
         # CONSTRUCTED to hash to md5(base_id) bit patterns, so the twin
         # recomputes signatures from id arithmetic and replicates the

@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "video_probe",
     "pdf_extract",
     "jsonl_ingest",
+    "exif_stats",
     "image_near_dup",
     "pii_scan",
     "repetition_score",
@@ -193,6 +194,9 @@ BASELINE_MEDIANS = {
     # page tree + TJ machine) — quiet median-of-5 (1.55); JSONL ingest is
     # one from_json codegen expression (median-of-5 0.70)
     "pdf_extract": 1.6, "jsonl_ingest": 0.7,
+    # r12 session 7: EXIF provenance extraction (jpeg synth + TIFF IFD
+    # walk, both byte orders) — quiet median-of-5 (0.58)
+    "exif_stats": 0.6,
     # r10: map-only reformulation (in-row single-fold run maxima +
     # shifted-zip neighbor scans + incremental gram builds — zero shuffles,
     # bind-only lambdas so column pruning can never inline an array

@@ -89,6 +89,9 @@ _ARROW_OK = {
     # object-parse/inflate/extract stage (mapInPandas); the same
     # documented synth+decode Arrow-boundary pair as audio_stats, map-only
     "pdf_extract",
+    # r12: EXIF provenance — jpeg synth (mapInPandas off doc_id) + TIFF
+    # IFD walk (mapInPandas); header-only probe shape like video_probe
+    "exif_stats",
 }
 
 

@@ -66,6 +66,9 @@ MAP_ONLY_LINEAR = {
     # r12 session 6: PDF extraction is synth + parse mapInPandas, no
     # shuffle (the stats tuple never aggregates)
     "pdf_extract",
+    # r12 session 7: EXIF is the same shape — jpeg synth + header-walk
+    # probe mapInPandas, zero shuffles
+    "exif_stats",
 }
 
 # sf1 medians recorded r10 (quiet box, .sf1 = deterministic 10x of sf0.1)
@@ -115,6 +118,9 @@ SF1_MEDIANS = {
     # JSONL ingest at sf1 (quiet median-of-3; 10x factor 1.1 — from_json
     # codegen rides the scan)
     "pdf_extract": 3.5, "jsonl_ingest": 0.8,
+    # r12 session 7: EXIF at sf1 (quiet median-of-3; 10x factor 1.4 —
+    # header-walk probe rides the scan like video_probe)
+    "exif_stats": 0.8,
     # r12: link PageRank at sf1 (quiet median-of-3; 10x factor 1.5 — the
     # five iteration joins amortize, edges persisted once)
     "link_pagerank": 5.8,
