@@ -1569,6 +1569,59 @@ def _q_exif_stats(spark, sf_dir):
     return ex.exif_stats(assets)
 
 
+def _charset_detect_sql() -> str:
+    """DuckDB twin of _q_charset_detect, generated against the ten
+    charset classes in sources/charset.py: the twin predicts the decoded
+    text, the canonical encoding and the sniff source from doc_id closed
+    forms, while the Spark side must sniff REAL bytes — BOMs, lying
+    Content-Type headers, a meta prescan, Shift_JIS multibyte and the
+    WHATWG windows-1252 total table (chr(129) pins the C1-undefined
+    byte). A wrong label mapping, a missed BOM, or a trusted lying
+    header breaks the hash."""
+    return """
+WITH base AS (
+  SELECT doc_id, CAST(doc_id % 10 AS INT) AS k,
+         CAST(doc_id % 1000 AS VARCHAR) AS n
+  FROM documents
+)
+SELECT CAST(doc_id AS VARCHAR) AS asset_id,
+       CASE k
+         WHEN 0 THEN 'plain ascii ' || n
+         WHEN 1 THEN 'café ' || n
+         WHEN 2 THEN 'naïve ' || n
+         WHEN 3 THEN '“quoted ' || n || '” café'
+         WHEN 4 THEN '<html><head><meta charset=iso-8859-1></head><body>'
+                     || 'résumé ' || n || '</body>'
+         WHEN 5 THEN 'valid üñí ' || n
+         WHEN 6 THEN 'lone café ' || n
+         WHEN 7 THEN 'bad “' || n || '”'
+         WHEN 8 THEN '日本 ' || n
+         ELSE 'ctrl ' || chr(129) || ' ' || n
+       END AS text,
+       CASE WHEN k IN (0, 1, 5) THEN 'utf-8'
+            WHEN k = 2 THEN 'utf-16le'
+            WHEN k = 8 THEN 'shift_jis'
+            ELSE 'windows-1252' END AS encoding,
+       CASE WHEN k IN (1, 2) THEN 'bom'
+            WHEN k IN (0, 3, 8, 9) THEN 'header'
+            WHEN k = 4 THEN 'meta'
+            WHEN k = 5 THEN 'utf8_valid'
+            ELSE 'fallback' END AS charset_source
+FROM base"""
+
+
+def _q_charset_detect(spark, sf_dir):
+    # WHATWG charset sniff + transcode (r12): BOM / valid-UTF-8 /
+    # Content-Type header / meta prescan / windows-1252-total fallback
+    # over ten real byte classes keyed off doc_id. The anti-mojibake
+    # order (valid UTF-8 beats a lying 8-bit declaration) is the
+    # curation-pipeline contract; see sources/charset.py.
+    from kausaldb_spark.sources import charset as cset
+
+    assets = cset.synthetic_charset_assets(_docs(spark, sf_dir))
+    return cset.decode_text(assets)
+
+
 def _jsonl_ingest_sql() -> str:
     """DuckDB twin of _q_jsonl_ingest, generated against the six line
     classes in sources/jsonl.py: the twin predicts every conformance
@@ -1933,7 +1986,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_match_topk": _q_term_match_topk,
         "minhash_near_dup": _q_minhash_near_dup,
         "duplicate_spans": _q_duplicate_spans,
-        "span_removal": _q_span_removal,  # NEW r11 (Lee-et-al. remove half)
         "simhash_band": _q_simhash_band,
         "near_dup_clusters": _q_near_dup_clusters,
         "decode_coverage": _q_decode_coverage,  # NEW r11 (verdict item 5)
@@ -1955,12 +2007,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": _q_html_extract,  # re-gate r12: self-closing
         #    suppress-tag fix touched the extractor this round
         "warc_ingest": _q_warc_ingest,  # NEW r12: end-to-end crawl chain
+        "charset_detect": _q_charset_detect,  # NEW r12: WHATWG charset
+        #    sniff + transcode (BOM / utf8-valid / header / meta /
+        #    1252-total fallback) — the crawl chain's mixed-charset leg
         "contamination": _q_contamination,
         "corpus_curation": _q_corpus_curation,
         "lm_perplexity": _q_lm_perplexity,
         # -- tail (position > 50: outside the driver sample; the oracle-
         #    backed entries here are still hash-gated by the local parity
         #    suite, the rows-only ones are pytest-gated) --
+        "span_removal": _q_span_removal,  # displaced r12 for the new
+        #    charset_detect entry (green r11 row; duplicate_spans +
+        #    minhash/clusters/simhash keep the dedup family in-window;
+        #    path unchanged this round)
         "corpus_diff": _q_corpus_diff,  # displaced r12 for the new
         #    pdf_extract entry (green r11 row; corpus_report +
         #    corpus_curation keep the corpus family in-window; path
@@ -3160,6 +3219,9 @@ FROM corpus GROUP BY 1, 2 HAVING count(*) > 1""",
         # (incl. GPS micro-degrees in exact integer arithmetic) from
         # doc_id; Spark walks real APP1/TIFF IFD bytes in both endians
         "exif_stats": _exif_stats_sql(),
+        # and for the charset corpus: the twin predicts text/encoding/
+        # source from doc_id; Spark sniffs and transcodes real bytes
+        "charset_detect": _charset_detect_sql(),
         # and for the perceptual-hash corpus: the fixture images were
         # CONSTRUCTED to hash to md5(base_id) bit patterns, so the twin
         # recomputes signatures from id arithmetic and replicates the

@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "pdf_extract",
     "jsonl_ingest",
     "exif_stats",
+    "charset_detect",
     "image_near_dup",
     "pii_scan",
     "repetition_score",

@@ -299,21 +299,49 @@ def warc_to_documents(
     )
 
 
-def documents_from_warc_files(files: DataFrame, charset: str = "utf-8") -> DataFrame:
+def documents_from_warc_files(files: DataFrame,
+                              charset: str | None = "utf-8") -> DataFrame:
     """The full crawl chain over a (path, content) relation: WARC records
     -> 200-status ``text/html`` responses -> ``sources/html`` extraction ->
     canonical documents schema (content-addressed doc ids, source = target
     host, lang left to the downstream ``lang_id`` stage). Map-only until
-    the caller's first aggregation."""
+    the caller's first aggregation.
+
+    ``charset``: a fixed encoding keeps the decode in pure codegen
+    (``F.decode``) for corpora known to be single-charset; ``None``
+    switches to the WHATWG sniff+transcode Arrow stage
+    (``sources/charset.decode_text``) — BOM / valid-UTF-8 / Content-Type
+    header / meta prescan / windows-1252 fallback — which real mixed
+    crawl data requires (same map-only shape, per-row total)."""
     from kausaldb_spark.sources import corpus as cp
     from kausaldb_spark.sources import html as hx
 
     http = warc_http_responses(parse_warc_files(files))
-    pages = (
+    responses = (
         http.where(F.col("error").isNull())
         .where(F.col("http_status") == 200)
         .where(F.lower(F.col("http_content_type")).contains("text/html"))
-        .select(
+    )
+    if charset is None:
+        from kausaldb_spark.sources import charset as cset
+
+        decoded = cset.decode_text(
+            responses.select(
+                F.xxhash64("warc_file", "record_id", "target_uri").alias(
+                    "asset_id"),
+                F.col("body"),
+                F.col("http_content_type").alias("content_type"),
+                "target_uri",
+            ),
+            keep_cols=("target_uri",),
+        )
+        pages = decoded.select(
+            F.col("asset_id").cast("bigint").alias("doc_id"),
+            F.col("text").alias("html"),
+            "target_uri",
+        )
+    else:
+        pages = responses.select(
             # transient key: extract_html_text's id contract is a bigint
             # column; the PERSISTED id is the content-address from
             # conform(). target_uri rides THROUGH the extraction stage
@@ -325,7 +353,6 @@ def documents_from_warc_files(files: DataFrame, charset: str = "utf-8") -> DataF
             F.decode(F.col("body"), charset).alias("html"),
             "target_uri",
         )
-    )
     extracted = hx.extract_html_text(pages, keep_cols=("target_uri",))
     # host extraction stays JVM-side (regex in codegen, no UDF); its pure
     # twin _host_of is what the unit tests pin the regex against

@@ -92,6 +92,9 @@ _ARROW_OK = {
     # r12: EXIF provenance — jpeg synth (mapInPandas off doc_id) + TIFF
     # IFD walk (mapInPandas); header-only probe shape like video_probe
     "exif_stats",
+    # r12: charset sniff+transcode — byte synth (mapInPandas off doc_id)
+    # + WHATWG decode (mapInPandas); same map-only probe shape
+    "charset_detect",
 }
 
 

@@ -106,8 +106,9 @@ CHUNKS = [
               # r12 session 6: PDF text extraction — map-only Arrow parse;
               # JSONL ingest — pure-codegen from_json at scan throughput
               "pdf_extract", "jsonl_ingest",
-              # r12 session 7: EXIF provenance — same map-only probe shape
-              "exif_stats"]),
+              # r12 session 7: EXIF provenance + charset sniff/transcode —
+              # same map-only probe shapes
+              "exif_stats", "charset_detect"]),
     ("dedup", ["minhash_near_dup", "near_dup_clusters", "semantic_dedup",
                # r12 session 4: banded perceptual-hash join at 100x volume
                "image_near_dup",

@@ -67,8 +67,8 @@ MAP_ONLY_LINEAR = {
     # shuffle (the stats tuple never aggregates)
     "pdf_extract",
     # r12 session 7: EXIF is the same shape — jpeg synth + header-walk
-    # probe mapInPandas, zero shuffles
-    "exif_stats",
+    # probe mapInPandas, zero shuffles; charset sniff/transcode likewise
+    "exif_stats", "charset_detect",
 }
 
 # sf1 medians recorded r10 (quiet box, .sf1 = deterministic 10x of sf0.1)
