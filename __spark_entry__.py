@@ -777,6 +777,35 @@ def _q_quality_classifier(spark, sf_dir):
     return cls.score_quality(model, docs).select("doc_id", "pred")
 
 
+def _q_nb_classifier(spark, sf_dir):
+    # integer Naive Bayes quality classifier (the MDL counterpart of
+    # quality_classifier's float LR) — training AND scoring in exact fl2
+    # integer arithmetic, so the whole op is oracle-gated, not rows-only.
+    # The synthetic corpus's sources share one vocabulary (no natural
+    # label signal), so the fixture injects a deterministic class dialect
+    # keyed off doc_id parity, trains on the doc_id%4<2 split only, and
+    # scores EVERYTHING — the held-out halves gate real generalization
+    # (learned bucket statistics must classify unseen docs), not lookup.
+    from kausaldb_spark.functions import classify as cls
+
+    docs = _docs(spark, sf_dir)
+    dialect = F.when(
+        F.col("doc_id") % 2 == 1,
+        F.lit("fluent reference prose paragraph coherent"),
+    ).otherwise(F.lit("casino viagra click subscribe footer"))
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")), F.lit(" "), dialect
+        ).alias("text"),
+    )
+    train = aug.where(F.col("doc_id") % 4 < 2).withColumn(
+        "_lab", (F.col("doc_id") % 2).cast("int")
+    )
+    counts, priors = cls.nb_train(train, "_lab")
+    return cls.nb_score(counts, priors, aug)
+
+
 def _q_events_hourly(spark, sf_dir):
     return ev.hourly_rollup(ev.load_events(spark, sf_dir))
 
@@ -1970,7 +1999,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    /HWM guard touched this round)
         "sessionize": _q_sessionize,
         "filter_metadata_eq": _q_filter_metadata_eq,
-        "filter_compound": _q_filter_compound,
+        "nb_classifier": _q_nb_classifier,  # NEW r12: integer NB
+        #    quality classifier — train + score both oracle-gated (the
+        #    MDL counterpart of the rows-only MLlib quality_classifier)
         "find_by_name": _q_find_by_name,
         "keyword_search": _q_keyword_search,
         "callers_1hop": _q_callers_1hop,
@@ -2016,6 +2047,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tail (position > 50: outside the driver sample; the oracle-
         #    backed entries here are still hash-gated by the local parity
         #    suite, the rows-only ones are pytest-gated) --
+        "filter_compound": _q_filter_compound,  # displaced r12 for the
+        #    new nb_classifier entry (green r11 row; filter_targets +
+        #    filter_metadata_eq + filter_pagination keep the filter
+        #    family in-window; path unchanged this round)
         "span_removal": _q_span_removal,  # displaced r12 for the new
         #    charset_detect entry (green r11 row; duplicate_spans +
         #    minhash/clusters/simhash keep the dedup family in-window;
@@ -2830,6 +2865,66 @@ SELECT d.doc_id,
         coalesce((1000000 * a.total_bits) // a.n_bigrams, 0)
           <= {_LM_MAX_BITS_PPM}) AS kept
 FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""",
+        # integer NB: the twin repeats the identical fl2 (= length(bin)-1)
+        # code-length arithmetic over the same md5 hash buckets, so train
+        # AND score are bit-exact across engines
+        "nb_classifier": r"""
+WITH aug AS (
+  SELECT doc_id,
+         coalesce(text, '') || ' ' || CASE WHEN doc_id % 2 = 1
+           THEN 'fluent reference prose paragraph coherent'
+           ELSE 'casino viagra click subscribe footer' END AS text
+  FROM documents
+), tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS t
+  FROM aug
+), occ AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(x.tk), 1, 8))::BIGINT % 4096 AS b
+  FROM (SELECT doc_id, unnest(t) AS tk FROM tok) x
+), cnts AS (
+  SELECT b,
+         sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS c_good,
+         sum(CASE WHEN doc_id % 2 = 1 THEN 0 ELSE 1 END)::BIGINT AS c_bad
+  FROM occ WHERE doc_id % 4 < 2 GROUP BY 1
+), tot AS (
+  SELECT coalesce(sum(c_good), 0)::BIGINT AS t_good,
+         coalesce(sum(c_bad), 0)::BIGINT AS t_bad
+  FROM cnts
+), nd AS (
+  SELECT sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_good,
+         sum(CASE WHEN doc_id % 2 = 1 THEN 0 ELSE 1 END)::BIGINT AS n_bad
+  FROM aug WHERE doc_id % 4 < 2
+), docb AS (
+  SELECT doc_id, b, count(*)::BIGINT AS cnt FROM occ GROUP BY 1, 2
+), scored AS (
+  SELECT d.doc_id, sum(d.cnt)::INT AS n_tokens,
+         sum(d.cnt * (
+            ((length(bin(t.t_bad + 4096)) - 1)
+             - (length(bin(coalesce(c.c_bad, 0) + 1)) - 1))
+          - ((length(bin(t.t_good + 4096)) - 1)
+             - (length(bin(coalesce(c.c_good, 0) + 1)) - 1))
+         ))::BIGINT AS tok_margin
+  FROM docb d LEFT JOIN cnts c ON c.b = d.b CROSS JOIN tot t
+  GROUP BY 1
+), final AS (
+  SELECT doc.doc_id,
+         CAST(coalesce(s.n_tokens, 0) AS INT) AS n_tokens,
+         CAST(coalesce(s.tok_margin, 0)
+              + ((length(bin(nd.n_good + nd.n_bad + 2)) - 1)
+                 - (length(bin(nd.n_bad + 1)) - 1))
+              - ((length(bin(nd.n_good + nd.n_bad + 2)) - 1)
+                 - (length(bin(nd.n_good + 1)) - 1))
+           AS BIGINT) AS margin_bits
+  FROM aug doc
+  LEFT JOIN scored s ON s.doc_id = doc.doc_id
+  CROSS JOIN nd
+)
+SELECT doc_id, n_tokens, margin_bits,
+       CAST((margin_bits > 0) AS INT) AS pred_good
+FROM final""",
         "term_match_topk": r"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
