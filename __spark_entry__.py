@@ -1692,6 +1692,50 @@ def _q_jsonl_ingest(spark, sf_dir):
     return jl.parse_jsonl(lines, keep_cols=("line_no",))
 
 
+def _csv_ingest_sql() -> str:
+    """DuckDB twin of _q_csv_ingest, generated against the six line
+    classes in sources/csvl.py: the twin predicts every conformance
+    outcome from the documents row alone, while the Spark side must
+    round-trip REAL CSV bytes through Univocity — RFC 4180 doubled-quote
+    unescaping, stray-header quarantine, under-run attribution
+    (short-row) and PERMISSIVE type-mismatch repair."""
+    from kausaldb_spark.sources.csvl import N_CSV_CLASSES as n_cls
+
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, lang, source, n_chars,
+         CAST(doc_id % {n_cls} AS INT) AS k
+  FROM documents
+)
+SELECT doc_id AS line_no,
+       CASE WHEN k = 2 THEN NULL ELSE doc_id END AS doc_id,
+       CASE WHEN k IN (2, 3) THEN NULL
+            WHEN k = 1 THEN 'a,b "q" ' || text
+            ELSE text END AS text,
+       CASE WHEN k = 2 THEN NULL ELSE lang END AS lang,
+       CASE WHEN k IN (2, 4) THEN NULL ELSE source END AS source,
+       CAST(CASE WHEN k IN (2, 4) THEN NULL
+                 WHEN k = 5 THEN length(text)
+                 ELSE n_chars END AS BIGINT) AS n_chars,
+       CASE WHEN k = 2 THEN 'header-row'
+            WHEN k = 3 THEN 'missing-text'
+            WHEN k = 4 THEN 'short-row' END AS err
+FROM base"""
+
+
+def _q_csv_ingest(spark, sf_dir):
+    # CSV corpus front door (r12): six line classes synthesized in pure
+    # codegen off the documents table (plain / RFC 4180 quoting with
+    # embedded delimiter + doubled quotes / stray header from shard
+    # concatenation / empty text / under-run / type-mismatched n_chars),
+    # parsed by ONE from_csv expression with the PERMISSIVE corrupt-
+    # record quarantine — per-line error isolation at scan throughput.
+    from kausaldb_spark.sources import csvl as cv
+
+    lines = cv.synthetic_csv_lines(_docs(spark, sf_dir))
+    return cv.parse_csv_lines(lines, keep_cols=("line_no",))
+
+
 def _q_pdf_extract(spark, sf_dir):
     # PDF text front door (r12): deterministic PDF corpus keyed off
     # doc_id — REAL object-scan parse (tokenizer for dicts/arrays/names/
@@ -2007,7 +2051,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "callers_1hop": _q_callers_1hop,
         "bfs_depth3": _q_bfs_depth3,
         "path_enumeration": _q_path_enumeration,
-        "traversal_incoming": _q_traversal_incoming,
         "bidirectional": _q_bidirectional,
         "topo_sort": _q_topo_sort,
         "context_blocks": _q_context_blocks,
@@ -2033,6 +2076,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_ingest": _q_jsonl_ingest,  # NEW r12: JSONL front door —
         #    one from_json codegen expression, PERMISSIVE quarantine,
         #    conformance taxonomy (see sources/jsonl.py)
+        "csv_ingest": _q_csv_ingest,  # NEW r12: CSV front door — one
+        #    from_csv codegen expression, RFC 4180 quoting, stray-header
+        #    quarantine + short-row attribution (see sources/csvl.py)
         "image_near_dup": _q_image_near_dup,  # NEW r12: perceptual-hash
         #    (DCT pHash) near-dup over really-decoded pixels
         "html_extract": _q_html_extract,  # re-gate r12: self-closing
@@ -2047,6 +2093,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tail (position > 50: outside the driver sample; the oracle-
         #    backed entries here are still hash-gated by the local parity
         #    suite, the rows-only ones are pytest-gated) --
+        "traversal_incoming": _q_traversal_incoming,  # displaced r12 for
+        #    the new csv_ingest entry (green r11 row; callers_1hop +
+        #    bfs_depth3 + path_enumeration + bidirectional + topo_sort
+        #    keep the traversal family in-window; path unchanged)
         "filter_compound": _q_filter_compound,  # displaced r12 for the
         #    new nb_classifier entry (green r11 row; filter_targets +
         #    filter_metadata_eq + filter_pagination keep the filter
@@ -3310,6 +3360,7 @@ FROM corpus GROUP BY 1, 2 HAVING count(*) > 1""",
         # and for the JSONL corpus: the twin predicts conformance outcomes
         # from the documents row; Spark round-trips real JSON bytes
         "jsonl_ingest": _jsonl_ingest_sql(),
+        "csv_ingest": _csv_ingest_sql(),
         # and for the EXIF corpus: the twin recomputes provenance fields
         # (incl. GPS micro-degrees in exact integer arithmetic) from
         # doc_id; Spark walks real APP1/TIFF IFD bytes in both endians

@@ -108,6 +108,8 @@ BENCH_QUERIES = [
     "jsonl_ingest",
     "exif_stats",
     "charset_detect",
+    "csv_ingest",
+    "nb_classifier",
     "image_near_dup",
     "pii_scan",
     "repetition_score",

@@ -108,7 +108,10 @@ CHUNKS = [
               "pdf_extract", "jsonl_ingest",
               # r12 session 7: EXIF provenance + charset sniff/transcode —
               # same map-only probe shapes
-              "exif_stats", "charset_detect"]),
+              "exif_stats", "charset_detect",
+              # r12 session 8: CSV front door (pure-codegen from_csv) +
+              # integer NB classifier (bounded-model broadcast join)
+              "csv_ingest", "nb_classifier"]),
     ("dedup", ["minhash_near_dup", "near_dup_clusters", "semantic_dedup",
                # r12 session 4: banded perceptual-hash join at 100x volume
                "image_near_dup",
