@@ -1736,6 +1736,76 @@ def _q_csv_ingest(spark, sf_dir):
     return cv.parse_csv_lines(lines, keep_cols=("line_no",))
 
 
+def _sitemap_parse_sql() -> str:
+    """DuckDB twin of _q_sitemap_parse, generated against the eight file
+    classes in sources/sitemap.py: the twin predicts every entry from
+    doc_id closed forms, while the Spark side must parse REAL XML through
+    StaxXmlParser — entity decode (&amp; in query URLs), default AND
+    prefixed namespaces, XML decl/comment tolerance, empty-set and
+    malformed-file quarantine, and exact DECIMAL->ppm priority."""
+    return r"""
+WITH base AS (
+  SELECT doc_id, CAST(doc_id % 8 AS INT) AS k,
+         'https://site' || (doc_id % 1000) || '.example' AS host,
+         '2024-03-' || lpad(((doc_id % 27) + 1)::VARCHAR, 2, '0') AS lm
+  FROM documents
+), e AS (
+  SELECT doc_id, k, host, lm,
+         host || '/page/' || doc_id AS u1,
+         host || '/page/' || doc_id || '/b' AS u2
+  FROM base
+), rows_ AS (
+  SELECT doc_id, k, unnest(CASE
+    WHEN k = 0 THEN [
+      {kind: 'url', loc: u1, lastmod: lm,
+       changefreq: CAST(NULL AS VARCHAR), ppm: CAST(800000 AS BIGINT)},
+      {kind: 'url', loc: u2, lastmod: CAST(NULL AS VARCHAR),
+       changefreq: CAST(NULL AS VARCHAR), ppm: CAST(500000 AS BIGINT)}]
+    WHEN k = 1 THEN [
+      {kind: 'url', loc: u1 || '?a=1&b=2', lastmod: CAST(NULL AS VARCHAR),
+       changefreq: 'daily', ppm: CAST(NULL AS BIGINT)}]
+    WHEN k = 2 THEN [
+      {kind: 'sitemap', loc: host || '/s1.xml', lastmod: lm,
+       changefreq: CAST(NULL AS VARCHAR), ppm: CAST(NULL AS BIGINT)},
+      {kind: 'sitemap', loc: host || '/s2.xml',
+       lastmod: CAST(NULL AS VARCHAR),
+       changefreq: CAST(NULL AS VARCHAR), ppm: CAST(NULL AS BIGINT)}]
+    WHEN k = 3 OR k = 7 THEN [
+      {kind: 'url', loc: u1, lastmod: CAST(NULL AS VARCHAR),
+       changefreq: CAST(NULL AS VARCHAR), ppm: CAST(NULL AS BIGINT)}]
+    WHEN k = 6 THEN [
+      {kind: 'url', loc: u1, lastmod: CAST(NULL AS VARCHAR),
+       changefreq: CAST(NULL AS VARCHAR), ppm: CAST(1000000 AS BIGINT)},
+      {kind: 'url', loc: u2, lastmod: CAST(NULL AS VARCHAR),
+       changefreq: CAST(NULL AS VARCHAR), ppm: CAST(123456 AS BIGINT)}]
+    ELSE [
+      {kind: CAST(NULL AS VARCHAR), loc: CAST(NULL AS VARCHAR),
+       lastmod: CAST(NULL AS VARCHAR),
+       changefreq: CAST(NULL AS VARCHAR), ppm: CAST(NULL AS BIGINT)}]
+  END) AS r
+  FROM e
+)
+SELECT 'sitemaps/' || doc_id || '.xml' AS sitemap_path,
+       r.kind AS kind, r.loc AS loc, r.lastmod AS lastmod,
+       r.changefreq AS changefreq, r.ppm AS priority_ppm,
+       CASE WHEN k = 4 THEN 'malformed-xml'
+            WHEN k = 5 THEN 'no-entries' END AS err
+FROM rows_"""
+
+
+def _q_sitemap_parse(spark, sf_dir):
+    # sitemap discovery source (r12): eight real XML file classes keyed
+    # off doc_id — urlset/sitemapindex through ONE from_xml expression
+    # (JVM StaxXmlParser, zero Python), prefixed-namespace strip, entity
+    # decode, per-file malformed/empty quarantine, exact ppm priorities.
+    # Closes the crawl front end's discovery leg: robots gates admission,
+    # the link graph discovers organically, sitemaps seed declaratively.
+    from kausaldb_spark.sources import sitemap as sm
+
+    files = sm.synthetic_sitemap_files(_docs(spark, sf_dir))
+    return sm.parse_sitemaps(files)
+
+
 def _q_pdf_extract(spark, sf_dir):
     # PDF text front door (r12): deterministic PDF corpus keyed off
     # doc_id — REAL object-scan parse (tokenizer for dicts/arrays/names/
@@ -2046,7 +2116,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_classifier": _q_nb_classifier,  # NEW r12: integer NB
         #    quality classifier — train + score both oracle-gated (the
         #    MDL counterpart of the rows-only MLlib quality_classifier)
-        "find_by_name": _q_find_by_name,
         "keyword_search": _q_keyword_search,
         "callers_1hop": _q_callers_1hop,
         "bfs_depth3": _q_bfs_depth3,
@@ -2079,6 +2148,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_ingest": _q_csv_ingest,  # NEW r12: CSV front door — one
         #    from_csv codegen expression, RFC 4180 quoting, stray-header
         #    quarantine + short-row attribution (see sources/csvl.py)
+        "sitemap_parse": _q_sitemap_parse,  # NEW r12: sitemap discovery
+        #    source — one from_xml codegen expression, prefixed-namespace
+        #    strip, per-file quarantine (see sources/sitemap.py)
         "image_near_dup": _q_image_near_dup,  # NEW r12: perceptual-hash
         #    (DCT pHash) near-dup over really-decoded pixels
         "html_extract": _q_html_extract,  # re-gate r12: self-closing
@@ -2093,6 +2165,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tail (position > 50: outside the driver sample; the oracle-
         #    backed entries here are still hash-gated by the local parity
         #    suite, the rows-only ones are pytest-gated) --
+        "find_by_name": _q_find_by_name,  # displaced r12 for the new
+        #    sitemap_parse entry (green r11 row; keyword_search +
+        #    find_alias_and_path keep the name-lookup family covered;
+        #    path unchanged this round)
         "traversal_incoming": _q_traversal_incoming,  # displaced r12 for
         #    the new csv_ingest entry (green r11 row; callers_1hop +
         #    bfs_depth3 + path_enumeration + bidirectional + topo_sort
@@ -3361,6 +3437,7 @@ FROM corpus GROUP BY 1, 2 HAVING count(*) > 1""",
         # from the documents row; Spark round-trips real JSON bytes
         "jsonl_ingest": _jsonl_ingest_sql(),
         "csv_ingest": _csv_ingest_sql(),
+        "sitemap_parse": _sitemap_parse_sql(),
         # and for the EXIF corpus: the twin recomputes provenance fields
         # (incl. GPS micro-degrees in exact integer arithmetic) from
         # doc_id; Spark walks real APP1/TIFF IFD bytes in both endians

@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "charset_detect",
     "csv_ingest",
     "nb_classifier",
+    "sitemap_parse",
     "image_near_dup",
     "pii_scan",
     "repetition_score",

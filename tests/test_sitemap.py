@@ -1,0 +1,116 @@
+"""Sitemap source pins: protocol parse (urlset/sitemapindex), entity
+decode, prefixed namespaces, exact ppm priorities, per-file quarantine,
+and the robots-gated candidate view."""
+
+from pyspark.sql import functions as F
+
+from kausaldb_spark.sources import sitemap as sm
+
+_NS = 'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"'
+
+
+def _parse(spark, files):
+    df = spark.createDataFrame(files, "path string, content string")
+    rows = sm.parse_sitemaps(df).collect()
+    out = {}
+    for r in rows:
+        out.setdefault(r["sitemap_path"], []).append(r.asDict())
+    return out
+
+
+def test_urlset_and_index_parse(spark):
+    got = _parse(spark, [
+        ("a.xml",
+         f'<urlset {_NS}>'
+         "<url><loc>https://e.com/1</loc><lastmod>2024-05-01</lastmod>"
+         "<changefreq>weekly</changefreq><priority>0.9</priority></url>"
+         "<url><loc>https://e.com/2</loc></url></urlset>"),
+        ("i.xml",
+         f'<sitemapindex {_NS}>'
+         "<sitemap><loc>https://e.com/s1.xml</loc>"
+         "<lastmod>2024-05-02</lastmod></sitemap></sitemapindex>"),
+    ])
+    a = sorted(got["a.xml"], key=lambda r: r["loc"])
+    assert [r["kind"] for r in a] == ["url", "url"]
+    assert a[0]["lastmod"] == "2024-05-01"
+    assert a[0]["changefreq"] == "weekly"
+    assert a[0]["priority_ppm"] == 900_000
+    assert a[1]["priority_ppm"] is None
+    i = got["i.xml"]
+    assert len(i) == 1 and i[0]["kind"] == "sitemap"
+    assert i[0]["loc"] == "https://e.com/s1.xml"
+
+
+def test_entity_decode_and_prefixed_namespace(spark):
+    got = _parse(spark, [
+        ("e.xml",
+         f'<urlset {_NS}><url>'
+         "<loc>https://e.com/q?a=1&amp;b=&lt;x&gt;</loc></url></urlset>"),
+        ("p.xml",
+         '<sm:urlset xmlns:sm="http://www.sitemaps.org/schemas/'
+         'sitemap/0.9"><sm:url><sm:loc>https://p.com/x</sm:loc>'
+         "</sm:url></sm:urlset>"),
+    ])
+    assert got["e.xml"][0]["loc"] == "https://e.com/q?a=1&b=<x>"
+    assert got["p.xml"][0]["loc"] == "https://p.com/x"
+
+
+def test_quarantine_taxonomy(spark):
+    got = _parse(spark, [
+        ("bad.xml", "not xml at <<< all"),
+        ("empty.xml", f"<urlset {_NS}></urlset>"),
+        ("truncated.xml",
+         "<urlset><url><loc>https://t.com/x</loc><<<BROKEN"),
+    ])
+    assert got["bad.xml"][0]["err"] == "malformed-xml"
+    assert got["bad.xml"][0]["loc"] is None
+    assert got["empty.xml"][0]["err"] == "no-entries"
+    assert got["truncated.xml"][0]["err"] == "malformed-xml"
+
+
+def test_priority_ppm_exact(spark):
+    got = _parse(spark, [
+        ("p.xml",
+         f"<urlset {_NS}>"
+         "<url><loc>u1</loc><priority>1.0</priority></url>"
+         "<url><loc>u2</loc><priority>0.123456</priority></url>"
+         "<url><loc>u3</loc><priority>garbage</priority></url>"
+         "</urlset>"),
+    ])
+    ppm = {r["loc"]: r["priority_ppm"] for r in got["p.xml"]}
+    assert ppm == {"u1": 1_000_000, "u2": 123_456, "u3": None}
+
+
+def test_url_candidates_robots_gated(spark):
+    from kausaldb_spark.sources import robots as rb
+
+    files = spark.createDataFrame(
+        [("s.xml",
+          f"<urlset {_NS}>"
+          "<url><loc>https://h.com/private/x</loc></url>"
+          "<url><loc>https://h.com/pub/y#frag</loc>"
+          "<priority>0.7</priority></url>"
+          "<url><loc>https://open.com/z</loc></url></urlset>")],
+        "path string, content string",
+    )
+    parsed = sm.parse_sitemaps(files)
+    hosts = spark.createDataFrame(
+        [("h.com", "User-agent: *\nDisallow: /private/\n")],
+        "host string, content string",
+    )
+    rules = rb.robots_rules(hosts, "bot")
+    got = {r["url"]: r.asDict()
+           for r in sm.sitemap_url_candidates(parsed, rules).collect()}
+    # denied path dropped; fragment stripped by canonicalization;
+    # no-robots host passes by the left-join-miss allowed default
+    assert "https://h.com/private/x" not in got
+    assert got["https://h.com/pub/y"]["priority_ppm"] == 700_000
+    assert "https://open.com/z" in got
+
+
+def test_parse_plan_stays_jvm_side(spark):
+    docs = spark.createDataFrame([(1,)], "doc_id long")
+    out = sm.parse_sitemaps(sm.synthetic_sitemap_files(docs))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, marker

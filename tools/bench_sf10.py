@@ -111,7 +111,9 @@ CHUNKS = [
               "exif_stats", "charset_detect",
               # r12 session 8: CSV front door (pure-codegen from_csv) +
               # integer NB classifier (bounded-model broadcast join)
-              "csv_ingest", "nb_classifier"]),
+              "csv_ingest", "nb_classifier",
+              # r12 session 8: sitemap discovery — one from_xml JVM stage
+              "sitemap_parse"]),
     ("dedup", ["minhash_near_dup", "near_dup_clusters", "semantic_dedup",
                # r12 session 4: banded perceptual-hash join at 100x volume
                "image_near_dup",
