@@ -1806,6 +1806,73 @@ def _q_sitemap_parse(spark, sf_dir):
     return sm.parse_sitemaps(files)
 
 
+def _compression_band_sql() -> str:
+    """DuckDB twin of _q_compression_band. zlib itself is engine-side
+    only, so the gate quantizes the RefinedWeb-style compressibility
+    signal into WIDE bands (thresholds 150k/400k ppm sit >=2x away from
+    every class's measured ratio: repetitive ~55-65k, mixed ~250k,
+    hex ~575-625k) — the twin rebuilds the identical class texts (repeat/
+    md5 closed forms) and predicts (n_bytes, band) from doc_id alone,
+    while the Spark side must REALLY compress the bytes through the
+    Arrow zlib stage to land in the right band."""
+    return r"""
+WITH cls AS (
+  SELECT doc_id, CAST(doc_id % 3 AS INT) AS k,
+         rtrim(repeat('spam ', 50 + doc_id % 37)) AS rep,
+         array_to_string(list_transform(range(0, 8 + doc_id % 9),
+                         i -> md5(doc_id || ':' || i)), '') AS hx
+  FROM documents
+), txt AS (
+  SELECT doc_id, k,
+         CASE WHEN k = 0 THEN rep
+              WHEN k = 1 THEN hx
+              ELSE substr(hx, 1, 40) || ' ' || repeat('token ', 30)
+         END AS t
+  FROM cls
+)
+SELECT doc_id,
+       CAST(length(t) AS BIGINT) AS n_bytes,
+       CAST(CASE k WHEN 0 THEN 0 WHEN 1 THEN 2 ELSE 1 END AS INT) AS band
+FROM txt"""
+
+
+def _q_compression_band(spark, sf_dir):
+    # zlib-compressibility quality bands (r12): the oracle-gated rep of
+    # the compression family (compression_ratio's exact byte counts stay
+    # rows-only — zlib output is engine-side). Three constructed text
+    # classes (repetitive / high-entropy hex / mixed) must land in the
+    # right ppm band, which requires ACTUALLY deflating the bytes.
+    from kausaldb_spark.functions import text as tx
+
+    d = F.col("doc_id")
+    rep = F.rtrim(F.repeat(F.lit("spam "), (F.lit(50) + d % 37).cast("int")))
+    hx = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), (F.lit(7) + d % 9).cast("int")),
+            lambda i: F.md5(F.concat(d.cast("string"), F.lit(":"),
+                                     i.cast("string"))),
+        ),
+        "",
+    )
+    mix = F.concat(F.substring(hx, 1, 40), F.lit(" "),
+                   F.repeat(F.lit("token "), 30))
+    k = d % 3
+    synth = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(k == 0, rep).when(k == 1, hx).otherwise(mix).alias("text"),
+    )
+    scored = tx.compression_ratio(synth)
+    band = (
+        F.when(F.col("ratio_ppm") < 150_000, F.lit(0))
+        .when(F.col("ratio_ppm") < 400_000, F.lit(1))
+        .otherwise(F.lit(2))
+    )
+    return scored.select(
+        "doc_id", F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        band.cast("int").alias("band"),
+    )
+
+
 def _q_pdf_extract(spark, sf_dir):
     # PDF text front door (r12): deterministic PDF corpus keyed off
     # doc_id — REAL object-scan parse (tokenizer for dicts/arrays/names/
@@ -2112,7 +2179,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_roundtrip": _q_store_roundtrip,  # storage-family rep (lease
         #    /HWM guard touched this round)
         "sessionize": _q_sessionize,
-        "filter_metadata_eq": _q_filter_metadata_eq,
         "nb_classifier": _q_nb_classifier,  # NEW r12: integer NB
         #    quality classifier — train + score both oracle-gated (the
         #    MDL counterpart of the rows-only MLlib quality_classifier)
@@ -2151,6 +2217,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_parse": _q_sitemap_parse,  # NEW r12: sitemap discovery
         #    source — one from_xml codegen expression, prefixed-namespace
         #    strip, per-file quarantine (see sources/sitemap.py)
+        "compression_band": _q_compression_band,  # NEW r12: oracle-gated
+        #    rep of the zlib-compressibility family — constructed classes
+        #    must land in wide ppm bands, requiring a real deflate
         "image_near_dup": _q_image_near_dup,  # NEW r12: perceptual-hash
         #    (DCT pHash) near-dup over really-decoded pixels
         "html_extract": _q_html_extract,  # re-gate r12: self-closing
@@ -2165,6 +2234,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tail (position > 50: outside the driver sample; the oracle-
         #    backed entries here are still hash-gated by the local parity
         #    suite, the rows-only ones are pytest-gated) --
+        "filter_metadata_eq": _q_filter_metadata_eq,  # displaced r12 for
+        #    the new compression_band entry (green r11 row; filter_targets
+        #    + filter_pagination keep the filter family in-window; path
+        #    unchanged this round)
         "find_by_name": _q_find_by_name,  # displaced r12 for the new
         #    sitemap_parse entry (green r11 row; keyword_search +
         #    find_alias_and_path keep the name-lookup family covered;
@@ -3438,6 +3511,7 @@ FROM corpus GROUP BY 1, 2 HAVING count(*) > 1""",
         "jsonl_ingest": _jsonl_ingest_sql(),
         "csv_ingest": _csv_ingest_sql(),
         "sitemap_parse": _sitemap_parse_sql(),
+        "compression_band": _compression_band_sql(),
         # and for the EXIF corpus: the twin recomputes provenance fields
         # (incl. GPS micro-degrees in exact integer arithmetic) from
         # doc_id; Spark walks real APP1/TIFF IFD bytes in both endians

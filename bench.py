@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "csv_ingest",
     "nb_classifier",
     "sitemap_parse",
+    "compression_band",
     "image_near_dup",
     "pii_scan",
     "repetition_score",

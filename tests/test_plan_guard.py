@@ -95,6 +95,10 @@ _ARROW_OK = {
     # r12: charset sniff+transcode — byte synth (mapInPandas off doc_id)
     # + WHATWG decode (mapInPandas); same map-only probe shape
     "charset_detect",
+    # r12: zlib compressibility bands — the deflate itself is the ONE
+    # quality signal that cannot be codegen (pandas_udf, Arrow-batched,
+    # map-only); text synth stays pure codegen
+    "compression_band",
 }
 
 

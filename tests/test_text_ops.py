@@ -1110,3 +1110,31 @@ def test_gopher_quality_long_doc_no_int32_overflow(spark):
     assert 200 <= r["mean_word_len_x100"] <= 1500  # sane, not wrapped
     assert r["symbol_word_ppm"] == 0
     assert r["gopher_pass"] is True
+
+
+def test_compression_band_margins_hold_across_id_space():
+    """The compression_band gate's class->band mapping must be robust to
+    any doc_id (fixture sizes are id-derived) and to realistic zlib
+    drift: every constructed class text must sit >= 1.4x away from the
+    nearest ppm threshold (150k / 400k) on BOTH sides."""
+    import hashlib
+    import zlib
+
+    def ratio_ppm(t: str) -> int:
+        b = t.encode()
+        return len(zlib.compress(b, 6)) * 1_000_000 // len(b)
+
+    ids = list(range(0, 120)) + [10**6 + i for i in range(40)] + [
+        987654321, 2**40 + 7, 31, 36, 37, 8, 9, 17
+    ]
+    for did in ids:
+        rep = ("spam " * (50 + did % 37)).rstrip()
+        hx = "".join(
+            hashlib.md5(f"{did}:{i}".encode()).hexdigest()
+            for i in range(8 + did % 9)
+        )
+        mix = hx[:40] + " " + ("token " * 30)
+        assert ratio_ppm(rep) * 1.4 <= 150_000, (did, ratio_ppm(rep))
+        assert ratio_ppm(hx) >= 400_000 * 1.4, (did, ratio_ppm(hx))
+        m = ratio_ppm(mix)
+        assert 150_000 * 1.4 <= m <= 400_000 / 1.4, (did, m)

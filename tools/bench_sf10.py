@@ -113,7 +113,9 @@ CHUNKS = [
               # integer NB classifier (bounded-model broadcast join)
               "csv_ingest", "nb_classifier",
               # r12 session 8: sitemap discovery — one from_xml JVM stage
-              "sitemap_parse"]),
+              "sitemap_parse",
+              # r12 session 8: zlib band gate — Arrow deflate, map-only
+              "compression_band"]),
     ("dedup", ["minhash_near_dup", "near_dup_clusters", "semantic_dedup",
                # r12 session 4: banded perceptual-hash join at 100x volume
                "image_near_dup",
