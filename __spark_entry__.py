@@ -1873,6 +1873,155 @@ def _q_compression_band(spark, sf_dir):
     )
 
 
+def _robots_sitemaps_sql() -> str:
+    """DuckDB twin of _q_robots_sitemaps: the twin predicts the
+    (host, sitemap_url) relation from doc_id closed forms while the
+    Spark side must extract from REAL robots.txt text — case-insensitive
+    field names, trailing comments, CRLF, relative-path resolution and
+    non-http scheme drops (RFC 9309 §2.3 file-wide Sitemap records)."""
+    return r"""
+WITH base AS (
+  SELECT doc_id, CAST(doc_id % 5 AS INT) AS k,
+         'h' || doc_id || '.example' AS host
+  FROM documents
+), rows_ AS (
+  SELECT host, unnest(CASE
+    WHEN k = 0 THEN ['https://' || host || '/sm.xml']
+    WHEN k = 1 THEN ['https://' || host || '/a.xml',
+                     'https://' || host || '/rel/b.xml']
+    WHEN k = 3 THEN ['https://' || host || '/c.xml']
+    WHEN k = 4 THEN ['https://' || host || '/d.xml']
+    ELSE CAST([] AS VARCHAR[])
+  END) AS sitemap_url
+  FROM base
+)
+SELECT host, sitemap_url FROM rows_"""
+
+
+def _q_robots_sitemaps(spark, sf_dir):
+    # Sitemap: directive extraction from robots.txt (r12) — the
+    # robots->sitemap hand-off that makes the discovery loop
+    # self-seeding. Five real robots.txt classes keyed off doc_id
+    # (plain group + sitemap / mixed-case + comment + relative /
+    # no directive / CRLF + ftp-scheme drop / directive inside a UA
+    # group — still file-wide per RFC 9309). Pure codegen: one split +
+    # regexp per line.
+    from kausaldb_spark.sources import robots as rb
+
+    d = F.col("doc_id")
+    host = F.concat(F.lit("h"), d.cast("string"), F.lit(".example"))
+    hurl = F.concat(F.lit("https://"), host)
+    c0 = F.concat(F.lit("User-agent: *\nDisallow: /x\nSitemap: "),
+                  hurl, F.lit("/sm.xml\n"))
+    c1 = F.concat(F.lit("SITEMAP:   "), hurl,
+                  F.lit("/a.xml   # main index\nsitemap: /rel/b.xml\n"))
+    c2 = F.lit("User-agent: *\nDisallow: /private/\n")
+    c3 = F.concat(F.lit("Sitemap: ftp://bad.example/x.xml\r\nSitemap: "),
+                  hurl, F.lit("/c.xml\r\n"))
+    c4 = F.concat(F.lit("User-agent: bot\nDisallow: /\nSitemap: "),
+                  hurl, F.lit("/d.xml"))
+    k = d % 5
+    content = (
+        F.when(k == 0, c0).when(k == 1, c1).when(k == 2, c2)
+        .when(k == 3, c3).otherwise(c4)
+    )
+    robots = _docs(spark, sf_dir).select(
+        host.alias("host"), content.alias("content")
+    )
+    return rb.sitemap_directives(robots)
+
+
+def _recrawl_priority_sql() -> str:
+    """DuckDB twin of _q_recrawl_priority: an independent SQL
+    implementation of the scheduling CONTRACT (same integer arithmetic,
+    date functions, three-valued-logic handling) over the PREDICTED
+    sitemap inventory — the Spark side must first really parse the XML
+    corpus to even reach the scheduler."""
+    return r"""
+WITH base AS (
+  SELECT doc_id, CAST(doc_id % 8 AS INT) AS k,
+         'https://site' || (doc_id % 1000) || '.example'
+           || '/page/' || doc_id AS u1,
+         '2024-03-' || lpad(((doc_id % 27) + 1)::VARCHAR, 2, '0') AS lm
+  FROM documents
+), entries AS (
+  SELECT doc_id, unnest(CASE
+    WHEN k = 0 THEN [
+      {url: u1, lastmod: lm, changefreq: CAST(NULL AS VARCHAR),
+       prio: CAST(800000 AS BIGINT)},
+      {url: u1 || '/b', lastmod: CAST(NULL AS VARCHAR),
+       changefreq: CAST(NULL AS VARCHAR), prio: CAST(500000 AS BIGINT)}]
+    WHEN k = 1 THEN [
+      {url: u1 || '?a=1&b=2', lastmod: CAST(NULL AS VARCHAR),
+       changefreq: 'daily', prio: CAST(NULL AS BIGINT)}]
+    WHEN k = 3 OR k = 7 THEN [
+      {url: u1, lastmod: CAST(NULL AS VARCHAR),
+       changefreq: CAST(NULL AS VARCHAR), prio: CAST(NULL AS BIGINT)}]
+    WHEN k = 6 THEN [
+      {url: u1, lastmod: CAST(NULL AS VARCHAR),
+       changefreq: CAST(NULL AS VARCHAR), prio: CAST(1000000 AS BIGINT)},
+      {url: u1 || '/b', lastmod: CAST(NULL AS VARCHAR),
+       changefreq: CAST(NULL AS VARCHAR), prio: CAST(123456 AS BIGINT)}]
+    ELSE CAST([] AS STRUCT(url VARCHAR, lastmod VARCHAR,
+                           changefreq VARCHAR, prio BIGINT)[])
+  END) AS e
+  FROM base
+), log_ AS (
+  SELECT u1 AS url, DATE '2024-03-15' AS last_fetch
+  FROM base WHERE doc_id % 2 = 0
+), joined AS (
+  SELECT en.e.url AS url, en.e.lastmod AS lastmod,
+         en.e.changefreq AS changefreq, en.e.prio AS prio, lg.last_fetch
+  FROM entries en LEFT JOIN log_ lg ON lg.url = en.e.url
+), scored AS (
+  SELECT url,
+         CAST(coalesce(date_diff('day', last_fetch, DATE '2024-04-10'),
+                       10000) AS INT) AS age_days,
+         CAST(CASE lower(changefreq)
+              WHEN 'always' THEN 1 WHEN 'hourly' THEN 1
+              WHEN 'daily' THEN 1 WHEN 'weekly' THEN 7
+              WHEN 'monthly' THEN 30 WHEN 'yearly' THEN 365
+              WHEN 'never' THEN 100000 ELSE 30 END AS INT) AS interval_days,
+         (last_fetch IS NULL
+          OR coalesce(CAST(lastmod AS DATE) > last_fetch, FALSE)) AS early,
+         coalesce(prio, 500000)::BIGINT AS prio
+  FROM joined
+)
+SELECT url, age_days, interval_days,
+       CAST((early OR age_days >= interval_days) AS INT) AS due,
+       CAST(least(2000000::BIGINT,
+                  age_days::BIGINT * 1000000 // interval_days)
+            * prio // 1000000 AS BIGINT) AS score_ppm
+FROM scored"""
+
+
+def _q_recrawl_priority(spark, sf_dir):
+    # lastmod/changefreq-aware refresh scheduling (r12): the sitemap
+    # inventory (REALLY parsed from the XML corpus) joined against a
+    # deterministic fetch log; due/score in exact integer arithmetic.
+    # With sitemap_parse (discovery), robots_sitemaps (hand-off) and
+    # crawl_frontier (admission), the incremental crawl loop is closed:
+    # discover -> schedule -> fetch -> extract -> curate -> re-discover.
+    from kausaldb_spark.sources import sitemap as sm
+
+    docs = _docs(spark, sf_dir)
+    parsed = sm.parse_sitemaps(sm.synthetic_sitemap_files(docs))
+    entries = parsed.where(
+        F.col("err").isNull() & (F.col("kind") == "url")
+    ).select(
+        F.col("loc").alias("url"), "lastmod", "changefreq", "priority_ppm"
+    )
+    d = F.col("doc_id")
+    log = docs.where(d % 2 == 0).select(
+        F.concat(
+            F.lit("https://site"), (d % 1000).cast("string"),
+            F.lit(".example/page/"), d.cast("string"),
+        ).alias("url"),
+        F.lit("2024-03-15").alias("last_fetch"),
+    )
+    return sm.recrawl_priority(entries, log, "2024-04-10")
+
+
 def _q_pdf_extract(spark, sf_dir):
     # PDF text front door (r12): deterministic PDF corpus keyed off
     # doc_id — REAL object-scan parse (tokenizer for dicts/arrays/names/
@@ -2186,10 +2335,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "callers_1hop": _q_callers_1hop,
         "bfs_depth3": _q_bfs_depth3,
         "path_enumeration": _q_path_enumeration,
-        "bidirectional": _q_bidirectional,
         "topo_sort": _q_topo_sort,
         "context_blocks": _q_context_blocks,
-        "context_edges": _q_context_edges,
         "corpus_report": _q_corpus_report,
         # -- dedup / text / similarity pipeline --
         "term_match_topk": _q_term_match_topk,
@@ -2220,6 +2367,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_band": _q_compression_band,  # NEW r12: oracle-gated
         #    rep of the zlib-compressibility family — constructed classes
         #    must land in wide ppm bands, requiring a real deflate
+        "robots_sitemaps": _q_robots_sitemaps,  # NEW r12: Sitemap:
+        #    directive extraction (RFC 9309 §2.3) — the robots->sitemap
+        #    discovery hand-off, pure codegen
+        "recrawl_priority": _q_recrawl_priority,  # NEW r12: lastmod/
+        #    changefreq refresh scheduling over the really-parsed sitemap
+        #    inventory — closes the incremental crawl loop
         "image_near_dup": _q_image_near_dup,  # NEW r12: perceptual-hash
         #    (DCT pHash) near-dup over really-decoded pixels
         "html_extract": _q_html_extract,  # re-gate r12: self-closing
@@ -2234,6 +2387,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tail (position > 50: outside the driver sample; the oracle-
         #    backed entries here are still hash-gated by the local parity
         #    suite, the rows-only ones are pytest-gated) --
+        "bidirectional": _q_bidirectional,  # displaced r12 for the new
+        #    robots_sitemaps entry (green r11 row; callers_1hop +
+        #    bfs_depth3 + path_enumeration + topo_sort keep traversal
+        #    in-window; path unchanged this round)
+        "context_edges": _q_context_edges,  # displaced r12 for the new
+        #    recrawl_priority entry (green r11 row; context_blocks keeps
+        #    the context family in-window; path unchanged this round)
         "filter_metadata_eq": _q_filter_metadata_eq,  # displaced r12 for
         #    the new compression_band entry (green r11 row; filter_targets
         #    + filter_pagination keep the filter family in-window; path
@@ -3512,6 +3672,8 @@ FROM corpus GROUP BY 1, 2 HAVING count(*) > 1""",
         "csv_ingest": _csv_ingest_sql(),
         "sitemap_parse": _sitemap_parse_sql(),
         "compression_band": _compression_band_sql(),
+        "robots_sitemaps": _robots_sitemaps_sql(),
+        "recrawl_priority": _recrawl_priority_sql(),
         # and for the EXIF corpus: the twin recomputes provenance fields
         # (incl. GPS micro-degrees in exact integer arithmetic) from
         # doc_id; Spark walks real APP1/TIFF IFD bytes in both endians

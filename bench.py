@@ -112,6 +112,8 @@ BENCH_QUERIES = [
     "nb_classifier",
     "sitemap_parse",
     "compression_band",
+    "robots_sitemaps",
+    "recrawl_priority",
     "image_near_dup",
     "pii_scan",
     "repetition_score",

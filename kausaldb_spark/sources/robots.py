@@ -210,3 +210,38 @@ def filter_urls_by_robots(
     if keep_denied:
         return out
     return out.where(F.col("robots_allowed")).drop("robots_allowed")
+
+
+def sitemap_directives(robots: DataFrame, host_col: str = "host",
+                       content_col: str = "content") -> DataFrame:
+    """(host, sitemap_url) from ``Sitemap:`` lines — RFC 9309 §2.3 / the
+    sitemaps.org cross-submission mechanism. Sitemap records are
+    FILE-WIDE (independent of any user-agent group), so this is a
+    separate extraction from the per-agent rule compile — and unlike the
+    rule parse it is PURE CODEGEN: one split + regexp per line, riding
+    the (tiny) robots corpus scan with no Python.
+
+    Tolerances: case-insensitive field name, surrounding whitespace,
+    trailing comments, CRLF. Absolute http(s) URLs pass through;
+    host-relative ``/path`` (seen in the wild, not spec) resolves against
+    the robots host; anything else is malformed and dropped."""
+    line = F.explode(F.split(F.col(content_col), r"\r?\n")).alias("_line")
+    url = F.trim(
+        F.regexp_extract(F.col("_line"), r"(?i)^\s*sitemap\s*:\s*([^#]*)", 1)
+    )
+    with_url = (
+        robots.select(F.col(host_col).alias("host"), line)
+        .select("host", url.alias("_u"))
+        .where(F.col("_u") != "")
+    )
+    resolved = (
+        F.when(F.col("_u").rlike(r"(?i)^https?://"), F.col("_u"))
+        .when(
+            F.col("_u").startswith("/"),
+            F.concat(F.lit("https://"), F.col("host"), F.col("_u")),
+        )
+    )
+    return (
+        with_url.select("host", resolved.alias("sitemap_url"))
+        .where(F.col("sitemap_url").isNotNull())
+    )

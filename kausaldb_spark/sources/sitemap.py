@@ -224,3 +224,76 @@ def synthetic_sitemap_files(docs: DataFrame) -> DataFrame:
     )
     path = F.concat(F.lit("sitemaps/"), d.cast("string"), F.lit(".xml"))
     return docs.select(path.alias("path"), content.alias("content"))
+
+
+# --- recrawl scheduling ------------------------------------------------------
+
+# sitemaps.org <changefreq> -> refresh interval in days; "always"/"hourly"
+# clamp to 1 (this scheduler's resolution is a day), "never" is effectively
+# frozen. Absent changefreq falls back to DEFAULT_INTERVAL_DAYS.
+CHANGEFREQ_DAYS = {
+    "always": 1, "hourly": 1, "daily": 1, "weekly": 7,
+    "monthly": 30, "yearly": 365, "never": 100_000,
+}
+DEFAULT_INTERVAL_DAYS = 30
+_NEVER_FETCHED_AGE = 10_000
+_OVERDUE_CAP_PPM = 2_000_000
+
+
+def recrawl_priority(entries: DataFrame, fetch_log: DataFrame,
+                     as_of: str,
+                     default_interval_days: int = DEFAULT_INTERVAL_DAYS,
+                     ) -> DataFrame:
+    """Refresh scheduling for an incremental crawl: score every known URL
+    by how overdue it is. ``entries`` is the sitemap inventory
+    (url, lastmod, changefreq, priority_ppm — e.g. from
+    :func:`sitemap_url_candidates`); ``fetch_log`` is (url, last_fetch)
+    history. All arithmetic is exact integers (house rule), so the
+    schedule is bit-identical across engines:
+
+    - ``age_days``      days since last fetch (never fetched -> 10000)
+    - ``interval_days`` from changefreq (absent -> default)
+    - ``due``           1 when never fetched, the site declared a lastmod
+                        NEWER than our fetch, or age >= interval
+    - ``score_ppm``     min(2e6, age*1e6 DIV interval) weighted by the
+                        site-declared priority (absent -> 0.5): the
+                        fetch-queue ordering key
+
+    Plan shape: one slim keyed equi-join (url), then pure codegen —
+    at 100 TB the join shuffles only (url, date) slivers, never content."""
+    iv = F.lit(None).cast("int")
+    for k, v in CHANGEFREQ_DAYS.items():
+        iv = F.when(F.lower(F.col("changefreq")) == k, F.lit(v)).otherwise(iv)
+    interval = F.coalesce(iv, F.lit(int(default_interval_days))).cast("int")
+    joined = entries.join(
+        fetch_log.select("url", "last_fetch"), ["url"], "left"
+    )
+    age = F.coalesce(
+        F.datediff(F.to_date(F.lit(as_of)), F.to_date(F.col("last_fetch"))),
+        F.lit(_NEVER_FETCHED_AGE),
+    ).cast("int")
+    scored = joined.select(
+        "url",
+        age.alias("age_days"),
+        interval.alias("interval_days"),
+        (
+            F.col("last_fetch").isNull()
+            # three-valued logic: a NULL lastmod must read "no evidence"
+            # (false), not poison the whole OR to NULL
+            | F.coalesce(
+                F.to_date(F.col("lastmod")) > F.to_date(F.col("last_fetch")),
+                F.lit(False),
+            )
+            | (age >= interval)
+        ).cast("int").alias("due"),
+        F.coalesce(F.col("priority_ppm"), F.lit(500_000))
+        .cast("bigint").alias("_prio"),
+    )
+    return scored.select(
+        "url", "age_days", "interval_days", "due",
+        F.expr(
+            "CAST(least(CAST({cap} AS BIGINT), "
+            "CAST(age_days AS BIGINT) * 1000000 DIV interval_days) "
+            "* _prio DIV 1000000 AS BIGINT)".format(cap=_OVERDUE_CAP_PPM)
+        ).alias("score_ppm"),
+    )

@@ -130,3 +130,52 @@ def test_rule_regex_java_python_equivalence(spark):
     assert got == want, [
         (c, g) for c, g in zip(cases, got) if c[2] != g
     ][:5]
+
+
+def test_sitemap_directives_extraction(spark):
+    from kausaldb_spark.sources import robots as rb
+
+    hosts = spark.createDataFrame(
+        [
+            ("a.com",
+             "User-agent: *\nDisallow: /x\n"
+             "Sitemap: https://a.com/sm.xml\n"),
+            ("b.com",
+             "SITEMAP:   https://b.com/a.xml   # main\n"
+             "sitemap: /rel/b.xml\n"),
+            ("c.com", "User-agent: *\nDisallow: /\n"),       # none
+            ("d.com",
+             "Sitemap: ftp://bad/x.xml\r\n"
+             "Sitemap: HTTP://d.com/up.xml\r\n"),            # scheme case
+            ("e.com",
+             "User-agent: bot\nDisallow: /\n"
+             "Sitemap: https://cdn.example/e.xml"),          # cross-host ok
+        ],
+        "host string, content string",
+    )
+    got = sorted(
+        (r["host"], r["sitemap_url"])
+        for r in rb.sitemap_directives(hosts).collect()
+    )
+    assert got == [
+        ("a.com", "https://a.com/sm.xml"),
+        ("b.com", "https://b.com/a.xml"),
+        ("b.com", "https://b.com/rel/b.xml"),
+        ("d.com", "HTTP://d.com/up.xml"),
+        ("e.com", "https://cdn.example/e.xml"),
+    ]
+
+
+def test_sitemap_directives_plan_is_codegen(spark):
+    from kausaldb_spark.sources import robots as rb
+
+    hosts = spark.createDataFrame(
+        [("a.com", "Sitemap: https://a.com/s.xml")],
+        "host string, content string",
+    )
+    plan = (
+        rb.sitemap_directives(hosts)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, marker

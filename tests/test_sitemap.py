@@ -114,3 +114,45 @@ def test_parse_plan_stays_jvm_side(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan, marker
+
+
+def test_recrawl_priority_contract(spark):
+    entries = spark.createDataFrame(
+        [
+            # never fetched -> due, capped overdue, default prio
+            ("u/new", None, None, None),
+            # fetched, fresh, no evidence -> not due
+            ("u/fresh", None, None, 800_000),
+            # fetched, site declared newer lastmod -> due early
+            ("u/newer", "2024-04-01", None, None),
+            # fetched, stale lastmod, NULL must not poison the OR
+            ("u/stale", "2024-01-01", None, None),
+            # daily changefreq -> interval 1, age 26 -> due, capped
+            ("u/daily", None, "daily", 1_000_000),
+            # never changefreq -> effectively frozen
+            ("u/never", None, "never", None),
+        ],
+        "url string, lastmod string, changefreq string, priority_ppm long",
+    )
+    log = spark.createDataFrame(
+        [(u, "2024-03-15") for u in
+         ["u/fresh", "u/newer", "u/stale", "u/daily", "u/never"]],
+        "url string, last_fetch string",
+    )
+    from kausaldb_spark.sources import sitemap as sm
+
+    got = {r["url"]: r.asDict()
+           for r in sm.recrawl_priority(entries, log, "2024-04-10").collect()}
+    assert got["u/new"] == {
+        "url": "u/new", "age_days": 10_000, "interval_days": 30,
+        "due": 1, "score_ppm": 2_000_000 * 500_000 // 1_000_000,
+    }
+    assert got["u/fresh"]["due"] == 0
+    assert got["u/fresh"]["age_days"] == 26
+    assert got["u/fresh"]["score_ppm"] == (26 * 1_000_000 // 30) * 800_000 // 1_000_000
+    assert got["u/newer"]["due"] == 1          # lastmod beats interval
+    assert got["u/stale"]["due"] == 0          # and NULL-safety holds
+    assert got["u/daily"]["due"] == 1
+    assert got["u/daily"]["score_ppm"] == 2_000_000  # capped, prio 1.0
+    assert got["u/never"]["due"] == 0
+    assert got["u/never"]["score_ppm"] == 130  # 26e6 DIV 100000 * .5

@@ -115,7 +115,10 @@ CHUNKS = [
               # r12 session 8: sitemap discovery — one from_xml JVM stage
               "sitemap_parse",
               # r12 session 8: zlib band gate — Arrow deflate, map-only
-              "compression_band"]),
+              "compression_band",
+              # r12 session 8: crawl scheduling legs — codegen extraction +
+              # one slim url join
+              "robots_sitemaps", "recrawl_priority"]),
     ("dedup", ["minhash_near_dup", "near_dup_clusters", "semantic_dedup",
                # r12 session 4: banded perceptual-hash join at 100x volume
                "image_near_dup",
