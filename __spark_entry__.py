@@ -2022,6 +2022,62 @@ def _q_recrawl_priority(spark, sf_dir):
     return sm.recrawl_priority(entries, log, "2024-04-10")
 
 
+def _fetch_schedule_sql() -> str:
+    """DuckDB twin of _q_fetch_schedule: identical row_number semantics
+    (score DESC, url tiebreak), broadcast delay join, slot arithmetic
+    and window-overflow deferral — an independent SQL implementation of
+    the politeness contract."""
+    return r"""
+WITH due AS (
+  SELECT 'https://crawl' || (doc_id % 97) || '.example/p/' || doc_id AS url,
+         'crawl' || (doc_id % 97) || '.example' AS host,
+         CAST((doc_id * 37) % 1000000 AS BIGINT) AS score_ppm
+  FROM documents
+), delays AS (
+  SELECT DISTINCT 'crawl' || (doc_id % 97) || '.example' AS host,
+         10 AS delay_s
+  FROM documents WHERE (doc_id % 97) % 3 = 0
+), ranked AS (
+  SELECT d.url, d.host,
+         CAST(row_number() OVER (PARTITION BY d.host
+              ORDER BY d.score_ppm DESC, d.url) AS INT) AS rank,
+         CAST(coalesce(dl.delay_s, 5) AS INT) AS delay_s
+  FROM due d LEFT JOIN delays dl ON dl.host = d.host
+)
+SELECT url, host, rank, delay_s,
+       CAST((rank - 1) * delay_s AS BIGINT) AS slot_s,
+       CAST(((rank - 1) * delay_s < 120) AS INT) AS fits
+FROM ranked"""
+
+
+def _q_fetch_schedule(spark, sf_dir):
+    # per-host politeness scheduling (r12): due URLs ranked highest-value
+    # first within their host, slotted at crawl-delay spacing, deferred
+    # past the batch window with the deferral COUNTED (fits=0), never
+    # dropped. One window shuffle over the due sliver; delays broadcast.
+    from kausaldb_spark.sources import frontier as fr
+
+    d = F.col("doc_id")
+    docs = _docs(spark, sf_dir)
+    due = docs.select(
+        F.concat(F.lit("https://crawl"), (d % 97).cast("string"),
+                 F.lit(".example/p/"), d.cast("string")).alias("url"),
+        ((d * 37) % 1_000_000).cast("bigint").alias("score_ppm"),
+    )
+    delays = (
+        docs.select((d % 97).alias("_k"))
+        .where(F.col("_k") % 3 == 0)
+        .distinct()
+        .select(
+            F.concat(F.lit("crawl"), F.col("_k").cast("string"),
+                     F.lit(".example")).alias("host"),
+            F.lit(10).alias("delay_s"),
+        )
+    )
+    return fr.fetch_schedule(due, delays, default_delay_s=5,
+                             batch_window_s=120)
+
+
 def _q_pdf_extract(spark, sf_dir):
     # PDF text front door (r12): deterministic PDF corpus keyed off
     # doc_id — REAL object-scan parse (tokenizer for dicts/arrays/names/
@@ -2334,7 +2390,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyword_search": _q_keyword_search,
         "callers_1hop": _q_callers_1hop,
         "bfs_depth3": _q_bfs_depth3,
-        "path_enumeration": _q_path_enumeration,
         "topo_sort": _q_topo_sort,
         "context_blocks": _q_context_blocks,
         "corpus_report": _q_corpus_report,
@@ -2373,6 +2428,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_priority": _q_recrawl_priority,  # NEW r12: lastmod/
         #    changefreq refresh scheduling over the really-parsed sitemap
         #    inventory — closes the incremental crawl loop
+        "fetch_schedule": _q_fetch_schedule,  # NEW r12: per-host
+        #    politeness slots (crawl-delay spacing, counted deferrals)
         "image_near_dup": _q_image_near_dup,  # NEW r12: perceptual-hash
         #    (DCT pHash) near-dup over really-decoded pixels
         "html_extract": _q_html_extract,  # re-gate r12: self-closing
@@ -2387,6 +2444,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tail (position > 50: outside the driver sample; the oracle-
         #    backed entries here are still hash-gated by the local parity
         #    suite, the rows-only ones are pytest-gated) --
+        "path_enumeration": _q_path_enumeration,  # displaced r12 for
+        #    the new fetch_schedule entry (green r11 row; callers_1hop
+        #    + bfs_depth3 + topo_sort keep traversal in-window; path
+        #    unchanged this round)
         "bidirectional": _q_bidirectional,  # displaced r12 for the new
         #    robots_sitemaps entry (green r11 row; callers_1hop +
         #    bfs_depth3 + path_enumeration + topo_sort keep traversal
@@ -3674,6 +3735,7 @@ FROM corpus GROUP BY 1, 2 HAVING count(*) > 1""",
         "compression_band": _compression_band_sql(),
         "robots_sitemaps": _robots_sitemaps_sql(),
         "recrawl_priority": _recrawl_priority_sql(),
+        "fetch_schedule": _fetch_schedule_sql(),
         # and for the EXIF corpus: the twin recomputes provenance fields
         # (incl. GPS micro-degrees in exact integer arithmetic) from
         # doc_id; Spark walks real APP1/TIFF IFD bytes in both endians

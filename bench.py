@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "compression_band",
     "robots_sitemaps",
     "recrawl_priority",
+    "fetch_schedule",
     "image_near_dup",
     "pii_scan",
     "repetition_score",

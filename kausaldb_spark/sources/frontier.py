@@ -81,3 +81,50 @@ def crawl_frontier(
         .where(F.col("slot") <= per_host_cap)
         .select("url", "host", "slot")
     )
+
+
+def fetch_schedule(due_urls: DataFrame, crawl_delays: DataFrame | None = None,
+                   default_delay_s: int = 5,
+                   batch_window_s: int = 3600) -> DataFrame:
+    """Politeness scheduling — "when do we fetch it". Assigns every due
+    URL a per-host time slot: rank within its host by (score_ppm DESC,
+    url) — deterministic, highest-value first — then
+    ``slot_s = (rank-1) * delay``; URLs whose slot falls outside
+    ``batch_window_s`` defer to the next cycle (``fits = 0``, kept so the
+    deferral is countable, never silently dropped).
+
+    ``crawl_delays`` is an optional (host, delay_s) relation (e.g. from
+    robots.txt Crawl-delay lines); absent hosts use ``default_delay_s``.
+
+    Scale shape: ONE window shuffle keyed by host over the already-due
+    sliver (urls + integers, never content); the per-host row count is
+    bounded upstream by the frontier cap, so no skewed-host window state.
+    Output: (url, host, rank, delay_s, slot_s, fits)."""
+    with_host = due_urls.withColumn("_h", host_of(F.col("url")))
+    if crawl_delays is not None:
+        with_host = with_host.join(
+            F.broadcast(
+                crawl_delays.select(
+                    F.col("host").alias("_h"),
+                    F.col("delay_s").cast("int").alias("_d"),
+                )
+            ),
+            "_h", "left",
+        )
+    else:
+        with_host = with_host.withColumn("_d", F.lit(None).cast("int"))
+    delay = F.coalesce(F.col("_d"), F.lit(int(default_delay_s)))
+    rank = F.row_number().over(
+        Window.partitionBy("_h").orderBy(
+            F.col("score_ppm").desc(), F.col("url")
+        )
+    )
+    out = with_host.select(
+        "url", F.col("_h").alias("host"),
+        rank.alias("rank"), delay.cast("int").alias("delay_s"),
+    ).withColumn(
+        "slot_s", ((F.col("rank") - 1) * F.col("delay_s")).cast("bigint")
+    ).withColumn(
+        "fits", (F.col("slot_s") < F.lit(int(batch_window_s))).cast("int")
+    )
+    return out

@@ -156,3 +156,31 @@ def test_recrawl_priority_contract(spark):
     assert got["u/daily"]["score_ppm"] == 2_000_000  # capped, prio 1.0
     assert got["u/never"]["due"] == 0
     assert got["u/never"]["score_ppm"] == 130  # 26e6 DIV 100000 * .5
+
+
+def test_fetch_schedule_politeness(spark):
+    from kausaldb_spark.sources import frontier as fr
+
+    due = spark.createDataFrame(
+        [
+            ("https://a.com/1", 900_000),
+            ("https://a.com/2", 500_000),
+            ("https://a.com/3", 500_000),   # tie -> url tiebreak
+            ("https://a.com/4", 100_000),
+            ("https://b.com/x", 1),
+        ],
+        "url string, score_ppm long",
+    )
+    delays = spark.createDataFrame(
+        [("a.com", 10)], "host string, delay_s int"
+    )
+    got = {r["url"]: r.asDict()
+           for r in fr.fetch_schedule(due, delays, default_delay_s=5,
+                                      batch_window_s=25).collect()}
+    a = [got[f"https://a.com/{i}"] for i in (1, 2, 3, 4)]
+    # highest score first; equal scores order by url
+    assert [r["rank"] for r in a] == [1, 2, 3, 4]
+    assert [r["slot_s"] for r in a] == [0, 10, 20, 30]
+    assert [r["fits"] for r in a] == [1, 1, 1, 0]   # deferral counted
+    assert got["https://b.com/x"]["delay_s"] == 5   # default delay
+    assert got["https://b.com/x"]["slot_s"] == 0

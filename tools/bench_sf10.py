@@ -118,7 +118,7 @@ CHUNKS = [
               "compression_band",
               # r12 session 8: crawl scheduling legs — codegen extraction +
               # one slim url join
-              "robots_sitemaps", "recrawl_priority"]),
+              "robots_sitemaps", "recrawl_priority", "fetch_schedule"]),
     ("dedup", ["minhash_near_dup", "near_dup_clusters", "semantic_dedup",
                # r12 session 4: banded perceptual-hash join at 100x volume
                "image_near_dup",
