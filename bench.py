@@ -205,6 +205,16 @@ BASELINE_MEDIANS = {
     # r12 session 7: EXIF provenance extraction (jpeg synth + TIFF IFD
     # walk, both byte orders) — quiet median-of-5 (0.58)
     "exif_stats": 0.6,
+    # r12 session 7/8: crawl + front-door + classifier keys, all quiet
+    # median-of-5 on an idle box (loadavg 0.1): WHATWG charset sniff
+    # (0.52), from_csv front door (0.50), integer NB train+score (1.64),
+    # from_xml sitemap parse (0.71), zlib band gate (0.46), Sitemap:
+    # directive extraction (0.25), recrawl scheduler (0.99), politeness
+    # window (0.46)
+    "charset_detect": 0.55, "csv_ingest": 0.5, "nb_classifier": 1.7,
+    "sitemap_parse": 0.75, "compression_band": 0.5,
+    "robots_sitemaps": 0.3, "recrawl_priority": 1.0,
+    "fetch_schedule": 0.5,
     # r10: map-only reformulation (in-row single-fold run maxima +
     # shifted-zip neighbor scans + incremental gram builds — zero shuffles,
     # bind-only lambdas so column pruning can never inline an array

@@ -69,6 +69,11 @@ MAP_ONLY_LINEAR = {
     # r12 session 7: EXIF is the same shape — jpeg synth + header-walk
     # probe mapInPandas, zero shuffles; charset sniff/transcode likewise
     "exif_stats", "charset_detect",
+    # r12 session 8: pure-codegen line/XML parses and the Arrow deflate —
+    # all scan->classify shapes with zero shuffles (nb_classifier,
+    # recrawl_priority and fetch_schedule carry joins/windows and KEEP
+    # the hard 6x ceiling)
+    "csv_ingest", "sitemap_parse", "robots_sitemaps", "compression_band",
 }
 
 # sf1 medians recorded r10 (quiet box, .sf1 = deterministic 10x of sf0.1)
