@@ -129,6 +129,13 @@ SF1_MEDIANS = {
     # r12: link PageRank at sf1 (quiet median-of-3; 10x factor 1.5 — the
     # five iteration joins amortize, edges persisted once)
     "link_pagerank": 5.8,
+    # r12 session 8: quiet sf1 run on the idle box (10x factors all
+    # 1.2-2x — overhead-bound shapes: codegen parses, bounded-model
+    # joins, one politeness window)
+    "charset_detect": 0.7, "csv_ingest": 0.4, "nb_classifier": 2.2,
+    "sitemap_parse": 0.6, "compression_band": 0.6,
+    "robots_sitemaps": 0.3, "recrawl_priority": 1.0,
+    "fetch_schedule": 0.7,
 }
 
 
