@@ -2159,33 +2159,39 @@ def phash_near_dup(bands: DataFrame, max_hamming: int = MAX_PHASH_HAMMING,
         # never the pixels)
         .localCheckpoint(eager=True)
     )
+    # candidate pairs stay NARROW — (doc_a, doc_b) only — through the
+    # band joins, the union and the dedup; signatures re-join ONCE for
+    # the verify. The previous shape dragged all 8 signature columns
+    # through every band join and a WIDE distinct: at sf10 (500k sigs,
+    # ~15M candidate pairs — the documented N^2/2^16-per-band LSH mass)
+    # that distinct was the dominant shuffle, measured 123 s vs 44 s for
+    # this shape on the identical fixture (f10_100 28 -> ~10).
     cands = None
     for b in range(N_PHASH_BANDS):
         col = f"b{b}"
         banded, _dropped = capped_buckets(sigs, max_bucket, keys=(col,))
-        a = banded.select(
-            F.col(col).alias("_bv"), F.col("doc_id").alias("doc_a"),
-            *[F.col(n).alias(f"a_{n}") for n in all_bands],
-        )
-        c = banded.select(
-            F.col(col).alias("_bv"), F.col("doc_id").alias("doc_b"),
-            *[F.col(n).alias(f"c_{n}") for n in all_bands],
-        )
+        a = banded.select(F.col(col).alias("_bv"),
+                          F.col("doc_id").alias("doc_a"))
+        c = banded.select(F.col(col).alias("_bv"),
+                          F.col("doc_id").alias("doc_b"))
         p = (
             a.join(c, "_bv")
             .where(F.col("doc_a") < F.col("doc_b"))
-            .select(
-                "doc_a", "doc_b",
-                *[f"a_{n}" for n in all_bands], *[f"c_{n}" for n in all_bands],
-            )
+            .select("doc_a", "doc_b")
         )
         cands = p if cands is None else cands.unionByName(p)
+    sa = sigs.select(F.col("doc_id").alias("doc_a"),
+                     *[F.col(n).alias(f"a_{n}") for n in all_bands])
+    sc = sigs.select(F.col("doc_id").alias("doc_b"),
+                     *[F.col(n).alias(f"c_{n}") for n in all_bands])
     hamming = None
     for n in all_bands:
         h = F.bit_count(F.col(f"a_{n}").bitwiseXOR(F.col(f"c_{n}")))
         hamming = h if hamming is None else hamming + h
     return (
         cands.distinct()
+        .join(sa, "doc_a")
+        .join(sc, "doc_b")
         .withColumn("hamming", hamming.cast("int"))
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")

@@ -70,6 +70,13 @@ TOP_QUERIES = [
     "link_pagerank",     # iterative joins over the persisted edge sliver
     "robots_filter",     # broadcast rules + codegen regexp gate
     "crawl_frontier",    # canonical -> robots -> anti-join -> host cap
+    # r12 sessions 4-8: every key the chunks run is watched — factors and
+    # gates must cover the full gauntlet, not a subset (an unwatched key
+    # is an unmeasured scale claim)
+    "audio_stats", "video_probe", "image_near_dup",
+    "pdf_extract", "jsonl_ingest", "exif_stats", "charset_detect",
+    "csv_ingest", "nb_classifier", "sitemap_parse", "compression_band",
+    "robots_sitemaps", "recrawl_priority", "fetch_schedule",
 ]
 
 F100_MAX = 100.0   # proportional-to-volume ceiling for >=1 s queries
