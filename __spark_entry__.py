@@ -2078,6 +2078,31 @@ def _q_fetch_schedule(spark, sf_dir):
                              batch_window_s=120)
 
 
+def _q_compact_dataset(spark, sf_dir):
+    # small-files compaction (r12): shred the documents table into 40
+    # part files, compact to target size, return the verified stats row.
+    # Filesystem-effectful -> rows-only (pytest pins the layout,
+    # pruning survival and the row-count verification).
+    import shutil
+    import tempfile
+
+    from kausaldb_spark import sinks as sk
+
+    tmp = tempfile.mkdtemp(prefix="kdb_compact_")
+    try:
+        src, dst = os.path.join(tmp, "src"), os.path.join(tmp, "dst")
+        _docs(spark, sf_dir).repartition(40).write.parquet(src)
+        st = sk.compact_parquet_dataset(
+            spark, src, dst, target_file_bytes=1 << 40
+        )
+        return spark.createDataFrame(
+            [(st["rows"], st["src"]["n_files"], st["dst"]["n_files"])],
+            "n_rows long, n_src_files int, n_dst_files int",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _q_pdf_extract(spark, sf_dir):
     # PDF text front door (r12): deterministic PDF corpus keyed off
     # doc_id — REAL object-scan parse (tokenizer for dicts/arrays/names/
@@ -2571,6 +2596,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": _q_quality_classifier,
         "compression_ratio": _q_compression_ratio,
         "pack_best_fit": _q_pack_best_fit,
+        "compact_dataset": _q_compact_dataset,  # NEW r12: small-files
+        #    compaction (filesystem-effectful -> rows-only; pytest pins
+        #    layout, pruning survival, row-count verify)
         "dfs_preorder": _q_dfs_preorder,
         "streaming_rollup": _q_streaming_rollup,
         "streaming_sessionize": _q_streaming_sessionize,

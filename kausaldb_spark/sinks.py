@@ -251,3 +251,84 @@ def verify_shards(spark: SparkSession, path: str, id_col: str = "doc_id") -> boo
     if bad:
         raise ValueError(f"shard digest mismatch: {bad}")
     return True
+
+
+# ---------------------------------------------------------------------------
+# Small-files compaction (table maintenance)
+# ---------------------------------------------------------------------------
+
+def dataset_file_stats(src_dir: str) -> dict:
+    """Driver-side listing of a parquet dataset's part files — metadata
+    only, no data read. Returns {n_files, total_bytes, partitions:
+    {rel_dir: (n_files, bytes)}} (partitions = hive-style key=value
+    subdirs; '' for the root)."""
+    parts: dict = {}
+    n_files = 0
+    total = 0
+    for root, _dirs, files in os.walk(src_dir):
+        rel = os.path.relpath(root, src_dir)
+        rel = "" if rel == "." else rel
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            sz = os.path.getsize(os.path.join(root, fn))
+            n, b = parts.get(rel, (0, 0))
+            parts[rel] = (n + 1, b + sz)
+            n_files += 1
+            total += sz
+    return {"n_files": n_files, "total_bytes": total, "partitions": parts}
+
+
+def compact_parquet_dataset(
+    spark: SparkSession, src_dir: str, dst_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_col: str | None = None,
+    codec: str = "zstd",
+) -> dict:
+    """Bin-pack a parquet dataset's small files into ~``target_file_bytes``
+    outputs — the table-maintenance job every long-running ingest needs
+    (streaming appends and per-batch dynamic overwrites accrete tiny
+    part files; at 100 TB an uncompacted layout turns every scan into a
+    metadata storm and caps split parallelism at the file count).
+
+    - file count is sized from the ACTUAL on-disk bytes (driver listing,
+      no data read): ``n_out = ceil(total_bytes / target)``;
+    - unpartitioned: one ``repartition(n_out)`` — a single round-robin
+      exchange, no skew (row-count balance ~= byte balance within a
+      homogeneous dataset);
+    - partitioned (``partition_col``): rows re-hash by the partition
+      value and the writer re-emits ``partitionBy`` hive dirs, so
+      partition pruning survives compaction; small values collapse to
+      one file each;
+    - verification BEFORE anyone reads it: source and destination row
+      counts must match or the compact raises (and removes nothing);
+    - the swap is the caller's move (local FS: rename; object store:
+      versioned prefix + manifest flip — same caveat as
+      streaming/corpus.compact_minhash_index).
+
+    Returns {rows, src: stats, dst: stats}."""
+    import math
+
+    src_stats = dataset_file_stats(src_dir)
+    if src_stats["n_files"] == 0:
+        raise FileNotFoundError(f"no parquet part files under {src_dir}")
+    n_out = max(1, math.ceil(src_stats["total_bytes"] / target_file_bytes))
+    df = spark.read.parquet(src_dir)
+    n_src_rows = df.count()
+    if partition_col is not None:
+        out = df.repartition(n_out, F.col(partition_col))
+        writer = out.write.mode("overwrite").partitionBy(partition_col)
+    else:
+        out = df.repartition(n_out)
+        writer = out.write.mode("overwrite")
+    writer.option("compression", codec).parquet(dst_dir)
+    n_dst_rows = spark.read.parquet(dst_dir).count()
+    if n_dst_rows != n_src_rows:
+        raise RuntimeError(
+            f"compaction row-count mismatch: {n_src_rows} -> {n_dst_rows}"
+        )
+    return {
+        "rows": n_src_rows,
+        "src": src_stats,
+        "dst": dataset_file_stats(dst_dir),
+    }

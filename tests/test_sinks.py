@@ -280,3 +280,74 @@ def test_shard_digests_missing_path_raises(spark, tmp_path):
     empty.mkdir()
     (empty / "_SUCCESS").touch()
     assert sinks.shard_digests(spark, str(empty)).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Small-files compaction
+# ---------------------------------------------------------------------------
+
+def test_compact_unpartitioned(spark, tmp_path):
+    from kausaldb_spark import sinks as sk
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    df = spark.range(2000).withColumn("v", F.col("id") * 3)
+    df.repartition(40).write.parquet(src)       # deliberately shredded
+    before = sk.dataset_file_stats(src)
+    assert before["n_files"] == 40
+    stats = sk.compact_parquet_dataset(spark, src, dst,
+                                       target_file_bytes=10**9)
+    assert stats["rows"] == 2000
+    assert stats["dst"]["n_files"] == 1          # everything fits one file
+    got = sorted(
+        (r["id"], r["v"]) for r in spark.read.parquet(dst).collect()
+    )
+    assert got == [(i, i * 3) for i in range(2000)]
+
+
+def test_compact_partitioned_preserves_pruning(spark, tmp_path):
+    from kausaldb_spark import sinks as sk
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    df = spark.range(900).withColumn("k", (F.col("id") % 3).cast("int"))
+    # many tiny files per partition value
+    df.repartition(30).write.partitionBy("k").parquet(src)
+    assert sk.dataset_file_stats(src)["n_files"] >= 60
+    stats = sk.compact_parquet_dataset(spark, src, dst,
+                                       target_file_bytes=10**9,
+                                       partition_col="k")
+    assert stats["rows"] == 900
+    # hive layout survives -> pruning still works
+    sub = sk.dataset_file_stats(dst)["partitions"]
+    assert sorted(p for p in sub if p) == ["k=0", "k=1", "k=2"]
+    assert all(n == 1 for rel, (n, _b) in sub.items() if rel)
+    pruned = spark.read.parquet(dst).where(F.col("k") == 1)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert pruned.count() == 300
+    # the scan's partition filter binds (pruned read, not a full scan)
+    assert "k=1" in plan or "PartitionFilters: [isnotnull(k" in plan
+
+
+def test_compact_sizes_to_target(spark, tmp_path):
+    from kausaldb_spark import sinks as sk
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    spark.range(20000).withColumn(
+        "pad", F.repeat(F.lit("x"), 200)
+    ).repartition(50).write.parquet(src)
+    total = sk.dataset_file_stats(src)["total_bytes"]
+    # pick a target that demands >= 3 outputs from the measured bytes
+    stats = sk.compact_parquet_dataset(spark, src, dst,
+                                       target_file_bytes=total // 3)
+    assert 3 <= stats["dst"]["n_files"] <= 5
+    assert stats["rows"] == 20000
+
+
+def test_compact_missing_src_raises(spark, tmp_path):
+    import pytest as _pt
+
+    from kausaldb_spark import sinks as sk
+
+    with _pt.raises(FileNotFoundError):
+        sk.compact_parquet_dataset(
+            spark, str(tmp_path / "nope"), str(tmp_path / "out")
+        )
