@@ -2078,6 +2078,50 @@ def _q_fetch_schedule(spark, sf_dir):
                              batch_window_s=120)
 
 
+def _crawl_delays_sql() -> str:
+    """DuckDB twin of _q_crawl_delays: predicts (host, delay_s) from the
+    five robots.txt classes while Spark must parse real text — group
+    selection (longest UA token), ceil of fractional seconds, and the
+    no-fallback rule (a matching group WITHOUT a delay yields none, the
+    star group's delay does not leak in)."""
+    return r"""
+SELECT 'h' || doc_id || '.example' AS host,
+       CAST(CASE CAST(doc_id % 5 AS INT)
+            WHEN 0 THEN 10 WHEN 1 THEN 3 WHEN 3 THEN 3 END AS INT)
+         AS delay_s
+FROM documents
+WHERE CAST(doc_id % 5 AS INT) IN (0, 1, 3)"""
+
+
+def _q_crawl_delays(spark, sf_dir):
+    # Crawl-delay extraction (r12): per-host politeness delays honoring
+    # the RFC 9309 group-selection rule ('botcrawler' matches the 'bot'
+    # group, whose delay beats the star group's) — the broadcast side of
+    # fetch_schedule. Five robots.txt classes: star delay / specific-
+    # beats-star / none / fractional ceil / delay only in a NON-matching
+    # group (must yield none — no star fallback once a group matched).
+    from kausaldb_spark.sources import robots as rb
+
+    d = F.col("doc_id")
+    host = F.concat(F.lit("h"), d.cast("string"), F.lit(".example"))
+    c0 = F.lit("User-agent: *\nCrawl-delay: 10\nDisallow: /x\n")
+    c1 = F.lit("User-agent: bot\nCrawl-delay: 3\n\n"
+               "User-agent: *\nCrawl-delay: 7\n")
+    c2 = F.lit("User-agent: *\nDisallow: /private/\n")
+    c3 = F.lit("User-agent: *\ncrawl-delay: 2.5  # fractional\n")
+    c4 = F.lit("User-agent: bot\nDisallow: /a\n\n"
+               "User-agent: other\nCrawl-delay: 9\n")
+    k = d % 5
+    content = (
+        F.when(k == 0, c0).when(k == 1, c1).when(k == 2, c2)
+        .when(k == 3, c3).otherwise(c4)
+    )
+    robots = _docs(spark, sf_dir).select(
+        host.alias("host"), content.alias("content")
+    )
+    return rb.crawl_delay_directives(robots, "botcrawler")
+
+
 def _q_compact_dataset(spark, sf_dir):
     # small-files compaction (r12): shred the documents table into 40
     # part files, compact to target size, return the verified stats row.
@@ -2500,6 +2544,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    charset_detect entry (green r11 row; duplicate_spans +
         #    minhash/clusters/simhash keep the dedup family in-window;
         #    path unchanged this round)
+        "crawl_delays": _q_crawl_delays,  # NEW r12 (tail): Crawl-delay
+        #    extraction feeding fetch_schedule — oracle-backed, local
+        #    hash-gate now, window rotation next round
         "corpus_diff": _q_corpus_diff,  # displaced r12 for the new
         #    pdf_extract entry (green r11 row; corpus_report +
         #    corpus_curation keep the corpus family in-window; path
@@ -3762,6 +3809,7 @@ FROM corpus GROUP BY 1, 2 HAVING count(*) > 1""",
         "sitemap_parse": _sitemap_parse_sql(),
         "compression_band": _compression_band_sql(),
         "robots_sitemaps": _robots_sitemaps_sql(),
+        "crawl_delays": _crawl_delays_sql(),
         "recrawl_priority": _recrawl_priority_sql(),
         "fetch_schedule": _fetch_schedule_sql(),
         # and for the EXIF corpus: the twin recomputes provenance fields

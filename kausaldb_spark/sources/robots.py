@@ -245,3 +245,74 @@ def sitemap_directives(robots: DataFrame, host_col: str = "host",
         with_url.select("host", resolved.alias("sitemap_url"))
         .where(F.col("sitemap_url").isNotNull())
     )
+
+
+def parse_crawl_delay(content: str, user_agent: str) -> int | None:
+    """The ``Crawl-delay`` (seconds) applying to ``user_agent``, or None.
+    Not in RFC 9309 but honored by most crawlers; it BELONGS TO A GROUP,
+    so selection follows the same longest-user-agent-token rule as the
+    Allow/Disallow compile. Fractional values round UP (politeness errs
+    slow); invalid values are ignored."""
+    ua = user_agent.lower()
+    delays: dict[str, int] = {}
+    current_tokens: list[str] = []
+    last_was_ua = False
+    seen: dict[str, bool] = {}
+    for raw in (content or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field, value = field.strip().lower(), value.strip()
+        if field == "user-agent":
+            tok = value.lower()
+            if last_was_ua:
+                current_tokens.append(tok)
+            else:
+                current_tokens = [tok]
+            for t in current_tokens:
+                seen.setdefault(t, True)
+            last_was_ua = True
+        elif field == "crawl-delay":
+            last_was_ua = False
+            try:
+                import math
+
+                d = math.ceil(float(value))
+            except ValueError:
+                continue
+            if d >= 0:
+                for t in current_tokens:
+                    delays.setdefault(t, int(d))
+        else:
+            last_was_ua = False
+    best = None
+    for tok in seen:
+        if tok != "*" and (ua == tok or ua.startswith(tok)):
+            if best is None or len(tok) > len(best):
+                best = tok
+    if best is not None:
+        return delays.get(best)
+    return delays.get("*")
+
+
+def crawl_delay_directives(robots: DataFrame, user_agent: str,
+                           host_col: str = "host",
+                           content_col: str = "content") -> DataFrame:
+    """(host, delay_s) for hosts declaring a Crawl-delay that applies to
+    ``user_agent`` — the broadcast side of
+    ``sources/frontier.fetch_schedule``. Same map-only Arrow shape as
+    :func:`robots_rules` (the robots corpus is tiny — one row per host)."""
+
+    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for host, content in zip(pdf[host_col], pdf[content_col]):
+                d = parse_crawl_delay(str(content or ""), user_agent)
+                if d is not None:
+                    rows.append((host, d))
+            yield pd.DataFrame(rows, columns=["host", "delay_s"])
+
+    return robots.select(host_col, content_col).mapInPandas(
+        batch_fn, "host string, delay_s int"
+    )

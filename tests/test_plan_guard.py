@@ -99,6 +99,9 @@ _ARROW_OK = {
     # quality signal that cannot be codegen (pandas_udf, Arrow-batched,
     # map-only); text synth stays pure codegen
     "compression_band",
+    # r12: Crawl-delay group selection — same tiny-corpus mapInPandas
+    # rule-compile shape as robots_filter's rules side
+    "crawl_delays",
 }
 
 

@@ -179,3 +179,34 @@ def test_sitemap_directives_plan_is_codegen(spark):
     )
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan, marker
+
+
+def test_crawl_delay_group_selection():
+    from kausaldb_spark.sources import robots as rb
+
+    c = ("User-agent: bot\nCrawl-delay: 3\n\n"
+         "User-agent: *\nCrawl-delay: 7\n")
+    assert rb.parse_crawl_delay(c, "botcrawler") == 3   # longest match
+    assert rb.parse_crawl_delay(c, "spider") == 7       # star fallback
+    # matching group WITHOUT a delay: none — the star delay must not leak
+    c2 = ("User-agent: bot\nDisallow: /a\n\n"
+          "User-agent: *\nCrawl-delay: 7\n")
+    assert rb.parse_crawl_delay(c2, "botcrawler") is None
+    assert rb.parse_crawl_delay("User-agent: *\ncrawl-delay: 2.5\n",
+                                "x") == 3               # ceil
+    assert rb.parse_crawl_delay("User-agent: *\nCrawl-delay: junk\n",
+                                "x") is None            # invalid ignored
+    assert rb.parse_crawl_delay("", "x") is None
+
+
+def test_crawl_delay_directives_stage(spark):
+    from kausaldb_spark.sources import robots as rb
+
+    hosts = spark.createDataFrame(
+        [("a.com", "User-agent: *\nCrawl-delay: 4\n"),
+         ("b.com", "User-agent: *\nDisallow: /\n")],
+        "host string, content string",
+    )
+    got = {r["host"]: r["delay_s"]
+           for r in rb.crawl_delay_directives(hosts, "bot").collect()}
+    assert got == {"a.com": 4}
