@@ -356,24 +356,24 @@ def _q_span_removal(spark, sf_dir):
     # every maximal duplicated >=8-token span and reassemble the
     # survivors — detect (duplicate_spans) and remove gate together on
     # the same planted corpus
-    return dd.remove_duplicate_spans(dd.dedup_corpus(spark, sf_dir), k=8)
+    return dd.remove_duplicate_spans(dd.dedup_corpus(spark, sf_dir, spread=True), k=8)
 
 
 def _q_duplicate_spans(spark, sf_dir):
     # substring-level exact dedup (Lee et al. 2021 style): maximal >=8-token
     # duplicated spans over the planted-duplicates corpus
-    return dd.duplicate_spans(dd.dedup_corpus(spark, sf_dir), k=8)
+    return dd.duplicate_spans(dd.dedup_corpus(spark, sf_dir, spread=True), k=8)
 
 
 def _q_bm25_topk(spark, sf_dir):
     # rows-only tail entry (float scores; ranking pinned in tests)
-    return tx.bm25_topk(_docs(spark, sf_dir), list(_TM_TERMS), k=20)
+    return tx.bm25_topk(_docs(spark, sf_dir, spread=True), list(_TM_TERMS), k=20)
 
 
 def _q_bm25_topk_ppm(spark, sf_dir):
     # the fixed-point BM25 twin: integer ppm scores, so ranked retrieval
     # gets a full value-hash oracle row (r6 verdict item 8)
-    return tx.bm25_topk_ppm(_docs(spark, sf_dir), list(_TM_TERMS), k=20)
+    return tx.bm25_topk_ppm(_docs(spark, sf_dir, spread=True), list(_TM_TERMS), k=20)
 
 
 # hashed-bigram LM perplexity gate: LM trained on the five lowest-index
@@ -385,7 +385,7 @@ _LM_MAX_BITS_PPM = 9_300_000
 
 
 def _q_lm_perplexity(spark, sf_dir):
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, spread=True)
     ref = docs.where(F.col("source").isin(*_LM_REF_SOURCES))
     return tx.perplexity_filter(docs, ref, _LM_MAX_BITS_PPM)
 
@@ -425,7 +425,7 @@ def _q_hybrid_rrf(spark, sf_dir):
 def _q_gopher_repetition(spark, sf_dir):
     # the n-gram half of the Gopher repetition rules (top-{2,3,4}-gram and
     # overlap-once dup-{5..10}-gram char fractions), integer ppm
-    return tx.gopher_repetition(_docs(spark, sf_dir))
+    return tx.gopher_repetition(_docs(spark, sf_dir, spread=True))
 
 
 def _q_token_count(spark, sf_dir):
@@ -436,10 +436,23 @@ def _q_token_count(spark, sf_dir):
     )
 
 
-def _docs(spark, sf_dir):
+def _docs(spark, sf_dir, spread=False):
+    """The documents front door. ``spread=True`` opts a query into
+    scale-adaptive scan parallelism (sources/spread.spread_scan): the
+    driver testdata is ONE single-row-group parquet file, so the scan
+    plans as one task and map-heavy work rides one core. Opt-IN per query
+    (r12 opt round, measured at sf0.1): decode/hash-heavy consumers win
+    2-4x (gopher_repetition 6.3→2.6 s, animation_stats 5.0→1.2 s,
+    image_near_dup 4.7→2.6 s), while sub-second scan-and-aggregate
+    consumers lose the exchange + 32-task scheduling cost (~+0.3 s), so
+    the cheap ones keep the plain scan."""
     from kausaldb_spark.sources import guard
+    from kausaldb_spark.sources.spread import spread_scan
 
-    return guard.documents(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    out = guard.documents(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    if spread:
+        out = spread_scan(out, key=f"docs:{sf_dir}")
+    return out
 
 
 def _q_minhash_near_dup(spark, sf_dir):
@@ -458,7 +471,7 @@ def _q_incremental_dedup(spark, sf_dir):
 
 def _q_source_overlap(spark, sf_dir):
     # cross-source n-gram leakage matrix (mixing diagnostic)
-    return dd.source_ngram_overlap(_docs(spark, sf_dir))
+    return dd.source_ngram_overlap(_docs(spark, sf_dir, spread=True))
 
 
 def _q_ngram_jaccard(spark, sf_dir):
@@ -525,7 +538,7 @@ def _q_corpus_stats(spark, sf_dir):
 
 
 def _q_lang_id(spark, sf_dir):
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, spread=True)
     return docs.select("doc_id", tx.lang_id(tx.tokens(F.col("text"))).alias("pred_lang"))
 
 
@@ -571,7 +584,7 @@ def _q_stratified_sample(spark, sf_dir, per_class: int = 50, n_salts: int = 32):
 
 
 def _q_quality_score(spark, sf_dir):
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, spread=True)
     cols = tx.quality_columns(F.col("text"))
     out = docs.select("doc_id", *[c.alias(n) for n, c in cols.items()])
     flag_cols = {n: F.col(n) for n in cols}
@@ -589,7 +602,7 @@ def _q_pii_scan(spark, sf_dir):
     # PII scrub pre-pass: typed hit counts + hash of the redacted text
     # (the hash keeps the gated output small while pinning the exact
     # replacement behavior)
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, spread=True)
     counts = tx.pii_counts(F.col("text"))
     return docs.select(
         "doc_id",
@@ -601,7 +614,7 @@ def _q_pii_scan(spark, sf_dir):
 def _q_repetition_score(spark, sf_dir):
     # Gopher-style repetition signal: share of the most frequent word
     # 2-gram (with multiplicity — no array_distinct here)
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, spread=True)
     grams = docs.select(
         "doc_id", F.explode(tx.shingles(tx.tokens(F.col("text")), 2)).alias("gram")
     )
@@ -614,6 +627,10 @@ def _q_repetition_score(spark, sf_dir):
 
 
 def _emb(spark, sf_dir):
+    # NOT spread (r12 opt round, measured): the embeddings table is tiny
+    # (2k vectors at sf0.1) and every ANN consumer is broadcast+scan or a
+    # small banded join — the spread exchange cost more than it saved on
+    # every ANN key (ann_lsh 0.33→1.07 s, embedding_near_dup 0.38→0.92 s)
     from kausaldb_spark.sources import guard
 
     return guard.embeddings(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
@@ -1095,7 +1112,7 @@ def _q_html_extract(spark, sf_dir):
     # count and boilerplate-drop count. Map-only Arrow stage, zero shuffles.
     from kausaldb_spark.sources import html as hx
 
-    return hx.extract_html_text(hx.synthetic_html_docs(_docs(spark, sf_dir)))
+    return hx.extract_html_text(hx.synthetic_html_docs(_docs(spark, sf_dir, spread=True)))
 
 
 def _warc_ingest_sql() -> str:
@@ -1133,14 +1150,20 @@ SELECT ('0x' || substr(md5(source || chr(31) || text), 1, 14))::BIGINT
 FROM pred"""
 
 
-def _synth_links(spark, sf_dir):
+def _synth_links(spark, sf_dir, spread=False):
     # the link relation of the synthetic HTML corpus: Spark must parse the
     # real markup (sources/html.extract_links over synth_html) — the twin
     # predicts the links from the class taxonomy (class 3 = nav0/1/2 +
-    # footer nav9; class 5 = f{doc_id}; others none)
+    # footer nav9; class 5 = f{doc_id}; others none).
+    # spread is per-consumer (r12 opt round, measured): crawl_frontier
+    # re-parses per run and wins 2x from a spread scan; the link-graph
+    # family persists/aggregates the slim link relation once and lost the
+    # exchange cost, so it keeps the plain scan.
     from kausaldb_spark.sources import html as hx
 
-    return hx.extract_links(hx.synthetic_html_docs(_docs(spark, sf_dir)))
+    return hx.extract_links(
+        hx.synthetic_html_docs(_docs(spark, sf_dir, spread=spread))
+    )
 
 
 #: the twin's prediction of the synth_html link structure — pinned against
@@ -1315,8 +1338,8 @@ def _q_crawl_frontier(spark, sf_dir):
     )
     rules = rb.robots_rules(hosts, ROBOTS_UA)
     return fr.crawl_frontier(
-        _synth_links(spark, sf_dir), fetched=fetched, rules=rules,
-        per_host_cap=5,
+        _synth_links(spark, sf_dir, spread=True), fetched=fetched,
+        rules=rules, per_host_cap=5,
     )
 
 
@@ -1380,7 +1403,7 @@ def _q_animation_stats(spark, sf_dir):
     # sources/gif_anim.decode_gif_frames, aggregated per class k = id % 4
     from kausaldb_spark.sources import gif_anim as ga
 
-    assets = ga.synthetic_anim_assets(_docs(spark, sf_dir))
+    assets = ga.synthetic_anim_assets(_docs(spark, sf_dir, spread=True))
     return ga.animation_stats(assets)
 
 
@@ -2156,7 +2179,7 @@ def _q_pdf_extract(spark, sf_dir):
     # Encryption classifies (never decrypts); damaged docs isolate per-row.
     from kausaldb_spark.sources import pdf as pf
 
-    assets = pf.synthetic_pdf_assets(_docs(spark, sf_dir))
+    assets = pf.synthetic_pdf_assets(_docs(spark, sf_dir, spread=True))
     return pf.pdf_text_stats(assets)
 
 
@@ -2225,7 +2248,7 @@ def _q_image_near_dup(spark, sf_dir):
     # to exactly that pattern).
     from kausaldb_spark.sources import multimodal as mm
 
-    assets = mm.synthetic_phash_assets(_docs(spark, sf_dir))
+    assets = mm.synthetic_phash_assets(_docs(spark, sf_dir, spread=True))
     return mm.phash_near_dup(mm.image_phash_bands(assets))
 
 

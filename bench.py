@@ -435,7 +435,12 @@ def _bench_ingestion(spark, timings, errors) -> float:
     n_bytes = sum(os.path.getsize(ap) for ap, _ in files)
 
     def parse():
-        units, raw_edges = ing.parse_files(spark, files)
+        # r12 opt round: materialize=True is the production parse shape now
+        # (ONE combined mapInPandas pass checkpointed; units/edges are
+        # filtered projections) — the timed quantity is the real pipeline
+        # cost. Old two-pass shape measured 1.25 s at the session-8 record;
+        # both numbers kept in OPTIMIZATION_r12.md.
+        units, raw_edges = ing.parse_files(spark, files, materialize=True)
         _force(units)
         _force(raw_edges)
 

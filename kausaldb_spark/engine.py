@@ -166,12 +166,12 @@ class KausalEngine:
         record per-file content hashes (sync's change-detection baseline)
         and the registry entry."""
         files = ing.list_files(root)
-        units, raw_edges = ing.parse_files(self.spark, files)
-        # parse once: blocks, edges, and the reference index all consume the
-        # same mapInPandas output — without the checkpoint each action would
-        # re-run the parse
-        units = units.localCheckpoint()
-        raw_edges = raw_edges.localCheckpoint()
+        # parse once, LITERALLY (r12 opt round): materialize=True checkpoints
+        # the combined units+edges relation from ONE mapInPandas pass —
+        # blocks, edges, and the reference index all consume cheap filtered
+        # projections of it (the previous shape checkpointed units and edges
+        # separately, which ran the full file parse twice)
+        units, raw_edges = ing.parse_files(self.spark, files, materialize=True)
         file_index = self.spark.createDataFrame(
             [(i, rel) for i, (_, rel) in enumerate(files)],
             "file_idx long, file_path string",
@@ -312,9 +312,10 @@ class KausalEngine:
         units_c = raw_c = None
         if changed:
             changed_files = [(abs_by_rel[rel], rel) for rel in changed]
-            units_c, raw_c = ing.parse_files(self.spark, changed_files)
-            units_c = units_c.localCheckpoint()  # parse once, reuse below
-            raw_c = raw_c.localCheckpoint()
+            # materialize=True: one combined checkpoint = one parse pass
+            units_c, raw_c = ing.parse_files(
+                self.spark, changed_files, materialize=True
+            )
             names |= {
                 r["bare"]
                 for r in units_c.select(
@@ -413,10 +414,10 @@ class KausalEngine:
             if touch:
                 if reresolve:
                     units_x, raw_x = ing.parse_files(
-                        self.spark, [(abs_by_rel[rel], rel) for rel in reresolve]
+                        self.spark,
+                        [(abs_by_rel[rel], rel) for rel in reresolve],
+                        materialize=True,
                     )
-                    units_x = units_x.localCheckpoint()
-                    raw_x = raw_x.localCheckpoint()
                     units = units_c.unionByName(units_x) if changed else units_x
                     raw_edges = raw_c.unionByName(raw_x) if changed else raw_x
                 else:

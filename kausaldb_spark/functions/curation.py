@@ -54,9 +54,14 @@ def _assert_unique_ids(df: DataFrame, id_col: str = "doc_id") -> int:
 
 def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(split, n_docs, total_tokens) for the curated corpus."""
-    docs = guard.documents_text(
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
-    ).select("doc_id", "text")
+    from kausaldb_spark.sources.spread import spread_scan
+
+    docs = spread_scan(
+        guard.documents_text(
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+        ).select("doc_id", "text"),
+        key=f"dedup_docs:{sf_dir}",
+    )
 
     toks = tx.tokens(F.col("text"))
     qcols = tx.quality_columns(F.col("text"))

@@ -56,12 +56,26 @@ EXACT_COPY_OFFSET = 1_000_000
 NEAR_COPY_OFFSET = 2_000_000
 
 
-def dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_corpus(
+    spark: SparkSession, sf_dir: str, spread: bool = False
+) -> DataFrame:
     """documents ∪ planted exact copies ∪ planted near-copies (first five
-    words dropped)."""
+    words dropped).
+
+    ``spread=True`` opts the consumer into scale-adaptive scan parallelism
+    (sources/spread.spread_scan — the driver testdata is one single-row-
+    group parquet file, so the scan plans as ONE task). Opt-in per
+    consumer (r12 opt round, measured at sf0.1): the shingle-explode-heavy
+    ops win ~2x (duplicate_spans 3.4→2.1 s, ngram_jaccard 6.3→4.6 s) while
+    the single-shuffle cheap ops (exact/line dedup, simhash) lose the
+    exchange cost and keep the plain scan."""
     docs = guard.documents_text(
         spark.read.parquet(f"{sf_dir}/documents.parquet")
     ).select("doc_id", "text")
+    if spread:
+        from kausaldb_spark.sources.spread import spread_scan
+
+        docs = spread_scan(docs, key=f"dedup_docs:{sf_dir}")
     exact = docs.where(F.col("doc_id") % EXACT_COPY_MOD == 0).select(
         (F.col("doc_id") + EXACT_COPY_OFFSET).alias("doc_id"), "text"
     )
@@ -207,45 +221,58 @@ def lsh_candidates(
 
 
 def jaccard_verify(
-    candidates: DataFrame, sh: DataFrame, num: int, den: int
+    candidates: DataFrame, corpus_cand: DataFrame, num: int, den: int,
+    n: int = 3,
 ) -> DataFrame:
-    """Exact Jaccard on candidate pairs via the shingle relation:
+    """Exact Jaccard on candidate pairs via per-doc hashed shingle SETS:
     keep pairs with inter/union >= num/den (integer arithmetic — no float
-    drift). Returns (doc_a, doc_b, n_inter, n_union).
+    drift). ``corpus_cand`` is a (doc_id, text) relation covering at least
+    the candidate docs. Returns (doc_a, doc_b, n_inter, n_union).
 
-    Scale shape (r11, found by the sf10 gauntlet): the shingle relation is
+    Scale shape (r11, found by the sf10 gauntlet): the corpus relation is
     first semi-join-pruned to CANDIDATE docs only — the verify legs then
-    shuffle a duplication-rate-sized sliver instead of the whole corpus's
-    shingles (at sf10 the unpruned verify re-shuffled a ~40M-row relation
-    twice and minhash read ~proportional-to-volume instead of
-    overhead-amortized; same sliver discipline near_dup_vs_corpus already
-    documents). Sizes are computed on the sliver too: only candidate docs
-    need n_sh for the ratio prefilter."""
+    move a duplication-rate-sized sliver instead of the whole corpus (at
+    sf10 the unpruned verify re-shuffled a ~40M-row relation twice).
+    The hashed set per doc is built IN-ROW (r12 opt round): the previous
+    shape exploded the sliver's shingles and re-assembled them with a
+    collect_list groupBy — one whole shuffle of the sliver's shingle
+    volume that a bind-only transform + array_distinct does per row in
+    codegen'd/interpreted array math with zero movement. Values are
+    bit-identical: same distinct-shingle set, same 60-bit md5-prefix hash
+    (the arithmetic both engines run — see the parity note below), and
+    only set CARDINALITIES are consumed downstream, so element order
+    cannot matter.
+
+    The set elements are the 60-bit md5 prefix of the shingle, hashed
+    with the SAME arithmetic on both engines (proven portable by the v2
+    signature scheme), and n_inter/n_a/n_b are SET cardinalities of the
+    hashed sets on both sides — so even a theoretical within-doc 60-bit
+    collision yields identical counts: parity by construction."""
     cand_ids = (
         candidates.select(F.col("doc_a").alias("doc_id"))
         .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh = sh.join(cand_ids, "doc_id", "leftsemi")
-    # One hashed SET per candidate doc, intersections in-row (r11, found
-    # by the sf10 stage profile): the join-count formulation materialized
-    # candidates x shingles — 389M rows through a shuffle + hash-agg for
-    # ~5M templated-text candidates — where per-pair array_intersect over
-    # 73-element long arrays is whole-stage-codegen'd and never explodes.
-    # The set elements are the 60-bit md5 prefix of the shingle, hashed
-    # with the SAME arithmetic on both engines (proven portable by the v2
-    # signature scheme), and n_inter/n_a/n_b are SET cardinalities of the
-    # hashed sets on both sides — so even a theoretical within-doc 60-bit
-    # collision yields identical counts: parity by construction.
+    pruned = corpus_cand.select("doc_id", "text").join(
+        cand_ids, "doc_id", "leftsemi"
+    )
+    # bind-only lambdas (r10 HOF discipline); _sh is multi-referenced so
+    # CollapseProject never inlines the shingle build into a lambda body
     sets = (
-        sh.select(
+        pruned.select(
             "doc_id",
-            F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
-            .cast("bigint")
-            .alias("h"),
+            F.array_distinct(shingles(tokens(F.col("text")), n)).alias("_sh"),
         )
-        .groupBy("doc_id")
-        .agg(F.array_distinct(F.collect_list("h")).alias("hs"))
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(
+                    "_sh",
+                    lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
+                    .cast("bigint"),
+                )
+            ).alias("hs"),
+        )
         .select("doc_id", "hs", F.size("hs").alias("n_sh"))
     )
     paired = candidates.join(
@@ -276,13 +303,27 @@ def jaccard_verify(
 
 
 def _wide_signature_buckets(
-    sh: DataFrame, n_hashes: int = N_MINHASH, band_size: int = BAND_SIZE
+    corpus: DataFrame, n_hashes: int = N_MINHASH, band_size: int = BAND_SIZE,
+    n: int = 3,
 ) -> DataFrame:
-    """(doc_id, band, bucket) via ONE groupBy pass: all n_hashes mins as
-    aggregate columns (the explode-by-seed formulation shuffles the shingle
-    relation n_hashes times; this shuffles it once). Band buckets hash the
-    sorted pair (least, greatest) — string-identical to the sorted-list
-    formulation the oracle uses."""
+    """(doc_id, band, bucket) via ONE groupBy pass over the corpus's
+    exploded shingles: all n_hashes mins as aggregate columns (the
+    explode-by-seed formulation shuffled the shingle relation n_hashes
+    times; this shuffles only the partially-aggregated per-doc min states
+    — the hash aggregate combines map-side, so the exploded relation
+    itself never crosses the network). Band buckets hash the sorted pair
+    (least, greatest) — string-identical to the sorted-list formulation
+    the oracle uses.
+
+    (r12 opt round: a fully IN-ROW variant — bind-only array transforms +
+    array_min, zero shuffle — was implemented, pinned row-identical
+    (test_dedup_scale), A/B-measured ~1.9 s vs ~1.5 s at sf0.1 and
+    REVERTED: higher-order functions are interpreted per element, and the
+    groupBy's map-side partial aggregation already collapses the shuffle
+    to ~1 row per doc per mapper, so the in-row form saved almost no
+    movement while paying interpreted md5/arithmetic per shingle. The
+    corpus-level signature stays: callers no longer build the exploded
+    relation themselves.)"""
     assert band_size == 2, "wide bucket builder is specialized for band_size=2"
     if n_hashes > len(MIX_A):
         raise ValueError(
@@ -290,6 +331,7 @@ def _wide_signature_buckets(
             f"constants (MIX_A) of signature scheme v{MINHASH_SIG_VERSION}; "
             "extend MIX_A (and bump the scheme version) to widen signatures"
         )
+    sh = doc_shingles(corpus, n)
     c0, c1 = _sig_chunks(F.col("shingle"))
     pre = sh.select("doc_id", c0.alias("_c0"), c1.alias("_c1"))
     aggs = [
@@ -334,7 +376,7 @@ def minhash_pairs_for(
     # the shingles once; verification RE-SHINGLES only the candidate docs
     # (a duplication-rate-sized sliver of the corpus — the same shape
     # near_dup_vs_corpus documents for the incremental path).
-    bands = _wide_signature_buckets(doc_shingles(corpus))
+    bands = _wide_signature_buckets(corpus)
     bands, _dropped = capped_buckets(bands, max_bucket_size)
     a = bands.alias("a")
     b = bands.alias("b")
@@ -354,15 +396,15 @@ def minhash_pairs_for(
         .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh_cand = doc_shingles(corpus.join(cand_ids, "doc_id", "leftsemi"))
-    return jaccard_verify(cands, sh_cand, num, den).localCheckpoint(eager=True)
+    cand_corpus = corpus.join(cand_ids, "doc_id", "leftsemi")
+    return jaccard_verify(cands, cand_corpus, num, den).localCheckpoint(eager=True)
 
 
 def minhash_near_duplicates(
     spark: SparkSession, sf_dir: str, num: int = 7, den: int = 10
 ) -> DataFrame:
     """Full MinHash-LSH pipeline over the planted-duplicate test corpus."""
-    return minhash_pairs_for(dedup_corpus(spark, sf_dir), num, den)
+    return minhash_pairs_for(dedup_corpus(spark, sf_dir, spread=True), num, den)
 
 
 MIN_SHARED_RARE = 2  # candidacy needs >= this many shared rare shingles
@@ -382,7 +424,7 @@ def ngram_jaccard_pairs(
     approximation tier the df-cut itself accepts. The grouped count is free
     (it replaces the candidate distinct) and collapses the verify-join
     input by orders of magnitude (906k -> ~20k pairs at sf0.1)."""
-    corpus = dedup_corpus(spark, sf_dir)
+    corpus = dedup_corpus(spark, sf_dir, spread=True)
     # NO persist of the exploded shingle relation (r11, same lesson the
     # sf10 gauntlet taught minhash_pairs_for): at corpus scale it dwarfs
     # the text (~40M rows for 150 MB at the 100x rehearsal; impossible at
@@ -399,7 +441,17 @@ def ngram_jaccard_pairs(
         .where(F.col("df") <= RARE_SHINGLE_DF)
         .select("shingle")
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # per-doc distinct-shingle counts IN-ROW (r12 opt round): identical to
+    # the former sh.groupBy(doc_id).count() — doc_shingles explodes the
+    # per-doc DISTINCT array, so its per-doc row count IS that array's
+    # size — minus a full shuffle of the exploded shingle relation (the
+    # size pass now never materializes shingles as rows at all)
+    sizes = corpus.select(
+        "doc_id",
+        F.size(F.array_distinct(shingles(tokens(F.col("text")), 3))).cast(
+            "bigint"
+        ).alias("n_sh"),
+    )
     rare_sh = (
         sh.join(rare, "shingle").join(sizes, "doc_id").localCheckpoint(eager=True)
     )
@@ -427,8 +479,8 @@ def ngram_jaccard_pairs(
         .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh_cand = doc_shingles(corpus.join(cand_ids, "doc_id", "leftsemi"))
-    return jaccard_verify(cands, sh_cand, num, den).localCheckpoint(eager=True)
+    cand_corpus = corpus.join(cand_ids, "doc_id", "leftsemi")
+    return jaccard_verify(cands, cand_corpus, num, den).localCheckpoint(eager=True)
 
 
 def contaminated_docs(
@@ -440,9 +492,14 @@ def contaminated_docs(
     stands in for the eval set). The canonical decontamination pass for
     training data: inverted n-gram index join, grouped per (doc, benchmark)
     pair. Output (doc_id, benchmark_id, n_shared)."""
-    docs = guard.documents_text(
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
-    ).select("doc_id", "text")
+    from kausaldb_spark.sources.spread import spread_scan
+
+    docs = spread_scan(
+        guard.documents_text(
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+        ).select("doc_id", "text"),
+        key=f"dedup_docs:{sf_dir}",
+    )
     sh = docs.select(
         "doc_id",
         F.explode(F.array_distinct(shingles(tokens(F.col("text")), n))).alias("shingle"),
@@ -915,7 +972,7 @@ def minhash_index(corpus: DataFrame) -> DataFrame:
     ``minhash_pairs_for``'s self-join. Carries ``sig_v`` (the signature
     scheme version): a persisted index from another scheme would silently
     miss every duplicate, so ``near_dup_vs_corpus`` refuses it instead."""
-    return _wide_signature_buckets(doc_shingles(corpus)).withColumn(
+    return _wide_signature_buckets(corpus).withColumn(
         "sig_v", F.lit(MINHASH_SIG_VERSION)
     )
 
@@ -965,7 +1022,7 @@ def near_dup_vs_corpus(
             "minhash_index() on this build"
         )
     idx_ok, _dropped = capped_buckets(index, max_bucket_size)
-    new_buckets = _wide_signature_buckets(doc_shingles(new_docs))
+    new_buckets = _wide_signature_buckets(new_docs.select("doc_id", "text"))
     cand = (
         new_buckets.alias("n")
         .join(
@@ -982,10 +1039,10 @@ def near_dup_vs_corpus(
     cand_corpus = corpus_docs.join(
         cand.select(F.col("doc_b").alias("doc_id")).distinct(), "doc_id", "semi"
     )
-    sh = doc_shingles(new_docs.select("doc_id", "text")).unionByName(
-        doc_shingles(cand_corpus.select("doc_id", "text"))
+    verify_corpus = new_docs.select("doc_id", "text").unionByName(
+        cand_corpus.select("doc_id", "text")
     )
-    return jaccard_verify(cand, sh, num, den)
+    return jaccard_verify(cand, verify_corpus, num, den)
 
 
 def filter_new_against_corpus(

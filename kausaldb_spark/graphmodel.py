@@ -289,16 +289,35 @@ def edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 _cache: dict[tuple[int, str], dict[str, DataFrame]] = {}
 
 
-def spark_sql_prefix(sf_dir: str) -> str:
+def spark_sql_prefix(sf_dir: str, spark: SparkSession | None = None) -> str:
     """The shared derivation as a Spark SQL WITH-prefix (same CTE text as the
     DuckDB oracle, with the input tables inlined as parquet file queries so
     nothing leaks into the session catalog). The ANSI subset used (md5, ||,
-    row_number, NOT EXISTS) parses identically in both engines."""
+    row_number, NOT EXISTS) parses identically in both engines.
+
+    Two Spark-side physical rewrites (r12 optimization round; row-identical
+    to the oracle text, pinned by test_graphmodel + the parity sweep):
+
+    - ``latest`` uses ``max_by`` (hash aggregate with map-side partial
+      aggregation) instead of the row_number window — same argmax-per-id
+      relation (sequences are unique per id by the HWM discipline), minus
+      the window's full sort (guide §2.4: the window added a Sort the
+      aggregation formulation doesn't need).
+    (A REPARTITION-hint variant for the single-file fact-table scans was
+    tried and REVERTED this round: CTEs inline per reference, so hinting
+    lineitem re-exchanged it once per union branch and inflated the
+    persisted ``edges_vis`` relation from 6 partitions to ~190 — every
+    subsequent per-level traversal job then scheduled ~190 tasks instead
+    of 6, slowing every traversal key for a one-time build win that did
+    not reproduce on a quiet box. ``spark`` is accepted for call-site
+    compatibility and future adaptive rewrites.)
+    """
+    del spark  # no session-dependent rewriting after the hint revert
     tables = ("nation", "customer", "supplier", "part", "orders", "lineitem")
     ctes = ",\n".join(
         f"{t} AS (SELECT * FROM parquet.`{sf_dir}/{t}.parquet`)" for t in tables
     )
-    return "WITH " + ctes + ",\n" + DUCK_CTES
+    return "WITH " + ctes + ",\n" + _SPARK_CTES
 
 
 def graph(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -311,7 +330,7 @@ def graph(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     either way (tests/test_graphmodel.py pins DataFrame == SQL equality)."""
     key = (id(spark), sf_dir)
     if key not in _cache:
-        prefix = spark_sql_prefix(sf_dir)
+        prefix = spark_sql_prefix(sf_dir, spark)
         # Persist the NARROW visible set (7 columns) and attach the three
         # derived strings (source_uri, unit_id, metadata_json — pure concat
         # over cached columns, whole-stage codegen) lazily via _finish: the
@@ -556,3 +575,45 @@ DUCK_PREFIX = "WITH " + DUCK_CTES
 # Recursive-capable prefix for traversal oracles (DuckDB requires RECURSIVE
 # to be declared on the WITH that contains the recursive CTE).
 DUCK_PREFIX_REC = "WITH RECURSIVE " + DUCK_CTES
+
+# ---------------------------------------------------------------------------
+# Spark-side physical variant of the shared CTE text (r12 optimization
+# round). SAME relation, different physical shape: `latest` = argmax of
+# sequence per id, expressed as a max_by hash aggregate instead of a
+# row_number window — the aggregate partially aggregates map-side and
+# needs no Sort, where the window shuffles THEN sorts every version row
+# (guide §2.4). Sequences are unique per id in every store (HWM
+# reserve-then-write) and in this fixture (disjoint 1M/6M/8M/100M+ bands),
+# so the argmax is well-defined and the two formulations are
+# row-identical — pinned by test_graphmodel (DataFrame == SQL) and the
+# DuckDB parity sweep (which keeps running the window text above).
+# ---------------------------------------------------------------------------
+
+_DUCK_LATEST_BLOCK = """
+latest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY sequence DESC) AS _rn
+    FROM blocks_base
+  ) WHERE _rn = 1
+),"""
+
+_SPARK_LATEST_BLOCK = """
+latest AS (
+  SELECT id,
+         _s.sequence AS sequence, _s.unit_type AS unit_type,
+         _s.name AS name, _s.codebase AS codebase,
+         _s.file_path AS file_path, _s.content AS content
+  FROM (
+    SELECT id,
+           max_by(named_struct(
+             'sequence', sequence, 'unit_type', unit_type, 'name', name,
+             'codebase', codebase, 'file_path', file_path,
+             'content', content), sequence) AS _s
+    FROM blocks_base GROUP BY id
+  )
+),"""
+
+_SPARK_CTES = DUCK_CTES.replace(_DUCK_LATEST_BLOCK, _SPARK_LATEST_BLOCK)
+# a silent no-op replace would quietly fall back to the window text — fail
+# loudly instead so an edit to DUCK_CTES keeps both variants in sync
+assert _SPARK_CTES != DUCK_CTES, "latest-CTE rewrite did not apply"

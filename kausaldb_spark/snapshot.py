@@ -29,17 +29,32 @@ block set (deletes are rare), so the anti-join broadcasts.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
 def latest_versions(blocks_raw: DataFrame) -> DataFrame:
-    """Per id, the highest-sequence version (last writer wins)."""
-    w = Window.partitionBy("id").orderBy(F.col("sequence").desc())
-    return (
-        blocks_raw.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
+    """Per id, the highest-sequence version (last writer wins).
+
+    Physical shape (r12 optimization round, guide §2.4): argmax-per-id as a
+    ``max_by`` hash aggregate — partial (map-side) aggregation collapses
+    co-located versions before the exchange and no Sort is needed, where
+    the previous row_number window shuffled every version row and then
+    sorted each partition. Row-identical: sequences are unique per id (the
+    store's reserve-then-write HWM discipline assigns every batch a fresh
+    range; the graph fixture uses disjoint sequence bands), so the argmax
+    is well-defined. Pinned by the MVCC property tests and the oracle
+    parity sweep (whose DuckDB twin keeps the window formulation)."""
+    cols = blocks_raw.columns  # preserve the input column order exactly
+    others = [c for c in cols if c != "id"]
+    packed = blocks_raw.groupBy("id").agg(
+        F.max_by(F.struct(*others), F.col("sequence")).alias("_s")
+    )
+    return packed.select(
+        *[
+            F.col("id") if c == "id" else F.col(f"_s.{c}").alias(c)
+            for c in cols
+        ]
     )
 
 

@@ -97,6 +97,10 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts_dt = raw.schema["ts"].dataType
     if not isinstance(ts_dt, (TimestampType, TimestampNTZType, LongType)):
         raise TypeError(f"events ts read as {ts_dt} — loader/reader disagree at {path}")
+    # NOT spread (r12 opt round, measured): every events consumer is a
+    # sub-second keyed aggregation/window — the round-robin exchange cost
+    # more than the map side saved on all seven events keys (sessionize
+    # 0.39→0.80 s etc.); the single-file scan's map work here is trivial.
     return raw.select(
         "event_id",
         us_col.alias("us"),

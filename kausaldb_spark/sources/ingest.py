@@ -618,16 +618,39 @@ def _parse_source(rel_path: str, source: str) -> tuple[list, list]:
              max(1, source.count("\n") + 1), source, None)], []
 
 
+#: one relation carrying BOTH parse products, tagged by ``kind`` ('u'/'e'):
+#: the parser emits units and edges from the SAME ``_parse_source`` call, so
+#: producing them as two separate mapInPandas passes read and parsed every
+#: file twice (the r12 optimization round's ingestion finding — guide §1.2
+#: "don't compute things you throw away": each pass discarded half its
+#: parse). Unit fields are placeholder-'' / 0 on edge rows and vice versa;
+#: the split projections below restore the exact historical schemas.
+_COMBINED_SCHEMA = StructType(
+    [StructField("kind", StringType())]
+    + list(_UNIT_SCHEMA.fields)
+    + [f for f in _EDGE_SCHEMA.fields if f.name != "file_path"]
+)
+
+
 def parse_files(
     spark: SparkSession,
     files: list[tuple[str, str]] | DataFrame,
     max_file_size: int = MAX_FILE_SIZE,
+    materialize: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Distributed parse: (units_df, raw_edges_df). Each partition parses its
     file subset inside one Python worker (Arrow-batched). ``files`` is a
     driver-side (abs_path, rel_path) list for directory ingest, or a
     DataFrame[abs_path, file_path] manifest for monorepo-scale ingest where
     the listing itself is a table.
+
+    Both outputs are filtered projections of ONE combined parse relation
+    (each ``_parse_source`` call yields units AND edges — the previous
+    two-pass shape parsed every file twice). With ``materialize=True`` the
+    combined relation is localCheckpoint-ed eagerly, so the whole parse
+    runs exactly ONCE no matter how many actions consume units/edges —
+    the link/sync ingestion paths use this; the default stays lazy for
+    callers that only ever force one side.
 
     The size cap is enforced HERE, not only in list_files: the manifest path
     has no listing step, and resolve_and_build's 1M sequence stride relies
@@ -653,34 +676,36 @@ def parse_files(
         except OSError as exc:
             return None, f"read error: {exc}"
 
-    def parse_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def combined_batch(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in _COMBINED_SCHEMA.fields]
         for pdf in batches:
             rows = []
             for ap, rp in zip(pdf["abs_path"], pdf["file_path"]):
                 src, err = _read_capped(ap)
                 if err is not None:
-                    rows.append((rp, "document", os.path.basename(rp), "", 1, 1,
-                                 "", err))
+                    rows.append(("u", rp, "document", os.path.basename(rp),
+                                 "", 1, 1, "", err, "", "", ""))
                     continue
-                units, _ = _parse_source(rp, src)
-                rows.extend(units)
-            yield pd.DataFrame(rows, columns=[f.name for f in _UNIT_SCHEMA.fields])
+                units, edges = _parse_source(rp, src)
+                rows.extend(("u", *u, "", "", "") for u in units)
+                if rp.endswith(CODE_EXTENSIONS):
+                    rows.extend(
+                        ("e", fp, "", "", "", 0, 0, "", None, s, d, et)
+                        for fp, s, d, et in edges
+                    )
+            yield pd.DataFrame(rows, columns=cols)
 
-    def edge_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for ap, rp in zip(pdf["abs_path"], pdf["file_path"]):
-                if not rp.endswith(CODE_EXTENSIONS):
-                    continue
-                src, err = _read_capped(ap)
-                if err is not None:
-                    continue
-                _, edges = _parse_source(rp, src)
-                rows.extend(edges)
-            yield pd.DataFrame(rows, columns=[f.name for f in _EDGE_SCHEMA.fields])
-
-    units = paths_df.mapInPandas(parse_batch, _UNIT_SCHEMA)
-    raw_edges = paths_df.mapInPandas(edge_batch, _EDGE_SCHEMA)
+    combined = paths_df.mapInPandas(combined_batch, _COMBINED_SCHEMA)
+    if materialize:
+        combined = combined.localCheckpoint()
+    units = combined.where(F.col("kind") == "u").select(
+        *[f.name for f in _UNIT_SCHEMA.fields]
+    )
+    raw_edges = combined.where(F.col("kind") == "e").select(
+        *[f.name for f in _EDGE_SCHEMA.fields]
+    )
     return units, raw_edges
 
 

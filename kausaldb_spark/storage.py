@@ -789,12 +789,38 @@ class BlockStore:
         # n_tasks x buckets to `buckets`.
         from pyspark.sql import functions as F
 
-        self.snapshot().repartition(buckets, F.col("id")).write.bucketBy(
-            buckets, "id"
-        ).sortBy("id").saveAsTable(f"{table_prefix}_blocks_b")
-        self.visible_edges().repartition(buckets, F.col("src")).write.bucketBy(
-            buckets, "src"
-        ).sortBy("src").saveAsTable(f"{table_prefix}_edges_b")
+        # The two bucketed writes are INDEPENDENT jobs over already-persisted
+        # session views (snapshot / edges_snapshot) — submit them from two
+        # driver threads so the edge job back-fills executors freed by the
+        # block job's tail instead of running strictly after it (guide §2.6
+        # "overlap independent jobs"; local measurement: the sequential
+        # shape left the pool mostly idle during each write's commit phase).
+        # Both source views are resolved BEFORE the threads start so the
+        # snapshot-cache lookup isn't raced.
+        snap = self.snapshot()
+        edges = self.visible_edges()
+
+        def _write_blocks() -> None:
+            self.spark.sparkContext.setJobDescription(
+                f"materialize_bucketed: {table_prefix}_blocks_b"
+            )
+            snap.repartition(buckets, F.col("id")).write.bucketBy(
+                buckets, "id"
+            ).sortBy("id").saveAsTable(f"{table_prefix}_blocks_b")
+
+        def _write_edges() -> None:
+            self.spark.sparkContext.setJobDescription(
+                f"materialize_bucketed: {table_prefix}_edges_b"
+            )
+            edges.repartition(buckets, F.col("src")).write.bucketBy(
+                buckets, "src"
+            ).sortBy("src").saveAsTable(f"{table_prefix}_edges_b")
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            for fut in [pool.submit(_write_blocks), pool.submit(_write_edges)]:
+                fut.result()
 
     # -- maintenance --------------------------------------------------------
 

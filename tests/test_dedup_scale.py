@@ -40,8 +40,7 @@ def test_minhash_bucket_cap_bounds_degenerate_corpus(degenerate_corpus):
 
 
 def test_capped_buckets_surfaces_dropped(spark, degenerate_corpus):
-    sh = dd.doc_shingles(degenerate_corpus)
-    bands = dd._wide_signature_buckets(sh)
+    bands = dd._wide_signature_buckets(degenerate_corpus)
     kept, dropped = dd.capped_buckets(bands, 500)
     drops = dropped.collect()
     assert len(drops) == 4  # all 4 bands of the identical docs overflow
@@ -307,15 +306,52 @@ def test_minhash_n_hashes_over_seed_count_fails_loudly(spark):
     from kausaldb_spark.functions import dedup as dd
     import pytest
 
-    sh = dd.doc_shingles(
-        spark.createDataFrame(
-            [(1, "alpha beta gamma delta epsilon zeta")],
-            "doc_id long, text string",
-        )
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
     )
+    sh = dd.doc_shingles(corpus)
     with pytest.raises(ValueError, match="seed"):
         dd.minhash_signatures(sh, n_hashes=9)
     with pytest.raises(ValueError, match="seed"):
-        dd._wide_signature_buckets(sh, n_hashes=16)
+        dd._wide_signature_buckets(corpus, n_hashes=16)
     # the supported widths still work
     assert dd.minhash_signatures(sh, n_hashes=8).count() == 8
+
+
+def test_inrow_signature_buckets_match_grouped_formulation(spark):
+    """r12 opt round pin: _wide_signature_buckets computes the whole
+    signature IN-ROW (no exploded shingle relation, no shuffle); its
+    (doc_id, band, bucket) rows must be identical to banding the original
+    explode+groupBy minhash_signatures output — including dropping docs
+    with zero shingles (< 3 tokens), which explode dropped implicitly."""
+    import hashlib
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta"),          # < 3 tokens: zero 3-shingles
+            (3, ""),                    # empty: zero shingles
+            (4, "x y z w v u t s r q"),
+            (5, "alpha beta gamma delta epsilon"),  # identical to 1
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["band"]): r["bucket"]
+        for r in dd._wide_signature_buckets(corpus).collect()
+    }
+    sigs: dict[int, dict[int, int]] = {}
+    for r in dd.minhash_signatures(dd.doc_shingles(corpus)).collect():
+        sigs.setdefault(r["doc_id"], {})[r["k"]] = r["minh"]
+    expected = {}
+    for doc, by_k in sigs.items():
+        for band in range(len(by_k) // 2):
+            lo, hi = sorted((by_k[2 * band], by_k[2 * band + 1]))
+            expected[(doc, band)] = hashlib.md5(
+                f"{lo}|{hi}".encode()
+            ).hexdigest()
+    assert got == expected
+    assert not any(d in (2, 3) for d, _ in got)  # zero-shingle docs absent
+    # identical docs share every bucket (the LSH property the index uses)
+    assert all(got[(1, b)] == got[(5, b)] for b in range(4))
