@@ -1354,7 +1354,29 @@ def _q_warc_ingest(spark, sf_dir):
     # with e2e coverage in tests/e2e/query.zig).
     from kausaldb_spark.sources import warc as wc
 
-    files = wc.synthetic_warc_files(_docs(spark, sf_dir))
+    # scale-adaptive segmentation (r12 opt round, guide §2.5 input skew):
+    # parse parallelism is per segment FILE, so a FIXED 16 segments capped
+    # the whole chain at 16 tasks regardless of corpus size — the measured
+    # f100 = 34 at the sf10 gauntlet was mostly this. Segment count now
+    # grows with the corpus (~3k docs/segment, capped at 256); at the
+    # driver's gate scales (sf0.001-0.1) it stays exactly 16, and the
+    # OUTPUT is segmentation-independent by construction (verified: 0
+    # differing rows between 5- and 16-segment packings at sf0.01; the
+    # twin predicts from the documents alone). Row count comes from the
+    # parquet footer (driver-side metadata, no job).
+    import os
+
+    import pyarrow.parquet as pq
+
+    p = f"{sf_dir}/documents.parquet"
+    parts = (
+        [os.path.join(p, f) for f in os.listdir(p) if f.endswith(".parquet")]
+        if os.path.isdir(p)  # generated sf1/sf10 fixtures are dataset dirs
+        else [p]
+    )
+    n_docs = sum(pq.ParquetFile(f).metadata.num_rows for f in parts)
+    n_seg = max(wc.N_WARC_SEGMENTS, min(256, -(-n_docs // 3000)))
+    files = wc.synthetic_warc_files(_docs(spark, sf_dir), n_segments=n_seg)
     return wc.documents_from_warc_files(files)
 
 

@@ -842,16 +842,33 @@ def resolve_and_build(
         .select("bare", "uid_global")
     )
 
+    # JOIN CONDITIONS BY UNIQUE NAMES, not DataFrame attributes (r12): units
+    # and raw_edges are now filtered projections of ONE combined parse
+    # relation, so per_file/global_unique share their lineage with
+    # raw_edges — attribute-based conditions like
+    # ``raw_edges.file_path == per_file.file_path`` become common-lineage
+    # self-join references that Spark mis-resolves (observed: every edge
+    # resolved to NULL and was dropped). Renaming the build-side columns
+    # to unique names makes every reference unambiguous regardless of the
+    # caller's lineage (pinned by test_sync_registry + the ingest tests).
+    pf = per_file.select(
+        F.col("file_path").alias("_pf_fp"),
+        F.col("bare").alias("_pf_bare"),
+        "uid_file",
+    )
+    gu = global_unique.select(
+        F.col("bare").alias("_gu_bare"), "uid_global"
+    )
     e = (
         raw_edges.join(
-            per_file,
-            (raw_edges.file_path == per_file.file_path)
-            & (raw_edges.dst_name == per_file.bare),
+            pf,
+            (F.col("file_path") == F.col("_pf_fp"))
+            & (F.col("dst_name") == F.col("_pf_bare")),
             "left",
         )
-        .drop(per_file.file_path)
-        .drop(per_file.bare)
-        .join(global_unique, raw_edges.dst_name == global_unique.bare, "left")
+        .drop("_pf_fp", "_pf_bare")
+        .join(gu, F.col("dst_name") == F.col("_gu_bare"), "left")
+        .drop("_gu_bare")
         .withColumn("dst_uid", F.coalesce(F.col("uid_file"), F.col("uid_global")))
         .where(F.col("dst_uid").isNotNull())
     )
