@@ -238,6 +238,31 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# Per-run RAW timings, keyed by query name (r12 verdict item 1: medians hide
+# host steal waves — a judge could not tell a real regression from one noisy
+# run). Written to the BENCH_LOCAL.json artifact only; the stdout JSON line
+# stays compact (it must fit the driver's tail capture).
+RAW_RUNS: dict[str, list[float]] = {}
+
+
+def _box_stamp() -> dict:
+    """Host-noise stamp: loadavg + cumulative CPU-steal jiffies from
+    /proc/stat (field 9 of the aggregate cpu line). A steal DELTA across the
+    bench run >> 0 on an otherwise-idle box marks the run wave-contaminated;
+    the r12 round lost its round-over-round comparison to exactly that."""
+    stamp: dict = {}
+    try:
+        with open("/proc/loadavg", encoding="ascii") as fh:
+            stamp["loadavg"] = float(fh.read().split()[0])
+        with open("/proc/stat", encoding="ascii") as fh:
+            cpu = fh.readline().split()
+        # cpu user nice system idle iowait irq softirq steal ...
+        stamp["steal_jiffies"] = int(cpu[8]) if len(cpu) > 8 else None
+    except OSError:
+        pass
+    return stamp
+
+
 def _timed(fn, timings, errors, name, n_runs=N_RUNS):
     """Median-of-n with per-query error isolation. Returns the median or
     None on error."""
@@ -254,6 +279,7 @@ def _timed(fn, timings, errors, name, n_runs=N_RUNS):
         errors[name] = _err_tail(exc)
         timings[name] = {"err": _err_tail(exc)}
         return None
+    RAW_RUNS[name] = [round(r, 3) for r in runs]
     med = _st.median(runs)
     timings[name] = round(med, 3)
     return med
@@ -599,6 +625,7 @@ def main() -> None:
     from kausaldb_spark import graphmodel as gm
     from kausaldb_spark.session import get_spark
 
+    box_start = _box_stamp()
     spark = get_spark("kausaldb-bench")
     qs = entry_mod.queries()
 
@@ -660,6 +687,7 @@ def main() -> None:
             errors[name] = _err_tail(exc)
             timings[name] = {"err": _err_tail(exc)}
             continue
+        RAW_RUNS[name] = [round(r, 3) for r in runs]
         med = statistics.median(runs)
         timings[name] = round(med, 3)
         total += med
@@ -705,6 +733,23 @@ def main() -> None:
             errors["e2e_path"] = _err_tail(exc)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # box-noise stamp (r12 verdict item 1): loadavg at both ends + the
+    # CPU-steal delta over the whole run. steal_sec >> 0 means the host
+    # stole cycles mid-bench and single-key outliers are suspect; the raw
+    # per-run timings in BENCH_LOCAL.json say WHICH keys were hit.
+    box_end = _box_stamp()
+    box = {
+        "loadavg_start": box_start.get("loadavg"),
+        "loadavg_end": box_end.get("loadavg"),
+    }
+    if (
+        box_start.get("steal_jiffies") is not None
+        and box_end.get("steal_jiffies") is not None
+    ):
+        # jiffies are USER_HZ=100 on linux — /100 gives CPU-seconds stolen
+        box["steal_sec"] = round(
+            (box_end["steal_jiffies"] - box_start["steal_jiffies"]) / 100.0, 1
+        )
     out = {
         "metric": "bench_total",
         "value": round(total, 3),
@@ -714,6 +759,7 @@ def main() -> None:
         "e2e_path_sec": round(e2e_total, 3),
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "box": box,
     }
     try:
         out.update(_regression_gate(timings))
@@ -751,7 +797,11 @@ def main() -> None:
         os.makedirs(rec_dir, exist_ok=True)
         local_path = os.path.join(rec_dir, f"BENCH_LOCAL{suffix}.json")
         with open(local_path, "w", encoding="utf-8") as fh:
-            json.dump({**out, "errors": errors}, fh, indent=1)
+            # raw_runs: every individual run behind each median — the
+            # artifact a judge needs to tell "steal wave hit run 2" from
+            # "the code got slower" (r12 verdict item 1). Artifact-only:
+            # too big for the stdout tail line.
+            json.dump({**out, "raw_runs": RAW_RUNS, "errors": errors}, fh, indent=1)
             fh.write("\n")
     except OSError:
         pass

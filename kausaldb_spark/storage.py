@@ -789,38 +789,33 @@ class BlockStore:
         # n_tasks x buckets to `buckets`.
         from pyspark.sql import functions as F
 
-        # The two bucketed writes are INDEPENDENT jobs over already-persisted
-        # session views (snapshot / edges_snapshot) — submit them from two
-        # driver threads so the edge job back-fills executors freed by the
-        # block job's tail instead of running strictly after it (guide §2.6
-        # "overlap independent jobs"; local measurement: the sequential
-        # shape left the pool mostly idle during each write's commit phase).
-        # Both source views are resolved BEFORE the threads start so the
-        # snapshot-cache lookup isn't raced.
+        # SEQUENTIAL writes (r13: reverts the r12 two-thread overlap). The
+        # r12 round submitted the two writes from a ThreadPoolExecutor per
+        # guide §2.6 — but both jobs are shuffle-writing (repartition by the
+        # bucket column) and each alone saturates the pool's sort/spill
+        # memory and I/O, so "overlap independent jobs" degraded into two
+        # saturating jobs contending: the driver measured store_materialize
+        # 13.5 s (r11, sequential) -> 16.6/17.4 s (r12, threaded) on BOTH
+        # its core-count legs (scaling ratio 0.95 — core-insensitive, so
+        # not host noise). §2.6 applies when one job's TAIL leaves the pool
+        # idle; a back-to-back pair of full-width shuffles has no such tail
+        # to back-fill. Verified by an interleaved A/B on a stamped-quiet
+        # box this round (see OPTIMIZATION_r13.md).
         snap = self.snapshot()
         edges = self.visible_edges()
-
-        def _write_blocks() -> None:
-            self.spark.sparkContext.setJobDescription(
-                f"materialize_bucketed: {table_prefix}_blocks_b"
-            )
-            snap.repartition(buckets, F.col("id")).write.bucketBy(
-                buckets, "id"
-            ).sortBy("id").saveAsTable(f"{table_prefix}_blocks_b")
-
-        def _write_edges() -> None:
-            self.spark.sparkContext.setJobDescription(
-                f"materialize_bucketed: {table_prefix}_edges_b"
-            )
-            edges.repartition(buckets, F.col("src")).write.bucketBy(
-                buckets, "src"
-            ).sortBy("src").saveAsTable(f"{table_prefix}_edges_b")
-
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            for fut in [pool.submit(_write_blocks), pool.submit(_write_edges)]:
-                fut.result()
+        self.spark.sparkContext.setJobDescription(
+            f"materialize_bucketed: {table_prefix}_blocks_b"
+        )
+        snap.repartition(buckets, F.col("id")).write.bucketBy(
+            buckets, "id"
+        ).sortBy("id").saveAsTable(f"{table_prefix}_blocks_b")
+        self.spark.sparkContext.setJobDescription(
+            f"materialize_bucketed: {table_prefix}_edges_b"
+        )
+        edges.repartition(buckets, F.col("src")).write.bucketBy(
+            buckets, "src"
+        ).sortBy("src").saveAsTable(f"{table_prefix}_edges_b")
+        self.spark.sparkContext.setJobDescription(None)
 
     # -- maintenance --------------------------------------------------------
 
