@@ -306,7 +306,12 @@ def _bench_store_path(spark, sf_dir, timings, errors):
     try:
         g = gm.graph(spark, sf_dir)
         store = BlockStore(spark, store_dir)
-        store.append_blocks(g["visible"], resequence=False)
+        # pin=False (r13): g["visible"] is a deterministic projection over
+        # the persisted graph cache — the default pin re-encoded the whole
+        # wide block relation into a second in-memory cache just to read
+        # min/max(sequence); unpinned, the agg is a column-pruned pass over
+        # the narrow cache. Same writes, same store bytes, same results.
+        store.append_blocks(g["visible"], resequence=False, pin=False)
         # edges_vis is endpoint-restricted by construction (graphmodel
         # anti-joins both endpoints against the invisible set) — bulk
         # re-materialization skips the redundant endpoint re-check

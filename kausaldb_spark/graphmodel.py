@@ -577,16 +577,36 @@ DUCK_PREFIX = "WITH " + DUCK_CTES
 DUCK_PREFIX_REC = "WITH RECURSIVE " + DUCK_CTES
 
 # ---------------------------------------------------------------------------
-# Spark-side physical variant of the shared CTE text (r12 optimization
-# round). SAME relation, different physical shape: `latest` = argmax of
-# sequence per id, expressed as a max_by hash aggregate instead of a
-# row_number window — the aggregate partially aggregates map-side and
-# needs no Sort, where the window shuffles THEN sorts every version row
-# (guide §2.4). Sequences are unique per id in every store (HWM
-# reserve-then-write) and in this fixture (disjoint 1M/6M/8M/100M+ bands),
-# so the argmax is well-defined and the two formulations are
-# row-identical — pinned by test_graphmodel (DataFrame == SQL) and the
-# DuckDB parity sweep (which keeps running the window text above).
+# Spark-side physical variant of the shared CTE text. SAME relation,
+# different physical shape, two generations:
+#
+# r12: `latest` = argmax of sequence per id as a max_by hash aggregate
+# instead of the row_number window (no Sort, map-side partial agg).
+#
+# r13 (guide §2.4 "remove shuffles outright"): the max_by still shuffled
+# EVERY version row of EVERY entity (~790 k wide rows incl. content at
+# sf0.1) just to resolve per-id argmax. But which version wins is CLOSED
+# FORM in this fixture (same reasoning as graph()'s `invisible` set):
+# only customers carry extra versions (v2 at 6 M iff key%10=0, v3 at 8 M
+# iff key%14=0 — both decidable per row with a CASE) and duplicate
+# lineitem (orderkey, linenumber) pairs (argmax = max of the same
+# 9-column tuple row_number sorted by, its rank = the group count —
+# ONE narrow per-(o,l) aggregate, joined to part/supplier AFTER the agg
+# so the shuffle carries five fact columns, no strings). orders / part /
+# supplier ids are primary-key-unique: straight pass-through. Net: the
+# only exchange left in `latest` is the lineitem aggregate; customers,
+# orders, parts, suppliers never shuffle at all.
+#
+# Row-identity argument: sequence bands are disjoint (1M/2M/4M/5M/6M/8M/
+# 100M+), so per id the winner is fully determined by the CASE / the
+# per-(o,l) argmax; ties on the 9-column lineitem ordering tuple cannot
+# change the output because every output-determining column (partkey,
+# suppkey, quantity, returnflag, linestatus) is part of the tuple.
+# Pinned by test_graphmodel (DataFrame == SQL, exceptAll both ways) and
+# the DuckDB parity sweep (the oracle keeps running the window text
+# above); exceptAll-verified empty both directions at sf0.001/0.01/0.1
+# this round. Measured (quiet passes, sf0.1): vis cache fill 5.1-5.5 s
+# (max_by) -> 4.2-4.4 s (closed form).
 # ---------------------------------------------------------------------------
 
 _DUCK_LATEST_BLOCK = """
@@ -599,18 +619,69 @@ latest AS (
 
 _SPARK_LATEST_BLOCK = """
 latest AS (
-  SELECT id,
-         _s.sequence AS sequence, _s.unit_type AS unit_type,
-         _s.name AS name, _s.codebase AS codebase,
-         _s.file_path AS file_path, _s.content AS content
+  SELECT md5('C' || c_custkey) AS id,
+         CAST(CASE WHEN c_custkey % 14 = 0 THEN 8000000 + c_custkey
+              WHEN c_custkey % 10 = 0 THEN 6000000 + c_custkey
+              ELSE 1000000 + c_custkey END AS BIGINT) AS sequence,
+         'type' AS unit_type,
+         'Customer_' || c_custkey AS name,
+         n_name AS codebase,
+         'tpch/customers/c' || (c_custkey % 100) || '.py' AS file_path,
+         c_name || ' ' || c_mktsegment || ' customer account' ||
+           CASE WHEN c_custkey % 14 = 0 THEN ' restored v3'
+                WHEN c_custkey % 10 = 0 THEN ' updated v2'
+                ELSE '' END AS content
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  UNION ALL
+  SELECT md5('O' || o_orderkey), CAST(2000000 + o_orderkey AS BIGINT),
+         'function',
+         'order_' || o_orderkey,
+         n_name,
+         'tpch/orders/o' || (o_orderkey % 100) || '.py',
+         'order ' || o_orderstatus || ' priority ' || o_orderpriority
+  FROM orders JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+  UNION ALL
+  SELECT md5('L' || l_orderkey || '-' || l_linenumber),
+         CAST(100000000 + (l_orderkey * 8 + l_linenumber) * 8 + _n AS BIGINT),
+         'function',
+         'line_' || l_orderkey || '_' || l_linenumber,
+         n_name,
+         'tpch/orders/o' || (l_orderkey % 100) || '.py',
+         p_name || ' qty ' || CAST(floor(_w.l_quantity) AS BIGINT)
+           || ' flag ' || _w.l_returnflag || _w.l_linestatus
   FROM (
-    SELECT id,
+    SELECT l_orderkey, l_linenumber, count(*) AS _n,
            max_by(named_struct(
-             'sequence', sequence, 'unit_type', unit_type, 'name', name,
-             'codebase', codebase, 'file_path', file_path,
-             'content', content), sequence) AS _s
-    FROM blocks_base GROUP BY id
-  )
+             'l_partkey', l_partkey, 'l_suppkey', l_suppkey,
+             'l_quantity', l_quantity, 'l_returnflag', l_returnflag,
+             'l_linestatus', l_linestatus),
+             named_struct(
+             'l_partkey', l_partkey, 'l_suppkey', l_suppkey,
+             'l_quantity', l_quantity, 'l_extendedprice', l_extendedprice,
+             'l_discount', l_discount, 'l_tax', l_tax,
+             'l_returnflag', l_returnflag, 'l_linestatus', l_linestatus,
+             'l_shipdate', l_shipdate)) AS _w
+    FROM lineitem GROUP BY l_orderkey, l_linenumber
+  ) JOIN part ON _w.l_partkey = p_partkey
+    JOIN supplier ON _w.l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+  UNION ALL
+  SELECT md5('P' || p_partkey), CAST(4000000 + p_partkey AS BIGINT),
+         'const',
+         'PART_' || p_partkey,
+         'catalog',
+         'tpch/parts.py',
+         p_name || ' ' || p_type || ' ' || p_brand
+  FROM part
+  UNION ALL
+  SELECT md5('S' || s_suppkey), CAST(5000000 + s_suppkey AS BIGINT),
+         'type',
+         'Supplier_' || s_suppkey,
+         n_name,
+         'tpch/suppliers.py',
+         s_name || ' supplier node'
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
 ),"""
 
 _SPARK_CTES = DUCK_CTES.replace(_DUCK_LATEST_BLOCK, _SPARK_LATEST_BLOCK)

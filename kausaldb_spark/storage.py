@@ -493,7 +493,9 @@ class BlockStore:
 
     # -- writes -------------------------------------------------------------
 
-    def append_blocks(self, blocks: DataFrame, resequence: bool = True) -> int:
+    def append_blocks(
+        self, blocks: DataFrame, resequence: bool = True, pin: bool = True
+    ) -> int:
         """S1: append a batch. With ``resequence``, incoming sequences are
         shifted above the store's current max (write order = MVCC order).
         Returns the new high-water sequence. The new mark is derived from
@@ -505,16 +507,22 @@ class BlockStore:
         reverse order left a stale-low mark that the next append would trust,
         reusing a sequence range and misordering MVCC. Same discipline as the
         reference's counter-before-commit (``src/storage/engine.zig:663-674``).
+
+        ``pin`` (r13, guide §2.3/§5): by default the batch is persisted so
+        the sequence agg and the data write see ONE evaluation — required
+        for nondeterministic inputs, where a second evaluation could write
+        sequences above the reserved mark. ``pin=False`` skips that persist
+        for inputs the caller KNOWS are deterministic (projections of an
+        already-persisted/checkpointed relation — the graph cache, a parse
+        checkpoint): the agg then plans a column-PRUNED pass (only
+        ``sequence`` is read; a wide ``content`` column never rides the
+        pin's in-memory encode), and the write is the only full evaluation.
+        Measured on the bench store path: the pin re-encoded the whole
+        wide block relation a second time just to read min/max(sequence).
         """
         with self._writer_lease():
             base = self.max_sequence()
-            # pin the batch: the agg below and the write would otherwise
-            # evaluate the incoming lineage TWICE — doubling upstream
-            # compute, and a nondeterministic input's second evaluation
-            # could write sequences ABOVE the reserved mark (silently
-            # breaking reserve-then-write). Spill-backed, released after
-            # the write commits.
-            pinned = blocks.persist()
+            pinned = blocks.persist() if pin else blocks
             try:
                 lo, hi = pinned.agg(F.min("sequence"), F.max("sequence")).collect()[0]
                 lo, hi = lo or 0, hi or 0
@@ -536,7 +544,8 @@ class BlockStore:
                     self._blocks_dir
                 )
             finally:
-                pinned.unpersist()
+                if pin:
+                    pinned.unpersist()
             # invalidate AGAIN after the write commits: with an unchanged
             # mark, a concurrent reader that snapshotted DURING the write
             # would otherwise have re-populated the cache with the

@@ -14,6 +14,10 @@ from pyspark.sql import functions as F
 from kausaldb_spark import sinks
 from kausaldb_spark.functions import curation
 
+# r13: heavy gauntlet — opt-in via `-m scale` (see pytest.ini); the
+# default driver verify run keeps the unit + oracle-parity suites
+pytestmark = pytest.mark.scale
+
 
 @pytest.fixture(scope="module")
 def result(spark):

@@ -10,6 +10,10 @@ from kausaldb_spark.functions import dedup as dd
 from kausaldb_spark.functions import similarity as sim
 from kausaldb_spark.functions.text import simhash64, tokens
 
+# r13: heavy gauntlet — opt-in via `-m scale` (see pytest.ini); the
+# default driver verify run keeps the unit + oracle-parity suites
+pytestmark = pytest.mark.scale
+
 
 @pytest.fixture(scope="module")
 def degenerate_corpus(spark):

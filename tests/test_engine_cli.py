@@ -12,6 +12,10 @@ from pyspark.sql import functions as F
 from kausaldb_spark.cli import main as cli_main
 from kausaldb_spark.engine import KausalEngine
 
+# r13: heavy gauntlet — opt-in via `-m scale` (see pytest.ini); the
+# default driver verify run keeps the unit + oracle-parity suites
+pytestmark = pytest.mark.scale
+
 
 @pytest.fixture(scope="module")
 def tree(tmp_path_factory):

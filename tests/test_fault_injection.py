@@ -35,6 +35,10 @@ from pyspark.sql import functions as F
 
 from kausaldb_spark.engine import KausalEngine
 
+# r13: heavy gauntlet — opt-in via `-m scale` (see pytest.ini); the
+# default driver verify run keeps the unit + oracle-parity suites
+pytestmark = pytest.mark.scale
+
 TREE_V1 = {
     "lib.py": '''
 def helper_function(x):

@@ -24,6 +24,10 @@ from kausaldb_spark.operators.filtering import (
     filtered_query,
 )
 
+# r13: heavy gauntlet — opt-in via `-m scale` (see pytest.ini); the
+# default driver verify run keeps the unit + oracle-parity suites
+pytestmark = pytest.mark.scale
+
 N_TREES = 200
 SEED = 20260814
 

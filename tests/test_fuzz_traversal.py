@@ -21,6 +21,10 @@ from kausaldb_spark.operators.traversal import (
     bfs,
 )
 
+# r13: heavy gauntlet — opt-in via `-m scale` (see pytest.ini); the
+# default driver verify run keeps the unit + oracle-parity suites
+pytestmark = pytest.mark.scale
+
 SEED = 20260814
 N_GRAPHS = 5
 SPECS_PER_GRAPH = 4

@@ -57,6 +57,10 @@ import pytest
 
 from kausaldb_spark.sources.ingest import _parse_zig
 
+# r13: heavy gauntlet — opt-in via `-m scale` (see pytest.ini); the
+# default driver verify run keeps the unit + oracle-parity suites
+pytestmark = pytest.mark.scale
+
 N_PROGRAMS = 1200  # r10: doubled with the grammar extension — runs in ~1 s
 MASTER_SEED = 0xC0DE
 

@@ -6,6 +6,12 @@ from hypothesis import strategies as st
 
 from kausaldb_spark.operators import traversal as tv
 
+import pytest
+
+# r13: heavy gauntlet — opt-in via `-m scale` (see pytest.ini); the
+# default driver verify run keeps the unit + oracle-parity suites
+pytestmark = pytest.mark.scale
+
 
 def _dag_edges(draw, n_nodes: int):
     """Random DAG: edges only from lower to higher node index."""

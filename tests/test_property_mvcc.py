@@ -10,6 +10,10 @@ from hypothesis import strategies as st
 
 from kausaldb_spark.snapshot import latest_versions, visible_blocks
 
+# r13: heavy gauntlet — opt-in via `-m scale` (see pytest.ini); the
+# default driver verify run keeps the unit + oracle-parity suites
+pytestmark = pytest.mark.scale
+
 # an op is (kind, block_id, payload); sequence = position in the list + 1
 _ops = st.lists(
     st.tuples(

@@ -11,6 +11,12 @@ from hypothesis import strategies as st
 from kausaldb_spark.functions import dedup as dd
 from kausaldb_spark.functions import text as tx
 
+import pytest
+
+# r13: heavy gauntlet — opt-in via `-m scale` (see pytest.ini); the
+# default driver verify run keeps the unit + oracle-parity suites
+pytestmark = pytest.mark.scale
+
 # small vocabulary forces shingle collisions and duplicated spans
 _doc = st.lists(
     st.sampled_from(["a", "b", "c", "d", "e"]), min_size=0, max_size=25

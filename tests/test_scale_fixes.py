@@ -13,6 +13,10 @@ from kausaldb_spark.operators import filtering as flt
 from kausaldb_spark.operators import lookup as lk
 from kausaldb_spark.storage import BlockStore
 
+# r13: heavy gauntlet — opt-in via `-m scale` (see pytest.ini); the
+# default driver verify run keeps the unit + oracle-parity suites
+pytestmark = pytest.mark.scale
+
 
 @pytest.fixture(scope="module")
 def tree(tmp_path_factory):

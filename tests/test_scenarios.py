@@ -7,6 +7,10 @@ from pyspark.sql import functions as F
 
 from kausaldb_spark.operators import traversal as tv
 
+# r13: heavy gauntlet — opt-in via `-m scale` (see pytest.ini); the
+# default driver verify run keeps the unit + oracle-parity suites
+pytestmark = pytest.mark.scale
+
 
 def _edges(spark, pairs, edge_type="calls"):
     rows = [(a, b, t) for a, b, t in (

@@ -18,6 +18,10 @@ from pyspark.sql import functions as F
 from kausaldb_spark.engine import REGISTRY_BLOCK_ID, KausalEngine
 from kausaldb_spark.storage import BlockStore
 
+# r13: heavy gauntlet — opt-in via `-m scale` (see pytest.ini); the
+# default driver verify run keeps the unit + oracle-parity suites
+pytestmark = pytest.mark.scale
+
 A_PY = textwrap.dedent('''
     def fa():
         return util()
