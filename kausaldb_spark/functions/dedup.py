@@ -274,6 +274,13 @@ def jaccard_verify(
             ).alias("hs"),
         )
         .select("doc_id", "hs", F.size("hs").alias("n_sh"))
+        # joined below as BOTH pair sides. The r12 in-row rewrite removed
+        # the collect_list exchange whose shuffle files the second
+        # reference reused (ReusedExchange) — without it each side
+        # recomputed the whole sliver subtree (semi-join + shingling +
+        # per-element md5). Materialize the duplication-rate-sized sliver
+        # once instead (r13; the incremental-batch residual's root cause).
+        .localCheckpoint(eager=True)
     )
     paired = candidates.join(
         sets.selectExpr("doc_id as doc_a", "hs as hs_a", "n_sh as n_a"),
@@ -1034,6 +1041,10 @@ def near_dup_vs_corpus(
             F.col("n.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b")
         )
         .distinct()
+        # candidate ids feed the corpus-sliver semi-join plus both prune
+        # references inside jaccard_verify — same reuse contract as
+        # minhash_pairs_for's checkpointed cands (r13)
+        .localCheckpoint(eager=True)
     )
     # verify on new-batch shingles + the candidate corpus sliver only
     cand_corpus = corpus_docs.join(
