@@ -786,16 +786,21 @@ def simhash_band_pairs(
         cands = p if cands is None else cands.unionByName(p)
 
     # hamming over the 64-bit signature = sum of per-band 16-bit hammings
-    # (no bigint packing: band 3 in bits 48-63 would overflow signed int64)
+    # (no bigint packing: band 3 in bits 48-63 would overflow signed int64).
+    # Verify BEFORE the distinct (r13, §2.3 shuffle fewer bytes): hamming is
+    # a pure function of the pair's band columns, so filtering first is
+    # row-identical — and the dedup exchange then moves only 3 narrow
+    # columns of the duplication-rate-sized survivor set instead of 10
+    # columns of every band-collision candidate.
     hamming = None
     for n in all_bands:
         h = F.bit_count(F.col(f"a_{n}").bitwiseXOR(F.col(f"c_{n}")))
         hamming = h if hamming is None else hamming + h
     return (
-        cands.distinct()
-        .withColumn("hamming", hamming.cast("int"))
+        cands.withColumn("hamming", hamming.cast("int"))
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 
